@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.rel.Relational
+import graft.stats.Survey
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedMean matches closed form") {
+    val df = Seq(("a", 1.0, 2.0), ("a", 3.0, 1.0), ("b", 10.0, 4.0))
+      .toDF("g", "y", "w")
+    val r = Relational.weightedMean(df, Seq("g"), $"y", $"w")
+      .orderBy("g").as[(String, Double)].collect()
+    assert(math.abs(r(0)._2 - (1.0 * 2 + 3.0 * 1) / 3.0) < 1e-12)
+    assert(math.abs(r(1)._2 - 10.0) < 1e-12)
+  }
+
+  test("fullOuterChain keeps unmatched keys with nulls (49-vs-51 rule)") {
+    val a = Seq(("x", 1.0), ("y", 2.0)).toDF("k", "va")
+    val b = Seq(("y", 3.0), ("z", 4.0)).toDF("k", "vb")
+    val j = Relational.fullOuterChain(Seq(a, b), "k").orderBy("k")
+    assert(j.count() == 3)
+    val rows = j.collect()
+    assert(rows(0).isNullAt(2) && rows(2).isNullAt(1))
+  }
+
+  test("deviationSummary skips nulls like na.rm=TRUE") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(3.0), Some(3.0)),
+      (None, Some(9.0))).toDF("est", "act")
+    val r = Relational.deviationSummary(df, $"est", $"act").collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12) // mean((1-2)^2,(3-3)^2)
+    assert(math.abs(r.getDouble(1) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("productAgg computes product via log space") {
+    val df = Seq(2.0, 3.0, 4.0).toDF("x")
+    val p = df.agg(Relational.productAgg($"x").as("p")).as[Double].head()
+    assert(math.abs(p - 24.0) < 1e-9)
+  }
+
+  test("weightedMeanSE matches hand-computed linearized design SE") {
+    // svymean with each row its own PSU: mu = sum(wy)/sum(w),
+    // var = n/(n-1) * sum(w^2 (y-mu)^2) / (sum w)^2
+    val df = Seq(("a", 1.0, 1.0), ("a", 0.0, 2.0), ("a", 1.0, 3.0))
+      .toDF("g", "y", "w")
+    val mu = (1.0 + 0.0 + 3.0) / 6.0
+    val ss = math.pow(1 * (1 - mu), 2) + math.pow(2 * (0 - mu), 2) +
+      math.pow(3 * (1 - mu), 2)
+    val se = math.sqrt(3.0 / 2.0 * ss / 36.0)
+    val r = Survey.weightedMeanSE(df, "g", "y", "w").collect()(0)
+    assert(math.abs(r.getDouble(1) - mu) < 1e-12)
+    assert(math.abs(r.getDouble(2) - se) < 1e-12)
+  }
+
+  test("weightedMeanSE drops null outcomes (na.rm)") {
+    val df = Seq(("a", Some(1.0), 1.0), ("a", None, 5.0), ("a", Some(3.0), 1.0))
+      .toDF("g", "y", "w")
+    val r = Survey.weightedMeanSE(df, "g", "y", "w").collect()(0)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)
+  }
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: for each query
+dumped by graft.Verify, run its oracle SQL in DuckDB over the same
+parquet tables and compare values (columns sorted by name, rows sorted).
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"MISS  {name}: no spark output")
+        fails.append(name)
+        continue
+    sdf = pd.read_parquet(f"{out_dir}/{name}")
+    try:
+        ddf = con.execute(sql).df()
+    except Exception as e:
+        print(f"ORAERR {name}: {e}")
+        fails.append(name)
+        continue
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+    if list(sdf.columns) != list(ddf.columns):
+        print(f"SCHEMA {name}: spark={list(sdf.columns)} duck={list(ddf.columns)}")
+        fails.append(name)
+        continue
+    if len(sdf) != len(ddf):
+        print(f"ROWS  {name}: spark={len(sdf)} duck={len(ddf)}")
+        fails.append(name)
+        continue
+    s = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
+    d = ddf.sort_values(by=list(ddf.columns)).reset_index(drop=True)
+    ok = True
+    for c in s.columns:
+        sc, dc = s[c], d[c].astype(s[c].dtype, errors="ignore") if hasattr(d[c], "astype") else d[c]
+        try:
+            eq = (sc.fillna("§") == dc.fillna("§")).all() if sc.dtype == object else \
+                 ((sc.isna() == dc.isna()) & (sc.fillna(0) == dc.fillna(0))).all()
+        except Exception:
+            eq = False
+        if not eq:
+            diff = (sc != dc) & ~(sc.isna() & dc.isna())
+            idx = diff[diff].index[:3]
+            print(f"VAL   {name}.{c}: first diffs {[(i, sc[i], dc[i]) for i in idx]}")
+            ok = False
+    if ok:
+        print(f"OK    {name} ({len(sdf)} rows)")
+    else:
+        fails.append(name)
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} match")
+sys.exit(1 if fails else 0)
