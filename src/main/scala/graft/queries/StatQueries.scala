@@ -1,0 +1,163 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Encodings._
+import graft.stats.{Bootstrap, Em, Glmm, Survey}
+
+/** The reference's statistical pipeline (SURVEY.md §2.7 M1-M12) run as
+  * first-class engine queries over a survey derived deterministically
+  * from the TPC-H-ish tables: area = nation, outcome = order finality,
+  * covariates = market segment / order priority, weights from custkey.
+  *
+  * Only m04 (design-based direct estimate) is ANSI-SQL-expressible and
+  * oracle-checked; the EM/EBP/bootstrap entries get the driver's
+  * rows-only check (per the Verify contract) and are value-tested by
+  * the recovery/golden specs instead.
+  */
+object StatQueries {
+
+  val featureCols = Seq("x1", "x2")
+
+  /** Small survey (outcome + weights): one row per order. */
+  def smallSurvey(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("state"),
+        indicator(col("o_orderstatus"), "F").as("y"),
+        indicator(col("c_mktsegment"), "BUILDING").cast("double").as("x1"),
+        indicator(col("o_orderpriority"), "1-URGENT").cast("double").as("x2"),
+        (lit(1.0) + pmod(col("o_custkey"), lit(3)).cast("double")).as("weight"),
+        col("o_orderkey").as("uid"))
+
+  /** Big survey (covariates + weights, no outcome): one row per customer. */
+  def bigSurvey(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("state"),
+        indicator(col("c_mktsegment"), "BUILDING").cast("double").as("x1"),
+        when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("x2"),
+        (lit(1.0) + pmod(col("c_custkey"), lit(2)).cast("double")).as("weight"),
+        col("c_custkey").as("uid"))
+
+  // One EM fit per (session, sfDir) JVM-wide: m02/m03/m06 share it, the
+  // way the reference computes the pipeline once and reports many views.
+  private val emCache = TrieMap.empty[String, Em.Fit]
+
+  def emFit(s: SparkSession, dir: String): Em.Fit =
+    emCache.getOrElseUpdate(dir, {
+      val small = smallSurvey(s, dir).cache()
+      val init = Em.Params(
+        Glmm.fitLogistic(small, "y", featureCols), 0.25)
+      val fit = Em.fit(small, "y", featureCols, "state", init,
+        numDraws = 100, maxIter = 3, seed = 42L)
+      small.unpersist(blocking = false)
+      fit
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1 — distributed logistic fit (treeAggregate NLL + LBFGS)
+    "m01_glm_fit" -> ((s, dir) => {
+      import s.implicits._
+      val beta = Glmm.fitLogistic(smallSurvey(s, dir), "y", featureCols)
+      ("intercept" +: featureCols).zip(beta.toArray.toSeq)
+        .toDF("term", "estimate")
+        .select(col("term"), round(col("estimate"), 4).as("estimate"))
+        .orderBy("term")
+    }),
+
+    // M3 — per-area Laplace modes and curvatures from the EM fit
+    "m02_em_area_effects" -> ((s, dir) => {
+      import s.implicits._
+      emFit(s, dir).modes.toDF()
+        .select(col("area").as("state"), round(col("vhat"), 4).as("vhat"),
+          round(col("tau"), 4).as("tau"), col("n"))
+        .orderBy("state")
+    }),
+
+    // M5 — EBP small-area estimates on the big survey
+    "m03_ebp" -> ((s, dir) => {
+      val fit = emFit(s, dir)
+      Em.ebp(bigSurvey(s, dir), fit.params, featureCols, "state", "weight",
+          fit.draws, ebpDraws = 100)
+        .select(col("state"), round(col("ebp"), 4).as("ebp"))
+        .orderBy("state")
+    }),
+
+    // M6/A3 — design-based direct estimate + SE (oracle-checked)
+    "m04_direct_est" -> ((s, dir) =>
+      Survey.weightedMeanSE(smallSurvey(s, dir), "state", "y", "weight",
+          scale = 100.0)
+        .select(col("state"), round(col("mean"), 6).as("mean"),
+          round(col("se"), 6).as("se"))
+        .orderBy("state")),
+
+    // M7/M8 — parametric bootstrap MSPE (tiny B; full runs are offline)
+    "m05_bootstrap_mspe" -> ((s, dir) => {
+      val fit = emFit(s, dir)
+      Bootstrap.mspe(smallSurvey(s, dir), bigSurvey(s, dir), "y",
+          featureCols, "state", "weight", Seq("uid"), fit.params,
+          numB = 2, seed = 7L, numDraws = 50, emIters = 1, ebpDraws = 25)
+        .select(col("state"), round(col("mspe"), 4).as("mspe"))
+        .orderBy("state")
+    }),
+
+    // J2 — the reference's final report SQL (Method_code.Rmd:763-772):
+    // base estimates LEFT JOIN MSPE LEFT JOIN direct SE, rounded.
+    "m06_final_report" -> ((s, dir) => {
+      val fit = emFit(s, dir)
+      Em.ebp(bigSurvey(s, dir), fit.params, featureCols, "state", "weight",
+          fit.draws, ebpDraws = 100)
+        .createOrReplaceTempView("em_est")
+      Survey.weightedMeanSE(smallSurvey(s, dir), "state", "y", "weight",
+          scale = 100.0)
+        .createOrReplaceTempView("direct_est")
+      Bootstrap.mspe(smallSurvey(s, dir), bigSurvey(s, dir), "y",
+          featureCols, "state", "weight", Seq("uid"), fit.params,
+          numB = 2, seed = 7L, numDraws = 50, emIters = 1, ebpDraws = 25)
+        .createOrReplaceTempView("final_mspe")
+      s.sql("""
+        SELECT a.state,
+               ROUND(a.ebp, 2)    AS em_est,
+               ROUND(b.mspe, 2)   AS mspe,
+               ROUND(c.mean, 2)   AS direct,
+               ROUND(c.se, 2)     AS direct_se
+        FROM em_est a
+        LEFT JOIN final_mspe b ON a.state = b.state
+        LEFT JOIN direct_est c ON a.state = c.state
+        ORDER BY a.state
+      """)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m04_direct_est" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey)
+      SELECT state, ROUND(100 * swy / sw, 6) AS mean,
+             ROUND(100 * SQRT((n / (n - 1.0))
+               * (swwyy - 2 * (swy / sw) * swwy
+                  + (swy / sw) * (swy / sw) * sww) / (sw * sw)), 6) AS se
+      FROM (SELECT state, SUM(y * w) AS swy, SUM(w) AS sw,
+                   SUM(w * w * y * y) AS swwyy, SUM(w * w * y) AS swwy,
+                   SUM(w * w) AS sww, COUNT(*) AS n
+            FROM small GROUP BY state)
+      ORDER BY state"""
+  )
+}

@@ -1,0 +1,107 @@
+package graft.stats
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+import graft.etl.Encodings
+import graft.rel.Relational
+
+/** Parametric bootstrap for MSPE (SURVEY.md M7-M8;
+  * `Method_code.Rmd:557-758`).
+  *
+  * Per replicate b: draw v_b ~ N(0, sigma) per area (driver RNG, keyed
+  * by (seed, b, area) — the reference's in-loop `set.seed` makes all
+  * replicates identical, SURVEY.md Q4; we implement the documented
+  * intended semantics of independent replicates), simulate
+  * y* ~ Bernoulli(sigmoid(x'beta + v_b)) on the small survey, refit the
+  * EM engine on the simulated outcome, compute the EBP estimate and the
+  * replicate "truth" on the big survey, and finally
+  * MSPE_area = sqrt(mean_b (truth_b - est_b)^2).
+  *
+  * Row-level Bernoulli uses a hash-keyed uniform (xxhash64 of the row id
+  * + replicate + seed) instead of `rand()`, so results are invariant to
+  * partitioning and task retries — a correctness requirement at cluster
+  * scale, not a style choice.
+  */
+object Bootstrap {
+
+  /** N(0, sigma) per area, keyed RNG. */
+  def drawAreaEffects(areas: Seq[String], sigma: Double, seed: Long,
+                      b: Int): Map[String, Double] =
+    areas.map { a =>
+      val rng = new java.util.Random(
+        seed ^ (MurmurHash3.stringHash(a).toLong << 13) ^ (b * 0x9E3779B9L))
+      a -> sigma * rng.nextGaussian()
+    }.toMap
+
+  /** Partitioning-invariant uniform in [0,1) keyed on id columns. */
+  def keyedUniform(idCols: Seq[String], seed: Long, b: Int) =
+    (pmod(xxhash64(idCols.map(col) :+ lit(seed) :+ lit(b): _*),
+      lit(1000000007L)).cast("double") / lit(1000000007.0))
+
+  /** Simulate the binary outcome y* on `df` under (beta, sigma)
+    * (Method_code.Rmd:564-586 — also the generative model for the
+    * recovery tests, FIXTURES.md A4).
+    */
+  def simulateOutcome(df: DataFrame, beta: DenseVector[Double],
+                      featureCols: Seq[String], areaCol: String,
+                      vB: Map[String, Double], idCols: Seq[String],
+                      seed: Long, b: Int, yCol: String = "y_sim"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vDf = vB.toSeq.toDF(areaCol, "v_b")
+    val theta = Encodings.sigmoid(
+      Glmm.xBetaCol(beta, featureCols) + coalesce(col("v_b"), lit(0.0)))
+    df.join(broadcast(vDf), Seq(areaCol), "left")
+      .withColumn(yCol,
+        (keyedUniform(idCols, seed, b) < theta).cast("int"))
+      .drop("v_b")
+  }
+
+  /** Replicate "truth": weighted mean of sigmoid(x'beta + v_b) over the
+    * big survey (Method_code.Rmd:689-696).
+    */
+  def replicateTruth(big: DataFrame, beta: DenseVector[Double],
+                     featureCols: Seq[String], areaCol: String, wCol: String,
+                     vB: Map[String, Double], scale: Double = 100.0): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val vDf = vB.toSeq.toDF(areaCol, "v_b")
+    val theta = Encodings.sigmoid(
+      Glmm.xBetaCol(beta, featureCols) + coalesce(col("v_b"), lit(0.0)))
+    Relational.weightedMean(
+      big.join(broadcast(vDf), Seq(areaCol), "left").withColumn("theta", theta),
+      Seq(areaCol), col("theta"), col(wCol).cast("double"), scale, "truth")
+  }
+
+  /** Full bootstrap: B replicates -> per-area RMSE of (truth - est).
+    * Replicates are independent job DAGs; at scale they can be
+    * submitted concurrently from driver threads (fair scheduler) —
+    * sequential here for determinism of test timings.
+    */
+  def mspe(small: DataFrame, big: DataFrame, yCol: String,
+           featureCols: Seq[String], areaCol: String, wCol: String,
+           idCols: Seq[String], truth: Em.Params, numB: Int,
+           seed: Long = 42L, numDraws: Int = 200, emIters: Int = 5,
+           ebpDraws: Int = 100): DataFrame = {
+    val areas = big.select(areaCol).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val sigma = math.sqrt(truth.sigmaSq)
+    val perB = (1 to numB).map { b =>
+      val vB = drawAreaEffects(areas, sigma, seed, b)
+      val sim = simulateOutcome(small, truth.beta, featureCols, areaCol, vB,
+        idCols, seed, b)
+      val fit = Em.fit(sim, "y_sim", featureCols, areaCol, truth,
+        numDraws = numDraws, maxIter = emIters, seed = seed + b)
+      val est = Em.ebp(big, fit.params, featureCols, areaCol, wCol,
+        fit.draws, ebpDraws)
+      val tru = replicateTruth(big, truth.beta, featureCols, areaCol, wCol, vB)
+      est.join(tru, Seq(areaCol)).withColumn("boot_id", lit(b))
+    }
+    Relational.unionAll(perB)
+      .groupBy(areaCol)
+      .agg(sqrt(avg(pow(col("truth") - col("ebp"), 2))).as("mspe"))
+  }
+}

@@ -1,0 +1,232 @@
+package graft.stats
+
+import breeze.linalg.DenseVector
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.util.hashing.MurmurHash3
+
+import graft.etl.Encodings
+import graft.rel.Relational
+
+/** Adjusted-likelihood EM for the logistic random-intercept model —
+  * the reference's core algorithm (SURVEY.md M3-M5; `Method_code.Rmd:
+  * 215-454`, paper arXiv:2305.12336).
+  *
+  * Per EM iteration:
+  *   1. linear predictors x'beta        — Column expression, no action
+  *   2. per-area Laplace mode/curvature — one `mapGroups` job, one
+  *      shuffle keyed by area (areas are small-cardinality; each group
+  *      is optimized with a 1-D golden-section in O(rows * evals))
+  *   3. Monte-Carlo draws v~N(vhat,tau) — driver-side keyed RNG
+  *      (deterministic in (seed, iteration, area); areas x draws is
+  *      dimension-sized, so no cluster work needed)
+  *   4a. sigma^2 closed-form maximizer of the adjusted-likelihood
+  *      Q-function (SURVEY.md Q2): sigma^2 = mean_r(sum_i n_i v_ir^2)/(n-2)
+  *   4b. beta via driver L-BFGS; each objective call is ONE
+  *      `treeAggregate` pass over the cached design RDD with the draw
+  *      table BROADCAST — the units-x-draws "join" is computed on the
+  *      fly per row, never materialized (SURVEY.md §7 risk 2: this is
+  *      what keeps the hot loop viable at 100 TB).
+  *
+  * Numerical divergences from the literal R (documented, intended
+  * semantics per SURVEY.md Q1-Q4): likelihoods in log space (Q3), the
+  * passed intercept is used (Q1), independent keyed RNG streams (Q4).
+  */
+object Em {
+
+  case class Params(beta: DenseVector[Double], sigmaSq: Double)
+
+  /** Laplace mode and curvature for one area (Method_code.Rmd:252-274). */
+  case class AreaMode(area: String, vhat: Double, tau: Double, n: Long)
+
+  case class Fit(params: Params, modes: Seq[AreaMode],
+                 draws: Map[String, Array[Double]], iters: Int,
+                 converged: Boolean)
+
+  /** Step 2 — per-area Laplace approximation. Maximizes
+    *   log g(v) = -v^2/(2 sigma^2) + sum_j [ y_j (xb_j+v) - log1pexp(xb_j+v) ]
+    * over v in [-vBound, vBound] (reference bound 3, Method_code.Rmd:220)
+    * and returns curvature tau^2 = (1/sigma^2 + sum_j p_j (1-p_j))^-1.
+    */
+  def laplaceModes(df: DataFrame, params: Params, featureCols: Seq[String],
+                   areaCol: String, yCol: String,
+                   vBound: Double = 3.0): Seq[AreaMode] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigmaSq = params.sigmaSq
+    df.select(col(areaCol).cast("string"),
+        Glmm.xBetaCol(params.beta, featureCols).as("xb"),
+        col(yCol).cast("double"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (area, it) =>
+        val rows = it.map(r => (r._2, r._3)).toArray
+        def logg(v: Double): Double = {
+          var s = -v * v / (2 * sigmaSq)
+          var j = 0
+          while (j < rows.length) {
+            val (xb, y) = rows(j)
+            s += y * (xb + v) - Glmm.log1pExp(xb + v)
+            j += 1
+          }
+          s
+        }
+        val vhat = Optimize.goldenMax(logg, -vBound, vBound)
+        var info = 1.0 / sigmaSq
+        var j = 0
+        while (j < rows.length) {
+          val p = Glmm.sigmoidD(rows(j)._1 + vhat)
+          info += p * (1 - p)
+          j += 1
+        }
+        AreaMode(area, vhat, math.sqrt(1.0 / info), rows.length.toLong)
+      }
+      .collect().toSeq.sortBy(_.area)
+  }
+
+  /** Step 3 — v-tilde draws, keyed RNG: stream seeded by
+    * (seed, iteration, area) so results are invariant to partitioning
+    * and iteration order (SURVEY.md Q4 corrected semantics).
+    */
+  def simulateDraws(modes: Seq[AreaMode], numDraws: Int, seed: Long,
+                    iter: Int): Map[String, Array[Double]] =
+    modes.map { m =>
+      val rng = new java.util.Random(
+        seed ^ (MurmurHash3.stringHash(m.area).toLong << 17) ^ (iter * 0x9E3779B9L))
+      m.area -> Array.fill(numDraws)(m.vhat + m.tau * rng.nextGaussian())
+    }.toMap
+
+  /** Step 4a — closed-form maximizer of the adjusted-likelihood
+    * Q(sigma^2) = log s2 - (n/2) log s2 - mean_r(sum_i n_i v_ir^2)/(2 s2)
+    * (Method_code.Rmd:301-310; SURVEY.md Q2): s2 = S/(n-2),
+    * S = mean over draws of sum_i n_i v_ir^2.
+    */
+  def updateSigmaSq(draws: Map[String, Array[Double]],
+                    nByArea: Map[String, Long], totalN: Long): Double = {
+    val numDraws = draws.head._2.length
+    var s = 0.0
+    draws.foreach { case (a, vs) =>
+      val ni = nByArea(a).toDouble
+      var r = 0
+      while (r < vs.length) { s += ni * vs(r) * vs(r); r += 1 }
+    }
+    math.max(s / numDraws / (totalN - 2.0), 1e-8)
+  }
+
+  /** Step 4b — beta update: minimize the MC-averaged NLL
+    *   h(beta) = sum_j [ (1/R) sum_r log1pexp(xb_j + v_{a(j),r}) - y_j xb_j ]
+    * (constant -sum_j y_j vbar_{a(j)} dropped; same argmin).
+    * One treeAggregate per L-BFGS evaluation; draws broadcast.
+    */
+  def updateBeta(data: RDD[(Double, Array[Double], String)],
+                 draws: Map[String, Array[Double]],
+                 init: DenseVector[Double], maxIter: Int = 50): DenseVector[Double] = {
+    val sc = data.sparkContext
+    val bc = sc.broadcast(draws)
+    try {
+      Optimize.lbfgsMin({ beta =>
+        val k = beta.length
+        val b = beta.toArray
+        val (loss, grad) = data.treeAggregate((0.0, new Array[Double](k)))(
+          seqOp = { case ((l, g), (y, x, area)) =>
+            var eta = 0.0
+            var i = 0
+            while (i < k) { eta += b(i) * x(i); i += 1 }
+            val vs = bc.value.getOrElse(area, Array(0.0))
+            var sumLog = 0.0; var sumP = 0.0
+            var r = 0
+            while (r < vs.length) {
+              sumLog += Glmm.log1pExp(eta + vs(r))
+              sumP += Glmm.sigmoidD(eta + vs(r))
+              r += 1
+            }
+            val mLog = sumLog / vs.length
+            val mP = sumP / vs.length
+            i = 0
+            while (i < k) { g(i) += (mP - y) * x(i); i += 1 }
+            (l + mLog - y * eta, g)
+          },
+          combOp = { case ((l1, g1), (l2, g2)) =>
+            var i = 0
+            while (i < k) { g1(i) += g2(i); i += 1 }
+            (l1 + l2, g1)
+          },
+          depth = 2)
+        (loss, DenseVector(grad))
+      }, init, maxIter)
+    } finally bc.destroy()
+  }
+
+  /** Outer EM loop (Method_code.Rmd:352-390): iterate to convergence,
+    * tol on sigma and on every beta coordinate (reference tol = 0.01).
+    */
+  def fit(df: DataFrame, yCol: String, featureCols: Seq[String],
+          areaCol: String, init: Params, numDraws: Int = 1000,
+          tol: Double = 0.01, maxIter: Int = 50, seed: Long = 42L,
+          vBound: Double = 3.0): Fit = {
+    val design = df.select(
+        (col(yCol).cast("double") +: featureCols.map(c => col(c).cast("double"))) :+
+          col(areaCol).cast("string"): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](featureCols.length + 1)
+        x(0) = 1.0
+        var i = 0
+        while (i < featureCols.length) { x(i + 1) = r.getDouble(i + 1); i += 1 }
+        (r.getDouble(0), x, r.getString(featureCols.length + 1))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    design.count() // materialize once; reused by every objective call
+
+    try {
+      var params = init
+      var modes: Seq[AreaMode] = Nil
+      var draws: Map[String, Array[Double]] = Map.empty
+      var k = 0
+      var converged = false
+      var totalN = 0L
+      while (k < maxIter && !converged) {
+        modes = laplaceModes(df, params, featureCols, areaCol, yCol, vBound)
+        if (totalN == 0L) totalN = modes.map(_.n).sum
+        draws = simulateDraws(modes, numDraws, seed, k)
+        val nByArea = modes.map(m => m.area -> m.n).toMap
+        val s2 = updateSigmaSq(draws, nByArea, totalN)
+        val beta = updateBeta(design, draws, params.beta)
+        val dSigma = math.abs(math.sqrt(s2) - math.sqrt(params.sigmaSq))
+        val dBeta = breeze.linalg.max(breeze.numerics.abs(beta - params.beta))
+        converged = dSigma < tol && dBeta < tol
+        params = Params(beta, s2)
+        k += 1
+      }
+      Fit(params, modes, draws, k, converged)
+    } finally design.unpersist(blocking = false)
+  }
+
+  /** EBP per-area estimates (Method_code.Rmd:406-454): for each unit of
+    * the big survey, posterior-mean probability = mean over the first
+    * `ebpDraws` draws of sigmoid(x'beta + v~); areas without draws
+    * (reference MT/SD rule, SURVEY.md Q6) score with v = 0. Then the
+    * weighted grouped mean x100.
+    *
+    * Draw table is area-keyed (dimension-sized) → broadcast joined as an
+    * array column; the per-unit mean-over-draws runs as a higher-order
+    * `aggregate` over that array — no units-x-draws row explosion.
+    */
+  def ebp(big: DataFrame, params: Params, featureCols: Seq[String],
+          areaCol: String, wCol: String, draws: Map[String, Array[Double]],
+          ebpDraws: Int = 100, scale: Double = 100.0): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val drawsDf = draws.toSeq.map { case (a, vs) => (a, vs.take(ebpDraws).toSeq) }
+      .toDF(areaCol, "draws")
+    val xb = Glmm.xBetaCol(params.beta, featureCols)
+    val p = when(col("draws").isNull, Encodings.sigmoid(xb))
+      .otherwise(
+        aggregate(col("draws"), lit(0.0),
+          (acc, v) => acc + Encodings.sigmoid(xb + v)) / size(col("draws")))
+    val scored = big.join(broadcast(drawsDf), Seq(areaCol), "left")
+      .withColumn("p", p)
+    Relational.weightedMean(scored, Seq(areaCol), col("p"),
+      col(wCol).cast("double"), scale, "ebp")
+  }
+}

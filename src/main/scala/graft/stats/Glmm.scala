@@ -1,0 +1,121 @@
+package graft.stats
+
+import breeze.linalg.DenseVector
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.etl.Encodings
+
+/** Distributed logistic regression + mixed-model scoring
+  * (SURVEY.md M1/M2; reference `glmer`/`predict`,
+  * `Method_code.Rmd:68-81,171-181`).
+  *
+  * The fixed-effects fit minimizes the logistic NLL with Breeze L-BFGS
+  * on the driver; each objective evaluation is one `treeAggregate` over
+  * a cached `RDD[(y, x)]` — the classic Spark pattern (mllib's own
+  * LogisticRegression does the same dance). This scales to arbitrarily
+  * many rows: per-evaluation cost is one pass, communication is
+  * O(numFeatures * log(numPartitions)) via the tree reduction, and no
+  * per-row data ever reaches the driver.
+  *
+  * The random-intercept SD is NOT estimated here — per the paper, the
+  * engine's own EM (graft.stats.Em) replaces glmer's integral
+  * approximation; this fit is the initializer/benchmark, exactly the
+  * role glmer plays in the reference (`Method_code.Rmd:592-593`).
+  */
+object Glmm {
+
+  /** log(1 + e^x) without overflow. */
+  def log1pExp(x: Double): Double =
+    if (x > 0) x + math.log1p(math.exp(-x)) else math.log1p(math.exp(x))
+
+  def sigmoidD(x: Double): Double =
+    if (x >= 0) 1.0 / (1.0 + math.exp(-x)) else { val e = math.exp(x); e / (1.0 + e) }
+
+  /** Project a DataFrame to a cached design RDD: y plus [1, x1..xk]
+    * (intercept prepended). Columns are cast to double once here so the
+    * hot optimizer loop does no conversion.
+    */
+  def designRdd(df: DataFrame, yCol: String,
+                featureCols: Seq[String]): RDD[(Double, Array[Double])] = {
+    val cols = (col(yCol).cast("double") +:
+      featureCols.map(c => col(c).cast("double"))).toArray
+    df.select(cols.toIndexedSeq: _*).rdd.map { r =>
+      val x = new Array[Double](featureCols.length + 1)
+      x(0) = 1.0
+      var i = 0
+      while (i < featureCols.length) { x(i + 1) = r.getDouble(i + 1); i += 1 }
+      (r.getDouble(0), x)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** (NLL, gradient) of logistic regression over the design RDD in one
+    * tree-aggregated pass; optional L2 ridge for separation robustness.
+    */
+  def nllGrad(data: RDD[(Double, Array[Double])], beta: DenseVector[Double],
+              l2: Double = 0.0): (Double, DenseVector[Double]) = {
+    val k = beta.length
+    val b = beta.toArray
+    val (loss, grad) = data.treeAggregate((0.0, new Array[Double](k)))(
+      seqOp = { case ((l, g), (y, x)) =>
+        var eta = 0.0
+        var i = 0
+        while (i < k) { eta += b(i) * x(i); i += 1 }
+        val p = sigmoidD(eta)
+        i = 0
+        while (i < k) { g(i) += (p - y) * x(i); i += 1 }
+        (l + log1pExp(eta) - y * eta, g)
+      },
+      combOp = { case ((l1, g1), (l2v, g2)) =>
+        var i = 0
+        while (i < k) { g1(i) += g2(i); i += 1 }
+        (l1 + l2v, g1)
+      },
+      depth = 2)
+    val gv = DenseVector(grad)
+    if (l2 > 0) (loss + 0.5 * l2 * (beta dot beta), gv + beta * l2)
+    else (loss, gv)
+  }
+
+  /** Fit fixed-effects logistic regression; returns beta with intercept
+    * at index 0 (feature order = featureCols).
+    */
+  def fitLogistic(df: DataFrame, yCol: String, featureCols: Seq[String],
+                  l2: Double = 1e-8, maxIter: Int = 100): DenseVector[Double] = {
+    val data = designRdd(df, yCol, featureCols)
+    try {
+      val init = DenseVector.zeros[Double](featureCols.length + 1)
+      Optimize.lbfgsMin(nllGrad(data, _, l2), init, maxIter)
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** Linear-predictor Column from a fitted beta (intercept at index 0),
+    * the Column-algebra mirror of the reference's `x_beta_func`
+    * (`Method_code.Rmd:94-140`). Implements intended semantics per
+    * SURVEY.md Q1: uses the passed intercept, not a global.
+    */
+  def xBetaCol(beta: DenseVector[Double], featureCols: Seq[String]): Column =
+    Encodings.xBeta(beta(0),
+      featureCols.zipWithIndex.map { case (c, i) =>
+        (col(c).cast("double"), beta(i + 1))
+      })
+
+  /** Mixed-model scoring (reference `predict` with `re.form=~(1|state)`,
+    * `Method_code.Rmd:171-181`): sigmoid(x'beta + u_area), where areas
+    * absent from the random-effect table get u = 0 — the general rule
+    * behind the reference's MT/SD special-case (SURVEY.md Q6). The
+    * random-effect side is area-level (small) → broadcast join.
+    */
+  def scoreWithRanef(df: DataFrame, beta: DenseVector[Double],
+                     featureCols: Seq[String], ranef: DataFrame,
+                     areaCol: String, uCol: String = "u",
+                     as: String = "p"): DataFrame =
+    df.join(broadcast(ranef.select(col(areaCol), col(uCol))),
+        Seq(areaCol), "left")
+      .withColumn(as,
+        Encodings.sigmoid(xBetaCol(beta, featureCols) +
+          coalesce(col(uCol), lit(0.0))))
+      .drop(uCol)
+}

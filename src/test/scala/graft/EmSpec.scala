@@ -1,0 +1,90 @@
+package graft
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.functions._
+
+import graft.stats.{Bootstrap, Em, Glmm}
+
+class EmSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val survey = SurveyFixture.smallSurvey(numAreas = 20, rowsPerArea = 60)
+    .cache()
+
+  test("laplaceModes: concave mode within bounds, positive curvature") {
+    val params = Em.Params(DenseVector(0.0, 0.5, -0.5), 1.0)
+    val modes = Em.laplaceModes(survey, params, SurveyFixture.featureCols,
+      "state", "y")
+    assert(modes.size == 20)
+    assert(modes.forall(m => m.vhat >= -3 && m.vhat <= 3))
+    assert(modes.forall(m => m.tau > 0 && m.tau < 1.0)) // tau < sigma always
+    assert(modes.forall(_.n == 60))
+  }
+
+  test("laplaceModes: all-ones group pushes mode positive") {
+    val df = (1 to 50).map(i => ("g1", 0.0, 0.0, 1.0)) // y=1 throughout
+      .toDF("state", "x1", "x2", "y")
+    val params = Em.Params(DenseVector(0.0, 0.0, 0.0), 4.0)
+    val m = Em.laplaceModes(df, params, Seq("x1", "x2"), "state", "y").head
+    assert(m.vhat > 1.0, s"vhat=${m.vhat}")
+  }
+
+  test("simulateDraws is deterministic and area-keyed") {
+    val modes = Seq(Em.AreaMode("a", 0.5, 0.1, 10),
+      Em.AreaMode("b", -0.5, 0.2, 10))
+    val d1 = Em.simulateDraws(modes, 100, 42L, 0)
+    val d2 = Em.simulateDraws(modes, 100, 42L, 0)
+    assert(d1("a").toSeq == d2("a").toSeq)
+    assert(d1("a").toSeq != d1("b").toSeq)
+    // draws center near the mode
+    assert(math.abs(d1("a").sum / 100 - 0.5) < 0.05)
+  }
+
+  test("updateSigmaSq matches the closed-form adjusted-likelihood maximizer") {
+    val draws = Map("a" -> Array(1.0, -1.0), "b" -> Array(0.5, 0.5))
+    val n = Map("a" -> 10L, "b" -> 20L)
+    // S = mean_r(sum_i n_i v^2) = ((10*1+20*.25)+(10*1+20*.25))/2 = 15
+    val s2 = Em.updateSigmaSq(draws, n, totalN = 30)
+    assert(math.abs(s2 - 15.0 / 28.0) < 1e-12)
+  }
+
+  test("EM recovers simulation parameters within MC tolerance") {
+    val init = Em.Params(DenseVector.zeros[Double](3), 1.0)
+    val fit = Em.fit(survey, "y", SurveyFixture.featureCols, "state", init,
+      numDraws = 200, maxIter = 8, seed = 5L)
+    val err = breeze.linalg.max(breeze.numerics.abs(
+      fit.params.beta - SurveyFixture.trueBeta))
+    assert(err < 0.35, s"beta=${fit.params.beta} err=$err")
+    val sig = math.sqrt(fit.params.sigmaSq)
+    assert(sig > 0.1 && sig < 1.2, s"sigma=$sig")
+  }
+
+  test("ebp with zero draws equals weighted mean of sigmoid(x'beta)") {
+    val big = SurveyFixture.covariates(numAreas = 5, rowsPerArea = 30)
+    val params = Em.Params(DenseVector(0.2, 0.5, -0.5), 1.0)
+    val draws = (0 until 5).map(a => f"A$a%02d" -> Array(0.0, 0.0, 0.0)).toMap
+    val viaEbp = Em.ebp(big, params, SurveyFixture.featureCols, "state",
+      "weight", draws, ebpDraws = 3).orderBy("state").as[(String, Double)]
+      .collect()
+    val direct = big.withColumn("p",
+        graft.etl.Encodings.sigmoid(
+          Glmm.xBetaCol(params.beta, SurveyFixture.featureCols)))
+      .groupBy("state")
+      .agg((lit(100.0) * sum(col("p") * col("weight")) / sum("weight")).as("m"))
+      .orderBy("state").as[(String, Double)].collect()
+    viaEbp.zip(direct).foreach { case ((a1, e), (a2, d)) =>
+      assert(a1 == a2 && math.abs(e - d) < 1e-9, s"$a1: ebp=$e direct=$d")
+    }
+  }
+
+  test("ebp scores areas missing from draws with v=0 (MT/SD rule)") {
+    val big = SurveyFixture.covariates(numAreas = 3, rowsPerArea = 10)
+    val params = Em.Params(DenseVector(0.0, 1.0, 0.0), 1.0)
+    val draws = Map("A00" -> Array(5.0)) // A01, A02 missing
+    val r = Em.ebp(big, params, SurveyFixture.featureCols, "state", "weight",
+      draws, 1).orderBy("state").as[(String, Double)].collect()
+    assert(r.length == 3)
+    assert(r(0)._2 > 90.0)              // v=5 pushes p toward 1
+    assert(r(1)._2 > 20 && r(1)._2 < 80) // v=0 neutral
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.functions._
+
+import graft.stats.{Bootstrap, Glmm}
+
+class GlmmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitLogistic recovers known coefficients on simulated data") {
+    // no area effects (vB = 0): plain logistic, recoverable to MC tol
+    val cov = SurveyFixture.covariates(numAreas = 10, rowsPerArea = 400)
+    val df = Bootstrap.simulateOutcome(cov, SurveyFixture.trueBeta,
+      SurveyFixture.featureCols, "state", Map.empty, Seq("uid"), 3L, 0, "y")
+    val beta = Glmm.fitLogistic(df, "y", SurveyFixture.featureCols)
+    val err = breeze.linalg.max(breeze.numerics.abs(
+      beta - SurveyFixture.trueBeta))
+    assert(err < 0.15, s"beta=$beta err=$err")
+  }
+
+  test("nllGrad gradient matches finite differences") {
+    val df = SurveyFixture.smallSurvey(numAreas = 5, rowsPerArea = 40)
+    val data = Glmm.designRdd(df, "y", SurveyFixture.featureCols)
+    val beta = DenseVector(0.1, -0.2, 0.3)
+    val (_, grad) = Glmm.nllGrad(data, beta)
+    val eps = 1e-6
+    for (i <- 0 until beta.length) {
+      val bp = beta.copy; bp(i) += eps
+      val bm = beta.copy; bm(i) -= eps
+      val fd = (Glmm.nllGrad(data, bp)._1 - Glmm.nllGrad(data, bm)._1) / (2 * eps)
+      assert(math.abs(fd - grad(i)) < 1e-4, s"coord $i: fd=$fd grad=${grad(i)}")
+    }
+    data.unpersist(blocking = false)
+  }
+
+  test("scoreWithRanef applies u per area and coalesces missing to 0") {
+    val df = Seq(("a", 0.0, 0.0), ("b", 0.0, 0.0)).toDF("state", "x1", "x2")
+    val ranef = Seq(("a", 2.0)).toDF("state", "u")
+    val beta = DenseVector(0.0, 1.0, 1.0)
+    val p = Glmm.scoreWithRanef(df, beta, Seq("x1", "x2"), ranef, "state")
+      .orderBy("state").select("p").as[Double].collect()
+    assert(math.abs(p(0) - 1.0 / (1 + math.exp(-2.0))) < 1e-12)
+    assert(math.abs(p(1) - 0.5) < 1e-12)
+  }
+
+  test("log1pExp and sigmoidD are stable at extremes") {
+    assert(Glmm.log1pExp(800.0) == 800.0)
+    assert(Glmm.log1pExp(-800.0) == 0.0)
+    assert(Glmm.sigmoidD(800.0) == 1.0 && Glmm.sigmoidD(-800.0) == 0.0)
+  }
+}
