@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RelQueries, StatQueries}
+import graft.queries.{OpsQueries, RelQueries, StatQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +21,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelQueries.queries ++ StatQueries.queries
+    RelQueries.queries ++ StatQueries.queries ++ OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelQueries.oracles ++ StatQueries.oracles
+    RelQueries.oracles ++ StatQueries.oracles ++ OpsQueries.oracles
 }

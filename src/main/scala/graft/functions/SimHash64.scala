@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.hashing.MurmurHash3
+
+/** 64-bit SimHash over a token array as a native Catalyst Expression
+  * (SURVEY.md §2.8 beyond-reference surface; Charikar 2002 random
+  * hyperplane sketch specialized to token sets).
+  *
+  * Per token, a deterministic 64-bit hash votes +-1 on each bit; the
+  * sign of each bit's vote total forms the signature. Near-duplicate
+  * texts differ in few bits, so candidate pairs fall out of Hamming
+  * distance (`bit_count(a ^ b)` with builtin functions).
+  *
+  * Implemented as an Expression (not a Scala UDF) so it runs inside the
+  * operator without SerDe per row; eval-mode only (CodegenFallback) —
+  * the hot cost is the token loop, not the codegen boundary.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $t")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.get(i, StringType).asInstanceOf[UTF8String].toString
+        val h = SimHash64.hash64(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+object SimHash64 {
+  /** Deterministic 64-bit token hash from two seeded 32-bit murmurs. */
+  def hash64(t: String): Long =
+    (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+
+  /** Register once per session, then use via [[simhash64]]. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+}

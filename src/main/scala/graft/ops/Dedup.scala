@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard similarity join.
+  *
+  * Scale design: every variant reduces to shuffles keyed on content
+  * hashes/buckets — no pairwise O(N^2) stage ever materializes over the
+  * full corpus. MinHash banding and the shingle-inverted-index join are
+  * the standard 100 TB corpus-dedup shapes (one wide shuffle each);
+  * frequency cutoffs guard hot-key skew.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on normalized content; keeps the minimal
+    * id per group. One shuffle on the 128-bit content hash.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature as an array<long> column: sig_j = min over
+    * shingles of xxhash64(shingle, j). Pure Column HOFs — no UDF, no
+    * ml.feature stage, deterministic across partitionings.
+    */
+  def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
+                       numHashes: Int): org.apache.spark.sql.Column = {
+    val sh = array_distinct(TextAnalysis.shingles(text, shingleN))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(sh, s => xxhash64(s, j))))
+  }
+
+  /** MinHash-LSH candidate pairs verified by exact Jaccard.
+    *
+    * bands x rows = numHashes; two docs collide if any band of their
+    * signatures matches exactly (P[collide] = 1-(1-s^r)^b for Jaccard
+    * s). Pipeline: signature -> explode band hashes -> self-join on
+    * (band, hash) -> distinct pairs -> verify Jaccard on distinct
+    * shingle sets. The self-join shuffles on band buckets; identical
+    * boilerplate clusters are the skew risk, bounded by verifying only
+    * distinct pairs.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleN, numHashes))
+      .withColumn("sh",
+        array_distinct(TextAnalysis.shingles(col("text"), shingleN)))
+      .select("id", "sig", "sh")
+      .cache()
+    val banded = sig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures (custom Catalyst
+    * expression), candidates from matching any of `tables` 16-bit
+    * sub-bands (pigeonhole: <= `maxHamming` differing bits guarantees a
+    * clean band when maxHamming < tables), verified by Hamming distance
+    * via builtin bit ops.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, tables: Int = 4): DataFrame = {
+    SimHash64.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+        SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+      .cache()
+    val bandArr = array((0 until tables).map(t =>
+      struct(lit(t).as("band"),
+        shiftrightunsigned(col("sig"), 16 * t).bitwiseAND(lit(0xffffL))
+          .as("bkey"))): _*)
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(bandArr).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity join via shingle inverted index
+    * (the MapReduce set-similarity pattern): explode distinct shingles,
+    * drop shingles appearing in more than `maxDocFreq` docs (hot-key /
+    * stopword-shingle guard — standard at scale), count co-occurrences
+    * per pair, derive |union| from per-doc set sizes.
+    */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       maxDocFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN))
+          .as("sh"))
+      .withColumn("setSize", size(col("sh")))
+      .cache()
+    val inv = sh.select(col("id"), col("setSize"),
+        explode(col("sh")).as("shingle"))
+    val filtered = inv.join(
+      inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq && col("df") >= 2)
+        .select("shingle"),
+      Seq("shingle"), "left_semi")
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.setSize").as("size_a"), col("b.setSize").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>): brute-force cosine top-k as the exact baseline and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Vector math is pure Column HOFs (`zip_with` + `aggregate`) — no UDF,
+  * no driver collect. Brute force broadcasts the (small) query set over
+  * the corpus scan: O(|Q| * N) work, fully narrow until the per-query
+  * top-k shuffle. LSH shuffles each side on (table, bucket) instead and
+  * only scores within buckets, trading recall for a ~2^bits candidate
+  * reduction — the right shape when N is corpus-scale.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be
+    * dimension-sized (it is broadcast); `corpus` can be arbitrarily
+    * large. Ties broken by corpus id for determinism.
+    */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes: component h(t,j,d) from a seeded
+    * driver RNG, materialized as literal nested arrays (tables x planes
+    * x dim) — tiny, constant-folded into the plan.
+    */
+  private def hyperplanes(tables: Int, planes: Int, dim: Int,
+                          seed: Long): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rng = new java.util.Random(seed)
+    IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(
+      Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit): _*)
+
+  /** Sign-bit bucket id of vector `v` in one table. */
+  private def bucketId(v: Column, tablePlanes: IndexedSeq[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, planeLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH ANN: candidates = corpus/query pairs sharing a bucket in any
+    * table; exact cosine on candidates; per-query top-k. Recall grows
+    * with `tables`, candidate cost shrinks with `planes`.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, tables: Int = 4, planes: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val hp = hyperplanes(tables, planes, dim, seed)
+
+    def withBuckets(df: DataFrame, id: String, vec: String, as: String) = {
+      val v = col(vec).cast("array<double>")
+      val buckets = array(hp.zipWithIndex.map { case (tp, t) =>
+        struct(lit(t).as("tbl"), bucketId(v, tp).as("bucket"))
+      }: _*)
+      df.select(col(id).as(as), v.as(s"${as}_v"), explode(buckets).as("bb"))
+        .select(col(as), col(s"${as}_v"),
+          col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    }
+
+    val cb = withBuckets(corpus, idCol, vecCol, "nbr_id")
+    val qb = withBuckets(queries, qIdCol, qVecCol, "query_id")
+    val cand = cb.join(qb, Seq("tbl", "bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select("query_id", "query_id_v", "nbr_id", "nbr_id_v")
+      .dropDuplicates("query_id", "nbr_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cand.withColumn("cos", cosine(col("query_id_v"), col("nbr_id_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold join) — the
+    * embedding leg of the dedup suite. Brute-force variant; swap in
+    * [[lshTopK]]-style bucketing when N^2 is prohibitive.
+    */
+  def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = corpus.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All pure Column expressions (whole-stage-codegen'd, no UDFs), so
+  * every one of them runs as a narrow map over the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty string -> empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, single
+    * non-space symbols — the shape of GPT-2's pre-tokenizer classes.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]"))
+
+  /** Normalize for fingerprinting: lowercase, strip non-alnum (keeping
+    * spaces), collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (order-sensitive,
+    * whitespace/punctuation-insensitive).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rolling polynomial hash over the token sequence (Karp-Rabin
+    * flavor): acc = (acc * 31 + h(token)) mod P, P prime < 2^50 so the
+    * accumulator never overflows a long under ANSI arithmetic.
+    */
+  def rollingHash(text: Column): Column = {
+    val P = 999999999999989L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(P)), lit(P)))
+  }
+
+  /** Word n-gram shingles (array of space-joined n-grams). Fewer than n
+    * tokens -> single shingle of the whole text.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) <= n, array(concat_ws(" ", w)))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "are", "was", "it", "that", "for", "on", "with", "as")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val tk = tokens(text)
+    when(size(tk) === 0, 0.0)
+      .otherwise(size(filter(tk, t => t.isin(stopwords: _*)))
+        .cast("double") / size(tk))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[^\\p{L}\\p{N}\\s]")).cast("double")
+        / length(text))
+
+  /** 1 - distinct/total tokens: high for boilerplate repetition. */
+  def repetitionRatio(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(tk)).cast("double") / size(tk))
+  }
+
+  /** Composite quality in [0,1]: stopword presence, lexical diversity,
+    * length saturation, low punctuation noise — the standard cheap
+    * pre-filter shape for LLM corpus curation (e.g., Gopher rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    lit(0.25) * least(stopwordRatio(text) * 4.0, lit(1.0)) +
+      lit(0.25) * (lit(1.0) - repetitionRatio(text)) +
+      lit(0.25) * lenScore +
+      lit(0.25) * (lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0)))
+  }
+
+  // --- language identification ------------------------------------------
+
+  /** Stopword banks (public-knowledge high-frequency function words). */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it",
+      "for", "was", "with", "are", "this", "have"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+      "ich", "auf", "sie", "den", "von", "zu", "im"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por",
+      "los", "del", "las", "una", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est",
+      "que", "dans", "pour", "qui", "sur", "pas"))
+
+  /** CJK coverage is char-based, not token-based. */
+  private def zhScore(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[\\p{IsHan}]")).cast("double")
+        / length(text))
+
+  def langScores(text: Column): Map[String, Column] = {
+    val tk = tokens(lower(text))
+    val tokenScores = langStopwords.map { case (lang, sw) =>
+      lang -> when(size(tk) === 0, 0.0)
+        .otherwise(size(filter(tk, t => t.isin(sw: _*))).cast("double")
+          / size(tk))
+    }
+    tokenScores + ("zh" -> zhScore(text))
+  }
+
+  /** Argmax language with deterministic tie-break (lexicographic) and an
+    * "und" floor when no signal clears `minScore`.
+    */
+  def langId(text: Column, minScore: Double = 0.05): Column = {
+    val scores = langScores(text).toSeq.sortBy(_._1)
+    val best = scores.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") < minScore, "und").otherwise(best.getField("l"))
+  }
+}

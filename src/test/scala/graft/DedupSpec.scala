@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank!"),
+    (3L, "the quick brown fox leaps over the lazy dog near the river bank"),
+    (4L, "completely different text about spark distributed data processing"),
+    (5L, "another unrelated document discussing weighted survey estimation"))
+    .toDF("id", "text")
+
+  test("exact dedup groups case/punct variants") {
+    val r = Dedup.exact(corpus, "id", "text")
+    assert(r.count() == 4) // 1 and 2 collapse
+    val dup = r.filter($"n_dups" === 2).select("keep_id").as[Long].head()
+    assert(dup == 1L)
+  }
+
+  test("minhashLsh finds near-dup pairs, skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(corpus, "id", "text", shingleN = 2,
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)),
+      s"pairs=$pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash expression is deterministic; near-dups within hamming") {
+    SimHash64.register(spark)
+    val sigs = corpus.select($"id",
+        SimHash64.simhash64(graft.ops.TextAnalysis.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    // bag-of-tokens: a permutation hashes identically
+    val perm = Seq(("the lazy dog jumps over the quick brown fox " +
+      "near the river bank")).toDF("text")
+    val permSig = perm.select(SimHash64.simhash64(
+      graft.ops.TextAnalysis.tokens($"text"))).as[Long].head()
+    assert(permSig == sigs(1))
+    // one substituted token of 13 -> few bits flip; unrelated text -> many
+    assert(java.lang.Long.bitCount(sigs(1) ^ sigs(3)) <= 8)
+    assert(java.lang.Long.bitCount(sigs(1) ^ sigs(4)) > 10)
+    val pairs = Dedup.simhashPairs(corpus, "id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)), s"pairs=$pairs")
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("ngramJaccardJoin computes exact jaccard on shared shingles") {
+    val pairs = Dedup.ngramJaccardJoin(corpus, "id", "text", shingleN = 2,
+        threshold = 0.4, maxDocFreq = 10)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 3L)))
+    // hand-check: texts 1 and 3 share 10 of 12+12 bigrams each
+    val j = pairs((1L, 3L))
+    assert(j > 0.5 && j < 1.0, s"jaccard=$j")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.6, 0.8))).toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(c - 0.6) < 1e-12)
+  }
+
+  test("cosineTopK ranks exact neighbors") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0))).toDF("id", "v")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val r = Similarity.cosineTopK(corpus, "id", "v", queries, "id", "v", 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(r.map(_._3).toSeq == Seq(2L, 3L, 4L)) // by descending cosine
+    assert(math.abs(r(0)._4 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-9)
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q,
+        "vec_id", "embedding", 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, "vec_id", "embedding", q,
+        "vec_id", "embedding", 5, tables = 8, planes = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("cosineNearDup finds planted near-duplicates only") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.999, 0.001, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0))).toDF("id", "v")
+    val pairs = Similarity.cosineNearDup(corpus, "id", "v", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

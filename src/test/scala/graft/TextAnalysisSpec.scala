@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens handles empty and multi-space text") {
+    val df = Seq("", "  ", "one", "a  b\tc").toDF("t")
+    val n = df.select(tokenCount($"t").as("n")).as[Int].collect()
+    assert(n.toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("bpeishTokenCount splits letters, digits, symbols") {
+    val df = Seq("hello world42!").toDF("t")
+    // hello | world | 4 | 2 | !
+    assert(df.select(bpeishTokenCount($"t")).as[Int].head() == 5)
+  }
+
+  test("fingerprint is invariant to case, punctuation, extra whitespace") {
+    val df = Seq(("Hello,  World!", "hello world"), ("a b", "A   B."))
+      .toDF("t1", "t2")
+    val r = df.select((fingerprint($"t1") === fingerprint($"t2")).as("eq"))
+      .as[Boolean].collect()
+    assert(r.forall(identity))
+  }
+
+  test("rollingHash is order-sensitive, fingerprint-stable") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val r = df.select((rollingHash($"t1") =!= rollingHash($"t2")).as("ne"))
+      .as[Boolean].head()
+    assert(r)
+  }
+
+  test("shingles produce n-grams with short-text fallback") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val r = df.select(shingles($"t", 3).as("s")).as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq("a b"))
+  }
+
+  test("quality components on crafted strings") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs far"
+    val spam = "buy buy buy buy buy !!!!! buy buy buy buy buy"
+    val df = Seq(clean, spam).toDF("t")
+    val q = df.select(qualityScore($"t").as("q")).as[Double].collect()
+    assert(q(0) > q(1), s"clean=${q(0)} spam=${q(1)}")
+    val rep = df.select(repetitionRatio($"t").as("r")).as[Double].collect()
+    assert(rep(1) > 0.7 && rep(0) < 0.2)
+    val pr = df.select(punctRatio($"t").as("p")).as[Double].collect()
+    assert(pr(1) > 0.1 && pr(0) == 0.0)
+  }
+
+  test("langId identifies real-language sentences") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with this"),
+      ("de", "der hund ist nicht mit der katze auf das sofa gegangen"),
+      ("es", "el perro es un animal que vive en la casa por la noche"),
+      ("fr", "le chien est dans la maison et les chats sont sur une table"),
+      ("zh", "这是一只猫在桌子上"))
+    val df = samples.toDF("expected", "text")
+    val r = df.select($"expected", langId($"text").as("got"))
+      .as[(String, String)].collect()
+    r.foreach { case (exp, got) => assert(exp == got, s"$exp -> $got") }
+  }
+
+  test("langId falls back to und on signal-free text") {
+    val df = Seq("xyzzy qwerty asdf zxcv").toDF("t")
+    assert(df.select(langId($"t")).as[String].head() == "und")
+  }
+}
