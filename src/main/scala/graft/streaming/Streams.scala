@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.8 notes the reference has
+  * none — this is the engine's beyond-reference streaming layer):
+  * event-time tumbling windows with watermarks, and custom sessionization
+  * state via flatMapGroupsWithState.
+  *
+  * The same logical plans serve batch and streaming (Spark's unified
+  * Dataset model); `runAvailableNow` drains a file source to a memory
+  * sink so the driver's batch-style Verify can hash-compare streaming
+  * results against the DuckDB oracle — streaming window counts must
+  * equal the batch groupBy at parity.
+  */
+object Streams {
+
+  /** events.parquet schema with ts as raw nanos (see RelQueries.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events table (file source). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source needs a directory; glob-filter to the events table
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Event-time tumbling hourly aggregation with a watermark. The
+    * watermark bounds state: at scale, late data beyond 2h is dropped
+    * and window state older than that is evicted.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+                     n_events: Int, total_value: Double)
+
+  /** Custom stateful sessionization: sessions close after `gapMs` of
+    * user inactivity. With `useTimeout` a processing-time timeout
+    * flushes idle open sessions — for continuously-running streams
+    * only: a timeout keeps scheduling micro-batches, so a bounded
+    * Trigger.AvailableNow drain would never terminate. Bounded drains
+    * must pass `useTimeout = false` (open sessions stay in the state
+    * store and close on a later run — see the restart spec).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 useTimeout: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // order within batch; state carries the open session across batches
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0, 0.0))
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n == 0) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapMs) {
+              closed += Session(user, st.start, st.last, st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+          }
+          if (state.hasTimedOut) {
+            if (st.n > 0) closed += Session(user, st.start, st.last, st.n, st.total)
+            state.remove()
+          } else {
+            state.update(st)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Sessionization over a bounded source: batch-mode
+    * flatMapGroupsWithState sees each user's full history once, so all
+    * sessions (incl. the open one) are emitted — used by the
+    * Verify-able query entry.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, rows: Iterator[Event]) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        val out = Seq.newBuilder[Session]
+        var st = SessionState(-1, -1, 0, 0.0)
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (st.n == 0) st = SessionState(t, t, 1, e.value)
+          else if (t - st.last > gapMs) {
+            out += Session(user, st.start, st.last, st.n, st.total)
+            st = SessionState(t, t, 1, e.value)
+          } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+        }
+        if (st.n > 0) out += Session(user, st.start, st.last, st.n, st.total)
+        out.result().iterator
+      }
+  }
+
+  /** Drain a streaming DataFrame into an in-memory table with
+    * Trigger.AvailableNow and return it as a batch DataFrame (blocks
+    * until the source is exhausted).
+    */
+  def runAvailableNow(stream: DataFrame, tableName: String,
+                      outputMode: String = "complete"): DataFrame = {
+    val spark = stream.sparkSession
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$tableName").toString
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+}

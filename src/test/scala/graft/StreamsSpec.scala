@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.queries.RelQueries
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly agg equals the batch groupBy (parity)") {
+    val streamed = Streams.runAvailableNow(
+      Streams.hourlyAgg(Streams.eventsStream(spark, sf001)), "parity_test")
+      .orderBy("hour", "event_type")
+      .as[(String, String, Long, Double)].collect()
+    val batch = RelQueries.events(spark, sf001)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+      .as[(String, String, Long, Double)].collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("sessionizeBatch splits on inactivity gap and sums values") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      Streams.Event(1L, ts(0), 1.0), Streams.Event(1L, ts(10), 2.0),
+      Streams.Event(1L, ts(60), 4.0), // 50-min gap -> new session
+      Streams.Event(2L, ts(5), 8.0)).toDS()
+    val sessions = Streams.sessionizeBatch(ev, gapMs = 30 * 60000L)
+      .collect().sortBy(s => (s.user_id, s.start_ts))
+    assert(sessions.length == 3)
+    assert(sessions(0) ==
+      Streams.Session(1L, 0, 10 * 60000L, 2, 3.0))
+    assert(sessions(1) ==
+      Streams.Session(1L, 60 * 60000L, 60 * 60000L, 1, 4.0))
+    assert(sessions(2).user_id == 2L && sessions(2).n_events == 1)
+  }
+
+  test("stateful sessionize persists open sessions across restarts") {
+    // cross-batch state via the restart path: two AvailableNow drains
+    // over a growing file source, sharing one checkpoint — the open
+    // session must survive the first query's shutdown via the state
+    // store and close when the gap-crossing event arrives in run 2.
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val srcDir = java.nio.file.Files.createTempDirectory("sess-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+    val outDir = java.nio.file.Files.createTempDirectory("sess-out").toString
+
+    def drain(): Unit = {
+      val ev = spark.readStream.schema(schema).parquet(srcDir)
+        .as[Streams.Event]
+      // durable sink: memory sink cannot recover from a checkpoint
+      val q = Streams.sessionize(ev, gapMs = 30 * 60000L, useTimeout = false)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    def sessions() = spark.read.schema(
+        org.apache.spark.sql.Encoders.product[Streams.Session].schema)
+      .parquet(outDir).as[Streams.Session].collect()
+
+    Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(sessions().isEmpty) // session still open, lives in state store
+
+    Seq((1L, ts(90), 4.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    val closed = sessions()
+    assert(closed.length == 1)
+    assert(closed(0) == Streams.Session(1L, 0, 10 * 60000L, 2, 3.0))
+  }
+}
