@@ -24,16 +24,22 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature as an array<long> column: sig_j = min over
-    * shingles of xxhash64(shingle, j). Pure Column HOFs — no UDF, no
+  /** MinHash signature as an array<long> column over a *materialized*
+    * distinct-shingle column: sig_j = min over shingles of
+    * xxhash64(shingle, j). Pure Column expressions — no UDF, no
     * ml.feature stage, deterministic across partitionings.
+    *
+    * The hash index is statically unrolled (k array_min expressions,
+    * not transform-over-sequence) on purpose: each references the
+    * shingle attribute, so CollapseProject sees k references and keeps
+    * the shingle computation materialized in its own projection instead
+    * of inlining it into every lambda evaluation (which costs
+    * O(tokens * numHashes) splits per row in interpreted eval).
     */
-  def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
-                       numHashes: Int): org.apache.spark.sql.Column = {
-    val sh = array_distinct(TextAnalysis.shingles(text, shingleN))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(sh, s => xxhash64(s, j))))
-  }
+  def minhashSignature(sh: org.apache.spark.sql.Column,
+                       numHashes: Int): org.apache.spark.sql.Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(sh, s => xxhash64(s, lit(j))))): _*)
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard.
     *
@@ -49,16 +55,23 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleN, numHashes))
-      .withColumn("sh",
-        array_distinct(TextAnalysis.shingles(col("text"), shingleN)))
-      .select("id", "sig", "sh")
+    // staged projections: tokens -> distinct shingles -> signature; each
+    // stage's column is multi-referenced downstream, so CollapseProject
+    // keeps them materialized (see minhashSignature scaladoc)
+    val sig = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
+          .as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .cache()
-    val banded = sig.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val bandArr = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), lit(b * rows + 1), lit(rows)), lit(b))
+          .as("bhash"))): _*)
+    val banded = sig.select(col("id"), col("sh"), explode(bandArr).as("bb"))
+      .select(col("id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
@@ -80,7 +93,8 @@ object Dedup {
     * via builtin bit ops.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, tables: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, tables: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
     SimHash64.register(df.sparkSession)
     val sigs = df.select(col(idCol).as("id"),
         SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
@@ -89,10 +103,19 @@ object Dedup {
       struct(lit(t).as("band"),
         shiftrightunsigned(col("sig"), 16 * t).bitwiseAND(lit(0xffffL))
           .as("bkey"))): _*)
-    val banded = sigs.select(col("id"), col("sig"),
+    val allBanded = sigs.select(col("id"), col("sig"),
         explode(bandArr).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // skew guard: a band bucket of n members contributes n^2 candidate
+    // pairs; on bag-similar corpora buckets go hot and the self-join
+    // explodes. Cap bucket size (vocabulary-level boilerplate belongs to
+    // exact dedup, which runs first in a real pipeline).
+    val banded = allBanded.join(
+      allBanded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket && col("bn") >= 2)
+        .select("band", "bkey"),
+      Seq("band", "bkey"), "left_semi")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -116,7 +139,9 @@ object Dedup {
                        shingleN: Int = 3, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleN))
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
           .as("sh"))
       .withColumn("setSize", size(col("sh")))
       .cache()

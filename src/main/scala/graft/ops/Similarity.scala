@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>): brute-force cosine top-k as the exact baseline and a
   * random-hyperplane LSH-bucketed variant as the scale path.
@@ -25,20 +27,33 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize a vector column in two staged projections (norm is
+    * materialized as its own attribute first — inlining it into the
+    * per-element lambda would recompute the norm per component).
+    */
+  def unitized(df: DataFrame, idCol: String, vecCol: String,
+               idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        col(vecCol).cast("array<double>").as("v"),
+        norm(col(vecCol).cast("array<double>")).as("n"))
+      .select(col(idAs),
+        transform(col("v"), x => x / col("n")).as(vecAs))
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * dimension-sized (it is broadcast); `corpus` can be arbitrarily
-    * large. Ties broken by corpus id for determinism.
+    * large. Vectors are unit-normalized once up front, so each of the
+    * |Q| x N candidate pairs costs exactly one dot product. Ties broken
+    * by corpus id for determinism.
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
                  k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(qIdCol).as("query_id"),
-      col(qVecCol).cast("array<double>").as("qv"))
+    DotProduct.register(corpus.sparkSession)
+    val c = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
+    val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -63,7 +78,8 @@ object Similarity {
   /** Sign-bit bucket id of vector `v` in one table. */
   private def bucketId(v: Column, tablePlanes: IndexedSeq[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (p, j) =>
-      when(dot(v, planeLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(DotProduct.dotFast(v, planeLit(p)) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH ANN: candidates = corpus/query pairs sharing a bucket in any
@@ -74,15 +90,18 @@ object Similarity {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, tables: Int = 4, planes: Int = 8,
               seed: Long = 42L): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(tables, planes, dim, seed)
 
     def withBuckets(df: DataFrame, id: String, vec: String, as: String) = {
-      val v = col(vec).cast("array<double>")
+      val u = unitized(df, id, vec, as, s"${as}_v")
+      // sign buckets are scale-invariant, so they hash the unit vector
       val buckets = array(hp.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("tbl"), bucketId(v, tp).as("bucket"))
+        struct(lit(t).as("tbl"),
+          bucketId(col(s"${as}_v"), tp).as("bucket"))
       }: _*)
-      df.select(col(id).as(as), v.as(s"${as}_v"), explode(buckets).as("bb"))
+      u.select(col(as), col(s"${as}_v"), explode(buckets).as("bb"))
         .select(col(as), col(s"${as}_v"),
           col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     }
@@ -95,7 +114,8 @@ object Similarity {
       .dropDuplicates("query_id", "nbr_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nbr_id"))
-    cand.withColumn("cos", cosine(col("query_id_v"), col("nbr_id_v")))
+    cand.withColumn("cos",
+        DotProduct.dotFast(col("query_id_v"), col("nbr_id_v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cos")
@@ -107,12 +127,16 @@ object Similarity {
     */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"),
-      col(vecCol).cast("array<double>").as("va"))
-    val b = corpus.select(col(idCol).as("id_b"),
-      col(vecCol).cast("array<double>").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+    // The broadcast-nested-loop join parallelizes over the streamed
+    // side's partitions; a single-file corpus arrives as ONE partition,
+    // which would serialize all N^2/2 dot products onto one core —
+    // spread it explicitly.
+    DotProduct.register(corpus.sparkSession)
+    val para = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    val a = unitized(corpus, idCol, vecCol, "id_a", "va").repartition(para)
+    val b = unitized(corpus, idCol, vecCol, "id_b", "vb")
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", DotProduct.dotFast(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

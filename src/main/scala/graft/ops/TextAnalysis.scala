@@ -47,25 +47,34 @@ object TextAnalysis {
 
   /** Word n-gram shingles (array of space-joined n-grams). Fewer than n
     * tokens -> single shingle of the whole text.
+    *
+    * PERFORMANCE: pass a *materialized token column* (an attribute from
+    * a previous projection), never an inline `tokens(text)` expression —
+    * Catalyst's CollapseProject inlines single-referenced aliases into
+    * consumers, and inside a HOF lambda that re-evaluates the split per
+    * array element (O(tokens^2) per row in interpreted eval).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) <= n, array(concat_ws(" ", w)))
-      .otherwise(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-  }
+  def shinglesOf(toks: Column, n: Int): Column =
+    when(size(toks) <= n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   // --- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "are", "was", "it", "that", "for", "on", "with", "as")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
-    val tk = tokens(text)
+  def stopwordRatioOf(tk: Column,
+                      stopwords: Seq[String] = enStopwords): Column =
     when(size(tk) === 0, 0.0)
       .otherwise(size(filter(tk, t => t.isin(stopwords: _*)))
         .cast("double") / size(tk))
-  }
+
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = enStopwords): Column =
+    stopwordRatioOf(tokens(text), stopwords)
 
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
@@ -73,24 +82,29 @@ object TextAnalysis {
         / length(text))
 
   /** 1 - distinct/total tokens: high for boilerplate repetition. */
-  def repetitionRatio(text: Column): Column = {
-    val tk = tokens(text)
+  def repetitionRatioOf(tk: Column): Column =
     when(size(tk) === 0, 0.0)
       .otherwise(lit(1.0) -
         size(array_distinct(tk)).cast("double") / size(tk))
-  }
+
+  def repetitionRatio(text: Column): Column =
+    repetitionRatioOf(tokens(text))
 
   /** Composite quality in [0,1]: stopword presence, lexical diversity,
     * length saturation, low punctuation noise — the standard cheap
     * pre-filter shape for LLM corpus curation (e.g., Gopher rules).
+    * Token-column variant: pass a materialized token attribute.
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    lit(0.25) * least(stopwordRatio(text) * 4.0, lit(1.0)) +
-      lit(0.25) * (lit(1.0) - repetitionRatio(text)) +
+  def qualityScoreOf(tk: Column, text: Column): Column = {
+    val lenScore = least(size(tk).cast("double") / 100.0, lit(1.0))
+    lit(0.25) * least(stopwordRatioOf(tk) * 4.0, lit(1.0)) +
+      lit(0.25) * (lit(1.0) - repetitionRatioOf(tk)) +
       lit(0.25) * lenScore +
       lit(0.25) * (lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0)))
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(tokens(text), text)
 
   // --- language identification ------------------------------------------
 
@@ -111,8 +125,8 @@ object TextAnalysis {
       .otherwise(regexp_count(text, lit("[\\p{IsHan}]")).cast("double")
         / length(text))
 
-  def langScores(text: Column): Map[String, Column] = {
-    val tk = tokens(lower(text))
+  /** Per-language scores from a materialized lowercase token column. */
+  def langScoresOf(tk: Column, text: Column): Map[String, Column] = {
     val tokenScores = langStopwords.map { case (lang, sw) =>
       lang -> when(size(tk) === 0, 0.0)
         .otherwise(size(filter(tk, t => t.isin(sw: _*))).cast("double")
@@ -121,13 +135,19 @@ object TextAnalysis {
     tokenScores + ("zh" -> zhScore(text))
   }
 
+  def langScores(text: Column): Map[String, Column] =
+    langScoresOf(tokens(lower(text)), text)
+
   /** Argmax language with deterministic tie-break (lexicographic) and an
     * "und" floor when no signal clears `minScore`.
     */
-  def langId(text: Column, minScore: Double = 0.05): Column = {
-    val scores = langScores(text).toSeq.sortBy(_._1)
+  def langIdOf(tk: Column, text: Column, minScore: Double = 0.05): Column = {
+    val scores = langScoresOf(tk, text).toSeq.sortBy(_._1)
     val best = scores.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
     when(best.getField("s") < minScore, "und").otherwise(best.getField("l"))
   }
+
+  def langId(text: Column, minScore: Double = 0.05): Column =
+    langIdOf(tokens(lower(text)), text, minScore)
 }

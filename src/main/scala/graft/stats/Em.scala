@@ -125,6 +125,7 @@ object Em {
                  init: DenseVector[Double], maxIter: Int = 50): DenseVector[Double] = {
     val sc = data.sparkContext
     val bc = sc.broadcast(draws)
+    val scale = 1.0 / math.max(1L, data.count()).toDouble
     try {
       Optimize.lbfgsMin({ beta =>
         val k = beta.length
@@ -154,7 +155,7 @@ object Em {
             (l1 + l2, g1)
           },
           depth = 2)
-        (loss, DenseVector(grad))
+        (loss * scale, DenseVector(grad) * scale)
       }, init, maxIter)
     } finally bc.destroy()
   }

@@ -53,9 +53,12 @@ object Glmm {
 
   /** (NLL, gradient) of logistic regression over the design RDD in one
     * tree-aggregated pass; optional L2 ridge for separation robustness.
+    * `scale` (typically 1/n) conditions the objective so L-BFGS line
+    * searches behave identically at any data size.
     */
   def nllGrad(data: RDD[(Double, Array[Double])], beta: DenseVector[Double],
-              l2: Double = 0.0): (Double, DenseVector[Double]) = {
+              l2: Double = 0.0,
+              scale: Double = 1.0): (Double, DenseVector[Double]) = {
     val k = beta.length
     val b = beta.toArray
     val (loss, grad) = data.treeAggregate((0.0, new Array[Double](k)))(
@@ -74,9 +77,10 @@ object Glmm {
         (l1 + l2v, g1)
       },
       depth = 2)
-    val gv = DenseVector(grad)
-    if (l2 > 0) (loss + 0.5 * l2 * (beta dot beta), gv + beta * l2)
-    else (loss, gv)
+    val gv = DenseVector(grad) * scale
+    val sLoss = loss * scale
+    if (l2 > 0) (sLoss + 0.5 * l2 * (beta dot beta), gv + beta * l2)
+    else (sLoss, gv)
   }
 
   /** Fit fixed-effects logistic regression; returns beta with intercept
@@ -86,8 +90,9 @@ object Glmm {
                   l2: Double = 1e-8, maxIter: Int = 100): DenseVector[Double] = {
     val data = designRdd(df, yCol, featureCols)
     try {
+      val scale = 1.0 / math.max(1L, data.count()).toDouble
       val init = DenseVector.zeros[Double](featureCols.length + 1)
-      Optimize.lbfgsMin(nllGrad(data, _, l2), init, maxIter)
+      Optimize.lbfgsMin(nllGrad(data, _, l2, scale), init, maxIter)
     } finally data.unpersist(blocking = false)
   }
 
