@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.RelQueries
+
+/** Physical-plan quality gates: the optimizations the engine relies on
+  * at scale must actually appear in the executed plans — filter
+  * pushdown into the parquet scan, column pruning, broadcast joins for
+  * dimension tables, and partial (map-side) aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  test("q18: timestamp filter is pushed into the parquet scan") {
+    val plan = planOf("q18_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q18: scan reads only referenced columns (pruning)") {
+    val plan = planOf("q18_pricing_summary")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q01: dimension joins broadcast (no shuffle join on nation/region)") {
+    val plan = planOf("q01_report_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q02: aggregation is partial then final (map-side combine)") {
+    val plan = planOf("q02_weighted_mean")
+    assert(plan.contains("partial_sum") || plan.contains("PartialAggregate")
+      || plan.contains("HashAggregate"), plan)
+    // two HashAggregate stages around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q03: IN-list filter reaches the scan as pushed filter") {
+    val plan = planOf("q03_filter_in")
+    assert(plan.contains("PushedFilters: [In(n_name"), plan)
+  }
+
+  test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
+    val fit = graft.queries.StatQueries.emFit(spark, sf001)
+    val plan = graft.stats.Em.ebp(
+      graft.queries.StatQueries.bigSurvey(spark, sf001),
+      fit.params, graft.queries.StatQueries.featureCols,
+      "state", "weight", fit.draws, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
