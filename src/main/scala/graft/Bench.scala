@@ -22,18 +22,29 @@ object Bench {
       catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // full evaluation via the noop sink: under a bare count() Catalyst
+      // prunes every unreferenced projection, so map-only queries would
+      // be timed as scans rather than as the work they claim to measure
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2f s")
+      System.err.println(f"[bench] $name $sec%.2f s" + (if (ok) "" else " (failed)"))
       // queries are independent: drop any cache an operator built so
       // later queries aren't squeezed by accumulated blocks
       spark.catalog.clearCache()
-      name -> sec
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query reports -1 (never a truncated wall time) so broken
+    // queries can't masquerade as fast ones; errors also listed
+    val qs = results.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,8 +31,9 @@ object RelQueries {
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables(s, dir, "events")
-    raw.withColumn("ts",
-      timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+    // exact integer division — `/` on longs is double division, and
+    // epoch nanos exceed double's 53-bit exact range (ulp ~256ns)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   // J2 flagship — the reference's one true SQL entry point
@@ -373,8 +374,9 @@ object RelQueries {
 
     "q17_anti_join" -> """
       SELECT c_custkey FROM customer
-      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                              WHERE o_orderstatus = 'O')
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_orderstatus = 'O'
+                          AND o_custkey = c_custkey)
       ORDER BY c_custkey""",
 
     "q18_pricing_summary" -> """

@@ -34,8 +34,7 @@ object Streams {
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Event-time tumbling hourly aggregation with a watermark. The
