@@ -129,15 +129,25 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity join via shingle inverted index
-    * (the MapReduce set-similarity pattern): explode distinct shingles,
-    * drop shingles appearing in more than `maxDocFreq` docs (hot-key /
-    * stopword-shingle guard — standard at scale), count co-occurrences
-    * per pair, derive |union| from per-doc set sizes.
+  /** Exact n-gram Jaccard similarity join with prefix filtering (the
+    * All-Pairs / PPJoin candidate scheme): order every doc's distinct
+    * shingles by (global doc-frequency asc, shingle asc) — rarest
+    * first — and index only the first |x| - ceil(t*|x|) + 1 of them.
+    * PPJoin Lemma 1: any pair with Jaccard >= t must share at least one
+    * shingle inside BOTH prefixes, so joining prefix-against-prefix is
+    * candidate-complete; exact Jaccard on the candidates makes the
+    * result identical to the naive all-pairs join (oracle-checked).
+    *
+    * Scale shape: hot boilerplate shingles have high doc-frequency, so
+    * the ordering pushes them out of every prefix — the quadratic
+    * blow-up on common shingles disappears structurally instead of via
+    * a recall-losing frequency cutoff. Plan: one groupBy for the
+    * frequency table, one window over the inverted index (keyed by
+    * doc), one prefix-on-prefix shuffle join, two hash joins to bring
+    * the shingle sets back for verification.
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int = 3, threshold: Double = 0.5,
-                       maxDocFreq: Int = 1000): DataFrame = {
+                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"),
@@ -147,20 +157,25 @@ object Dedup {
       .cache()
     val inv = sh.select(col("id"), col("setSize"),
         explode(col("sh")).as("shingle"))
-    val filtered = inv.join(
-      inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq && col("df") >= 2)
-        .select("shingle"),
-      Seq("shingle"), "left_semi")
-    val pairs = filtered.as("a")
-      .join(filtered.as("b"),
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dfreq"), col("shingle"))
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("setSize") - ceil(col("setSize") * threshold) + 1)
+      .select("id", "shingle")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.setSize").as("size_a"), col("b.setSize").as("size_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs.withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -37,12 +37,18 @@ object TextAnalysis {
 
   /** Rolling polynomial hash over the token sequence (Karp-Rabin
     * flavor): acc = (acc * 31 + h(token)) mod P, P prime < 2^50 so the
-    * accumulator never overflows a long under ANSI arithmetic.
+    * accumulator never overflows a long. h(token) = first 8 hex digits
+    * of md5 as an integer (< 2^32): md5 — unlike xxhash64 — has the
+    * same definition in every engine, which makes the whole hash
+    * replayable as a DuckDB `list_reduce` and therefore oracle-gated.
     */
   def rollingHash(text: Column): Column = {
     val P = 999999999999989L
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(P)), lit(P)))
+      (acc, t) => pmod(
+        acc * lit(31L) +
+          conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(P)))
   }
 
   /** Word n-gram shingles (array of space-joined n-grams). Fewer than n

@@ -114,21 +114,22 @@ object OpsQueries {
           maxHamming = 4, tables = 4, maxBucket = 500)
         .orderBy("id_a", "id_b")),
 
-    // exact n-gram Jaccard join via shingle inverted index (rows-only).
-    // maxDocFreq drops stop-shingles: the synthetic corpus draws from a
-    // tiny vocabulary, so hot shingles would otherwise blow up the
-    // pair-generation join quadratically (the standard cutoff at scale).
+    // exact n-gram Jaccard join, prefix-filtered (oracle-checked
+    // against the naive unnest + self-join in DuckDB: prefix filtering
+    // is candidate-complete, so the results are identical)
     "d09_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardJoin(docsWithMutants(s, dir), "doc_id", "text",
-          shingleN = 3, threshold = 0.5, maxDocFreq = 50)
+          shingleN = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
-    // embedding-cosine near-dup pairs (rows-only; mutated copies pair
-    // with their originals at cos ~ 1)
+    // embedding-cosine near-dup pairs, LSH-bucketed scale path
+    // (oracle-checked against DuckDB's exact threshold self-join:
+    // candidates are exact-cosine verified and at these parameters the
+    // per-pair miss probability is ~7e-7, deterministic given the seed)
     "d10_embedding_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDup(embsWithMutants(s, dir), "vec_id",
-          "embedding", threshold = 0.99)
+      Similarity.cosineNearDupLsh(embsWithMutants(s, dir), "vec_id",
+          "embedding", threshold = 0.99, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")),
 
@@ -149,7 +150,7 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.lshTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
-          tables = 6, planes = 6)
+          tables = 6, planes = 6, dim = 64)
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")
@@ -226,11 +227,117 @@ object OpsQueries {
                    + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS quality
       FROM r ORDER BY doc_id""",
 
+    "d04_langid" -> """
+      WITH tk AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, t -> list_contains(
+                   ['der','die','und','das','ist','nicht','mit','ein',
+                    'ich','auf','sie','den','von','zu','im'], t)))
+                 * 1.0 / len(toks) END AS s_de,
+               CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, t -> list_contains(
+                   ['the','and','of','to','in','is','you','that','it',
+                    'for','was','with','are','this','have'], t)))
+                 * 1.0 / len(toks) END AS s_en,
+               CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, t -> list_contains(
+                   ['el','la','de','que','y','en','un','es','por',
+                    'los','del','las','una','con','para'], t)))
+                 * 1.0 / len(toks) END AS s_es,
+               CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, t -> list_contains(
+                   ['le','la','de','et','les','des','un','une','est',
+                    'que','dans','pour','qui','sur','pas'], t)))
+                 * 1.0 / len(toks) END AS s_fr,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 len(regexp_extract_all(text, '[\p{Han}]'))
+                 * 1.0 / length(text) END AS s_zh
+        FROM tk)
+      SELECT doc_id, lang AS labeled,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) < 0.05
+                    THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                    AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+                    THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_id,
+             ROUND(s_en, 4) AS en_score
+      FROM sc ORDER BY doc_id""",
+
     "d05_fingerprint" -> """
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id""",
+
+    "d06_rolling_hash" -> """
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+') END,
+                   t -> CAST(list_sum(list_transform(range(1, 9), i ->
+                          (strpos('0123456789abcdef',
+                             substr(md5(t), CAST(i AS INT), 1)) - 1)
+                          * CAST(power(16, 8 - i) AS BIGINT)))
+                        AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 999999999999989) AS rhash
+      FROM documents ORDER BY doc_id""",
+
+    "d09_ngram_jaccard" -> """
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sh AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM docs2),
+      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+               COUNT(*) AS inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b,
+             ROUND(CAST(inter AS DOUBLE) / (sa + sb - inter), 4) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "d10_embedding_neardup" -> """
+      WITH em AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+      FROM em a JOIN em b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+      ORDER BY id_a, id_b""",
 
     "s01_cosine_topk" -> """
       SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos

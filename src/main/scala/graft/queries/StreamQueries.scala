@@ -20,14 +20,15 @@ object StreamQueries {
         .orderBy("hour", "event_type")
     }),
 
-    // custom sessionization state machine (30-minute inactivity gap),
-    // aggregated to keep the result dimension-sized
+    // custom sessionization state machine (30-minute inactivity gap)
+    // through the REAL streaming path — file source →
+    // flatMapGroupsWithState → parquet sink — then aggregated to keep
+    // the result dimension-sized; oracle is the classic gap-and-island
+    // SQL (lag + cumulative break count)
     "st02_sessions" -> ((s, dir) => {
-      import s.implicits._
       val ev = RelQueries.events(s, dir)
         .select(col("user_id"), col("ts"), col("value"))
-        .as[Streams.Event]
-      Streams.sessionizeBatch(ev, gapMs = 30 * 60 * 1000L)
+      Streams.sessionizeStreamDrain(ev, gapMs = 30 * 60 * 1000L)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           sum("n_events").as("n_events"),
@@ -41,6 +42,24 @@ object StreamQueries {
     "st01_stream_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    // gap-and-island sessionization: a session starts where the gap to
+    // the previous event exceeds 30 min (epoch_ms matches the engine's
+    // millisecond state-machine arithmetic)
+    "st02_sessions" -> """
+      WITH m AS (
+        SELECT user_id, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      IS NULL
+                    OR epoch_ms(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_ms(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events)
+      SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+      FROM m WHERE user_id < 50
+      GROUP BY user_id ORDER BY user_id"""
   )
 }

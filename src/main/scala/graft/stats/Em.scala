@@ -16,9 +16,10 @@ import graft.rel.Relational
   *
   * Per EM iteration:
   *   1. linear predictors x'beta        — Column expression, no action
-  *   2. per-area Laplace mode/curvature — one `mapGroups` job, one
-  *      shuffle keyed by area (areas are small-cardinality; each group
-  *      is optimized with a 1-D golden-section in O(rows * evals))
+  *   2. per-area Laplace mode/curvature — safeguarded Newton root-find
+  *      of g'(v), one grouped-aggregation pass per Newton step over all
+  *      areas at once (partial map-side aggregation; no task ever holds
+  *      an area's rowset)
   *   3. Monte-Carlo draws v~N(vhat,tau) — driver-side keyed RNG
   *      (deterministic in (seed, iteration, area); areas x draws is
   *      dimension-sized, so no cluster work needed)
@@ -49,41 +50,78 @@ object Em {
     *   log g(v) = -v^2/(2 sigma^2) + sum_j [ y_j (xb_j+v) - log1pexp(xb_j+v) ]
     * over v in [-vBound, vBound] (reference bound 3, Method_code.Rmd:220)
     * and returns curvature tau^2 = (1/sigma^2 + sum_j p_j (1-p_j))^-1.
+    *
+    * Scale shape: log g is strictly concave, so the mode is the unique
+    * root of g'(v) = -v/sigma^2 + sum_j (y_j - p_j(v)) — found by a
+    * driver-coordinated safeguarded Newton (bisection fallback keeps a
+    * bracket, since g' is strictly decreasing). Every Newton pass is
+    * ONE grouped aggregation computing the per-area sufficient
+    * statistics (sum(y-p), sum p(1-p), n) for ALL still-unconverged
+    * areas simultaneously — no task ever materializes an area's rowset
+    * (the old mapGroups formulation held whole areas in single-task
+    * arrays, an OOM at 100x if any area is large). Converged areas drop
+    * out of the broadcast v-table, so later passes touch fewer rows.
     */
   def laplaceModes(df: DataFrame, params: Params, featureCols: Seq[String],
                    areaCol: String, yCol: String,
-                   vBound: Double = 3.0): Seq[AreaMode] = {
+                   vBound: Double = 3.0,
+                   warmStart: Map[String, Double] = Map.empty): Seq[AreaMode] = {
     val spark = df.sparkSession
     import spark.implicits._
     val sigmaSq = params.sigmaSq
-    df.select(col(areaCol).cast("string"),
+    val base = df.select(col(areaCol).cast("string").as("area"),
         Glmm.xBetaCol(params.beta, featureCols).as("xb"),
-        col(yCol).cast("double"))
-      .as[(String, Double, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (area, it) =>
-        val rows = it.map(r => (r._2, r._3)).toArray
-        def logg(v: Double): Double = {
-          var s = -v * v / (2 * sigmaSq)
-          var j = 0
-          while (j < rows.length) {
-            val (xb, y) = rows(j)
-            s += y * (xb + v) - Glmm.log1pExp(xb + v)
-            j += 1
+        col(yCol).cast("double").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val areas = base.select("area").distinct().as[String].collect().sorted
+      // per-area optimizer state: current v and a (lo, hi) bracket with
+      // g'(lo) > 0 > g'(hi) once the signs have been observed
+      var v = areas.map(a =>
+        a -> math.max(-vBound, math.min(vBound,
+          warmStart.getOrElse(a, 0.0)))).toMap
+      var lo = areas.map(_ -> -vBound).toMap
+      var hi = areas.map(_ -> vBound).toMap
+      var open = areas.toSet
+      var out = Map.empty[String, AreaMode]
+      var pass = 0
+      while (open.nonEmpty && pass < 40) {
+        val vDf = open.toSeq.sorted.map(a => (a, v(a))).toDF("area", "v")
+        val stats = base.join(broadcast(vDf), Seq("area"))
+          .select(col("area"), col("y"),
+            graft.etl.Encodings.sigmoid(col("xb") + col("v")).as("p"))
+          .groupBy("area")
+          .agg(sum(col("y") - col("p")).as("gsum"),
+            sum(col("p") * (lit(1.0) - col("p"))).as("wsum"),
+            count(lit(1)).as("n"))
+          .as[(String, Double, Double, Long)].collect()
+        stats.foreach { case (a, gsum, wsum, n) =>
+          val va = v(a)
+          val g = gsum - va / sigmaSq        // g'(va)
+          val info = wsum + 1.0 / sigmaSq    // -g''(va) > 0
+          val tau = math.sqrt(1.0 / info)
+          if (g > 0) lo += a -> math.max(lo(a), va)
+          else hi += a -> math.min(hi(a), va)
+          val step = g / info
+          val atBound = (va >= vBound && g > 0) || (va <= -vBound && g < 0)
+          if (math.abs(step) < 1e-10 || hi(a) - lo(a) < 1e-12 || atBound) {
+            out += a -> AreaMode(a, va, tau, n)
+            open -= a
+          } else {
+            var cand = va + step
+            if (cand <= lo(a) || cand >= hi(a)) cand = (lo(a) + hi(a)) / 2
+            v += a -> math.max(-vBound, math.min(vBound, cand))
           }
-          s
         }
-        val vhat = Optimize.goldenMax(logg, -vBound, vBound)
-        var info = 1.0 / sigmaSq
-        var j = 0
-        while (j < rows.length) {
-          val p = Glmm.sigmoidD(rows(j)._1 + vhat)
-          info += p * (1 - p)
-          j += 1
-        }
-        AreaMode(area, vhat, math.sqrt(1.0 / info), rows.length.toLong)
+        pass += 1
       }
-      .collect().toSeq.sortBy(_.area)
+      // pass cap hit (should not happen for a concave objective): emit
+      // the best bracketed value rather than fail
+      open.foreach { a =>
+        out += a -> AreaMode(a, v(a), math.sqrt(sigmaSq), 0L)
+      }
+      areas.map(out).toSeq
+    } finally base.unpersist(blocking = false)
   }
 
   /** Step 3 — v-tilde draws, keyed RNG: stream seeded by
@@ -187,7 +225,10 @@ object Em {
       var converged = false
       var totalN = 0L
       while (k < maxIter && !converged) {
-        modes = laplaceModes(df, params, featureCols, areaCol, yCol, vBound)
+        // warm-start each area's root-find from the previous iteration's
+        // mode (beta moves little between EM steps -> ~2 fewer passes)
+        modes = laplaceModes(df, params, featureCols, areaCol, yCol, vBound,
+          warmStart = modes.map(m => m.area -> m.vhat).toMap)
         if (totalN == 0L) totalN = modes.map(_.n).sum
         draws = simulateDraws(modes, numDraws, seed, k)
         val nByArea = modes.map(m => m.area -> m.n).toMap

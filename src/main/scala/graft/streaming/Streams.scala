@@ -121,6 +121,52 @@ object Streams {
       }
   }
 
+  /** Run the REAL streaming sessionization (file source →
+    * `flatMapGroupsWithState` → parquet sink, Trigger.AvailableNow)
+    * over a bounded event table and return the emitted sessions.
+    *
+    * Trailing sessions: in Append mode with NoTimeout, a user's last
+    * session would stay open in the state store forever. We append one
+    * sentinel event per user at that user's max ts + 10 gaps — it
+    * closes every real trailing session, while the sentinel's own
+    * one-event session is the new open one and is never emitted. The
+    * emitted set is therefore exactly the batch gap-and-island result
+    * over the real events, which is what the DuckDB oracle computes.
+    * (A continuously-running deployment uses `useTimeout = true`
+    * instead; bounded drains must not — the timeout keeps scheduling
+    * micro-batches and AvailableNow never terminates.)
+    *
+    * The source is written as ONE file so the drain is a single
+    * micro-batch: the state machine assumes per-user event-time order
+    * across batches, which file-arrival order doesn't guarantee for a
+    * static pile of parquet parts.
+    */
+  def sessionizeStreamDrain(events: DataFrame, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-st02-src").toString
+    val sinkDir = Files.createTempDirectory("graft-st02-sink").toString
+    val ckpt = Files.createTempDirectory("graft-st02-ckpt").toString
+    val sentinels = events.groupBy("user_id")
+      .agg(timestamp_millis(max(unix_millis(col("ts"))) + 10 * gapMs).as("ts"))
+      .withColumn("value", lit(0.0))
+    events.select("user_id", "ts", "value").unionByName(sentinels)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir).as[Event]
+    val q = sessionize(stream, gapMs, useTimeout = false).toDF()
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   /** Drain a streaming DataFrame into an in-memory table with
     * Trigger.AvailableNow and return it as a batch DataFrame (blocks
     * until the source is exhausted).

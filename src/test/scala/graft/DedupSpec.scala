@@ -54,7 +54,7 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardJoin computes exact jaccard on shared shingles") {
     val pairs = Dedup.ngramJaccardJoin(corpus, "id", "text", shingleN = 2,
-        threshold = 0.4, maxDocFreq = 10)
+        threshold = 0.4)
       .as[(Long, Long, Double)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs.contains((1L, 3L)))
@@ -62,5 +62,25 @@ class DedupSpec extends SparkSpec {
     val j = pairs((1L, 3L))
     assert(j > 0.5 && j < 1.0, s"jaccard=$j")
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefix filtering is candidate-complete vs the naive all-pairs join") {
+    import graft.ops.TextAnalysis
+    // naive ground truth: all N^2/2 pairs, exact jaccard on shingle sets
+    val sh = corpus.select($"id",
+        TextAnalysis.tokens($"text").as("toks"))
+      .select($"id",
+        array_distinct(TextAnalysis.shinglesOf($"toks", 2)).as("sh"))
+    val naive = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("j"))
+      .filter($"j" >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val filtered = Dedup.ngramJaccardJoin(corpus, "id", "text",
+        shingleN = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(filtered == naive, s"prefix=$filtered naive=$naive")
   }
 }

@@ -45,4 +45,21 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("cosineNearDupLsh matches brute force on real embeddings + mutants") {
+    // planted near-dups: every vector pairs with its +0.01-nudged copy
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val mutants = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding",
+        (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("embedding"))
+    val corpus = e.unionByName(mutants)
+    val brute = Similarity.cosineNearDup(corpus, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupLsh(corpus, "vec_id", "embedding",
+        threshold = 0.99, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
+  }
 }

@@ -42,6 +42,28 @@ class StreamsSpec extends SparkSpec {
     assert(sessions(2).user_id == 2L && sessions(2).n_events == 1)
   }
 
+  test("sessionizeStreamDrain equals batch sessionization (parity)") {
+    // the real streaming path (file source -> flatMapGroupsWithState ->
+    // parquet sink, sentinel-flushed) must emit exactly the batch
+    // gap-and-island sessions over the real events
+    val ev = RelQueries.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("value"))
+    val streamed = Streams.sessionizeStreamDrain(ev, gapMs = 30 * 60000L)
+      .as[Streams.Session].collect()
+      .map(s => (s.user_id, s.start_ts) -> s).toMap
+    val batch = Streams.sessionizeBatch(ev.as[Streams.Event],
+        gapMs = 30 * 60000L)
+      .collect().map(s => (s.user_id, s.start_ts) -> s).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"onlyStream=${streamed.keySet -- batch.keySet} " +
+        s"onlyBatch=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (k, s) =>
+      val b = batch(k)
+      assert(s.n_events == b.n_events && s.end_ts == b.end_ts &&
+        math.abs(s.total_value - b.total_value) < 1e-9, s"$s vs $b")
+    }
+  }
+
   test("stateful sessionize persists open sessions across restarts") {
     // cross-batch state via the restart path: two AvailableNow drains
     // over a growing file source, sharing one checkpoint — the open
