@@ -44,7 +44,10 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // any failure invalidates the total for cross-run comparison: a run
+    // where the slowest query failed would otherwise report a lower sum
+    val valid = results.forall(_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

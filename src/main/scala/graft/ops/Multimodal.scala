@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct, with decode/feature-extract as
   * batched partition-local transforms.
   *
-  * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; the actual media decoding is STUBBED with a
-  * deterministic fake (this container ships no image/audio codecs) —
-  * swap [[FakeCodec]] for a real decoder without touching the plumbing.
+  * The image path is REAL end-to-end: [[BmpCodec]] is a pure-JVM
+  * 24-bit BMP encoder/decoder, so `withBmpMedia` → [[extractFeatures]]
+  * → [[resizeDecoded]] runs on actual decoded pixels. Formats needing
+  * native codecs this container doesn't ship (JPEG/audio/video) fall
+  * back to the honestly-labeled [[FakeCodec]] stub behind the same
+  * seam — the plumbing (schema, partitioning, batch shape) is
+  * identical either way.
   */
 object Multimodal {
 
@@ -62,12 +65,36 @@ object Multimodal {
           .as("duration_ms"),
         lit(2).as("channels")))
 
+  /** Attach REAL media: a deterministic synthetic BMP per row (keyed
+    * off the text) with metadata read back from the actual encoded
+    * image. Dev-harness generator; production reads real binary
+    * columns with the same schema.
+    */
+  def withBmpMedia(df: DataFrame, textCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("media", BinaryType)
+      .add("meta", metaSchema)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = BmpCodec.synthesize(String.valueOf(r.get(idx)))
+        val (w, h, _) = BmpCodec.decode(bytes)
+        Row.fromSeq(r.toSeq :+ bytes :+ Row("image/bmp", w, h, 0, 0))
+      }
+    }(enc)
+  }
+
   /** Feature extraction over the binary column: batched, partition-
     * local, no shuffle. Batches bound peak memory per task the way
-    * arrow-batched decoders do; `dim` fixes the output schema.
+    * arrow-batched decoders do; `dim` fixes the output schema. The
+    * `codec` seam defaults to the real BMP decoder; pass
+    * `FakeCodec.features` for formats without a JVM codec.
     */
   def extractFeatures(df: DataFrame, binaryCol: String, dim: Int,
-                      batchSize: Int = 64, as: String = "features"): DataFrame = {
+                      batchSize: Int = 64, as: String = "features",
+                      codec: (Array[Byte], Int) => Array[Float] =
+                        BmpCodec.features): DataFrame = {
     val outSchema = df.schema.add(as, ArrayType(FloatType, containsNull = false))
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(binaryCol)
@@ -77,8 +104,34 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](idx)
           val feats =
             if (bytes == null) new Array[Float](dim)
-            else FakeCodec.features(bytes, dim)
+            else codec(bytes, dim)
           Row.fromSeq(r.toSeq :+ feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL resize: nearest-neighbor downscale of the decoded pixels so
+    * max(w, h) <= maxSide, re-encoded in place; metadata recomputed
+    * from the actual resized image. Partition-local, batched, no
+    * shuffle — same scale shape as [[extractFeatures]].
+    */
+  def resizeDecoded(df: DataFrame, maxSide: Int,
+                    binaryCol: String = "media",
+                    metaCol: String = "meta"): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val bIdx = df.schema.fieldIndex(binaryCol)
+    val mIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        if (bytes == null) r
+        else {
+          val resized = BmpCodec.resize(bytes, maxSide)
+          val (w, h, _) = BmpCodec.decode(resized)
+          val m = r.getStruct(mIdx)
+          val newMeta = Row(m.get(0), w, h, m.get(3), m.get(4))
+          Row.fromSeq(r.toSeq.updated(bIdx, resized).updated(mIdx, newMeta))
         }
       }
     }(enc)

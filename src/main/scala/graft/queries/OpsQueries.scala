@@ -156,13 +156,14 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // multimodal plumbing: binary payload + typed metadata -> batched
-    // feature extraction -> metadata resize -> frame sampling
+    // multimodal pipeline on REAL decoded pixels: synthesize a BMP per
+    // doc -> nearest-neighbor resize (re-encoded) -> feature extraction
+    // (channel means + luma histogram), all batched partition-local
     "mm01_multimodal" -> ((s, dir) => {
-      val media = Multimodal.withFakeMedia(
+      val media = Multimodal.withBmpMedia(
         docs(s, dir).select("doc_id", "text"), "text")
-      val feats = Multimodal.extractFeatures(media, "media", dim = 8)
-      Multimodal.resize(feats, maxSide = 256)
+      val resized = Multimodal.resizeDecoded(media, maxSide = 16)
+      Multimodal.extractFeatures(resized, "media", dim = 8)
         .select(col("doc_id"),
           col("meta.width").as("w"), col("meta.height").as("h"),
           round(element_at(col("features"), 1), 4).as("f0"),

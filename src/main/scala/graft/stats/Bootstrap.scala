@@ -80,21 +80,32 @@ object Bootstrap {
     * Replicates are independent job DAGs; at scale they can be
     * submitted concurrently from driver threads (fair scheduler) —
     * sequential here for determinism of test timings.
+    *
+    * `refitInit = true` (default) mirrors the reference exactly: each
+    * replicate refits the logistic initializer on ITS OWN simulated
+    * outcome before running EM (`Method_code.Rmd:602-607` — glmer per
+    * replicate). `false` seeds EM from the truth params instead —
+    * cheaper, but biases MSPE optimistic; spec'd as a divergence.
     */
   def mspe(small: DataFrame, big: DataFrame, yCol: String,
            featureCols: Seq[String], areaCol: String, wCol: String,
            idCols: Seq[String], truth: Em.Params, numB: Int,
            seed: Long = 42L, numDraws: Int = 200, emIters: Int = 5,
-           ebpDraws: Int = 100): DataFrame = {
+           ebpDraws: Int = 100, refitInit: Boolean = true): DataFrame = {
     val areas = big.select(areaCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val sigma = math.sqrt(truth.sigmaSq)
     val perB = (1 to numB).map { b =>
       val vB = drawAreaEffects(areas, sigma, seed, b)
       val sim = simulateOutcome(small, truth.beta, featureCols, areaCol, vB,
-        idCols, seed, b)
-      val fit = Em.fit(sim, "y_sim", featureCols, areaCol, truth,
+        idCols, seed, b).cache()
+      val init =
+        if (refitInit)
+          Em.Params(Glmm.fitLogistic(sim, "y_sim", featureCols), truth.sigmaSq)
+        else truth
+      val fit = Em.fit(sim, "y_sim", featureCols, areaCol, init,
         numDraws = numDraws, maxIter = emIters, seed = seed + b)
+      sim.unpersist(blocking = false)
       val est = Em.ebp(big, fit.params, featureCols, areaCol, wCol,
         fit.draws, ebpDraws)
       val tru = replicateTruth(big, truth.beta, featureCols, areaCol, wCol, vB)

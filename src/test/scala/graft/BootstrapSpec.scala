@@ -45,4 +45,24 @@ class BootstrapSpec extends SparkSpec {
     assert(m.length == 8)
     assert(m.forall { case (_, v) => v > 0 && v.isFinite && v < 50 })
   }
+
+  test("mspe refits the logistic initializer per replicate (Rmd:602-607)") {
+    // the refit path must actually be exercised: seeding EM from a
+    // replicate-specific glm fit vs from the truth params changes the
+    // replicate estimates, hence the MSPE
+    val small = SurveyFixture.covariates(numAreas = 6, rowsPerArea = 40)
+    val big = SurveyFixture.covariates(numAreas = 6, rowsPerArea = 60)
+    def run(refit: Boolean) =
+      Bootstrap.mspe(small, big, "y", SurveyFixture.featureCols,
+        "state", "weight", Seq("uid"), SurveyFixture.truth, numB = 1,
+        seed = 13L, numDraws = 30, emIters = 1, ebpDraws = 10,
+        refitInit = refit)
+        .orderBy("state").as[(String, Double)].collect().toSeq
+    val withRefit = run(true)
+    val withoutRefit = run(false)
+    assert(withRefit.map(_._1) == withoutRefit.map(_._1))
+    assert(withRefit != withoutRefit,
+      "refitInit had no effect — per-replicate refit not exercised")
+    assert(withRefit.forall { case (_, v) => v > 0 && v.isFinite })
+  }
 }

@@ -59,6 +59,24 @@ class EmSpec extends SparkSpec {
     assert(sig > 0.1 && sig < 1.2, s"sigma=$sig")
   }
 
+  test("EM converges at reference defaults (tol 0.01, 1000 draws) — golden") {
+    // Method_code.Rmd:352-390 iterates to tol 0.01 with maxIter 1000 and
+    // R = 1000 draws; the bench entries pin maxIter=3 for speed, so this
+    // golden proves M4 parity end-to-end: actual convergence, recorded
+    // iteration count, recovered parameters.
+    val init = Em.Params(
+      Glmm.fitLogistic(survey, "y", SurveyFixture.featureCols), 1.0)
+    val fit = Em.fit(survey, "y", SurveyFixture.featureCols, "state", init,
+      numDraws = 1000, tol = 0.01, maxIter = 30, seed = 17L)
+    assert(fit.converged, s"not converged after ${fit.iters} iterations")
+    assert(fit.iters >= 2 && fit.iters < 30, s"iters=${fit.iters}")
+    val err = breeze.linalg.max(breeze.numerics.abs(
+      fit.params.beta - SurveyFixture.trueBeta))
+    assert(err < 0.35, s"beta=${fit.params.beta} err=$err")
+    val sig = math.sqrt(fit.params.sigmaSq)
+    assert(sig > 0.15 && sig < 1.0, s"sigma=$sig")
+  }
+
   test("ebp with zero draws equals weighted mean of sigmoid(x'beta)") {
     val big = SurveyFixture.covariates(numAreas = 5, rowsPerArea = 30)
     val params = Em.Params(DenseVector(0.2, 0.5, -0.5), 1.0)

@@ -20,9 +20,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures yields fixed-dim deterministic vectors, batched") {
-    val f1 = Multimodal.extractFeatures(media, "media", dim = 8, batchSize = 1)
+    import graft.ops.Multimodal.FakeCodec
+    val f1 = Multimodal.extractFeatures(media, "media", dim = 8,
+        batchSize = 1, codec = FakeCodec.features)
       .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
-    val f2 = Multimodal.extractFeatures(media, "media", dim = 8, batchSize = 64)
+    val f2 = Multimodal.extractFeatures(media, "media", dim = 8,
+        batchSize = 64, codec = FakeCodec.features)
       .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(f1(1L).length == 8)
     assert(f1 == f2)            // batch shape must not change values
@@ -34,6 +37,54 @@ class MultimodalSpec extends SparkSpec {
       .select($"meta.width", $"meta.height", $"meta.channels").collect()
     assert(r.forall(row => math.max(row.getInt(0), row.getInt(1)) <= 64))
     assert(r.forall(_.getInt(2) == 2))
+  }
+
+  test("BmpCodec: encode/decode round-trips pixels exactly") {
+    import graft.ops.BmpCodec
+    // 2x2 known image: red, green / blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val bytes = BmpCodec.encode(2, 2, rgb)
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    val (w, h, back) = BmpCodec.decode(bytes)
+    assert(w == 2 && h == 2)
+    assert(back.toSeq == rgb.toSeq)
+    // features from real pixels: meanR = (255+0+0+255)/4/255 = 0.5
+    val f = BmpCodec.features(bytes, 8)
+    assert(math.abs(f(0) - 0.5f) < 1e-6 && math.abs(f(1) - 0.5f) < 1e-6 &&
+      math.abs(f(2) - 0.5f) < 1e-6, f.toSeq.toString)
+  }
+
+  test("BmpCodec.resize bounds the longer side with real resampling") {
+    import graft.ops.BmpCodec
+    val rgb = Array.tabulate(30 * 10 * 3)(i => (i % 251).toByte)
+    val resized = BmpCodec.resize(BmpCodec.encode(30, 10, rgb), 15)
+    val (w, h, _) = BmpCodec.decode(resized)
+    assert(w == 15 && h == 5, s"${w}x$h")
+    // no-op when already within bounds
+    val same = BmpCodec.resize(resized, 15)
+    assert(same eq resized)
+  }
+
+  test("real BMP pipeline: synthesize -> resize -> features on pixels") {
+    val docs = Seq((1L, "hello world"), (2L, "another doc"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.withBmpMedia(docs, "text")
+    val r = Multimodal.resizeDecoded(m, maxSide = 12)
+    val f = Multimodal.extractFeatures(r, "media", dim = 8)
+      .select($"doc_id", $"meta.width", $"meta.height", $"features")
+      .as[(Long, Int, Int, Seq[Float])].collect()
+    assert(f.length == 2)
+    f.foreach { case (_, w, h, feats) =>
+      assert(math.max(w, h) <= 12 && w >= 1 && h >= 1)
+      assert(feats.length == 8)
+      assert(feats.forall(v => v >= 0f && v <= 1f))
+      // histogram bins (slots 4..7) sum to <= 1 and > 0 for real pixels
+      val hsum = feats.drop(4).sum
+      assert(hsum > 0f && hsum <= 1.0001f, s"hsum=$hsum")
+    }
+    assert(f(0)._4 != f(1)._4) // content-sensitive
   }
 
   test("frameSample emits one row per sampled timestamp") {
