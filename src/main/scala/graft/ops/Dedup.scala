@@ -148,11 +148,18 @@ object Dedup {
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // shingles are 64-bit-hashed immediately: every downstream shuffle
+    // (inverted index, prefix join, verify) moves 8-byte longs instead
+    // of ~n-word strings, and set intersection runs on longs. A within-
+    // pair hash collision would need two distinct shingles of the same
+    // two docs to collide in 64 bits (~1e-16 per pair) — the DuckDB
+    // oracle computes on raw strings, so the gate would catch it.
     val sh = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"),
         array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
-          .as("sh"))
+          .as("shs"))
+      .select(col("id"), transform(col("shs"), s => xxhash64(s)).as("sh"))
       .withColumn("setSize", size(col("sh")))
       .cache()
     val inv = sh.select(col("id"), col("setSize"),
@@ -160,22 +167,34 @@ object Dedup {
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("dfreq"), col("shingle"))
-    val prefix = inv.join(dfreq, Seq("shingle"))
+    val pre = inv.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("setSize") - ceil(col("setSize") * threshold) + 1)
-      .select("id", "shingle")
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
+      .select("id", "shingle", "rn", "setSize")
+    // positional filter (PPJoin): at the earliest common prefix shingle
+    // (position p in A, q in B) the overlap is at most
+    // 1 + min(|A|-p, |B|-q); prune pairs that can't reach the overlap
+    // a Jaccard >= t requires, I >= ceil(t/(1+t) * (|A|+|B|)). True
+    // pairs always pass at their earliest common shingle, so this cuts
+    // candidates without losing completeness.
+    val overlapFrac = threshold / (1 + threshold)
+    val cand = pre.as("a")
+      .join(pre.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .filter(
+        least(col("a.setSize") - col("a.rn"), col("b.setSize") - col("b.rn"))
+          + 1 >= ceil((col("a.setSize") + col("b.setSize")) * overlapFrac))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -153,16 +153,18 @@ object Similarity {
     val banded = u.select(col("id"), col("v"), explode(bandArr).as("bb"))
       .select(col("id"), col("v"),
         col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a")
+    // score and threshold-filter INSIDE the join stage, then dedup the
+    // surviving skinny (id, id, cos) rows: the wide vector columns are
+    // never shuffled again, and duplicate band matches only cost an
+    // extra (cheap, codegen'd) dot product each
+    banded.as("a")
       .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("cos", DotProduct.dotFast(col("va"), col("vb")))
+      .withColumn("cos", DotProduct.dotFast(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Brute-force embedding-cosine threshold join — recall oracle for

@@ -67,14 +67,14 @@ object Em {
                    vBound: Double = 3.0,
                    warmStart: Map[String, Double] = Map.empty): Seq[AreaMode] = {
     val spark = df.sparkSession
-    import spark.implicits._
     val sigmaSq = params.sigmaSq
     val base = df.select(col(areaCol).cast("string").as("area"),
         Glmm.xBetaCol(params.beta, featureCols).as("xb"),
         col(yCol).cast("double").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val areas = base.select("area").distinct().as[String].collect().sorted
+      val areas = base.select("area").distinct()
+        .collect().map(_.getString(0)).sorted
       // per-area optimizer state: current v and a (lo, hi) bracket with
       // g'(lo) > 0 > g'(hi) once the signs have been observed
       var v = areas.map(a =>
@@ -84,9 +84,17 @@ object Em {
       var hi = areas.map(_ -> vBound).toMap
       var open = areas.toSet
       var out = Map.empty[String, AreaMode]
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("area",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
       var pass = 0
       while (open.nonEmpty && pass < 40) {
-        val vDf = open.toSeq.sorted.map(a => (a, v(a))).toDF("area", "v")
+        val vRows = open.toSeq.sorted
+          .map(a => org.apache.spark.sql.Row(a, v(a)))
+        val vDf = spark.createDataFrame(
+          java.util.Arrays.asList(vRows: _*), vSchema)
         val stats = base.join(broadcast(vDf), Seq("area"))
           .select(col("area"), col("y"),
             graft.etl.Encodings.sigmoid(col("xb") + col("v")).as("p"))
@@ -94,8 +102,10 @@ object Em {
           .agg(sum(col("y") - col("p")).as("gsum"),
             sum(col("p") * (lit(1.0) - col("p"))).as("wsum"),
             count(lit(1)).as("n"))
-          .as[(String, Double, Double, Long)].collect()
-        stats.foreach { case (a, gsum, wsum, n) =>
+          .collect()
+        stats.foreach { r =>
+          val (a, gsum, wsum, n) =
+            (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
           val va = v(a)
           val g = gsum - va / sigmaSq        // g'(va)
           val info = wsum + 1.0 / sigmaSq    // -g''(va) > 0
