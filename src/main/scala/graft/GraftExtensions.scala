@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, SimHash64}
+
+/** Spark-native extension entry point: installs the engine's custom
+  * Catalyst expressions into a session the way any Spark library
+  * should —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions            (config)
+  *   SparkSession.builder.withExtensions(new GraftExtensions)  (code)
+  *
+  * `injectFunction` registers them as permanent session functions, so
+  * both the Column API ([[DotProduct.dotFast]], [[SimHash64.simhash64]])
+  * and plain SQL (`SELECT graft_dot(a, b)`) resolve them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative fallback for sessions built without the extension
+    * hook (the operators also call this defensively — registration is
+    * idempotent).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    DotProduct.register(spark)
+    SimHash64.register(spark)
+  }
+}

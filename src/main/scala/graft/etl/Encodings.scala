@@ -46,14 +46,32 @@ object Encodings {
   /** Deterministic synthetic row id (Method_code.Rmd:48).
     *
     * NOTE scale: a global `row_number()` forces a single-partition sort —
-    * fine for the survey tables this mirrors (<1M rows), wrong for 100 TB.
-    * For large data use [[fingerprintId]] (stable 64-bit hash of key
-    * columns, no shuffle) instead.
+    * fine for dimension-sized tables, wrong for 100 TB. For large data
+    * use [[contiguousId]] (same 1..n semantics, distributed) or
+    * [[fingerprintId]] (stable 64-bit hash, no shuffle at all).
     */
   def rowId(df: DataFrame, orderCols: Seq[String],
             name: String = "id"): DataFrame =
     df.withColumn(name,
       row_number().over(Window.orderBy(orderCols.map(col): _*)))
+
+  /** Contiguous 1..n row id in `orderCols` order WITHOUT the
+    * single-partition sort: a distributed range-partitioned sort, then
+    * the classic two-pass offset assignment (`zipWithIndex`: one count
+    * job for per-partition offsets, one map). Equals `row_number()`
+    * over the same total order whenever the order key is unique —
+    * which is what the oracle checks.
+    */
+  def contiguousId(df: DataFrame, orderCols: Seq[String],
+                   name: String = "id"): DataFrame = {
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = sorted.schema
+      .add(name, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** Shuffle-free stable id: xxhash64 over the natural-key columns. */
   def fingerprintId(df: DataFrame, keyCols: Seq[String],

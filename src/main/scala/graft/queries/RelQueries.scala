@@ -171,9 +171,12 @@ object RelQueries {
           round(col("rasd"), 6).as("rasd"), round(col("aad"), 6).as("aad"))
     }),
 
-    // P1 — deterministic row id (Method_code.Rmd:48)
+    // P1 — deterministic row id (Method_code.Rmd:48), via the SCALABLE
+    // variant: distributed sort + zipWithIndex offsets, no
+    // single-partition window (oracle proves 1..n parity)
     "q12_rowid" -> ((s, dir) =>
-      rowId(t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"), "rid")
+      contiguousId(t(s, dir, "orders").select("o_orderkey"),
+          Seq("o_orderkey"), "rid")
         .orderBy("o_orderkey")),
 
     // A12 — group counts + distinct counts (Method_code.Rmd:182,260)

@@ -13,12 +13,12 @@ import graft.streaming.Streams
 object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // watermarked event-time hourly window, streaming == batch parity
-    "st01_stream_hourly" -> ((s, dir) => {
-      val agg = Streams.hourlyAgg(Streams.eventsStream(s, dir))
-      Streams.runAvailableNow(agg, s"st01_${math.abs(dir.hashCode)}")
-        .orderBy("hour", "event_type")
-    }),
+    // watermarked event-time hourly window through the scale path:
+    // append-mode parquet sink with sentinel-advanced watermark (each
+    // window emitted exactly once, state evicted) — streaming == batch
+    "st01_stream_hourly" -> ((s, dir) =>
+      Streams.hourlyAggStreamDrain(s, dir)
+        .orderBy("hour", "event_type")),
 
     // custom sessionization state machine (30-minute inactivity gap)
     // through the REAL streaming path — file source →

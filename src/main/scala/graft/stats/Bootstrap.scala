@@ -77,9 +77,12 @@ object Bootstrap {
   }
 
   /** Full bootstrap: B replicates -> per-area RMSE of (truth - est).
-    * Replicates are independent job DAGs; at scale they can be
-    * submitted concurrently from driver threads (fair scheduler) —
-    * sequential here for determinism of test timings.
+    * Replicates are independent job DAGs and are SUBMITTED CONCURRENTLY
+    * from driver threads (`concurrency` at a time): Spark's scheduler
+    * interleaves their stages, so cluster slots stay busy while any one
+    * replicate sits in a driver-side step (L-BFGS line search, Newton
+    * updates). Results are order-independent — every random stream is
+    * keyed by (seed, replicate, unit), not by execution interleaving.
     *
     * `refitInit = true` (default) mirrors the reference exactly: each
     * replicate refits the logistic initializer on ITS OWN simulated
@@ -91,11 +94,12 @@ object Bootstrap {
            featureCols: Seq[String], areaCol: String, wCol: String,
            idCols: Seq[String], truth: Em.Params, numB: Int,
            seed: Long = 42L, numDraws: Int = 200, emIters: Int = 5,
-           ebpDraws: Int = 100, refitInit: Boolean = true): DataFrame = {
+           ebpDraws: Int = 100, refitInit: Boolean = true,
+           concurrency: Int = 2): DataFrame = {
     val areas = big.select(areaCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val sigma = math.sqrt(truth.sigmaSq)
-    val perB = (1 to numB).map { b =>
+    def replicate(b: Int): DataFrame = {
       val vB = drawAreaEffects(areas, sigma, seed, b)
       val sim = simulateOutcome(small, truth.beta, featureCols, areaCol, vB,
         idCols, seed, b).cache()
@@ -111,6 +115,16 @@ object Bootstrap {
       val tru = replicateTruth(big, truth.beta, featureCols, areaCol, wCol, vB)
       est.join(tru, Seq(areaCol)).withColumn("boot_id", lit(b))
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(numB, concurrency)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val perB =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          (1 to numB).map(b => scala.concurrent.Future(replicate(b)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     Relational.unionAll(perB)
       .groupBy(areaCol)
       .agg(sqrt(avg(pow(col("truth") - col("ebp"), 2))).as("mspe"))

@@ -50,6 +50,52 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Run the watermarked hourly aggregation through the scale-honest
+    * streaming path: file source → windowed agg → APPEND-mode parquet
+    * sink (the complete-mode memory sink re-emits every window per
+    * batch and accumulates the whole result on the driver — fine for a
+    * demo, driver-bound at scale; append + watermark emits each window
+    * exactly once and evicts its state).
+    *
+    * Append mode only finalizes a window once the event-time watermark
+    * passes its end, and a bounded drain's watermark stops at
+    * max(event time) - delay — the trailing windows would never emit.
+    * One sentinel event at max ts + 4h (watermark delay 2h + window 1h
+    * + margin) pushes the final watermark past every real window; the
+    * sentinel's own window stays open and unemitted. Spark's no-data
+    * micro-batch (on by default) fires the state eviction after the
+    * last data batch.
+    */
+  def hourlyAggStreamDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-st01-src").toString
+    val sinkDir = Files.createTempDirectory("graft-st01-sink").toString
+    val ckpt = Files.createTempDirectory("graft-st01-ckpt").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "event_type", "value")
+    val sentinel = raw.agg(
+        timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L).as("ts"))
+      .withColumn("event_type", lit("graft_watermark_sentinel"))
+      .withColumn("value", lit(0.0))
+    raw.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = hourlyAgg(stream)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,

@@ -29,6 +29,23 @@ class EmSpec extends SparkSpec {
     assert(m.vhat > 1.0, s"vhat=${m.vhat}")
   }
 
+  test("laplaceModes is invariant to input partitioning (grouped aggs, " +
+      "no per-area arrays)") {
+    val params = Em.Params(DenseVector(0.0, 0.5, -0.5), 1.0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Em.laplaceModes(df, params, SurveyFixture.featureCols, "state", "y")
+    val a = run(survey.repartition(1))
+    val b = run(survey.repartition(13))
+    assert(a.map(_.area) == b.map(_.area))
+    assert(a.map(_.n) == b.map(_.n))
+    // partial-agg order shifts sums by ulps; the root-find re-converges
+    // to the same mode within its tolerance regardless of partitioning
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x.vhat - y.vhat) < 1e-6 &&
+        math.abs(x.tau - y.tau) < 1e-6, s"$x vs $y")
+    }
+  }
+
   test("simulateDraws is deterministic and area-keyed") {
     val modes = Seq(Em.AreaMode("a", 0.5, 0.1, 10),
       Em.AreaMode("b", -0.5, 0.2, 10))

@@ -49,6 +49,17 @@ class EncodingsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1, 2, 3))
   }
 
+  test("contiguousId equals rowId semantics without the global window") {
+    val df = (1 to 500).map(i => (i * 7919 % 500, s"p$i")).toDF("k", "p")
+      .repartition(11)
+    val viaWindow = rowId(df, Seq("k", "p"), "id")
+      .orderBy("k", "p").select("id").as[Int].collect().map(_.toLong)
+    val viaZip = contiguousId(df, Seq("k", "p"), "id")
+      .orderBy("k", "p").select("id").as[Long].collect()
+    assert(viaZip.toSeq == viaWindow.toSeq)
+    assert(viaZip.head == 1L && viaZip.last == 500L)
+  }
+
   test("fingerprintId is stable across evaluations") {
     val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
     val a = fingerprintId(df, Seq("k", "v")).select("id").as[Long].collect()

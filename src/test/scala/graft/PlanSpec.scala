@@ -46,6 +46,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(n_name"), plan)
   }
 
+  test("d10: LSH threshold join has no cartesian/BNLJ stage") {
+    val plan = planOf("d10_embedding_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("d09: prefix-filtered join has no cartesian/BNLJ stage") {
+    val plan = planOf("d09_ngram_jaccard")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("graft extensions register SQL-callable expressions") {
+    graft.GraftExtensions.registerAll(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(math.abs(dot - 11.0) < 1e-12)
+    val sig = spark.sql(
+      "SELECT simhash64(array('a', 'b')) = simhash64(array('b', 'a'))")
+      .head().getBoolean(0)
+    assert(sig) // bag semantics: order-invariant
+    // the SparkSessionExtensions hook installs without error
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(
