@@ -85,11 +85,32 @@ object Multimodal {
     }(enc)
   }
 
+  /** Attach REAL audio: a deterministic synthetic 16-bit PCM WAV per
+    * row with metadata (duration, channels) read back from the actual
+    * encoded clip.
+    */
+  def withWavMedia(df: DataFrame, textCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("media", BinaryType)
+      .add("meta", metaSchema)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = WavCodec.synthesize(String.valueOf(r.get(idx)))
+        val (_, channels, _) = WavCodec.decode(bytes)
+        val meta = Row("audio/wav", 0, 0, WavCodec.durationMs(bytes), channels)
+        Row.fromSeq(r.toSeq :+ bytes :+ meta)
+      }
+    }(enc)
+  }
+
   /** Feature extraction over the binary column: batched, partition-
     * local, no shuffle. Batches bound peak memory per task the way
     * arrow-batched decoders do; `dim` fixes the output schema. The
     * `codec` seam defaults to the real BMP decoder; pass
-    * `FakeCodec.features` for formats without a JVM codec.
+    * [[WavCodec.features]] for audio or `FakeCodec.features` for
+    * formats without a JVM codec.
     */
   def extractFeatures(df: DataFrame, binaryCol: String, dim: Int,
                       batchSize: Int = 64, as: String = "features",

@@ -124,6 +124,92 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Spherical k-means centroids trained driver-side on a bounded
+    * sample (IVF coarse quantizer). Deterministic: seeded start from
+    * evenly-spaced sample vectors, fixed Lloyd iteration count.
+    */
+  private[ops] def trainCentroids(sample: Array[Array[Double]], nlist: Int,
+                                  iters: Int): IndexedSeq[Array[Double]] = {
+    require(sample.nonEmpty && sample.length >= nlist,
+      s"need >= $nlist sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents: IndexedSeq[Array[Double]] =
+      (0 until nlist).map(i => unit(sample(i * sample.length / nlist)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = (0 until nlist).map(c =>
+        if (counts(c) == 0) cents(c) else unit(sums(c)))
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF ANN — the second scale path next to [[lshTopK]]: a spherical
+    * k-means coarse quantizer (trained driver-side on a bounded sample)
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and scores candidates exactly. One shuffle
+    * keyed by cell id; candidate volume ~ nprobe/nlist of the corpus.
+    * Centroids are dimension-sized literals (constant-folded), so cell
+    * assignment is a narrow map over the scan.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    val sample = unitized(corpus, idCol, vecCol, "id", "v")
+      .select("v").limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = trainCentroids(sample, nlist, trainIters)
+    val centDots = (v: Column) => cents.zipWithIndex.map { case (c, i) =>
+      struct(DotProduct.dotFast(v, planeLit(c)).as("d"), lit(i).as("i"))
+    }
+    // argmax via array_max over (dot, idx) structs: linear-size
+    // expression tree. A reduce(when(b > a, b, a)) chain duplicates
+    // both subtrees per step — 2^nlist nodes — and Catalyst's tree
+    // walks never finish at nlist = 16.
+    def nearestCell(v: Column): Column =
+      array_max(array(centDots(v): _*)).getField("i")
+    val c = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
+      .withColumn("cell", nearestCell(col("cv")))
+    // top-nprobe cells per query: sort (−dot, cell) structs asc, slice
+    val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
+      .withColumn("probes",
+        slice(sort_array(array(cents.zipWithIndex.map { case (cn, i) =>
+          struct((-DotProduct.dotFast(col("qv"), planeLit(cn))).as("nd"),
+            lit(i).as("i"))
+        }: _*)), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes").getField("i")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold join), LSH-
     * bucketed — the scale path and the d10 query entry. Candidates are
     * generated only inside shared (table, sign-bucket) cells and then

@@ -171,6 +171,32 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // IVF ANN (spherical k-means coarse quantizer), the second scale
+    // path next to s02's LSH (rows-only; recall is spec-tested)
+    "s03_ivf_ann" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+          dim = 64, nlist = 16, nprobe = 6)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // audio pipeline on REAL decoded PCM samples: synthesize a WAV per
+    // doc -> rms / zero-crossings / energy profile from the samples
+    "mm03_audio" -> ((s, dir) => {
+      val media = Multimodal.withWavMedia(
+        docs(s, dir).select("doc_id", "text"), "text")
+      Multimodal.extractFeatures(media, "media", dim = 8,
+          codec = graft.ops.WavCodec.features)
+        .select(col("doc_id"),
+          col("meta.duration_ms").as("dur_ms"),
+          round(element_at(col("features"), 1), 4).as("rms"),
+          round(element_at(col("features"), 2), 4).as("zcr"))
+        .orderBy("doc_id")
+    }),
+
     // frame-sampling generate pattern: rows per sampled frame
     "mm02_frame_sample" -> ((s, dir) => {
       val media = Multimodal.withFakeMedia(

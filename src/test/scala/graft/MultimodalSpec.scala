@@ -87,6 +87,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0)._4 != f(1)._4) // content-sensitive
   }
 
+  test("WavCodec: encode/decode round-trips PCM samples exactly") {
+    import graft.ops.WavCodec
+    val samples = Array.tabulate(1000)(i =>
+      (math.sin(i * 0.05) * 20000).toShort)
+    val bytes = WavCodec.encode(8000, 1, samples)
+    val (rate, ch, back) = WavCodec.decode(bytes)
+    assert(rate == 8000 && ch == 1)
+    assert(back.toSeq == samples.toSeq)
+    assert(WavCodec.durationMs(bytes) == 125) // 1000 samples @ 8kHz
+    // silence has zero features; a tone has rms > 0 and zcr ~ 2f/rate
+    val f = WavCodec.features(bytes, 8)
+    assert(f(0) > 0.3f && f(0) < 0.8f, s"rms=${f(0)}")
+    assert(f(3) <= 1.0f)
+    val silent = WavCodec.features(WavCodec.encode(8000, 1,
+      new Array[Short](100)), 8)
+    assert(silent(0) == 0f && silent(1) == 0f)
+  }
+
+  test("real WAV pipeline: synthesize -> features from decoded samples") {
+    val docs = Seq((1L, "hello world"), (2L, "another doc"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.withWavMedia(docs, "text")
+    val f = Multimodal.extractFeatures(m, "media", dim = 8,
+        codec = graft.ops.WavCodec.features)
+      .select($"doc_id", $"meta.duration_ms", $"meta.channels", $"features")
+      .as[(Long, Int, Int, Seq[Float])].collect()
+    assert(f.length == 2)
+    f.foreach { case (_, dur, ch, feats) =>
+      assert(dur > 0 && ch == 1)
+      assert(feats(0) > 0f)        // non-silent rms
+      assert(feats(1) > 0f)        // tone crosses zero
+      val esum = feats.drop(4).sum // energy profile normalized
+      assert(esum > 0.9f && esum <= 1.0001f, s"esum=$esum")
+    }
+    assert(f(0)._4 != f(1)._4) // content-sensitive
+  }
+
   test("frameSample emits one row per sampled timestamp") {
     val r = Multimodal.frameSample(media, everyMs = 10000)
       .groupBy("doc_id").agg(count(lit(1)).as("n"),

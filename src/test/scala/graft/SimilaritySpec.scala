@@ -46,6 +46,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivfTopK achieves high recall vs brute force") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q,
+        "vec_id", "embedding", 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(e, "vec_id", "embedding", q,
+        "vec_id", "embedding", 5, dim = 64, nlist = 8, nprobe = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // probing ALL cells makes IVF exhaustive == exact
+    val full = Similarity.ivfTopK(e, "vec_id", "embedding", q,
+        "vec_id", "embedding", 5, dim = 64, nlist = 8, nprobe = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, s"missed=${exact -- full}")
+  }
+
   test("cosineNearDupLsh matches brute force on real embeddings + mutants") {
     // planted near-dups: every vector pairs with its +0.01-nudged copy
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
