@@ -20,7 +20,12 @@ object Bench {
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).limit(1).count()
       catch { case _: Throwable => () })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name substrings to run (local profiling);
+    // the driver passes none and gets the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // full evaluation via the noop sink: under a bare count() Catalyst
       // prunes every unreferenced projection, so map-only queries would

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, MatVecDots, SimHash64}
 
 /** Spark-native extension entry point: installs the engine's custom
   * Catalyst expressions into a session the way any Spark library
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVecDots].getName, "graft_matvec"),
+      (exprs: Seq[Expression]) => MatVecDots(exprs(0), exprs(1))))
   }
 }
 
@@ -38,5 +42,6 @@ object GraftExtensions {
   def registerAll(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     SimHash64.register(spark)
+    MatVecDots.register(spark)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MatVecDots}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>): brute-force cosine top-k as the exact baseline and a
@@ -75,12 +75,23 @@ object Similarity {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(lit): _*)
 
-  /** Sign-bit bucket id of vector `v` in one table. */
-  private def bucketId(v: Column, tablePlanes: IndexedSeq[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (p, j) =>
-      when(DotProduct.dotFast(v, planeLit(p)) >= 0, lit(1L << j))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All `tables` sign-bucket ids from ONE flat hyperplane-matrix
+    * literal: `dots` must be a materialized attribute holding
+    * `graft_matvec(v, flat_planes)` (length tables*planes). Statically
+    * unrolled — `dots` is referenced tables×planes times, which (a)
+    * keeps the plan at ~tables×planes tiny element_at nodes instead of
+    * tables×planes×dim literal nodes, and (b) blocks CollapseProject
+    * from inlining the matvec into a per-element lambda (the known
+    * re-evaluation trap).
+    */
+  private def bandStructs(dots: Column, tables: Int, planes: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until planes).map { j =>
+          when(element_at(dots, t * planes + j + 1) >= 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _).as("bucket"))
+    }: _*)
 
   /** LSH ANN: candidates = corpus/query pairs sharing a bucket in any
     * table; exact cosine on candidates; per-query top-k. Recall grows
@@ -93,18 +104,21 @@ object Similarity {
               k: Int, tables: Int = 4, planes: Int = 8,
               seed: Long = 42L, dim: Int = -1): DataFrame = {
     DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
     val d = if (dim > 0) dim
             else corpus.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(tables, planes, d, seed)
+    val flat = MatVecDots.matrixLit(hp.flatten)
 
     def withBuckets(df: DataFrame, id: String, vec: String, as: String) = {
       val u = unitized(df, id, vec, as, s"${as}_v")
-      // sign buckets are scale-invariant, so they hash the unit vector
-      val buckets = array(hp.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("tbl"),
-          bucketId(col(s"${as}_v"), tp).as("bucket"))
-      }: _*)
-      u.select(col(as), col(s"${as}_v"), explode(buckets).as("bb"))
+      // sign buckets are scale-invariant, so they hash the unit vector;
+      // one matvec against the flat plane matrix, then tiny sign-bit
+      // arithmetic — the hyperplanes are ONE literal plan node
+      u.select(col(as), col(s"${as}_v"),
+          MatVecDots.matvec(col(s"${as}_v"), flat).as("dots"))
+        .select(col(as), col(s"${as}_v"),
+          explode(bandStructs(col("dots"), tables, planes)).as("bb"))
         .select(col(as), col(s"${as}_v"),
           col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     }
@@ -176,28 +190,32 @@ object Similarity {
               k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
     DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
     val sample = unitized(corpus, idCol, vecCol, "id", "v")
       .select("v").limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
     val cents = trainCentroids(sample, nlist, trainIters)
-    val centDots = (v: Column) => cents.zipWithIndex.map { case (c, i) =>
-      struct(DotProduct.dotFast(v, planeLit(c)).as("d"), lit(i).as("i"))
-    }
-    // argmax via array_max over (dot, idx) structs: linear-size
-    // expression tree. A reduce(when(b > a, b, a)) chain duplicates
-    // both subtrees per step — 2^nlist nodes — and Catalyst's tree
-    // walks never finish at nlist = 16.
-    def nearestCell(v: Column): Column =
-      array_max(array(centDots(v): _*)).getField("i")
+    // the whole centroid codebook is ONE literal plan node; per-row
+    // work is a single matvec (tight primitive loop) + tiny array ops.
+    // The per-centroid-literal formulation put nlist×dim literal nodes
+    // into BOTH side's projections and Catalyst planning alone cost
+    // ~10s regardless of data size.
+    val cb = MatVecDots.matrixLit(cents)
+    // argmax = first position of the max dot (ties -> lowest cell id,
+    // matching trainCentroids' assignment rule). `dots` is referenced
+    // twice, which keeps CollapseProject from inlining the matvec.
     val c = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
-      .withColumn("cell", nearestCell(col("cv")))
+      .withColumn("dots", MatVecDots.matvec(col("cv"), cb))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .drop("dots")
     // top-nprobe cells per query: sort (−dot, cell) structs asc, slice
     val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
+      .withColumn("dots", MatVecDots.matvec(col("qv"), cb))
       .withColumn("probes",
-        slice(sort_array(array(cents.zipWithIndex.map { case (cn, i) =>
-          struct((-DotProduct.dotFast(col("qv"), planeLit(cn))).as("nd"),
-            lit(i).as("i"))
-        }: _*)), 1, nprobe))
+        slice(sort_array(zip_with(col("dots"),
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("i")))), 1, nprobe))
       .select(col("query_id"), col("qv"),
         explode(col("probes").getField("i")).as("cell"))
     val w = Window.partitionBy("query_id")
@@ -220,23 +238,38 @@ object Similarity {
     *
     * Recall: a pair at cosine `t` survives one `planes`-bit band with
     * probability (1 - acos(t)/pi)^planes and must survive in at least
-    * one of `tables` bands. At the defaults and t = 0.99 the miss
-    * probability per pair is (1-0.955^8)^12 ~ 7e-7 — deterministic
-    * given `seed`, and verified against the exact-SQL oracle and the
-    * brute-force spec. Raise `planes` (smaller buckets) for skewed
-    * corpora; raise `tables` for recall.
+    * one of `tables` bands. `tables` is DERIVED from the requested
+    * threshold so the per-pair miss probability stays <= `maxMiss` at
+    * exactly cosine = threshold (pairs above it miss even less): the
+    * fixed 12×8 default gave ~7e-7 at t = 0.99 but ~12% at t = 0.8,
+    * which silently broke the "exact up to maxMiss" contract for looser
+    * thresholds. Deterministic given `seed`; verified against the
+    * exact-SQL oracle and the brute-force spec. Raise `planes` (smaller
+    * buckets) for skewed corpora — the table count adapts.
     */
   def cosineNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int,
-                       tables: Int = 12, planes: Int = 8,
+                       planes: Int = 8, maxMiss: Double = 1e-6,
                        seed: Long = 42L): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    // P(one band matches) = (1 - acos(t)/pi)^planes; tables such that
+    // (1 - p)^tables <= maxMiss
+    val p = math.pow(1.0 - math.acos(threshold) / math.Pi, planes)
+    val tables = math.max(1, math.ceil(math.log(maxMiss) / math.log1p(-p)).toInt)
+    require(tables <= 128,
+      s"threshold=$threshold needs $tables tables at planes=$planes for " +
+        s"miss<=$maxMiss; lower planes or relax maxMiss")
     DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
     val hp = hyperplanes(tables, planes, dim, seed)
+    val flat = MatVecDots.matrixLit(hp.flatten)
     val u = unitized(corpus, idCol, vecCol, "id", "v")
-    val bandArr = array(hp.zipWithIndex.map { case (tp, t) =>
-      struct(lit(t).as("tbl"), bucketId(col("v"), tp).as("bucket"))
-    }: _*)
-    val banded = u.select(col("id"), col("v"), explode(bandArr).as("bb"))
+    val banded = u
+      .select(col("id"), col("v"),
+        MatVecDots.matvec(col("v"), flat).as("dots"))
+      .select(col("id"), col("v"),
+        explode(bandStructs(col("dots"), tables, planes)).as("bb"))
       .select(col("id"), col("v"),
         col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     // score and threshold-filter INSIDE the join stage, then dedup the

@@ -13,6 +13,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 0.6) < 1e-12)
   }
 
+  test("MatVecDots computes all row dots in one expression") {
+    import graft.functions.MatVecDots
+    MatVecDots.register(spark)
+    val m = MatVecDots.matrixLit(
+      Seq(Array(1.0, 0.0, 0.0), Array(0.0, 2.0, 0.0), Array(1.0, 1.0, 1.0)))
+    val r = Seq(Seq(3.0, 4.0, 5.0)).toDF("v")
+      .select(MatVecDots.matvec($"v", m).as("d"))
+      .as[Seq[Double]].head()
+    assert(r == Seq(3.0, 8.0, 12.0))
+    // SQL-callable too (registered function path)
+    val sqlR = spark.sql(
+      "SELECT graft_matvec(array(1.0d, 2.0d), array(array(2.0d, 0.5d))) AS d")
+      .as[Seq[Double]].head()
+    assert(sqlR == Seq(3.0))
+  }
+
   test("cosineTopK ranks exact neighbors") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
