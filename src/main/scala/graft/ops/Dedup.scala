@@ -167,24 +167,35 @@ object Dedup {
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("dfreq"), col("shingle"))
+    // Float-safety: both bounds below compare an integer against a
+    // real-valued product. A double product that rounds 1 ulp ABOVE an
+    // exact integer would (via ceil) shorten the prefix / over-tighten
+    // the overlap bound and silently drop boundary true pairs (e.g.
+    // thresholds like 0.3 where t*|A| lands on an integer). Nudging
+    // each product DOWN by eps makes the boundary inclusive: at worst
+    // a few extra candidates survive, and the exact verify stage
+    // removes them — completeness is never at risk.
+    val eps = 1e-9
     val pre = inv.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
-        col("setSize") - ceil(col("setSize") * threshold) + 1)
+        col("setSize") - ceil(col("setSize") * threshold - eps) + 1)
       .select("id", "shingle", "rn", "setSize")
     // positional filter (PPJoin): at the earliest common prefix shingle
     // (position p in A, q in B) the overlap is at most
     // 1 + min(|A|-p, |B|-q); prune pairs that can't reach the overlap
     // a Jaccard >= t requires, I >= ceil(t/(1+t) * (|A|+|B|)). True
     // pairs always pass at their earliest common shingle, so this cuts
-    // candidates without losing completeness.
+    // candidates without losing completeness. (bound+1 is an integer,
+    // so int >= ceil(x) <=> int >= x; comparing against x - eps
+    // directly skips the ceil and its rounding hazard.)
     val overlapFrac = threshold / (1 + threshold)
     val cand = pre.as("a")
       .join(pre.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .filter(
         least(col("a.setSize") - col("a.rn"), col("b.setSize") - col("b.rn"))
-          + 1 >= ceil((col("a.setSize") + col("b.setSize")) * overlapFrac))
+          + 1 >= (col("a.setSize") + col("b.setSize")) * overlapFrac - eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand

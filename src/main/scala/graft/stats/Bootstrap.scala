@@ -84,18 +84,27 @@ object Bootstrap {
     * updates). Results are order-independent — every random stream is
     * keyed by (seed, replicate, unit), not by execution interleaving.
     *
-    * `refitInit = true` (default) mirrors the reference exactly: each
-    * replicate refits the logistic initializer on ITS OWN simulated
-    * outcome before running EM (`Method_code.Rmd:602-607` — glmer per
-    * replicate). `false` seeds EM from the truth params instead —
-    * cheaper, but biases MSPE optimistic; spec'd as a divergence.
+    * Per-replicate EM initialization (`initScheme`):
+    *   - `"reference"` (default) — the reference's scheme
+    *     (`Method_code.Rmd:611-614`): fixed constants sigma = 0.1,
+    *     every beta = 0.1, iterate to `tol`. (The reference also fits
+    *     glmer on each replicate at `Method_code.Rmd:602-607`, but only
+    *     to PRINT diagnostics — the EM init is the constants.)
+    *   - `"refit"` — seed beta from a per-replicate logistic refit on
+    *     the simulated outcome (+ truth sigma^2). A deliberate
+    *     divergence: starts near the optimum so a small `emIters` cap
+    *     suffices — the bench configuration.
+    *   - `"truth"` — seed from the truth params. Cheapest; biases MSPE
+    *     optimistic when emIters is small. Spec'd as a divergence.
     */
   def mspe(small: DataFrame, big: DataFrame, yCol: String,
            featureCols: Seq[String], areaCol: String, wCol: String,
            idCols: Seq[String], truth: Em.Params, numB: Int,
            seed: Long = 42L, numDraws: Int = 200, emIters: Int = 5,
-           ebpDraws: Int = 100, refitInit: Boolean = true,
-           concurrency: Int = 2): DataFrame = {
+           ebpDraws: Int = 100, initScheme: String = "reference",
+           tol: Double = 0.01, concurrency: Int = 2): DataFrame = {
+    require(Set("reference", "refit", "truth")(initScheme),
+      s"initScheme must be reference|refit|truth, got $initScheme")
     val areas = big.select(areaCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val sigma = math.sqrt(truth.sigmaSq)
@@ -103,12 +112,15 @@ object Bootstrap {
       val vB = drawAreaEffects(areas, sigma, seed, b)
       val sim = simulateOutcome(small, truth.beta, featureCols, areaCol, vB,
         idCols, seed, b).cache()
-      val init =
-        if (refitInit)
-          Em.Params(Glmm.fitLogistic(sim, "y_sim", featureCols), truth.sigmaSq)
-        else truth
+      val init = initScheme match {
+        case "reference" => Em.Params(
+          DenseVector.fill(featureCols.length + 1)(0.1), 0.1 * 0.1)
+        case "refit" => Em.Params(
+          Glmm.fitLogistic(sim, "y_sim", featureCols), truth.sigmaSq)
+        case _ => truth
+      }
       val fit = Em.fit(sim, "y_sim", featureCols, areaCol, init,
-        numDraws = numDraws, maxIter = emIters, seed = seed + b)
+        numDraws = numDraws, tol = tol, maxIter = emIters, seed = seed + b)
       sim.unpersist(blocking = false)
       val est = Em.ebp(big, fit.params, featureCols, areaCol, wCol,
         fit.draws, ebpDraws)

@@ -84,6 +84,10 @@ object Em {
       var hi = areas.map(_ -> vBound).toMap
       var open = areas.toSet
       var out = Map.empty[String, AreaMode]
+      // last observed (tau, n) per area: the pass-cap fallback must
+      // carry the REAL count and curvature — an n=0 sentinel would
+      // silently corrupt fit()'s nByArea weighting and totalN
+      var last = Map.empty[String, (Double, Long)]
       val vSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("area",
           org.apache.spark.sql.types.StringType),
@@ -110,6 +114,7 @@ object Em {
           val g = gsum - va / sigmaSq        // g'(va)
           val info = wsum + 1.0 / sigmaSq    // -g''(va) > 0
           val tau = math.sqrt(1.0 / info)
+          last += a -> (tau, n)
           if (g > 0) lo += a -> math.max(lo(a), va)
           else hi += a -> math.min(hi(a), va)
           val step = g / info
@@ -126,9 +131,15 @@ object Em {
         pass += 1
       }
       // pass cap hit (should not happen for a concave objective): emit
-      // the best bracketed value rather than fail
+      // the best bracketed value with the area's real curvature and
+      // count from its final stats pass, and say so out loud
       open.foreach { a =>
-        out += a -> AreaMode(a, v(a), math.sqrt(sigmaSq), 0L)
+        val (tau, n) = last.getOrElse(a, (math.sqrt(sigmaSq), 0L))
+        System.err.println(
+          s"[graft.Em] laplaceModes: area '$a' hit the pass cap without " +
+            s"converging (v=${v(a)}, bracket=[${lo(a)}, ${hi(a)}]); " +
+            "emitting best bracketed value")
+        out += a -> AreaMode(a, v(a), tau, n)
       }
       areas.map(out).toSeq
     } finally base.unpersist(blocking = false)

@@ -20,6 +20,43 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Recursive delete for drain scratch dirs. */
+  private def rmTree(dir: String): Unit = {
+    import java.nio.file.{Files => F, Path, Paths}
+    val root = Paths.get(dir)
+    if (F.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      F.walk(root).iterator().asScala.toSeq.reverse
+        .foreach((p: Path) => F.deleteIfExists(p))
+    }
+  }
+
+  /** Temp dir removed at JVM exit — for drain SINKS, whose parquet the
+    * returned DataFrame still reads lazily (an eager delete would pull
+    * the files out from under the caller). Sources and checkpoints are
+    * deleted eagerly instead, right after the drain terminates.
+    */
+  private def tempDirCleanedAtExit(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p)))
+    p
+  }
+
+  /** Run `body` with a session conf temporarily set, restoring the
+    * previous value (or unsetting) afterwards — drains must not leak
+    * conf mutations into the caller's session.
+    */
+  private def withConf[T](spark: SparkSession, key: String, value: String)
+                         (body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** events.parquet schema with ts as raw nanos (see RelQueries.events). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -68,19 +105,22 @@ object Streams {
     */
   def hourlyAggStreamDrain(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = Files.createTempDirectory("graft-st01-src").toString
-    val sinkDir = Files.createTempDirectory("graft-st01-sink").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st01-sink")
     val ckpt = Files.createTempDirectory("graft-st01-ckpt").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("ts", "event_type", "value")
-    val sentinel = raw.agg(
-        timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L).as("ts"))
-      .withColumn("event_type", lit("graft_watermark_sentinel"))
-      .withColumn("value", lit(0.0))
-    raw.unionByName(sentinel).coalesce(1)
-      .write.mode("overwrite").parquet(srcDir)
+    // nanos conf is scoped to the source rewrite (the write below
+    // materializes it) — the caller's session conf is left untouched
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+      val raw = spark.read.schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("ts", "event_type", "value")
+      val sentinel = raw.agg(
+          timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L).as("ts"))
+        .withColumn("event_type", lit("graft_watermark_sentinel"))
+        .withColumn("value", lit(0.0))
+      raw.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir)
+    }
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
@@ -93,6 +133,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the drain is done: the event copy and checkpoint are scratch
+    rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
 
@@ -191,7 +233,7 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-st02-src").toString
-    val sinkDir = Files.createTempDirectory("graft-st02-sink").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st02-sink")
     val ckpt = Files.createTempDirectory("graft-st02-ckpt").toString
     val sentinels = events.groupBy("user_id")
       .agg(timestamp_millis(max(unix_millis(col("ts"))) + 10 * gapMs).as("ts"))
@@ -210,6 +252,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
 
@@ -229,6 +272,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    rmTree(ckpt)
     spark.table(tableName)
   }
 }

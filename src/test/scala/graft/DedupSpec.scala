@@ -66,21 +66,27 @@ class DedupSpec extends SparkSpec {
 
   test("prefix filtering is candidate-complete vs the naive all-pairs join") {
     import graft.ops.TextAnalysis
-    // naive ground truth: all N^2/2 pairs, exact jaccard on shingle sets
+    // naive ground truth: all N^2/2 pairs, exact jaccard on shingle
+    // sets. Thresholds include values where t * setSize lands exactly
+    // on an integer (0.25, 0.5, 0.75 over 12-shingle docs) — the
+    // float-boundary cases where a naive ceil(t * s) can round the
+    // prefix one short and drop true pairs.
     val sh = corpus.select($"id",
         TextAnalysis.tokens($"text").as("toks"))
       .select($"id",
         array_distinct(TextAnalysis.shinglesOf($"toks", 2)).as("sh"))
-    val naive = sh.as("a").crossJoin(sh.as("b"))
-      .filter($"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
-          size(array_union($"a.sh", $"b.sh"))).as("j"))
-      .filter($"j" >= 0.4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val filtered = Dedup.ngramJaccardJoin(corpus, "id", "text",
-        shingleN = 2, threshold = 0.4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(filtered == naive, s"prefix=$filtered naive=$naive")
+    for (t <- Seq(0.25, 0.4, 0.5, 0.75)) {
+      val naive = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+            size(array_union($"a.sh", $"b.sh"))).as("j"))
+        .filter($"j" >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val filtered = Dedup.ngramJaccardJoin(corpus, "id", "text",
+          shingleN = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(filtered == naive, s"t=$t prefix=$filtered naive=$naive")
+    }
   }
 }
