@@ -67,6 +67,39 @@ object TextAnalysis {
 
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  // --- cleaning / PII masking --------------------------------------------
+  // Web-scrape normalization, the first stage of every training-data
+  // pipeline: strip markup, mask personally-identifying strings, then
+  // canonicalize whitespace. Pure regexp_replace Column chains — narrow,
+  // codegen'd, pushdown-friendly, and expressible 1:1 in the DuckDB
+  // oracle (patterns kept to the regex subset both engines share).
+
+  /** Replace HTML/XML tags with a space (so adjacent words don't fuse). */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]+>", " ")
+
+  /** Mask email addresses with a typed placeholder. */
+  def maskEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+
+  /** Mask http(s) URLs with a typed placeholder. */
+  def maskUrls(text: Column, token: String = "<URL>"): Column =
+    regexp_replace(text, "https?://[^\\s]+", token)
+
+  /** Collapse runs of whitespace and trim. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Full cleaning chain: tags out, emails/URLs masked, whitespace
+    * canonical. Order matters: URLs before emails would leave
+    * `user@host` fragments of stripped URLs unmasked, so emails go
+    * first only if URLs can't contain them — they can (userinfo), so
+    * URLs are masked first, then emails.
+    */
+  def cleanText(text: Column): Column =
+    collapseWhitespace(maskEmails(maskUrls(stripHtml(text))))
+
   // --- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

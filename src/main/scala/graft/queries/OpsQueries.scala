@@ -197,6 +197,59 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // web-scrape cleaning: strip markup, mask URLs/emails, collapse
+    // whitespace (oracle-checked). The harness corpus is plain text, so
+    // the query plants deterministic markup/PII derived from doc_id —
+    // the oracle plants the identical strings and must clean to the
+    // identical result.
+    "d11_clean_text" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          concat(lit("<p class=\"doc\">"), col("text"),
+            lit("</p> <br/>contact u"), col("doc_id").cast("string"),
+            lit("@example.com or https://data.example.org/d/"),
+            col("doc_id").cast("string"), lit("?ref=x")).as("dirty"))
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
+
+    // per-source quality-filter yield report (oracle-checked): the
+    // "how much of each crawl survives the quality gate" table every
+    // corpus curation run produces. Compare on the 6-dp-rounded score
+    // so a last-ulp difference between engines can't flip the gate.
+    "d12_quality_yield" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("source"),
+          round(TextAnalysis.qualityScoreOf(col("toks"), col("text")), 6)
+            .as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_pass"),
+          round(avg(when(col("q") >= 0.5, 1.0).otherwise(0.0)), 6)
+            .as("pass_rate"),
+          round(avg(col("q")), 6).as("avg_quality"))
+        .orderBy("source")),
+
+    // corpus-level top-20 bigrams by document frequency
+    // (oracle-checked): distinct shingles per doc -> two-stage count ->
+    // TakeOrdered top-k (no global sort of the full vocabulary)
+    "d13_ngram_freq" -> ((s, dir) => {
+      val top = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shinglesOf(col("toks"), 2)).as("sh"))
+        .select(explode(col("sh")).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram")).limit(20)
+      // rank assignment runs on the already-reduced 20-row set
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("ngram"))
+      top.withColumn("rank", row_number().over(w))
+        .select("rank", "ngram", "df")
+        .orderBy("rank")
+    }),
+
     // frame-sampling generate pattern: rows per sampled frame
     "mm02_frame_sample" -> ((s, dir) => {
       val media = Multimodal.withFakeMedia(
@@ -320,6 +373,85 @@ object OpsQueries {
                         AS BIGINT))),
                (acc, h) -> (acc * 31 + h) % 999999999999989) AS rhash
       FROM documents ORDER BY doc_id""",
+
+    // mirrors cleanText's chain in order: tags -> URLs -> emails ->
+    // whitespace (URLs first: they may contain userinfo '@')
+    "d11_clean_text" -> """
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     '<p class="doc">' || text || '</p> <br/>contact u'
+                       || doc_id || '@example.com or '
+                       || 'https://data.example.org/d/' || doc_id || '?ref=x',
+                     '<[^>]+>', ' ', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\s+', ' ', 'g')) AS clean
+      FROM documents ORDER BY doc_id""",
+
+    "d12_quality_yield" -> """
+      WITH tk AS (
+        SELECT source, text,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))
+                         * 1.0 / length(text) END AS punct
+        FROM documents),
+      r AS (
+        SELECT source,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','are',
+                       'was','it','that','for','on','with','as'], t)))
+                      * 1.0 / len(toks) END AS sw,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END
+                 AS rep,
+               punct,
+               LEAST(len(toks) / 100.0, 1.0) AS lenscore
+        FROM tk),
+      q AS (
+        SELECT source,
+               ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
+                     + 0.25 * lenscore
+                     + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS q
+        FROM r)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             ROUND(AVG(CASE WHEN q >= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+               AS pass_rate,
+             ROUND(AVG(q), 6) AS avg_quality
+      FROM q GROUP BY source ORDER BY source""",
+
+    "d13_ngram_freq" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks)), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))
+                 END) AS sh
+        FROM tk),
+      g AS (
+        SELECT unnest(sh) AS ngram FROM sh),
+      f AS (
+        SELECT ngram, COUNT(*) AS df FROM g GROUP BY 1),
+      r AS (
+        SELECT ngram, df,
+               ROW_NUMBER() OVER (ORDER BY df DESC, ngram) AS rank
+        FROM f)
+      SELECT rank, ngram, df FROM r WHERE rank <= 20 ORDER BY rank""",
 
     "d09_ngram_jaccard" -> """
       WITH toks0 AS (

@@ -242,7 +242,26 @@ object RelQueries {
           round(avg("l_quantity"), 6).as("avg_qty"),
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J5 (beyond-reference) — as-of join: every click event enriched
+    // with the user's most recent purchase value at-or-before it.
+    // Union + single key shuffle + running window — no range-join
+    // explosion (see Relational.asofJoin).
+    "q19_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.rel.Relational
+        .asofJoin(clicks, purchases, "user_id", "ts", col("value"),
+          as = "prev_purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("click_value"),
+          round(col("prev_purchase"), 4).as("prev_purchase"))
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,6 +412,31 @@ object RelQueries {
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus"""
+      ORDER BY l_returnflag, l_linestatus""",
+
+    // as-of join replicated with the same union + running-last-value
+    // plan the engine uses. epoch_us matches the engine's
+    // nanos->micros timestamp truncation (raw ns ordering could
+    // disagree for events inside the same microsecond); right rows
+    // (side 0) sort before left at equal ts = at-or-before semantics.
+    "q19_asof_join" -> """
+      WITH u AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, 1 AS side,
+               event_id, value AS click_value, NULL::DOUBLE AS rv
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 0,
+               NULL, NULL, value
+        FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT event_id, user_id, side, click_value,
+               LAST_VALUE(rv IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY tus, side, rv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS prev_purchase
+        FROM u)
+      SELECT event_id, user_id, ROUND(click_value, 4) AS click_value,
+             ROUND(prev_purchase, 4) AS prev_purchase
+      FROM w WHERE side = 1 ORDER BY event_id"""
   )
 }

@@ -35,6 +35,20 @@ object StreamQueries {
           round(sum("total_value"), 4).as("total_value"))
         .filter(col("user_id") < 50)
         .orderBy("user_id")
+    }),
+
+    // watermarked streaming dedup (at-least-once delivery repair):
+    // events tripled to simulate redelivery, then
+    // dropDuplicatesWithinWatermark(event_id) — bounded state, first
+    // arrival wins. Oracle: the original distinct event set.
+    "st03_stream_dedup" -> ((s, dir) => {
+      val ev = RelQueries.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val redelivered = ev.unionByName(ev).unionByName(ev)
+      Streams.dedupStreamDrain(redelivered, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
     })
   )
 
@@ -60,6 +74,13 @@ object StreamQueries {
       SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
              COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
       FROM m WHERE user_id < 50
-      GROUP BY user_id ORDER BY user_id"""
+      GROUP BY user_id ORDER BY user_id""",
+
+    // the tripled redelivery collapses back to exactly the original
+    // event set (copies are identical full rows, so "first wins" is
+    // value-indistinguishable)
+    "st03_stream_dedup" -> """
+      SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+      FROM events ORDER BY event_id"""
   )
 }

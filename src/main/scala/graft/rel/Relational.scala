@@ -59,4 +59,35 @@ object Relational {
     * SURVEY.md Q3 mandates log space). Requires strictly positive inputs.
     */
   def productAgg(x: Column): Column = exp(sum(log(x)))
+
+  /** As-of join (beyond-reference operator, J5): attach to every left
+    * row the most recent right-side value at-or-before its timestamp,
+    * per key. The classic time-series enrichment (trades←quotes,
+    * events←latest-config) that naive SQL expresses as an O(n^2) range
+    * self-join.
+    *
+    * Scale shape: union both sides (right rows carry only the value —
+    * `unionByName(allowMissingColumns)` null-fills the rest), ONE
+    * shuffle on the key, one in-partition sort on (ts, side, value),
+    * then a running `last(ignoreNulls)` window — O(n log n) per key,
+    * no range-join explosion, linear state. Right rows sort BEFORE
+    * left rows at an equal timestamp (at-or-before semantics); equal-ts
+    * right duplicates resolve to the greatest value (the `value` sort
+    * key makes the pick deterministic under any partitioning).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightVal: Column,
+               as: String = "asof_value"): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol), rightVal.as("__rv"))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Long.MinValue, 0)
+    all.withColumn(as, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
 }

@@ -256,6 +256,43 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Watermarked streaming deduplication drain: events (which may
+    * contain exact-duplicate rows — retried deliveries, at-least-once
+    * sources) → `dropDuplicatesWithinWatermark(keys)` → append-mode
+    * parquet sink, Trigger.AvailableNow.
+    *
+    * `dropDuplicatesWithinWatermark` is the scale-honest dedup: state
+    * per key is dropped once the event-time watermark passes it, so the
+    * state store is bounded by the watermark horizon — a plain
+    * streaming `dropDuplicates` accretes every key seen forever. The
+    * first arrival of each key is emitted, later arrivals inside the
+    * horizon are suppressed.
+    */
+  def dedupStreamDrain(events: DataFrame, keyCols: Seq[String],
+                       watermarkDelay: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st03-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st03-sink")
+    val ckpt = Files.createTempDirectory("graft-st03-ckpt").toString
+    // one file -> one micro-batch, so all duplicate copies meet the
+    // same state-store generation
+    events.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir)
+  }
+
   /** Drain a streaming DataFrame into an in-memory table with
     * Trigger.AvailableNow and return it as a batch DataFrame (blocks
     * until the source is exhausted).

@@ -61,4 +61,23 @@ class RelationalSpec extends SparkSpec {
     val r = Survey.weightedMeanSE(df, "g", "y", "w").collect()(0)
     assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)
   }
+
+  test("asofJoin attaches latest right value at-or-before, per key") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq(
+      (1L, "u1", ts(50)),  // before any right row -> null
+      (2L, "u1", ts(100)), // exactly at right ts -> 10.0 (at-or-before)
+      (3L, "u1", ts(250)), // after both -> latest (20.0)
+      (4L, "u2", ts(500))  // other key, no right rows -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts(100), 10.0), ("u1", ts(200), 20.0))
+      .toDF("k", "t", "v")
+    val r = Relational.asofJoin(left, right, "k", "t", $"v", "asof")
+      .orderBy("id").select("id", "asof")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(r == Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0)),
+      (4L, None)))
+  }
 }

@@ -34,6 +34,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r)
   }
 
+  test("cleanText strips tags, masks URLs then emails, collapses space") {
+    val dirty = "<div id=\"x\">Hello   <b>world</b></div> " +
+      "mail bob.smith+x@corp.example.com or " +
+      "https://u:p@site.example.org/a?b=c#d  now"
+    val r = Seq(dirty).toDF("t").select(cleanText($"t")).as[String].head()
+    assert(r == "Hello world mail <EMAIL> or <URL> now")
+    // URL containing userinfo '@' must be masked as a URL, not an email
+    assert(!r.contains("site.example.org"))
+  }
+
   test("shingles produce n-grams with short-text fallback") {
     val df = Seq("a b c d", "a b").toDF("t")
     val r = df.select(shingles($"t", 3).as("s")).as[Seq[String]].collect()
