@@ -100,6 +100,31 @@ object TextAnalysis {
   def cleanText(text: Column): Column =
     collapseWhitespace(maskEmails(maskUrls(stripHtml(text))))
 
+  // --- deterministic sampling / splits -----------------------------------
+
+  /** Uniform-in-[0,1) derived from md5 of the id (+ salt): the
+    * partitioning- and retry-invariant alternative to `rand()` for
+    * corpus subsampling — the same row always draws the same value on
+    * any cluster, any task retry, any engine (md5 is engine-portable,
+    * so the draw replays exactly in the DuckDB oracle; xxhash64 would
+    * not). First 8 hex digits -> 32-bit int -> /2^32.
+    */
+  def hashUniform(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))
+      .cast("binary")), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** Deterministic train/val/test assignment by hash range (e.g.
+    * 0.8/0.1/0.1). Stable under re-runs and data re-partitioning —
+    * every engine computing the same md5 agrees on every row's split.
+    */
+  def splitAssign(id: Column, trainFrac: Double = 0.8,
+                  valFrac: Double = 0.1, salt: String = ""): Column = {
+    val u = hashUniform(id, salt)
+    when(u < trainFrac, "train")
+      .when(u < trainFrac + valFrac, "val")
+      .otherwise("test")
+  }
+
   // --- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

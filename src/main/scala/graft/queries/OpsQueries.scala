@@ -250,6 +250,21 @@ object OpsQueries {
         .orderBy("rank")
     }),
 
+    // deterministic subsample + train/val/test split (oracle-checked):
+    // hash-derived uniforms (md5, engine-portable) make sampling
+    // partitioning/retry-invariant — the rand() alternative that is
+    // actually reproducible on a cluster. Per (source, split) counts
+    // over a 50% subsample.
+    "d14_sample_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.hashUniform(col("doc_id"), "samp").as("u"),
+          TextAnalysis.splitAssign(col("doc_id")).as("split"))
+        .filter(col("u") < 0.5)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy("source", "split")),
+
     // frame-sampling generate pattern: rows per sampled frame
     "mm02_frame_sample" -> ((s, dir) => {
       val media = Multimodal.withFakeMedia(
@@ -452,6 +467,31 @@ object OpsQueries {
                ROW_NUMBER() OVER (ORDER BY df DESC, ngram) AS rank
         FROM f)
       SELECT rank, ngram, df FROM r WHERE rank <= 20 ORDER BY rank""",
+
+    // same md5-derived uniforms: first 8 hex digits / 2^32
+    "d14_sample_split" -> """
+      WITH h AS (
+        SELECT doc_id, source,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || 'samp'),
+                      CAST(i AS INT), 1)) - 1)
+                 * power(16, 8 - i))) AS DOUBLE) AS hs,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)),
+                      CAST(i AS INT), 1)) - 1)
+                 * power(16, 8 - i))) AS DOUBLE) AS hsplit
+        FROM documents),
+      a AS (
+        SELECT doc_id, source, hs / 4294967296.0 AS u,
+               CASE WHEN hsplit / 4294967296.0 < 0.8 THEN 'train'
+                    WHEN hsplit / 4294967296.0 < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h)
+      SELECT source, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+      FROM a WHERE u < 0.5
+      GROUP BY source, split ORDER BY source, split""",
 
     "d09_ngram_jaccard" -> """
       WITH toks0 AS (

@@ -34,6 +34,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r)
   }
 
+  test("hashUniform/splitAssign are deterministic with sane fractions") {
+    val ids = spark.range(0, 5000).toDF("id")
+    val r = ids.select(splitAssign($"id").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    // 80/10/10 within a few points on 5k draws
+    assert(math.abs(r("train") / 5000.0 - 0.8) < 0.03, r.toString)
+    assert(math.abs(r("val") / 5000.0 - 0.1) < 0.03, r.toString)
+    assert(math.abs(r("test") / 5000.0 - 0.1) < 0.03, r.toString)
+    // same id -> same draw, different salt -> different draw
+    val u = ids.limit(100)
+      .select(hashUniform($"id").as("a"), hashUniform($"id").as("b"),
+        hashUniform($"id", "x").as("c"))
+      .as[(Double, Double, Double)].collect()
+    assert(u.forall { case (a, b, _) => a == b })
+    assert(u.exists { case (a, _, c) => a != c })
+    assert(u.forall { case (a, _, c) => a >= 0 && a < 1 && c >= 0 && c < 1 })
+  }
+
   test("cleanText strips tags, masks URLs then emails, collapses space") {
     val dirty = "<div id=\"x\">Hello   <b>world</b></div> " +
       "mail bob.smith+x@corp.example.com or " +
