@@ -261,7 +261,39 @@ object RelQueries {
           round(col("value"), 4).as("click_value"),
           round(col("prev_purchase"), 4).as("prev_purchase"))
         .orderBy("event_id")
-    })
+    }),
+
+    // S2/S3 — CSV sink + source round-trip (Method_code.Rmd:473,
+    // 752-753 persist report/bootstrap matrices as CSV): write the
+    // joined nation dim as headered CSV, read it back with an explicit
+    // schema, and hash-compare against the parquet truth — proves the
+    // CSV writer/reader preserve values, not just that they run.
+    "q20_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q20-csv")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }))
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+      graft.sources.Csv.write(nation, out.toString, singleFile = true)
+      graft.sources.Csv.read(s, out.toString, nation.schema)
+        .orderBy("n_nationkey")
+    }),
+
+    // beyond-reference preference query: skyline of parts — cheapest
+    // price vs largest size Pareto front, two-phase local-prune plan
+    // (no shuffle until the pruned survivors)
+    "q21_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.skyline(
+          t(s, dir, "part")
+            .select("p_partkey", "p_size", "p_retailprice"),
+          minCols = Seq("p_retailprice"), maxCols = Seq("p_size"))
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy("p_partkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,6 +469,22 @@ object RelQueries {
         FROM u)
       SELECT event_id, user_id, ROUND(click_value, 4) AS click_value,
              ROUND(prev_purchase, 4) AS prev_purchase
-      FROM w WHERE side = 1 ORDER BY event_id"""
+      FROM w WHERE side = 1 ORDER BY event_id""",
+
+    // the round-trip must reproduce the parquet truth exactly
+    "q20_csv_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""",
+
+    // skyline = rows with no strict dominator (min price, max size)
+    "q21_skyline" -> """
+      SELECT p_partkey, p_size, ROUND(p_retailprice, 2) AS p_retailprice
+      FROM part a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      ORDER BY p_partkey"""
   )
 }

@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpec {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("q19: as-of join plans as union + window, not a range join") {
+    val plan = planOf("q19_asof_join")
+    // no join operator at all: the as-of semantics ride a running
+    // window over the unioned sides — the O(n^2) range-join shapes
+    // must never appear
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(

@@ -62,6 +62,26 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)
   }
 
+  test("skyline keeps exactly the non-dominated set, any partitioning") {
+    import graft.ops.Skyline
+    // minimize x, maximize y. Expected front: (1,...) dominated rows out;
+    // ties on both criteria (id 5/6) both survive (no strict dominance)
+    val rows = Seq(
+      (1L, 1.0, 9), // front
+      (2L, 2.0, 9), // dominated by 1 (worse x, same y)
+      (3L, 3.0, 12), // front
+      (4L, 5.0, 11), // dominated by 3
+      (5L, 2.0, 10), (6L, 2.0, 10), // equal criteria: both front
+      (7L, 0.5, 1) // front (cheapest)
+    )
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("id", "x", "y").repartition(parts)
+      val r = Skyline.skyline(df, Seq("x"), Seq("y"))
+        .select("id").as[Long].collect().toSet
+      assert(r == Set(1L, 3L, 5L, 6L, 7L), s"parts=$parts got $r")
+    }
+  }
+
   test("asofJoin attaches latest right value at-or-before, per key") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
