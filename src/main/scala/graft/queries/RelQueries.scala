@@ -293,7 +293,41 @@ object RelQueries {
           minCols = Seq("p_retailprice"), maxCols = Seq("p_size"))
         .select(col("p_partkey"), col("p_size"),
           round(col("p_retailprice"), 2).as("p_retailprice"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // OLAP rollup: subtotal hierarchy over (returnflag, linestatus) in
+    // one pass — Catalyst expands grouping sets without rescanning
+    "q22_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // pivot: order counts + total price by priority x status, explicit
+    // pivot values so column order is deterministic
+    "q23_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o",
+          "P" -> "total_p"))
+        .orderBy("o_orderpriority")),
+
+    // exact percentiles (linear interpolation — matches DuckDB
+    // quantile_cont): per-flag quartiles of extended price
+    "q24_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+          .as("ps")) // one percentile buffer, not three
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +509,30 @@ object RelQueries {
     "q20_csv_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey""",
+
+    "q22_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q23_pivot" -> """
+      SELECT o_orderpriority,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),
+               2) AS total_f,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),
+               2) AS total_o,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),
+               2) AS total_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q24_percentiles" -> """
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // skyline = rows with no strict dominator (min price, max size)
     "q21_skyline" -> """

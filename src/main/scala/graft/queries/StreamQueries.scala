@@ -49,6 +49,20 @@ object StreamQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
+    }),
+
+    // stream-stream inner join: clicks correlated to the same user's
+    // purchases within 30 minutes after the purchase; watermarks on
+    // both sides bound the join state. Aggregated per user after the
+    // drain to keep the check dimension-sized.
+    "st04_stream_join" -> ((s, dir) => {
+      val ev = RelQueries.events(s, dir)
+        .select("user_id", "event_type", "ts", "value")
+      Streams.streamJoinDrain(ev, windowMs = 30 * 60 * 1000L)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("p_value"), 4).as("purchase_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -81,6 +95,21 @@ object StreamQueries {
     // value-indistinguishable)
     "st03_stream_dedup" -> """
       SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
-      FROM events ORDER BY event_id"""
+      FROM events ORDER BY event_id""",
+
+    // batch replay of the stream-stream range join; epoch_us matches
+    // the engine's nanos->micros timestamp truncation
+    "st04_stream_join" -> """
+      WITH c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, COUNT(*) AS n_pairs,
+             ROUND(SUM(p.value), 4) AS purchase_value
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND c.tus >= p.tus AND c.tus <= p.tus + 1800000000
+      GROUP BY c.user_id ORDER BY c.user_id"""
   )
 }

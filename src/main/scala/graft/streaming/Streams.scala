@@ -293,6 +293,45 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Stream-stream inner join drain: clicks joined to the same user's
+    * purchases within a bounded event-time window
+    * (`click_ts` ∈ [purchase_ts, purchase_ts + windowMs]) — the
+    * canonical Structured Streaming two-stream correlation. Watermarks
+    * on BOTH sides plus the range condition bound the join state: each
+    * side's buffered rows are evicted once the other side's watermark
+    * passes the window, so state is O(watermark horizon), not O(stream).
+    * Append-mode parquet sink, Trigger.AvailableNow.
+    */
+  def streamJoinDrain(events: DataFrame, windowMs: Long,
+                      watermarkDelay: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st04-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st04-sink")
+    val ckpt = Files.createTempDirectory("graft-st04-ckpt").toString
+    events.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", watermarkDelay)
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr(s"c_user = p_user AND c_ts >= p_ts AND " +
+        s"c_ts <= p_ts + INTERVAL ${windowMs / 1000} SECONDS"))
+    val q = joined
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir)
+  }
+
   /** Drain a streaming DataFrame into an in-memory table with
     * Trigger.AvailableNow and return it as a batch DataFrame (blocks
     * until the source is exhausted).
