@@ -209,4 +209,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Connected components over a near-duplicate PAIR list — the
+    * "pairs → clusters" closure every real dedup pipeline needs before
+    * it can pick one keeper per group (pairs alone can't: near-dup is
+    * not transitive, clusters are).
+    *
+    * Algorithm: iterative min-label propagation on the symmetrized
+    * edge list — label(v) ← min(label(v), min over neighbors) until a
+    * fixpoint, converging in O(cluster diameter) rounds (each a
+    * key-hash shuffle; near-dup clusters have tiny diameter, and
+    * `maxIter` bounds pathological chains — the large-star/small-star
+    * variant that contracts in O(log n) rounds is the upgrade path for
+    * long-chain graphs). Labels are materialized per round to keep the
+    * plan/lineage flat; determinism: min() is partitioning-invariant.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    // materialize BEFORE the multi-branch joins below: a not-yet-filled
+    // cache is re-evaluated once per branch inside the first job, which
+    // would run the (expensive) pair generation several times over
+    edges.count()
+    // seed with round 0 for free: label = min(self, direct neighbors)
+    // — one aggregation replaces both the distinct-node build and the
+    // first propagation round (diameter-1 clusters then converge with
+    // a single checked iteration)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min("b").as("mb"))
+      .select(col("id"), least(col("id"), col("mb")).as("comp"))
+      .cache()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("id"))
+        .agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+        .cache()
+      changed = next.filter(col("comp") < col("old_comp")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
 }

@@ -250,6 +250,18 @@ object OpsQueries {
         .orderBy("rank")
     }),
 
+    // near-dup pairs -> duplicate CLUSTERS via connected components
+    // (oracle-checked against a DuckDB recursive-CTE reachability
+    // closure): the transitive stage that turns the d09 pair list into
+    // one keeper per group
+    "d15_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardJoin(docsWithMutants(s, dir), "doc_id",
+        "text", shingleN = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic subsample + train/val/test split (oracle-checked):
     // hash-derived uniforms (md5, engine-portable) make sampling
     // partitioning/retry-invariant — the rand() alternative that is
@@ -467,6 +479,48 @@ object OpsQueries {
                ROW_NUMBER() OVER (ORDER BY df DESC, ngram) AS rank
         FROM f)
       SELECT rank, ngram, df FROM r WHERE rank <= 20 ORDER BY rank""",
+
+    // d09's pair pipeline + a recursive reachability closure; MIN over
+    // reachable ids = the engine's min-label fixpoint
+    "d15_dup_clusters" -> """
+      WITH RECURSIVE toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sh AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM docs2),
+      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+               COUNT(*) AS inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      pr AS (
+        SELECT id_a, id_b FROM p
+        WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5),
+      e AS (
+        SELECT id_a AS a, id_b AS b FROM pr
+        UNION SELECT id_b, id_a FROM pr),
+      n AS (SELECT DISTINCT a AS id FROM e),
+      r AS (
+        SELECT id, id AS rid FROM n
+        UNION
+        SELECT r.id, e.b FROM r JOIN e ON e.a = r.rid)
+      SELECT id AS doc_id, MIN(rid) AS cluster
+      FROM r GROUP BY id ORDER BY doc_id""",
 
     // same md5-derived uniforms: first 8 hex digits / 2^32
     "d14_sample_split" -> """

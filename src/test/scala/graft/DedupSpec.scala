@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connectedComponents finds min-label clusters incl. chains") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    for (parts <- Seq(1, 4)) {
+      val r = Dedup.connectedComponents(pairs.repartition(parts),
+          "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), s"parts=$parts $r")
+    }
+  }
+
   test("prefix filtering is candidate-complete vs the naive all-pairs join") {
     import graft.ops.TextAnalysis
     // naive ground truth: all N^2/2 pairs, exact jaccard on shingle
