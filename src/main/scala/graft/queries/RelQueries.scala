@@ -327,7 +327,50 @@ object RelQueries {
           round(element_at(col("ps"), 1), 4).as("p25"),
           round(element_at(col("ps"), 2), 4).as("p50"),
           round(element_at(col("ps"), 3), 4).as("p75"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // skew-salted join: lineitem x orders with the shuffle key widened
+    // to (orderkey, salt) — same result as the plain join (oracle), but
+    // a hot orderkey now spreads over 8 reducer partitions instead of
+    // straggling on one. merge hint keeps the demo on the sort-merge
+    // path (broadcast would hide the salted shuffle on test-sized data).
+    "q25_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority").hint("merge")
+      graft.rel.Relational.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+          saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // bucketed co-located join: both sides pre-hashed into 8 buckets on
+    // the join key at WRITE time, so the join itself needs zero
+    // exchange (PlanSpec asserts no Exchange below the SortMergeJoin) —
+    // the pay-the-shuffle-once layout for a fact table joined on the
+    // same key by many queries.
+    "q26_bucketed_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-q26-bucket")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      graft.sources.Bucketed.writeBucketed(li, "graft_li_bucketed",
+        "l_orderkey", buckets = 8, path = s"$wh/li")
+      graft.sources.Bucketed.writeBucketed(ord, "graft_ord_bucketed",
+        "o_orderkey", buckets = 8, path = s"$wh/ord")
+      graft.sources.Bucketed.coLocatedJoin(s, "graft_li_bucketed",
+          "l_orderkey", "graft_ord_bucketed", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy("o_orderpriority")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,6 +576,20 @@ object RelQueries {
              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // salting must be invisible in the result — plain join is the truth
+    "q25_salted_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // bucketing is a physical layout choice — plain join is the truth
+    "q26_bucketed_join" -> """
+      SELECT o_orderpriority,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // skyline = rows with no strict dominator (min price, max size)
     "q21_skyline" -> """

@@ -90,4 +90,36 @@ object Relational {
       .filter(col("__side") === 1)
       .drop("__side", "__rv")
   }
+
+  /** Skew-salted large-x-large join (beyond-reference operator, J6).
+    * A plain shuffle join sends every row of a hot key to ONE reducer
+    * partition — the straggler that idles the other 999 executors.
+    * Salting splits each key over `saltFactor` sub-partitions: the
+    * probe side gets a DETERMINISTIC salt from a whole-row xxhash64
+    * fingerprint (never rand() — task retries must re-derive the same
+    * salt or rows silently drop/duplicate), the build side is
+    * replicated `saltFactor` times via explode, and the shuffle key
+    * becomes (key, salt) — PlanSpec asserts the salt reaches
+    * hashpartitioning.
+    *
+    * Complements AQE skew handling: AQE splits oversized sort-merge
+    * partitions only after it observes map output sizes, and cannot
+    * help the first aggregation over a skewed stream or a stateful
+    * streaming join. Cost: build side x saltFactor — size saltFactor
+    * to the observed hot-key multiplicity, not higher. Inner join
+    * only: outer flavors over a replicated build would need a
+    * dedup-of-null-matches pass.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    val salt = "__graft_salt"
+    val p = probe.withColumn(salt,
+      pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor))
+        .cast("int"))
+    val b = build.withColumn(salt,
+      explode(array((0 until saltFactor).map(i => lit(i)): _*)))
+    p.join(b, p(probeKey) === b(buildKey) && p(salt) === b(salt), "inner")
+      .drop(salt)
+  }
 }

@@ -82,6 +82,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q25: salted join widens the shuffle key to (key, salt)") {
+    val plan = planOf("q25_salted_join")
+    assert("hashpartitioning\\(l_orderkey#\\d+L?, __graft_salt".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("hashpartitioning\\(o_orderkey#\\d+L?, __graft_salt".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q26: bucketed join runs with zero exchange below the SMJ") {
+    val plan = planOf("q26_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert("Bucketed: true".r.findAllIn(plan).size == 2, plan)
+    // everything from the join down must be exchange-free: the only
+    // shuffles in the whole plan are the post-join agg + order-by
+    val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"), joinSubtree)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(

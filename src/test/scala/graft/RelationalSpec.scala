@@ -100,4 +100,27 @@ class RelationalSpec extends SparkSpec {
     assert(r == Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0)),
       (4L, None)))
   }
+
+  test("saltedJoin equals the plain join under any partitioning") {
+    // skewed probe: key 1 holds most rows (the straggler scenario)
+    val probe = (1 to 200).map(i => (if (i <= 150) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val build = Seq((1L, "hot"), (160L, "cold"), (999L, "unmatched"))
+      .toDF("bk", "name")
+    val truth = probe.join(build, $"k" === $"bk").drop("bk")
+      .as[(Long, Int, String)].collect().toSet
+    for (parts <- Seq(1, 5)) {
+      val r = Relational.saltedJoin(probe.repartition(parts), build,
+          "k", "bk", saltFactor = 4).drop("bk")
+        .as[(Long, Int, String)].collect().toSet
+      assert(r == truth, s"parts=$parts")
+    }
+    // the salt really spreads the hot key: >1 distinct salt on key 1
+    val salts = probe.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"k", $"v"),
+          org.apache.spark.sql.functions.lit(4)))
+      .where($"k" === 1L).distinct().count()
+    assert(salts > 1, s"hot key collapsed to $salts salt(s)")
+  }
 }
