@@ -317,16 +317,19 @@ object RelQueries {
         .orderBy("o_orderpriority")),
 
     // exact percentiles (linear interpolation — matches DuckDB
-    // quantile_cont): per-flag quartiles of extended price
+    // quantile_cont): per-flag quartiles of extended price, computed by
+    // the distributed range-sort selection (ops.Percentiles) — the
+    // built-in `percentile` agg buffers a whole group per reducer
+    // (13s at sf0.1, OOM at scale); this path keeps parallelism =
+    // partitions even for one giant group
     "q24_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
-          .as("ps")) // one percentile buffer, not three
+      graft.ops.Percentiles.exact(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p25"),
-          round(element_at(col("ps"), 2), 4).as("p50"),
-          round(element_at(col("ps"), 3), 4).as("p75"))
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // skew-salted join: lineitem x orders with the shuffle key widened

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Percentiles
+import org.apache.spark.sql.functions._
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact matches the built-in percentile agg, any partitioning") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        rng.nextDouble() * 1000)
+    }
+    val df = rows.toDF("g", "v")
+    val truth = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.1D, 0.5D, 0.9D))").as("ps"))
+      .select(col("g"), element_at(col("ps"), 1).as("p10"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p90"))
+      .as[(String, Double, Double, Double)].collect().toMap3
+    for (parts <- Seq(1, 7)) {
+      val r = Percentiles.exact(df.repartition(parts), "g", "v",
+          Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+        .as[(String, Double, Double, Double)].collect().toMap3
+      assert(r.keySet == truth.keySet)
+      for (g <- truth.keySet; i <- 0 until 3)
+        assert(math.abs(r(g)(i) - truth(g)(i)) < 1e-9,
+          s"parts=$parts g=$g i=$i ${r(g)(i)} vs ${truth(g)(i)}")
+    }
+  }
+
+  test("edge cases: single-element group, nulls ignored, extremes") {
+    val df = Seq(("a", Some(5.0)), ("b", Some(1.0)), ("b", None),
+      ("b", Some(3.0))).toDF("g", "v")
+    val r = Percentiles.exact(df, "g", "v",
+        Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0))
+      .as[(String, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r("a") == ((5.0, 5.0, 5.0)))
+    assert(r("b") == ((1.0, 2.0, 3.0))) // interpolated median of {1,3}
+  }
+
+  private implicit class Tuple4Seq(
+      s: Array[(String, Double, Double, Double)]) {
+    def toMap3: Map[String, IndexedSeq[Double]] =
+      s.map(t => t._1 -> IndexedSeq(t._2, t._3, t._4)).toMap
+  }
+}
