@@ -24,22 +24,52 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** MinHash uses a universal affine family over ONE md5-derived base
+    * hash per shingle: h_j(s) = (a_j * h(s) + b_j) mod p, p = 2^31-1,
+    * h(s) = first 8 md5 hex digits mod p. Two wins over the previous
+    * per-j xxhash64: (1) one md5 per shingle instead of k hashes —
+    * the k signature rows are then k cheap multiply-mods; (2) md5 has
+    * the same definition in every engine, so the WHOLE pipeline —
+    * signatures, band keys, candidate pairs — replays bit-for-bit in
+    * the DuckDB oracle (xxhash64 does not exist there), turning d07
+    * from a rows-only entry into a hash-matched one.
+    */
+  val MinhashP: Long = 2147483647L // 2^31 - 1; a*h < 2^62, no overflow
+
+  /** Deterministic (a_j, b_j) coefficients — fixed seed so the engine
+    * plan and the interpolated oracle SQL share the same literals.
+    */
+  def minhashCoeffs(numHashes: Int,
+                    seed: Long = 0x5EED5EEDL): (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(seed)
+    val as = Array.fill(numHashes)(1L + math.floorMod(rng.nextLong(), MinhashP - 1))
+    val bs = Array.fill(numHashes)(math.floorMod(rng.nextLong(), MinhashP))
+    (as, bs)
+  }
+
+  /** Base hash column for one shingle string (engine-portable). */
+  def minhashBase(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(MinhashP))
+
   /** MinHash signature as an array<long> column over a *materialized*
-    * distinct-shingle column: sig_j = min over shingles of
-    * xxhash64(shingle, j). Pure Column expressions — no UDF, no
-    * ml.feature stage, deterministic across partitionings.
+    * base-hash array column (one md5 per distinct shingle, done in a
+    * prior projection).
     *
     * The hash index is statically unrolled (k array_min expressions,
     * not transform-over-sequence) on purpose: each references the
-    * shingle attribute, so CollapseProject sees k references and keeps
-    * the shingle computation materialized in its own projection instead
-    * of inlining it into every lambda evaluation (which costs
-    * O(tokens * numHashes) splits per row in interpreted eval).
+    * base-hash attribute, so CollapseProject sees k references and
+    * keeps the md5 computation materialized in its own projection
+    * instead of inlining it into every lambda evaluation (which would
+    * cost O(shingles * numHashes) md5s per row in interpreted eval).
     */
-  def minhashSignature(sh: org.apache.spark.sql.Column,
-                       numHashes: Int): org.apache.spark.sql.Column =
+  def minhashSignature(hs: org.apache.spark.sql.Column,
+                       numHashes: Int): org.apache.spark.sql.Column = {
+    val (as, bs) = minhashCoeffs(numHashes)
     array((0 until numHashes).map(j =>
-      array_min(transform(sh, s => xxhash64(s, lit(j))))): _*)
+      array_min(transform(hs,
+        h => pmod(h * lit(as(j)) + lit(bs(j)), lit(MinhashP))))): _*)
+  }
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard.
     *
@@ -55,19 +85,26 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    // staged projections: tokens -> distinct shingles -> signature; each
-    // stage's column is multi-referenced downstream, so CollapseProject
-    // keeps them materialized (see minhashSignature scaladoc)
+    // staged projections: tokens -> distinct shingles -> base hashes ->
+    // signature -> stringified signature; each stage's column is multi-
+    // referenced downstream, so CollapseProject keeps them materialized
+    // (see minhashSignature scaladoc)
     val sig = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"),
         array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
           .as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("hs", transform(col("sh"), s => minhashBase(s)))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .withColumn("sigs", transform(col("sig"), x => x.cast("string")))
       .cache()
+    // band key = md5 over the comma-joined signature slice — engine-
+    // portable (the oracle replays it), 16 hex chars is plenty for a
+    // band bucket key
     val bandArr = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), lit(b * rows + 1), lit(rows)), lit(b))
+        substring(md5(concat_ws(",",
+          slice(col("sigs"), b * rows + 1, rows)).cast("binary")), 1, 16)
           .as("bhash"))): _*)
     val banded = sig.select(col("id"), col("sh"), explode(bandArr).as("bb"))
       .select(col("id"), col("sh"),
@@ -79,9 +116,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+    // union size by arithmetic (sets are distinct), mirroring the
+    // oracle's len(a)+len(b)-inter formulation exactly
+    cand.withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -215,51 +256,101 @@ object Dedup {
     * it can pick one keeper per group (pairs alone can't: near-dup is
     * not transitive, clusters are).
     *
-    * Algorithm: iterative min-label propagation on the symmetrized
-    * edge list — label(v) ← min(label(v), min over neighbors) until a
-    * fixpoint, converging in O(cluster diameter) rounds (each a
-    * key-hash shuffle; near-dup clusters have tiny diameter, and
-    * `maxIter` bounds pathological chains — the large-star/small-star
-    * variant that contracts in O(log n) rounds is the upgrade path for
-    * long-chain graphs). Labels are materialized per round to keep the
-    * plan/lineage flat; determinism: min() is partitioning-invariant.
+    * Algorithm: alternating large-star/small-star contraction (the
+    * MapReduce-CC scheme from the public literature — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *   large-star: per node u over its full neighborhood Γ(u), attach
+    *     every neighbor v > u to m = min(Γ(u) ∪ {u});
+    *   small-star: per node u over its SMALLER neighbors, attach them
+    *     (and u) to their minimum.
+    * Each phase is one window shuffle; the pair converges to a star
+    * forest (every node pointing at its component minimum) in
+    * O(log n) rounds — unlike min-label propagation's O(diameter),
+    * long chains can't starve the iteration cap (DedupSpec proves a
+    * 200-node path converges in ≤ a dozen rounds).
+    *
+    * Hygiene at scale: the incoming pair pipeline is materialized
+    * exactly ONCE (eager `localCheckpoint` — the old symmetrize-then-
+    * cache shape evaluated the un-cached pair plan once per union
+    * branch); every round is `localCheckpoint`ed too, which TRUNCATES
+    * the logical plan — with plain `.cache()` each round's plan embeds
+    * two copies of the previous round's (caching doesn't cut lineage),
+    * so planning cost doubles per round and a 15-round run spends
+    * forever in Catalyst before touching data. Checkpoint blocks are
+    * freed by the ContextCleaner when unreferenced, so nothing leaks
+    * into the session's cache registry and callers get a lineage-free
+    * result. Convergence is a cheap (count, hash-sum) fingerprint per
+    * round; hitting `maxIter` without a fixpoint warns loudly on
+    * stderr instead of silently returning partial clusters.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("a"),
+    val eIn = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
-    val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
-    // materialize BEFORE the multi-branch joins below: a not-yet-filled
-    // cache is re-evaluated once per branch inside the first job, which
-    // would run the (expensive) pair generation several times over
-    edges.count()
-    // seed with round 0 for free: label = min(self, direct neighbors)
-    // — one aggregation replaces both the distinct-node build and the
-    // first propagation round (diameter-1 clusters then converge with
-    // a single checked iteration)
-    var labels = edges.groupBy(col("a").as("id"))
-      .agg(min("b").as("mb"))
-      .select(col("id"), least(col("id"), col("mb")).as("comp"))
-      .cache()
+      .filter(col("a") =!= col("b"))
+    // one (count, order-invariant hash-sum) pass over a cached round =
+    // the convergence check; a star forest is a fixpoint of both
+    // phases, so equality of the edge multiset means convergence (the
+    // sum is over 64-bit hashes — a false "equal" needs a colliding
+    // multiset, ~2^-64, and would only stop one round early on a
+    // nearly-converged forest)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // hashes reduced mod a prime before summing: a raw 64-bit sum
+      // overflows LongType under ANSI; residues < 1e9 keep the sum in
+      // range up to ~9e9 edges
+      val r = e.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: symmetrize, group by u (window, one shuffle), attach
+    // strictly-larger neighbors to min(Γ⁺(u)). Emitted (v, m) always
+    // has v > m, so the output is canonically oriented big→small.
+    def largeStar(e: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .withColumn("m", least(min("b").over(w), col("a")))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star: orient big→small, group by the big endpoint, attach
+    // its smaller neighbors AND itself to their minimum. Both emitted
+    // edges per row come from one explode — no self-union, so the
+    // (possibly uncached) input plan is evaluated once.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      e.select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .withColumn("m", min("b").over(w))
+        .select(explode(array(col("a"), col("b"))).as("a"),
+          col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // eager checkpoint = the (expensive) upstream pair pipeline runs
+    // exactly once, and each round starts from a flat LogicalRDD
+    var edges = eIn.distinct().localCheckpoint(true)
+    var fp = fingerprint(edges)
     var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
-        .groupBy(col("a").as("id"))
-        .agg(min("comp").as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"))
-        .cache()
-      changed = next.filter(col("comp") < col("old_comp")).count()
-      labels.unpersist(blocking = false)
-      labels = next.select("id", "comp")
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextFp = fingerprint(next)
+      converged = nextFp == fp
+      edges = next
+      fp = nextFp
       it += 1
     }
-    edges.unpersist(blocking = false)
-    labels
+    if (!converged)
+      System.err.println(
+        s"[graft.Dedup] connectedComponents: no fixpoint after $maxIter " +
+          "large-star/small-star rounds — returning possibly " +
+          "under-merged clusters (raise maxIter)")
+    // star forest -> labels: non-roots point at their root; roots (and
+    // only roots) never appear on the big side, so they label
+    // themselves via the union's distinct.
+    edges.select(col("a").as("id"), col("b").as("comp"))
+      .unionByName(edges.select(col("b").as("id"), col("b").as("comp")))
+      .distinct()
   }
 }

@@ -180,4 +180,29 @@ object Multimodal {
     df.withColumn("frame_ms",
       explode(sequence(lit(0), greatest(col("meta.duration_ms") - 1, lit(0)),
         lit(everyMs))))
+
+  /** Per-frame window feature from REAL decoded samples: RMS over
+    * [frame_ms, frame_ms + windowMs) of the row's WAV payload.
+    * Partition-local, no shuffle. Each frame row re-decodes its media
+    * (bounded by frames-per-doc; a production codec with seek support
+    * would decode once per doc and stream windows — the plumbing shape
+    * here is identical).
+    */
+  def frameWindowRms(df: DataFrame, binaryCol: String, frameMsCol: String,
+                     windowMs: Int, as: String = "win_rms"): DataFrame = {
+    val outSchema = df.schema.add(as, DoubleType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val bIdx = df.schema.fieldIndex(binaryCol)
+    val fIdx = df.schema.fieldIndex(frameMsCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val frameMs = r.getAs[Number](fIdx).longValue()
+        val rms =
+          if (bytes == null) 0.0
+          else WavCodec.windowRms(bytes, frameMs, windowMs)
+        Row.fromSeq(r.toSeq :+ rms)
+      }
+    }(enc)
+  }
 }

@@ -60,10 +60,19 @@ object TextAnalysis {
     * consumers, and inside a HOF lambda that re-evaluates the split per
     * array element (O(tokens^2) per row in interpreted eval).
     */
-  def shinglesOf(toks: Column, n: Int): Column =
+  def shinglesOf(toks: Column, n: Int): Column = {
+    // zip_with over n shifted slices, not transform+slice: the naive
+    // `transform(sequence(...), i => slice(toks, i+1, n))` copies an
+    // n-token slice per element — O(tokens * n) array allocations per
+    // row in interpreted HOF eval, which dominated the d09/d13/d15
+    // profiles. Here each shifted slice is computed once per row and
+    // zipped elementwise: O(n) array scans total per row.
+    val m = size(toks) - (n - 1)
+    val shifted = (0 until n).map(k => slice(toks, lit(k + 1), m))
     when(size(toks) <= n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(shifted.reduce((a, b) =>
+        zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
+  }
 
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 

@@ -63,6 +63,26 @@ object WavCodec {
     (samples.length.toLong * 1000 / (rate.toLong * channels)).toInt
   }
 
+  /** RMS over the sample window [startMs, startMs + lenMs) — the
+    * per-frame feature for frame-sampled pipelines, computed from the
+    * actually decoded PCM (empty window -> 0).
+    */
+  def windowRms(bytes: Array[Byte], startMs: Long, lenMs: Int): Double = {
+    val (rate, channels, s) = decode(bytes)
+    val perMs = rate.toLong * channels / 1000.0
+    val from = math.max(0, (startMs * perMs).toInt)
+    val until = math.min(s.length, ((startMs + lenMs) * perMs).toInt)
+    if (until <= from) return 0.0
+    var sumSq = 0.0
+    var i = from
+    while (i < until) {
+      val x = s(i) / 32768.0
+      sumSq += x * x
+      i += 1
+    }
+    math.sqrt(sumSq / (until - from))
+  }
+
   /** Real audio features from decoded samples: [rms, zero-crossing
     * rate, mean |x|, peak] (normalized to [0,1]) + an energy-over-time
     * histogram filling the remaining dim-4 slots.

@@ -60,11 +60,14 @@ object OpsQueries {
         .orderBy("doc_id")),
 
     // quality scoring components (oracle-checked); tokens materialized
-    // once, scores read the attribute
+    // once, scores read the attribute. Tokens are LOWERCASED on both
+    // sides — the isin stopword match is case-sensitive, so an
+    // uppercase 'The' would otherwise diverge from the oracle's
+    // lower(trim(text)) tokenization.
     "d03_quality" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), col("text"),
-          TextAnalysis.tokens(col("text")).as("toks"))
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
         .select(col("doc_id"),
           round(TextAnalysis.stopwordRatioOf(col("toks")), 6).as("sw_ratio"),
           round(TextAnalysis.repetitionRatioOf(col("toks")), 6)
@@ -99,7 +102,9 @@ object OpsQueries {
           TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
-    // MinHash-LSH near-dup pairs over corpus+mutants (rows-only)
+    // MinHash-LSH near-dup pairs over corpus+mutants (oracle-checked:
+    // the md5-based universal-hash signatures, band keys, candidate
+    // pairs and jaccard verify all replay bit-for-bit in DuckDB)
     "d07_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docsWithMutants(s, dir), "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
@@ -216,10 +221,12 @@ object OpsQueries {
     // "how much of each crawl survives the quality gate" table every
     // corpus curation run produces. Compare on the 6-dp-rounded score
     // so a last-ulp difference between engines can't flip the gate.
+    // tokens lowercased to match the oracle's lower(trim(text)) — see
+    // d03's note on case-sensitive stopword matching
     "d12_quality_yield" -> ((s, dir) =>
       docs(s, dir)
         .select(col("source"), col("text"),
-          TextAnalysis.tokens(col("text")).as("toks"))
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
         .select(col("source"),
           round(TextAnalysis.qualityScoreOf(col("toks"), col("text")), 6)
             .as("q"))
@@ -277,17 +284,97 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
         .orderBy("source", "split")),
 
-    // frame-sampling generate pattern: rows per sampled frame
+    // frame sampling over REAL media: durations come from actually
+    // decoded WAV payloads (no FakeCodec), each sampled frame computes
+    // its window RMS from the decoded PCM — the decode→sample→
+    // per-frame-feature shape of a video/audio curation pipeline
     "mm02_frame_sample" -> ((s, dir) => {
-      val media = Multimodal.withFakeMedia(
+      val media = Multimodal.withWavMedia(
         docs(s, dir).select("doc_id", "text"), "text")
-      Multimodal.frameSample(media, everyMs = 5000)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      val frames = Multimodal.frameSample(media, everyMs = 100)
+      Multimodal.frameWindowRms(frames, "media", "frame_ms", windowMs = 100)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          round(avg(col("win_rms")), 4).as("avg_rms"),
+          round(max(col("win_rms")), 4).as("peak_rms"))
         .orderBy("doc_id")
     })
   )
 
+  /** DuckDB fragment: first 8 md5 hex digits of `expr` as a BIGINT —
+    * the engine-portable integer hash shared with d06/d14.
+    */
+  private def duckHex8(expr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                  substr(md5($expr), CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"""
+
+  /** d07's oracle replays the FULL LSH pipeline — base hashes, the
+    * universal-hash signatures (the same (a_j, b_j) literals the engine
+    * plan embeds, interpolated below), band keys, candidate join, exact
+    * jaccard — so the hash gate covers the scale path, not just the
+    * verified output.
+    */
+  private def minhashOracle: String = {
+    val (as, bs) = graft.ops.Dedup.minhashCoeffs(32)
+    val aL = as.mkString("[", ",", "]")
+    val bL = bs.mkString("[", ",", "]")
+    s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sh AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM docs2),
+      hs AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> ${duckHex8("s")} % 2147483647) AS hs
+        FROM sh),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 32), j ->
+                 list_min(list_transform(hs, h ->
+                   (($aL::BIGINT[])[CAST(j AS INT) + 1] * h
+                    + ($bL::BIGINT[])[CAST(j AS INT) + 1]) % 2147483647)))
+                 AS sig
+        FROM hs),
+      bb AS (
+        SELECT doc_id, sh, band,
+               substring(md5(array_to_string(list_transform(
+                 sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
+                 x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS bhash
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.sh AS sh_a, y.sh AS sh_b
+        FROM bb x JOIN bb y
+          ON x.band = y.band AND x.bhash = y.bhash
+             AND x.doc_id < y.doc_id),
+      j AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                 AS jac
+        FROM cand)
+      SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+      FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "d07_minhash_lsh" -> minhashOracle,
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,

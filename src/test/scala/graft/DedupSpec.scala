@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges on a long path in O(log n) rounds") {
+    // a 200-node chain has diameter 199 — min-label propagation would
+    // silently truncate at maxIter=20; large-star/small-star must merge
+    // it to a single min-labeled component well inside the default cap
+    val n = 200
+    val chain = (0 until n - 1).map(i => (i.toLong + 1000L, i.toLong + 1001L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(chain.repartition(8), "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(r.length == n, s"expected one label per node, got ${r.length}")
+    assert(r.forall(_._2 == 1000L), s"all labels must be the chain min")
+  }
+
   test("prefix filtering is candidate-complete vs the naive all-pairs join") {
     import graft.ops.TextAnalysis
     // naive ground truth: all N^2/2 pairs, exact jaccard on shingle

@@ -133,4 +133,31 @@ class MultimodalSpec extends SparkSpec {
       assert(n == math.max(d - 1, 0) / 10000 + 1, s"n=$n d=$d")
     }
   }
+
+  test("real frame pipeline: WAV durations + per-frame window RMS match " +
+    "a direct decode") {
+    import graft.ops.WavCodec
+    val docs = Seq((1L, "alpha tone"), (2L, "another longer seed text"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.withWavMedia(docs, "text")
+    val frames = Multimodal.frameSample(m, everyMs = 100)
+    val got = Multimodal.frameWindowRms(frames, "media", "frame_ms", 100)
+      .select($"doc_id", $"frame_ms", $"win_rms")
+      .as[(Long, Int, Double)].collect().toSeq
+      .groupBy(_._1)
+    Seq((1L, "alpha tone"), (2L, "another longer seed text")).foreach {
+      case (id, text) =>
+        val bytes = WavCodec.synthesize(text)
+        val d = WavCodec.durationMs(bytes)
+        val expFrames = (math.max(d - 1, 0) / 100) + 1
+        val rows = got(id)
+        assert(rows.length == expFrames,
+          s"doc $id: ${rows.length} frames, expected $expFrames (d=$d)")
+        rows.foreach { case (_, ms, rms) =>
+          val exp = WavCodec.windowRms(bytes, ms.toLong, 100)
+          assert(math.abs(rms - exp) < 1e-12, s"doc $id frame $ms")
+          assert(rms > 0.0, s"tone window must be non-silent")
+        }
+    }
+  }
 }
