@@ -3,6 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** 1-minute host load — emitted per query so a future reader can
+    * separate noisy-neighbor swings from genuine regressions without
+    * re-running (this host shows 3-30x swings under external load).
+    */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .trim.split(" ").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +35,7 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load0 = loadavg()
       val t0 = System.nanoTime()
       // full evaluation via the noop sink: under a bare count() Catalyst
       // prunes every unreferenced projection, so map-only queries would
@@ -40,19 +50,21 @@ object Bench {
       // queries are independent: drop any cache an operator built so
       // later queries aren't squeezed by accumulated blocks
       spark.catalog.clearCache()
-      (name, sec, ok)
+      (name, sec, ok, load0)
     }
     // a failed query reports -1 (never a truncated wall time) so broken
     // queries can't masquerade as fast ones; errors also listed
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       s"\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val loads = results.map { case (k, _, _, l) =>
+      s"\"" + k + "\":" + l }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     // any failure invalidates the total for cross-run comparison: a run
     // where the slowest query failed would otherwise report a lower sum
     val valid = results.forall(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"load_1m_at_start":$loads,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,25 +57,62 @@ object Skyline {
     window.iterator
   }
 
-  /** Skyline of `df` minimizing `minCols` and maximizing `maxCols`. */
+  /** Skyline of `df` minimizing `minCols` and maximizing `maxCols`.
+    *
+    * Phase 1 local skylines are persisted and counted BEFORE the
+    * single-task merge — two reasons: (a) a narrow `coalesce(1)` would
+    * pull ALL upstream partitions into the one merged task and run
+    * phase 1 serially (zero parallelism end-to-end); materializing
+    * first keeps phase 1 parallel and ships only survivors. (b) the
+    * count is the anti-correlation guard: if more than
+    * `maxGlobalCandidates` rows survive local pruning (anti-correlated
+    * data, where every row can be on the front), one grid-partitioned
+    * pre-merge round runs first, and if survivors STILL exceed the
+    * bound the operator fails loudly instead of silently serializing
+    * an unbounded candidate set onto one core.
+    */
   def skyline(df: DataFrame, minCols: Seq[String],
-              maxCols: Seq[String]): DataFrame = {
+              maxCols: Seq[String],
+              maxGlobalCandidates: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema
     val crit = minCols.map(c => col(c).cast("double")) ++
       maxCols.map(c => -col(c).cast("double"))
-    val withV = df.withColumn("__crit", array(crit: _*))
     val n = minCols.length + maxCols.length
-    val pruned = withV.rdd
+    require(n > 0, "skyline needs at least one criterion")
+    val withV = df.withColumn("__crit", array(crit: _*))
+    val local = withV.rdd
       .map { r =>
         val v = r.getSeq[Double](r.fieldIndex("__crit")).toArray
         (r, v)
       }
       .mapPartitions(localSkyline)            // phase 1: narrow, no shuffle
-      .coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = local.count()             // materializes phase 1 in parallel
+    val merged =
+      if (survivors <= maxGlobalCandidates) local
+      else {
+        // grid pre-merge: shuffle survivors into a bounded number of
+        // partitions and prune within each (correct: local skylines
+        // are always a superset of the global one)
+        val pre = local.repartition(local.getNumPartitions.min(64))
+          .mapPartitions(localSkyline)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val preCount = pre.count()
+        local.unpersist(blocking = false)
+        if (preCount > maxGlobalCandidates)
+          throw new IllegalStateException(
+            s"skyline: $preCount local-skyline survivors exceed the " +
+              s"single-task merge bound $maxGlobalCandidates even after " +
+              "a grid pre-merge (anti-correlated data); refusing to " +
+              "serialize the merge — raise maxGlobalCandidates or " +
+              "reduce the criteria space")
+        pre
+      }
+    // shuffle=true so the merge task reads shuffled survivor blocks
+    // rather than becoming a parent of every upstream partition
+    val pruned = merged.coalesce(1, shuffle = true)
       .mapPartitions(localSkyline)            // phase 2: survivors only
       .map(_._1)
-    require(n > 0, "skyline needs at least one criterion")
     spark.createDataFrame(pruned, withV.schema).drop("__crit")
   }
 }

@@ -269,12 +269,8 @@ object RelQueries {
     // schema, and hash-compare against the parquet truth — proves the
     // CSV writer/reader preserve values, not just that they run.
     "q20_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-q20-csv")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }))
+      val out = java.nio.file.Paths.get(
+        graft.TempDirs.createCleanedAtExit("graft-q20-csv"))
       val nation = t(s, dir, "nation")
         .select(col("n_nationkey").cast("int"), col("n_name"),
           col("n_regionkey").cast("int"))
@@ -354,12 +350,8 @@ object RelQueries {
     // the pay-the-shuffle-once layout for a fact table joined on the
     // same key by many queries.
     "q26_bucketed_join" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-q26-bucket")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }))
+      val wh = java.nio.file.Paths.get(
+        graft.TempDirs.createCleanedAtExit("graft-q26-bucket"))
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")

@@ -68,10 +68,20 @@ object Em {
                    warmStart: Map[String, Double] = Map.empty): Seq[AreaMode] = {
     val spark = df.sparkSession
     val sigmaSq = params.sigmaSq
-    val base = df.select(col(areaCol).cast("string").as("area"),
+    // If the caller already persisted its slice (fit() does, once per
+    // fit), DON'T persist the xb projection: xb depends on this
+    // iteration's beta, so persisting here would re-write the data
+    // once per EM iteration — k full materializations instead of one.
+    // Recomputing xb per Newton pass from the cached slice is a few
+    // multiplies per row, far cheaper than an iteration-wise persist
+    // at scale.
+    val upstreamCached = df.storageLevel != StorageLevel.NONE
+    val base0 = df.select(col(areaCol).cast("string").as("area"),
         Glmm.xBetaCol(params.beta, featureCols).as("xb"),
         col(yCol).cast("double").as("y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base =
+      if (upstreamCached) base0
+      else base0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val areas = base.select("area").distinct()
         .collect().map(_.getString(0)).sorted
@@ -142,7 +152,7 @@ object Em {
         out += a -> AreaMode(a, v(a), tau, n)
       }
       areas.map(out).toSeq
-    } finally base.unpersist(blocking = false)
+    } finally if (!upstreamCached) base.unpersist(blocking = false)
   }
 
   /** Step 3 — v-tilde draws, keyed RNG: stream seeded by
@@ -226,7 +236,14 @@ object Em {
           areaCol: String, init: Params, numDraws: Int = 1000,
           tol: Double = 0.01, maxIter: Int = 50, seed: Long = 42L,
           vBound: Double = 3.0): Fit = {
-    val design = df.select(
+    // the (area, features, y) slice is iteration-INVARIANT: persist it
+    // once here and let every laplaceModes pass project x'beta from the
+    // cached slice, instead of re-persisting a beta-dependent
+    // projection per EM iteration (k source re-reads at scale)
+    val slim = df.select(
+        (col(areaCol) +: featureCols.map(col)) :+ col(yCol): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val design = slim.select(
         (col(yCol).cast("double") +: featureCols.map(c => col(c).cast("double"))) :+
           col(areaCol).cast("string"): _*)
       .rdd.map { r =>
@@ -248,7 +265,7 @@ object Em {
       while (k < maxIter && !converged) {
         // warm-start each area's root-find from the previous iteration's
         // mode (beta moves little between EM steps -> ~2 fewer passes)
-        modes = laplaceModes(df, params, featureCols, areaCol, yCol, vBound,
+        modes = laplaceModes(slim, params, featureCols, areaCol, yCol, vBound,
           warmStart = modes.map(m => m.area -> m.vhat).toMap)
         if (totalN == 0L) totalN = modes.map(_.n).sum
         draws = simulateDraws(modes, numDraws, seed, k)
@@ -262,7 +279,10 @@ object Em {
         k += 1
       }
       Fit(params, modes, draws, k, converged)
-    } finally design.unpersist(blocking = false)
+    } finally {
+      design.unpersist(blocking = false)
+      slim.unpersist(blocking = false)
+    }
   }
 
   /** EBP per-area estimates (Method_code.Rmd:406-454): for each unit of

@@ -20,27 +20,17 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Recursive delete for drain scratch dirs. */
-  private def rmTree(dir: String): Unit = {
-    import java.nio.file.{Files => F, Path, Paths}
-    val root = Paths.get(dir)
-    if (F.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      F.walk(root).iterator().asScala.toSeq.reverse
-        .foreach((p: Path) => F.deleteIfExists(p))
-    }
-  }
+  /** Recursive delete for drain scratch dirs (shared impl). */
+  private def rmTree(dir: String): Unit = graft.TempDirs.rmTree(dir)
 
   /** Temp dir removed at JVM exit — for drain SINKS, whose parquet the
     * returned DataFrame still reads lazily (an eager delete would pull
     * the files out from under the caller). Sources and checkpoints are
-    * deleted eagerly instead, right after the drain terminates.
+    * deleted eagerly instead, right after the drain terminates. One
+    * shared exit hook (graft.TempDirs), not one per call.
     */
-  private def tempDirCleanedAtExit(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix).toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p)))
-    p
-  }
+  private def tempDirCleanedAtExit(prefix: String): String =
+    graft.TempDirs.createCleanedAtExit(prefix)
 
   /** Run `body` with a session conf temporarily set, restoring the
     * previous value (or unsetting) afterwards — drains must not leak

@@ -82,6 +82,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("skyline guard fails loudly on survivor-heavy anti-correlated data") {
+    import graft.ops.Skyline
+    // x + y = const with all-distinct coordinates: EVERY row is on the
+    // front, so local pruning removes nothing. With a tiny merge bound
+    // the operator must refuse the single-task merge, not silently
+    // serialize it.
+    val anti = (0 until 500).map(i => (i.toLong, i.toDouble, 500.0 - i))
+      .toDF("id", "x", "y").repartition(8)
+    val e = intercept[IllegalStateException] {
+      Skyline.skyline(anti, Seq("x", "y"), Seq(), maxGlobalCandidates = 100L)
+    }
+    assert(e.getMessage.contains("survivors exceed"))
+    // and with the default bound the same input still returns the full
+    // (correct) front
+    val full = Skyline.skyline(anti, Seq("x", "y"), Seq()).count()
+    assert(full == 500L)
+  }
+
   test("asofJoin attaches latest right value at-or-before, per key") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
