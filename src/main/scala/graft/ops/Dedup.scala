@@ -302,26 +302,33 @@ object Dedup {
         sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L)))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // large-star: symmetrize, group by u (window, one shuffle), attach
-    // strictly-larger neighbors to min(Γ⁺(u)). Emitted (v, m) always
-    // has v > m, so the output is canonically oriented big→small.
+    // Per-node minima are computed with groupBy+join, NOT a window over
+    // partitionBy(node): a window sorts and buffers each node's ENTIRE
+    // neighborhood in one task — at scale the component root's
+    // neighborhood is the whole component (single-task sort of 10M+
+    // rows), whereas groupBy partial-aggregates the min map-side and
+    // the join streams the neighborhood through a hash probe.
+    // large-star: symmetrize, attach strictly-larger neighbors to
+    // m = min(Γ⁺(u)). Emitted (v, m) always has v > m, so the output
+    // is canonically oriented big→small.
     def largeStar(e: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
-      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-        .withColumn("m", least(min("b").over(w), col("a")))
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, Seq("a"))
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .distinct()
     }
-    // small-star: orient big→small, group by the big endpoint, attach
-    // its smaller neighbors AND itself to their minimum. Both emitted
-    // edges per row come from one explode — no self-union, so the
-    // (possibly uncached) input plan is evaluated once.
+    // small-star: orient big→small, attach each big endpoint's smaller
+    // neighbors AND itself to their minimum. Both emitted edges per
+    // row come from one explode — no self-union, so the input plan is
+    // evaluated once.
     def smallStar(e: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
-      e.select(greatest(col("a"), col("b")).as("a"),
-          least(col("a"), col("b")).as("b"))
-        .withColumn("m", min("b").over(w))
+      val o = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = o.groupBy("a").agg(min("b").as("m"))
+      o.join(mins, Seq("a"))
         .select(explode(array(col("a"), col("b"))).as("a"),
           col("m").as("b"))
         .filter(col("a") =!= col("b"))

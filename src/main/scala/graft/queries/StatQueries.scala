@@ -60,7 +60,7 @@ object StatQueries {
   /** The CONVERGED fit at the reference's stopping rule (tol 0.01 on
     * sigma and every beta coordinate, Method_code.Rmd:352-390) — unlike
     * `emFit`'s bench config (maxIter=3), this iterates until the
-    * reference's criterion actually fires. Draws are 200 (reference
+    * reference's criterion actually fires. Draws are 100 (reference
     * 1000) purely for bench tractability; the stopping semantics the
     * entry exists to demonstrate are identical, and the full 1000-draw
     * configuration is golden-tested in EmSpec.
@@ -71,7 +71,7 @@ object StatQueries {
       val init = Em.Params(
         Glmm.fitLogistic(small, "y", featureCols), 0.25)
       val fit = Em.fit(small, "y", featureCols, "state", init,
-        numDraws = 200, tol = 0.01, maxIter = 40, seed = 42L)
+        numDraws = 100, tol = 0.01, maxIter = 40, seed = 42L)
       small.unpersist(blocking = false)
       fit
     })
@@ -169,6 +169,27 @@ object StatQueries {
         .orderBy("metric")
     }),
 
+    // S4 — the choropleth stage (Method_code.Rmd:513-550): per-area
+    // estimates binned onto a color ramp. The shade table is the
+    // oracle-gated result; the query also renders the REAL tile-grid
+    // BMP through BmpCodec (written to an exit-cleaned temp dir) so
+    // the image sink itself is exercised on every run.
+    "m08_choropleth" -> ((s, dir) => {
+      import graft.ops.Choropleth
+      val est = graft.rel.Relational.weightedMean(smallSurvey(s, dir),
+        Seq("state"), col("y"), col("weight"), scale = 100.0, as = "est")
+      val keys = est.select("state").collect().map(_.getString(0)).toSeq
+      val bmp = Choropleth.render(est, "state", "est",
+        Choropleth.gridLayout(keys))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          graft.TempDirs.createCleanedAtExit("graft-m08-map"), "map.bmp"),
+        bmp)
+      Choropleth.shaded(est, "state", "est", bins = 9)
+        .select(col("state"), round(col("est"), 6).as("est"), col("shade"))
+        .orderBy("state")
+    }),
+
     // J2 — the reference's final report SQL (Method_code.Rmd:763-772):
     // base estimates LEFT JOIN MSPE LEFT JOIN direct SE, rounded.
     "m06_final_report" -> ((s, dir) => {
@@ -195,6 +216,27 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // floor-binned shades over the min/max extent: floor (not round)
+    // because floor's semantics agree across engines
+    "m08_choropleth" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      est AS (
+        SELECT state, 100 * SUM(y * w) / SUM(w) AS est
+        FROM small GROUP BY state),
+      mm AS (SELECT MIN(est) AS vmin, MAX(est) AS vmax FROM est)
+      SELECT state, ROUND(est, 6) AS est,
+             CASE WHEN vmax = vmin THEN 0
+                  ELSE LEAST(8, CAST(FLOOR((est - vmin) / (vmax - vmin) * 9)
+                                     AS INT)) END AS shade
+      FROM est CROSS JOIN mm ORDER BY state""",
+
     "m04_direct_est" -> """
       WITH small AS (
         SELECT n_name AS state,

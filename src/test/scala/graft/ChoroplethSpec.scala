@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BmpCodec, Choropleth}
+
+class ChoroplethSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shaded bins by floor over the extent; degenerate extent -> 0") {
+    val df = Seq(("a", 0.0), ("b", 5.0), ("c", 10.0)).toDF("k", "v")
+    val r = Choropleth.shaded(df, "k", "v", bins = 3)
+      .select("k", "shade").as[(String, Int)].collect().toMap
+    // extent [0,10]: 0 -> floor(0)=0, 5 -> floor(1.5)=1, 10 -> clamp to 2
+    assert(r == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val flat = Seq(("a", 4.0), ("b", 4.0)).toDF("k", "v")
+    val f = Choropleth.shaded(flat, "k", "v", bins = 3)
+      .select("shade").as[Int].collect().toSet
+    assert(f == Set(0))
+  }
+
+  test("render paints each key's tile with its shade color, background " +
+    "elsewhere; decode round-trips") {
+    val df = Seq(("a", 0.0), ("b", 5.0), ("c", 10.0)).toDF("k", "v")
+    val layout = Map("a" -> (0, 0), "b" -> (0, 1), "c" -> (1, 0))
+    val cell = 4
+    val bytes = Choropleth.render(df, "k", "v", layout, cell = cell, bins = 3)
+    val (w, h, px) = BmpCodec.decode(bytes)
+    assert(w == 2 * cell && h == 2 * cell)
+    def pixelAt(x: Int, y: Int) = {
+      val o = (y * w + x) * 3
+      (px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)
+    }
+    // tile centers carry the exact ramp color for the key's shade
+    assert(pixelAt(2, 2) == Choropleth.shadeColor(0, 3))
+    assert(pixelAt(cell + 2, 2) == Choropleth.shadeColor(1, 3))
+    assert(pixelAt(2, cell + 2) == Choropleth.shadeColor(2, 3))
+    // the (1,1) grid cell has no key: stays background white
+    assert(pixelAt(cell + 2, cell + 2) == (255, 255, 255))
+  }
+
+  test("gridLayout is dense, collision-free, deterministic; usTileGrid " +
+    "covers 50 states + DC without overlaps") {
+    val keys = Seq("N5", "N1", "N3", "N2", "N4")
+    val l = Choropleth.gridLayout(keys)
+    assert(l.size == 5 && l.values.toSet.size == 5)
+    assert(l == Choropleth.gridLayout(keys.reverse))
+    assert(l("N1") == (0, 0)) // sorted, row-major
+    assert(Choropleth.usTileGrid.size == 51)
+    assert(Choropleth.usTileGrid.values.toSet.size == 51)
+  }
+}

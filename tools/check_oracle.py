@@ -15,8 +15,12 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional extra args = query-name substrings for targeted re-checks
+flt = sys.argv[3:]
 fails = []
 for name, sql in sorted(oracle.items()):
+    if flt and not any(f in name for f in flt):
+        continue
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
         print(f"MISS  {name}: no spark output")
