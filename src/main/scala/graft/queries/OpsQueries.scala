@@ -284,6 +284,60 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
         .orderBy("source", "split")),
 
+    // train/test DEcontamination (oracle-checked): the "does my test
+    // split share n-grams with training data" sweep every benchmark-
+    // hygiene pipeline runs. Splits are the deterministic md5
+    // assignment (d14), contamination = any shared distinct 3-gram
+    // between a non-train doc and ANY train doc. Mutant docs guarantee
+    // real cross-split overlap at every SF. Shingles are compared via
+    // the portable md5 base hash (8-byte shuffles at scale; the oracle
+    // computes the identical hash, so any collision is mirrored).
+    "d16_decontaminate" -> ((s, dir) => {
+      val base = docsWithMutants(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.splitAssign(col("doc_id")).as("split"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("split"),
+          array_distinct(TextAnalysis.shinglesOf(col("toks"), 3)).as("sh"))
+        .select(col("doc_id"), col("split"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("split"),
+          Dedup.minhashBase(col("shingle")).as("h"))
+      val train = base.filter(col("split") === "train")
+        .select("h").distinct()
+      base.filter(col("split") =!= "train")
+        .join(train, Seq("h"))
+        .groupBy("doc_id", "split")
+        .agg(countDistinct(col("h")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // per-doc keyword extraction via tf-idf (oracle-checked): the
+    // tfidf VALUE is hash-compared at 6dp; the top-3 RANKING uses the
+    // exact integer keys (term count desc, doc frequency asc, term) —
+    // ranking on the float score itself would let a last-ulp ln()
+    // divergence between engines flip adjacent ranks
+    "d17_tfidf" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("doc_len"),
+          explode(col("toks")).as("term"))
+      val tf = toks.groupBy("doc_id", "doc_len", "term")
+        .agg(count(lit(1)).as("tc"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tc").desc, col("df"), col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("tc").cast("double") / col("doc_len") *
+            log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -373,8 +427,82 @@ object OpsQueries {
       FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
   }
 
+  /** d16's oracle: mutant corpus + md5 split assignment (d14) + 3-gram
+    * shingles (d09) + the portable base hash (d07) + the overlap join.
+    */
+  private def decontaminateOracle: String =
+    s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sp AS (
+        SELECT doc_id, toks,
+               CASE WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 < 0.8
+                    THEN 'train'
+                    WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 < 0.9
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM docs2),
+      sh AS (
+        SELECT doc_id, split, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM sp),
+      inv AS (SELECT doc_id, split, unnest(sh) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, split,
+               ${duckHex8("shingle")} % 2147483647 AS h
+        FROM inv),
+      tr AS (SELECT DISTINCT h FROM hv WHERE split = 'train')
+      SELECT hv.doc_id, hv.split, COUNT(DISTINCT hv.h) AS n_shared
+      FROM hv JOIN tr ON hv.h = tr.h
+      WHERE hv.split <> 'train'
+      GROUP BY hv.doc_id, hv.split ORDER BY hv.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "d07_minhash_lsh" -> minhashOracle,
+    "d16_decontaminate" -> decontaminateOracle,
+
+    "d17_tfidf" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      t AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
+            FROM tk),
+      tf AS (SELECT doc_id, doc_len, term, COUNT(*) AS tc
+             FROM t GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      r AS (
+        SELECT tf.doc_id, tf.term, tf.tc, tf.doc_len, dfq.df, n.n_docs,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tc DESC, dfq.df, tf.term) AS rank
+        FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      SELECT doc_id, rank, term,
+             ROUND(CAST(tc AS DOUBLE) / doc_len
+                   * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,

@@ -58,6 +58,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d07: minhash LSH band join has no cartesian/BNLJ stage") {
+    val plan = planOf("d07_minhash_lsh")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("m08: choropleth extent joins broadcast (1-row extent, no " +
+    "shuffle of the estimates)") {
+    val plan = planOf("m08_choropleth")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graft extensions register SQL-callable expressions") {
     graft.GraftExtensions.registerAll(spark)
     val dot = spark.sql(
