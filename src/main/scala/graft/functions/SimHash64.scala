@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import scala.util.hashing.MurmurHash3
 
 /** 64-bit SimHash over a token array as a native Catalyst Expression
   * (SURVEY.md §2.8 beyond-reference surface; Charikar 2002 random
@@ -66,10 +65,24 @@ case class SimHash64(child: Expression) extends UnaryExpression
 }
 
 object SimHash64 {
-  /** Deterministic 64-bit token hash from two seeded 32-bit murmurs. */
-  def hash64(t: String): Long =
-    (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
-      (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Deterministic 64-bit token hash: first 8 md5 bytes, big-endian —
+    * i.e. the value of the first 16 hex digits of `md5(t)`. md5 has the
+    * same definition in every engine (unlike the previous seeded
+    * murmur pair), so the d08 oracle replays signatures, band keys and
+    * Hamming distances bit-for-bit in DuckDB; bit b (LSB-first) is bit
+    * (b mod 32) of the hex-digit group chars 9-16 (b < 32) / 1-8
+    * (b >= 32).
+    */
+  def hash64(t: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(h, 0, 8).getLong
+  }
 
   /** Register once per session, then use via [[simhash64]]. */
   def register(spark: SparkSession): Unit =

@@ -355,14 +355,19 @@ object OpsQueries {
     })
   )
 
-  /** DuckDB fragment: first 8 md5 hex digits of `expr` as a BIGINT —
-    * the engine-portable integer hash shared with d06/d14.
+  /** DuckDB fragment: 8 md5 hex digits of `expr` starting at 1-based
+    * char `start`, as a BIGINT (a 32-bit unsigned value).
     */
-  private def duckHex8(expr: String): String =
+  private def duckHexAt(expr: String, start: Int): String =
     s"""CAST(list_sum(list_transform(range(1, 9), i ->
                (strpos('0123456789abcdef',
-                  substr(md5($expr), CAST(i AS INT), 1)) - 1)
+                  substr(md5($expr), CAST(i + ${start - 1} AS INT), 1)) - 1)
                * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"""
+
+  /** First 8 md5 hex digits of `expr` as a BIGINT — the engine-portable
+    * integer hash shared with d06/d14.
+    */
+  private def duckHex8(expr: String): String = duckHexAt(expr, 1)
 
   /** d07's oracle replays the FULL LSH pipeline — base hashes, the
     * universal-hash signatures (the same (a_j, b_j) literals the engine
@@ -427,6 +432,70 @@ object OpsQueries {
       FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
   }
 
+  /** d08's oracle replays the FULL SimHash pipeline in DuckDB: the
+    * per-token 64-bit hash is the first 16 md5 hex digits
+    * ([[graft.functions.SimHash64.hash64]] — first 8 digest bytes,
+    * big-endian), so bit b of the hash is bit (b mod 32) of the
+    * 32-bit value at hex chars 9-16 (b < 32) or 1-8 (b >= 32).
+    * Signature bits come from the per-bit +-1 vote sums over ALL
+    * tokens (duplicates included, matching the expression's loop),
+    * band keys are the four 16-bit slices, the skew guard keeps
+    * buckets with 2..maxBucket members, and Hamming distance is the
+    * per-bit disagreement count — every stage of the engine plan,
+    * not just the verified pairs.
+    */
+  private def simhashOracle: String =
+    s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      th AS (
+        SELECT doc_id, ${duckHexAt("t", 1)} AS hi, ${duckHexAt("t", 9)} AS lo
+        FROM (SELECT doc_id, unnest(toks) AS t FROM docs2)),
+      votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (CASE WHEN b < 32 THEN (lo >> CAST(b AS INT))
+                              ELSE (hi >> CAST(b - 32 AS INT)) END) & 1 = 1
+                   THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+        GROUP BY 1, 2),
+      sigbits AS (
+        SELECT d.doc_id, bb.b,
+               CASE WHEN COALESCE(v.vote, 0) > 0 THEN 1 ELSE 0 END AS bit
+        FROM (SELECT doc_id FROM docs2) d
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.b = bb.b),
+      bkeys AS (
+        SELECT doc_id, CAST(b // 16 AS INT) AS band,
+               SUM(bit * CAST(power(2, b % 16) AS BIGINT)) AS bkey
+        FROM sigbits GROUP BY 1, 2),
+      ok AS (
+        SELECT band, bkey FROM bkeys GROUP BY band, bkey
+        HAVING COUNT(*) BETWEEN 2 AND 500),
+      bk2 AS (
+        SELECT k.doc_id, k.band, k.bkey
+        FROM bkeys k JOIN ok USING (band, bkey)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bk2 x JOIN bk2 y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN ba.bit <> bb2.bit THEN 1 ELSE 0 END) AS hamming
+        FROM cand c
+        JOIN sigbits ba ON ba.doc_id = c.id_a
+        JOIN sigbits bb2 ON bb2.doc_id = c.id_b AND bb2.b = ba.b
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+      FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b"""
+
   /** d16's oracle: mutant corpus + md5 split assignment (d14) + 3-gram
     * shingles (d09) + the portable base hash (d07) + the overlap join.
     */
@@ -479,6 +548,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "d07_minhash_lsh" -> minhashOracle,
+    "d08_simhash" -> simhashOracle,
     "d16_decontaminate" -> decontaminateOracle,
 
     "d17_tfidf" -> """
