@@ -251,6 +251,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** C4-style span-level dedup (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — "we removed all but one of any three-sentence span
+    * occurring more than once"): documents are cut into consecutive
+    * `chunkTokens`-token spans, every span text that occurs more than
+    * once corpus-wide keeps only its globally-first occurrence
+    * (ordered by (id, span index)), and surviving spans are
+    * reassembled in order. The harness corpus has no sentence/line
+    * structure, so spans are fixed token windows.
+    *
+    * Scale shape: the dedup key is the span text — and boilerplate
+    * spans (the reason this operator exists) are by definition HOT
+    * keys, present in nearly every document. The keeper is therefore
+    * chosen with `groupBy(span).agg(min(struct(id, idx)))`, which
+    * partial-aggregates map-side and collapses a million-document
+    * boilerplate key to one row per map task — a window over
+    * `partitionBy(span)` would instead sort the entire corpus-wide
+    * occurrence list of the hottest span in a single task. Reassembly
+    * groups by doc id (uniform key), sorting each doc's surviving
+    * spans locally.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10): DataFrame = {
+    val k = chunkTokens
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    // spans: ceil(n/k) windows of k tokens (last may be short); empty
+    // docs produce no span rows and are restored by the left join below
+    val spans = toks.filter(size(col("toks")) > 0)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")).cast("double") / k).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * k + 1, lit(k))))))
+      .toDF("id", "idx", "span")
+    val keeper = spans.groupBy("span")
+      .agg(min(struct(col("id"), col("idx"))).as("keep"),
+        count(lit(1)).as("n_occ"))
+    val marked = spans.join(keeper, Seq("span"))
+      .withColumn("kept",
+        col("n_occ") === 1 || struct(col("id"), col("idx")) === col("keep"))
+    val perDoc = marked.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("kept"),
+          struct(col("idx"), col("span"))))),
+        s => s.getField("span")), " ").as("text_clean"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Connected components over a near-duplicate PAIR list — the
     * "pairs → clusters" closure every real dedup pipeline needs before
     * it can pick one keeper per group (pairs alone can't: near-dup is

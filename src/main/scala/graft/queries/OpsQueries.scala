@@ -346,6 +346,17 @@ object OpsQueries {
           maxTop2 = 0.10, maxDup3 = 0.15, maxRun = 3)
         .orderBy("doc_id")),
 
+    // C4-style span dedup: every doc gets the same 10-token boilerplate
+    // prefix (the web-scrape motivation); keep-one semantics strip it
+    // from all but the globally-first doc while unique tails survive
+    "d19_line_dedup" -> ((s, dir) => {
+      val boiler = "terms of use and privacy policy apply to this site"
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", lit(boiler), col("text")).as("text"))
+      Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 10)
+        .orderBy("doc_id")
+    }),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -648,6 +659,48 @@ object OpsQueries {
       FROM top t JOIN dup d USING (doc_id)
       LEFT JOIN mr m ON m.doc_id = t.doc_id
       ORDER BY t.doc_id""",
+
+    "d19_line_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               'terms of use and privacy policy apply to this site'
+                 || ' ' || text AS text
+        FROM documents),
+      tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM d),
+      spans AS (
+        SELECT doc_id, i - 1 AS idx, span
+        FROM (SELECT doc_id, unnest(sp) AS span,
+                     generate_subscripts(sp, 1) AS i
+              FROM (SELECT doc_id,
+                           list_transform(
+                             range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                             j -> array_to_string(
+                               toks[CAST(j * 10 + 1 AS INT)
+                                    :CAST(j * 10 + 10 AS INT)], ' ')) AS sp
+                    FROM tk WHERE len(toks) > 0))),
+      keep AS (
+        SELECT doc_id, idx, span,
+               ROW_NUMBER() OVER (PARTITION BY span
+                 ORDER BY doc_id, idx) AS rn,
+               COUNT(*) OVER (PARTITION BY span) AS n_occ
+        FROM spans),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN n_occ = 1 OR rn = 1 THEN 1 ELSE 0 END)
+                 AS n_kept,
+               string_agg(CASE WHEN n_occ = 1 OR rn = 1 THEN span END,
+                 ' ' ORDER BY idx) AS text_clean
+        FROM keep GROUP BY doc_id)
+      SELECT dd.doc_id,
+             CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(p.text_clean, '') AS text_clean
+      FROM documents dd LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY dd.doc_id""",
 
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

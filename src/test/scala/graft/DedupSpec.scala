@@ -115,4 +115,22 @@ class DedupSpec extends SparkSpec {
       assert(filtered == naive, s"t=$t prefix=$filtered naive=$naive")
     }
   }
+
+  test("chunkDedup keeps the globally-first span, preserves order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans (k=3): "a b c", "d e f"
+      (2L, "a b c x y z"),       // shares span "a b c" -> dropped here
+      (3L, "x y z"),             // dup of doc 2's tail span -> doc 2 wins
+      (4L, "p q"),               // short tail span, unique
+      (5L, "")                   // empty: zero spans, empty text
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 2L, 2L, "a b c d e f"))) // first occurrence kept
+    assert(r(1) == ((2L, 2L, 1L, "x y z")))       // boilerplate stripped
+    assert(r(2) == ((3L, 1L, 0L, "")))            // all spans were dups
+    assert(r(3) == ((4L, 1L, 1L, "p q")))         // short span survives
+    assert(r(4) == ((5L, 0L, 0L, "")))            // empty doc round-trips
+  }
 }
