@@ -135,6 +135,38 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Deterministic source-weighted corpus mixing: given a per-stratum
+    * weight and a total document budget, compute each stratum's target
+    * count (floor(share * budget), capped at the stratum size), turn
+    * it into an acceptance rate, and keep rows whose [[hashUniform]]
+    * draw clears it — the "sampling weights per source" operation of
+    * LLM corpus mixes, deterministic under retries and repartitioning
+    * because the draw is content-keyed, not `rand()`.
+    *
+    * Scale shape: the per-stratum stats are one map-side-combinable
+    * groupBy producing #strata rows; rates come back via a broadcast
+    * join, and the keep decision is a narrow filter over the scan — no
+    * wide shuffle of the corpus at any size. Rates are k/2^32 hash
+    * comparisons, so the realized count concentrates on the target
+    * (binomial) without requiring a per-stratum global sort, which is
+    * what an exact-k variant would cost.
+    */
+  def weightedStratifiedSample(df: DataFrame, idCol: String,
+                               strataCol: String, weight: Column,
+                               totalBudget: Long,
+                               salt: String = "mix"): DataFrame = {
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), max(weight).as("w"))
+    val tot = stats.agg(sum(col("w")).as("w_tot"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("n_target",
+        least(floor(col("w") / col("w_tot") * totalBudget), col("n_docs")))
+      .withColumn("rate", col("n_target").cast("double") / col("n_docs"))
+      .select(col(strataCol), col("n_target"), col("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("keep", hashUniform(col(idCol), salt) < col("rate"))
+  }
+
   // --- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

@@ -357,6 +357,21 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic source-weighted corpus mix: weights 1/2/3 cycle
+    // over the 20 sources, budget = half the corpus; summary shows
+    // per-source targets and realized (hash-deterministic) keeps
+    "d20_source_mix" -> ((s, dir) => {
+      val w = (substring(col("source"), 4, 10).cast("int") % 3 + 1)
+        .cast("double")
+      TextAnalysis.weightedStratifiedSample(docs(s, dir), "doc_id",
+          "source", w, totalBudget = 250)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_target")).as("n_target"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -701,6 +716,29 @@ object OpsQueries {
              COALESCE(p.text_clean, '') AS text_clean
       FROM documents dd LEFT JOIN perdoc p USING (doc_id)
       ORDER BY dd.doc_id""",
+
+    "d20_source_mix" -> s"""
+      WITH w AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE) AS w
+        FROM documents GROUP BY source),
+      t AS (SELECT SUM(w) AS w_tot FROM w),
+      r AS (
+        SELECT source, n_docs,
+               LEAST(CAST(FLOOR(w / w_tot * 250) AS BIGINT), n_docs)
+                 AS n_target
+        FROM w CROSS JOIN t),
+      k AS (
+        SELECT d.source, r.n_target,
+               CASE WHEN
+                 ${duckHex8("CAST(d.doc_id AS VARCHAR) || 'mix'")}
+                   / 4294967296.0 < r.n_target * 1.0 / r.n_docs
+               THEN 1 ELSE 0 END AS keep
+        FROM documents d JOIN r USING (source))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MAX(n_target) AS n_target,
+             CAST(SUM(keep) AS BIGINT) AS n_kept
+      FROM k GROUP BY source ORDER BY source""",
 
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

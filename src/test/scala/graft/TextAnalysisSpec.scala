@@ -99,6 +99,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(langId($"t")).as[String].head() == "und")
   }
 
+  test("weightedStratifiedSample: deterministic, budgeted, capped") {
+    val df = spark.range(0, 3000)
+      .select($"id", (concat(lit("s"), ($"id" % 3))).as("src"))
+    val w = when($"src" === "s0", 1.0)
+      .when($"src" === "s1", 1.0).otherwise(8.0)
+    val out = weightedStratifiedSample(df.toDF(), "id", "src", w, 1200)
+    val sum = out.groupBy("src").agg(
+        max($"n_target").as("target"),
+        org.apache.spark.sql.functions.sum(when($"keep", 1L).otherwise(0L))
+          .as("kept"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    // shares 1/10, 1/10, 8/10 of 1200 -> targets 120, 120, capped 960
+    assert(sum("s0")._1 == 120L && sum("s1")._1 == 120L)
+    assert(sum("s2")._1 == 960L) // 8/10*1200=960 < 1000, not capped
+    // realized counts concentrate near targets (binomial, n=1000)
+    Seq("s0", "s1", "s2").foreach { s =>
+      val (t, k) = sum(s)
+      assert(math.abs(k - t) < 60, s"$s kept=$k target=$t")
+    }
+    // determinism: same keeps regardless of partitioning
+    val a = out.filter($"keep").select("id").as[Long].collect().toSet
+    val b = weightedStratifiedSample(df.repartition(13).toDF(), "id",
+        "src", w, 1200)
+      .filter($"keep").select("id").as[Long].collect().toSet
+    assert(a == b)
+    // a weight dominating the budget caps at the stratum size (rate 1)
+    val capped = weightedStratifiedSample(df.toDF(), "id", "src",
+        when($"src" === "s0", 1000.0).otherwise(1.0), 3000)
+      .filter($"src" === "s0")
+    assert(capped.filter($"keep").count() == 1000L)
+  }
+
   test("repetitionSignals computes Gopher-style gates exactly") {
     val docs = Seq(
       (1L, "a b a b a b"),         // top bigram "a b" x3
