@@ -188,6 +188,21 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF at nprobe = nlist probes every cell, so the result is exactly
+    // the brute-force top-k whatever the trained codebook — the one
+    // configuration where the full IVF pipeline (quantizer, cell
+    // assignment, probe routing, in-cell scoring) is SQL-checkable.
+    // s03 stays the approximate production config (recall spec-tested).
+    "s04_ivf_exhaustive" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+          dim = 64, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // audio pipeline on REAL decoded PCM samples: synthesize a WAV per
     // doc -> rms / zero-crossings / energy profile from the samples
     "mm03_audio" -> ((s, dir) => {
@@ -1045,6 +1060,21 @@ object OpsQueries {
       ORDER BY id_a, id_b""",
 
     "s01_cosine_topk" -> """
+      SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // exhaustive IVF == brute force, so s04 shares s01's exact oracle
+    "s04_ivf_exhaustive" -> """
       SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos
       FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
