@@ -203,6 +203,23 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // per-label embedding centroids through the native vector-sum
+    // aggregate: one array per (group x task) crosses the shuffle
+    // instead of posexplode's dim-times row amplification; the tiny
+    // per-label result is exploded only for the scalar-valued gate
+    "s05_label_centroids" -> ((s, dir) => {
+      graft.functions.VectorSum.register(s)
+      val e = embs(s, dir).select(col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      e.groupBy("label")
+        .agg(graft.functions.VectorSum.vecSum(col("v")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("n"),
+          posexplode(transform(col("vs"),
+            x => round(x / col("n"), 6))).as(Seq("i", "val")))
+        .orderBy("label", "i")
+    }),
+
     // audio pipeline on REAL decoded PCM samples: synthesize a WAV per
     // doc -> rms / zero-crossings / energy profile from the samples
     "mm03_audio" -> ((s, dir) => {
@@ -1072,6 +1089,20 @@ object OpsQueries {
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
       WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "s05_label_centroids" -> """
+      WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY label),
+      x AS (
+        SELECT label, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS val
+        FROM e)
+      SELECT x.label, n.n, CAST(x.i AS INT) AS i,
+             ROUND(SUM(x.val) / n.n, 6) AS val
+      FROM x JOIN n USING (label)
+      GROUP BY x.label, n.n, x.i
+      ORDER BY x.label, i""",
 
     // exhaustive IVF == brute force, so s04 shares s01's exact oracle
     "s04_ivf_exhaustive" -> """

@@ -7,6 +7,34 @@ import graft.ops.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("VectorSum aggregates element-wise across any partitioning") {
+    import graft.functions.VectorSum
+    VectorSum.register(spark)
+    val df = spark.range(0, 1000)
+      .select(($"id" % 4).as("g"),
+        array($"id".cast("double"), lit(1.0), ($"id" * 2).cast("double"))
+          .as("v"))
+    def sums(parts: Int) =
+      df.repartition(parts)
+        .groupBy("g").agg(VectorSum.vecSum($"v").as("s"))
+        .as[(Long, Seq[Double])].collect().toMap
+    val one = sums(1)
+    // group g sums: ids g, g+4, ... 996+g -> 250 terms
+    (0L to 3L).foreach { g =>
+      val ids = (g until 1000L by 4)
+      assert(one(g) == Seq(ids.sum.toDouble, 250.0, ids.sum * 2.0))
+    }
+    // partial aggregation + shuffle-serialized buffers agree exactly
+    // (sums of integers in doubles: no float-order ambiguity)
+    assert(sums(17) == one)
+    // nulls are transparent; all-null group yields null
+    val withNull = Seq((1L, Some(Seq(1.0, 2.0))), (1L, None), (2L, None))
+      .toDF("g", "v")
+    val r = withNull.groupBy("g").agg(VectorSum.vecSum($"v").as("s"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(r(1L).contains(Seq(1.0, 2.0)) && r(2L).isEmpty)
+  }
+
   test("cosine matches hand-computed values") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.6, 0.8))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
