@@ -365,6 +365,29 @@ object RelQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           2).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // interval (stabbing) join as an equi-join: lineitem ship windows
+    // (deterministic 7-35 day spans — the slim schema has no receipt
+    // date) stabbed by order dates, bin-bucketed so no BNLJ/cartesian
+    // appears at any scale (PlanSpec-asserted); dates become day
+    // numbers (monotonic, BETWEEN-preserving)
+    "q27_interval_join" -> ((s, dir) => {
+      val epoch = to_date(lit("1992-01-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), epoch).as("d_start"),
+          (datediff(col("l_shipdate"), epoch) +
+            lit(7) + (col("l_linenumber") * 5) % 28).as("d_end"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("stab_key"), col("o_totalprice"),
+          datediff(col("o_orderdate"), epoch).as("d_t"))
+      graft.rel.Relational.intervalJoin(li, "d_start", "d_end",
+          ord, "d_t", binWidth = 16)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("tot_price"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -585,6 +608,23 @@ object RelQueries {
              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q27_interval_join" -> """
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               date_diff('day', DATE '1992-01-01', l_shipdate) AS d_start,
+               date_diff('day', DATE '1992-01-01', l_shipdate)
+                 + 7 + (l_linenumber * 5) % 28 AS d_end
+        FROM lineitem WHERE l_partkey <= 20),
+      ord AS (
+        SELECT o_totalprice,
+               date_diff('day', DATE '1992-01-01', o_orderdate) AS d_t
+        FROM orders)
+      SELECT li.l_orderkey, li.l_linenumber,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(ord.o_totalprice), 2) AS tot_price
+      FROM li JOIN ord ON ord.d_t BETWEEN li.d_start AND li.d_end
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // skyline = rows with no strict dominator (min price, max size)
     "q21_skyline" -> """

@@ -122,4 +122,34 @@ object Relational {
     p.join(b, p(probeKey) === b(buildKey) && p(salt) === b(salt), "inner")
       .drop(salt)
   }
+
+  /** Interval (stabbing) join via bin bucketing (beyond-reference
+    * operator): match every (interval, point) pair with
+    * start <= point <= end, as an EQUI-join. The naive SQL formulation
+    * is a theta-join — Spark plans it as a broadcast-nested-loop or
+    * cartesian product, O(N*M) at any scale. Here each interval
+    * explodes into the fixed-width bins it covers, each point maps to
+    * exactly ONE bin, and the bin equi-join + exact containment filter
+    * produces each matching pair exactly once (in the point's bin) —
+    * no dedup pass. Shuffle volume is intervals x avg-bins-covered +
+    * points, both linear; `binWidth` should be on the order of the
+    * typical interval length (cost = span/binWidth extra interval rows
+    * vs more non-matching candidates per bin as binWidth grows).
+    *
+    * Inputs must share no column names; start/end/point are numeric
+    * (callers convert dates to day numbers — monotonic, so BETWEEN is
+    * preserved).
+    */
+  def intervalJoin(intervals: DataFrame, startCol: String, endCol: String,
+                   points: DataFrame, pointCol: String,
+                   binWidth: Long): DataFrame = {
+    val bin = "__graft_bin"
+    val iv = intervals.withColumn(bin,
+      explode(sequence(floor(col(startCol) / binWidth),
+        floor(col(endCol) / binWidth))))
+    val pt = points.withColumn(bin, floor(col(pointCol) / binWidth))
+    iv.join(pt, Seq(bin))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop(bin)
+  }
 }

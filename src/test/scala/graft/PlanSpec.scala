@@ -46,6 +46,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(n_name"), plan)
   }
 
+  test("q27: interval join plans as an equi-join (no BNLJ/cartesian)") {
+    val plan = planOf("q27_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
   test("d10: LSH threshold join has no cartesian/BNLJ stage") {
     val plan = planOf("d10_embedding_neardup")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -119,6 +119,33 @@ class RelationalSpec extends SparkSpec {
       (4L, None)))
   }
 
+  test("intervalJoin equals the naive theta-join, boundaries inclusive") {
+    val rng = new scala.util.Random(7)
+    val iv = (1 to 60).map { i =>
+      val s = rng.nextInt(200).toLong
+      (i.toLong, s, s + rng.nextInt(40))
+    }.toDF("iv_id", "s", "e")
+    val pts = (1 to 120)
+      .map(j => (1000L + j, rng.nextInt(260).toLong - 10)).toDF("p_id", "t")
+    val naive = iv.crossJoin(pts).filter($"t".between($"s", $"e"))
+      .select("iv_id", "p_id").as[(Long, Long)].collect().toSet
+    // several bin widths, including narrower and wider than spans
+    for (w <- Seq(4L, 16L, 64L)) {
+      val got = Relational.intervalJoin(iv, "s", "e", pts, "t", w)
+        .select("iv_id", "p_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"w=$w produced duplicate pairs")
+      assert(got.toSet == naive, s"w=$w")
+    }
+    // exact boundary stabs on both ends match
+    val b = Relational.intervalJoin(
+      Seq((1L, 10L, 20L)).toDF("iv_id", "s", "e"),
+      "s", "e",
+      Seq((1L, 10L), (2L, 20L), (3L, 9L), (4L, 21L)).toDF("p_id", "t"),
+      "t", 16L)
+      .select("p_id").as[Long].collect().toSet
+    assert(b == Set(1L, 2L))
+  }
+
   test("saltedJoin equals the plain join under any partitioning") {
     // skewed probe: key 1 holds most rows (the straggler scenario)
     val probe = (1 to 200).map(i => (if (i <= 150) 1L else i.toLong, i))
