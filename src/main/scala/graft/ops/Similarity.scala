@@ -228,6 +228,56 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** k-NN self-join: every vector in `corpus` gets its `k` nearest
+    * neighbors by cosine — the all-points variant of [[ivfTopK]], where
+    * the query set IS the corpus and can never be broadcast. Both sides
+    * shuffle on the IVF cell id: each point lands in its nearest cell
+    * (corpus role) and probes its `nprobe` nearest cells (query role),
+    * so candidate volume is ~`nprobe/nlist` of the N^2 pair space and
+    * the only wide shuffle is keyed by cell. Scoring happens inside the
+    * join stage; the per-query top-k window then sorts skinny
+    * (query_id, nbr_id, cos) rows only.
+    *
+    * `nprobe = nlist` probes every cell — candidates become ALL pairs
+    * and the result is provably exact (the s06 oracle configuration;
+    * quadratic, so only for modest corpora / correctness gates).
+    * Production at corpus scale runs `nprobe << nlist` and trades
+    * recall, measured by SimilaritySpec against this exact setting.
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
+    val sample = unitized(corpus, idCol, vecCol, "id", "v")
+      .select("v").limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = trainCentroids(sample, nlist, trainIters)
+    val cb = MatVecDots.matrixLit(cents)
+    val u = unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("dots", MatVecDots.matvec(col("v"), cb))
+    // corpus role: the argmax cell (ties -> lowest id, as trained)
+    val c = u.withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .select(col("id").as("nbr_id"), col("v").as("cv"), col("cell"))
+    // query role: the nprobe nearest cells, exploded
+    val q = u.withColumn("probes",
+        slice(sort_array(zip_with(col("dots"),
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("i")))), 1, nprobe))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(col("probes").getField("i")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
+      .select("query_id", "nbr_id", "cos")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold join), LSH-
     * bucketed — the scale path and the d10 query entry. Candidates are
     * generated only inside shared (table, sign-bucket) cells and then

@@ -212,6 +212,44 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     qualityScoreOf(tokens(text), text)
 
+  /** Unigram-LM negative log-likelihood per document — the cheap
+    * in-engine stand-in for the KenLM-perplexity quality filter of
+    * CCNet-style pipelines: fit an add-one-smoothed unigram model on
+    * the corpus itself, then score each document by the average
+    * negative log-probability of its tokens (high = far from the
+    * corpus distribution = boilerplate/noise/outlier language).
+    *
+    * p(t) = (c(t) + 1) / (T + V), avg_nll = mean over the doc's token
+    * OCCURRENCES of -ln p(t). Returns (id, n_tokens, avg_nll);
+    * avg_nll is null for empty documents.
+    *
+    * Scale shape: one map-side-combinable groupBy for the vocabulary,
+    * a two-scalar global total broadcast, one shuffle join of the
+    * exploded token stream against the vocabulary (both sides keyed by
+    * term — zipfian-hot terms are probe-side only, streaming through a
+    * hash lookup), and one per-doc aggregate. No corpus-sized
+    * broadcast, no driver-side model state.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("toks"))
+      .select(col("id"), explode(col("toks")).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("tc"))
+    val tot = vocab.agg(sum("tc").as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    val scored = terms.join(vocab, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log((col("tc") + 1).cast("double") /
+          (col("t_tokens") + col("v_size")))).as("avg_nll"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_nll"))
+  }
+
   // --- Gopher-style repetition signals -----------------------------------
 
   /** Per-document repetition quality signals in the shape of the Gopher

@@ -220,6 +220,18 @@ object OpsQueries {
         .orderBy("label", "i")
     }),
 
+    // k-NN self-join (every vector gets its 3 nearest neighbors) via
+    // the IVF cell shuffle; nprobe = nlist probes every cell, which is
+    // provably exact (the oracle replays it as an all-pairs window) —
+    // production at corpus scale sets nprobe << nlist and trades
+    // recall, measured in SimilaritySpec against this exact setting
+    "s06_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(embs(s, dir), "vec_id", "embedding",
+          k = 3, dim = 64, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")),
+
     // audio pipeline on REAL decoded PCM samples: synthesize a WAV per
     // doc -> rms / zero-crossings / energy profile from the samples
     "mm03_audio" -> ((s, dir) => {
@@ -403,6 +415,15 @@ object OpsQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("source")
     }),
+
+    // unigram-LM perplexity proxy (CCNet-shape quality filter): fit an
+    // add-one-smoothed unigram model on the corpus, score each doc by
+    // mean -ln p(token) — high = far from the corpus distribution
+    "d21_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")),
 
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
@@ -772,6 +793,26 @@ object OpsQueries {
              CAST(SUM(keep) AS BIGINT) AS n_kept
       FROM k GROUP BY source ORDER BY source""",
 
+    "d21_unigram_lm" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+      v AS (SELECT term, COUNT(*) AS tc FROM t GROUP BY 1),
+      tot AS (SELECT SUM(tc) AS t_tokens, COUNT(*) AS v_size FROM v),
+      n AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-ln((v.tc + 1.0) / (tot.t_tokens + tot.v_size))),
+                 4) AS avg_nll
+        FROM t JOIN v USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id)
+      SELECT d.doc_id, COALESCE(n.n_tokens, 0) AS n_tokens, n.avg_nll
+      FROM documents d LEFT JOIN n USING (doc_id)
+      ORDER BY d.doc_id""",
+
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
@@ -1088,6 +1129,20 @@ object OpsQueries {
                    CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // exhaustive-probe knn join == per-point all-pairs top-k
+    "s06_knn_join" -> """
+      SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id)
       WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "s05_label_centroids" -> """

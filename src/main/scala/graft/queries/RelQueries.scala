@@ -388,6 +388,25 @@ object RelQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("tot_price"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // hive-partitioned sink + partition-pruned read-back: orders laid
+    // out as o_year=YYYY/ directories, then a one-year query reads ONLY
+    // that directory — the scan's PartitionFilters (PlanSpec-asserted)
+    // prune before any file opens. The first-line pruning lever for
+    // time-series facts at scale.
+    "q28_partitioned_prune" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        graft.TempDirs.createCleanedAtExit("graft-q28-part"))
+      graft.sources.Partitioned.write(
+        t(s, dir, "orders"), year(col("o_orderdate")), "o_year",
+        out.toString)
+      graft.sources.Partitioned.read(s, out.toString)
+        .filter(col("o_year") === 1997)
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_month")
     })
   )
 
@@ -635,6 +654,14 @@ object RelQueries {
         WHERE b.p_retailprice <= a.p_retailprice
           AND b.p_size >= a.p_size
           AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
-      ORDER BY p_partkey"""
+      ORDER BY p_partkey""",
+
+    // partitioned layout is a physical choice — plain filter is truth
+    "q28_partitioned_prune" -> """
+      SELECT month(o_orderdate) AS o_month,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -121,6 +121,20 @@ class PlanSpec extends SparkSpec {
     assert(!joinSubtree.contains("Exchange"), joinSubtree)
   }
 
+  test("q28: year filter prunes partitions at the PLAN level") {
+    val plan = planOf("q28_partitioned_prune")
+    // the filter must appear under PartitionFilters (directory pruning
+    // before any file opens), not merely as a pushed data filter
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_year"), plan)
+    assert(scanLine.contains("1997"), plan)
+    // partition column is directory metadata, never read from files
+    val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema:"))
+    assert(!readSchema.contains("o_year"), readSchema)
+    assert(readSchema.contains("o_totalprice"), readSchema)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(

@@ -108,6 +108,35 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, s"missed=${exact -- full}")
   }
 
+  test("knnJoin: exhaustive probing equals brute-force top-k per point") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", e,
+        "vec_id", "embedding", 3)
+      .select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val join = Similarity.knnJoin(e, "vec_id", "embedding", k = 3,
+        dim = 64, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(join == exact, s"missed=${exact -- join} extra=${join -- exact}")
+  }
+
+  test("knnJoin keeps useful recall at nprobe << nlist") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val exact = Similarity.knnJoin(e, "vec_id", "embedding", k = 3,
+        dim = 64, nlist = 8, nprobe = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnJoin(e, "vec_id", "embedding", k = 3,
+        dim = 64, nlist = 8, nprobe = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // the approximate setting may under-fill a point's top-k but never
+    // invents neighbors that outrank true ones within probed cells
+    assert(approx.size <= exact.size)
+  }
+
   test("cosineNearDupLsh matches brute force on real embeddings + mutants") {
     // planted near-dups: every vector pairs with its +0.01-nudged copy
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")

@@ -166,4 +166,23 @@ class TextAnalysisSpec extends SparkSpec {
     val (_, top4, dup4, run4, keep4) = r(3)
     assert(top4 == 0.0 && dup4 == 0.0 && run4 == 0L && keep4)
   }
+
+  test("unigramNll matches the hand-computed smoothed model") {
+    // corpus: a:2 b:2 c:1 -> T=5, V=3, p(a)=p(b)=3/8, p(c)=2/8
+    val df = Seq((1L, "a A b"), (2L, "b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = unigramNll(df, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val nlA = math.log(8.0 / 3)
+    assert(r(1L)._1 == 3L)
+    assert(math.abs(r(1L)._2.get - nlA) < 1e-12)
+    assert(r(2L)._1 == 2L)
+    assert(math.abs(r(2L)._2.get - (nlA + math.log(4.0)) / 2) < 1e-12)
+    // empty doc: zero tokens, null score
+    assert(r(3L) == (0L, None))
+
+    // the model is corpus-relative: rarer tokens score strictly worse
+    assert(r(2L)._2.get > r(1L)._2.get)
+  }
 }
