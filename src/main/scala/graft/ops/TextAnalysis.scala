@@ -167,6 +167,51 @@ object TextAnalysis {
       .withColumn("keep", hashUniform(col(idCol), salt) < col("rate"))
   }
 
+  /** Deterministic EXACT-k stratified sample: within each stratum keep
+    * the `k` rows with the smallest content-keyed [[hashUniform]] draw
+    * (ties by id) — the exact-count companion to the rate-based
+    * [[weightedStratifiedSample]], for when a mix spec demands "exactly
+    * k docs per source", reproducibly, on any cluster.
+    *
+    * Scale shape: a naive per-stratum window sorts EVERY stratum's full
+    * row set (single task per hot stratum). Here a count-join prefilter
+    * keeps only rows with u <= overSample*k/n per stratum, so the
+    * window sorts ~overSample*k rows per stratum regardless of stratum
+    * size. The prefilter is made EXACT, not whp: a per-stratum
+    * candidate count check catches any stratum left short (Chernoff
+    * probability < 1e-13 at overSample=8, k>=10) and reprocesses just
+    * those strata without the prefilter, warning on stderr.
+    */
+  def stratifiedExactK(df: DataFrame, idCol: String, strataCol: String,
+                       k: Int, salt: String = "exactk",
+                       overSample: Double = 8.0): DataFrame = {
+    val withU = df.withColumn("__u", hashUniform(col(idCol), salt))
+    val counts = withU.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val joined = withU.join(counts, Seq(strataCol))
+    val cand = joined.filter(
+      col("__u") <= least(lit(1.0), lit(k * overSample) / col("__n")))
+    // completeness gate (dimension-sized: one row per stratum)
+    val short = cand.groupBy(strataCol).agg(count(lit(1)).as("__c"))
+      .join(counts, Seq(strataCol))
+      .filter(col("__c") < least(lit(k.toLong), col("__n")))
+      .select(strataCol).collect().map(_.get(0))
+    val base =
+      if (short.isEmpty) cand
+      else {
+        System.err.println(
+          s"[graft.TextAnalysis] stratifiedExactK: ${short.length} " +
+            "strata under-sampled by the prefilter (astronomically " +
+            "unlikely); reprocessing them unfiltered")
+        cand.filter(!col(strataCol).isin(short: _*))
+          .unionByName(joined.filter(col(strataCol).isin(short: _*)))
+      }
+    base
+      .withColumn("rk", row_number().over(Window.partitionBy(strataCol)
+        .orderBy(col("__u"), col(idCol))))
+      .filter(col("rk") <= k)
+      .drop("__u", "__n")
+  }
+
   // --- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

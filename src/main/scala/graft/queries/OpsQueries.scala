@@ -425,6 +425,16 @@ object OpsQueries {
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")),
 
+    // exact-k stratified sample: exactly 10 docs per source by
+    // smallest content-keyed hash draw — count-join prefilter bounds
+    // the per-stratum window sort (see TextAnalysis.stratifiedExactK)
+    "d22_exact_k_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedExactK(
+          docs(s, dir).select("doc_id", "source"),
+          "doc_id", "source", k = 10)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -792,6 +802,22 @@ object OpsQueries {
              MAX(n_target) AS n_target,
              CAST(SUM(keep) AS BIGINT) AS n_kept
       FROM k GROUP BY source ORDER BY source""",
+
+    // the prefilter is invisible in the result — the full per-stratum
+    // window is the truth
+    "d22_exact_k_sample" -> s"""
+      WITH u AS (
+        SELECT source, doc_id,
+               ${duckHex8("CAST(doc_id AS VARCHAR) || 'exactk'")}
+                 / 4294967296.0 AS u
+        FROM documents),
+      r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY u, doc_id) AS rk
+        FROM u)
+      SELECT source, rk, doc_id FROM r WHERE rk <= 10
+      ORDER BY source, rk""",
 
     "d21_unigram_lm" -> """
       WITH tk AS (

@@ -407,6 +407,24 @@ object RelQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))
         .orderBy("o_month")
+    }),
+
+    // JSON-lines ingest round-trip: write customers as JSONL, read
+    // back with an explicit schema (no inference pass), aggregate —
+    // write→read must equal the parquet truth
+    "q29_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        graft.TempDirs.createCleanedAtExit("graft-q29-json"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_nationkey").cast("int").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+      graft.sources.JsonLines.write(cust, out.toString)
+      graft.sources.JsonLines.read(s, out.toString, cust.schema)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -662,6 +680,12 @@ object RelQueries {
              COUNT(*) AS n_orders,
              ROUND(SUM(o_totalprice), 2) AS revenue
       FROM orders WHERE year(o_orderdate) = 1997
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    // the JSONL hop must be lossless — parquet truth is the oracle
+    "q29_json_roundtrip" -> """
+      SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+             COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+      FROM customer GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -63,10 +63,36 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_pairs"),
           round(sum("p_value"), 4).as("purchase_value"))
         .orderBy("user_id")
+    }),
+
+    // foreachBatch keyed upsert: four micro-batches merge into a
+    // latest-event-per-user parquet state (versioned, idempotent) —
+    // the serving-table maintenance pattern; oracle is the batch
+    // argmax row per user
+    "st05_stream_upsert" -> ((s, dir) => {
+      val ev = RelQueries.events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      Streams.upsertStreamDrain(ev, "user_id", Seq("ts", "event_id"))
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // latest row per key: window argmax on (micro-truncated ts, id) —
+    // the same total order the engine's struct max applies
+    "st05_stream_upsert" -> """
+      SELECT user_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+             event_id, event_type, ROUND(value, 4) AS value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id""",
+
     "st01_stream_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -320,6 +320,64 @@ object Streams {
     q.awaitTermination()
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
+  }
+
+  /** foreachBatch keyed UPSERT drain — incremental materialized state
+    * without a table format: each micro-batch merges into a
+    * latest-row-per-key parquet state, the pattern for maintaining a
+    * serving table (user profile, feature store row) from an event
+    * stream when Delta/Iceberg MERGE isn't available.
+    *
+    * Merge rule: per key keep the row with max (orderCol tuple) —
+    * commutative and associative, so the final state is independent of
+    * how the source files batch (we still force several micro-batches
+    * via maxFilesPerTrigger to exercise the incremental path).
+    * State writes are versioned by batchId (`state_v<batchId>`) and the
+    * merge reads the previous version — a re-run of a failed batch
+    * overwrites its own version dir, so the sink is idempotent
+    * (exactly-once state despite at-least-once batch execution).
+    * Each batch rewrites the full state: O(|keys|) per batch, the
+    * honest cost of formatless upsert — at scale you bucket the state
+    * by key (rewrite only touched buckets) or use a MERGE-capable
+    * table format; the batch-side shape (dedup within batch, then
+    * keyed merge) is identical.
+    */
+  def upsertStreamDrain(events: DataFrame, keyCol: String,
+                        orderCols: Seq[String], numBatches: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st05-src").toString
+    val stateRoot = tempDirCleanedAtExit("graft-st05-state")
+    val ckpt = Files.createTempDirectory("graft-st05-ckpt").toString
+    events.repartition(numBatches).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val valueCols = schema.fieldNames.filter(_ != keyCol)
+    // per-row ordering struct: orderCols first (latest wins), remaining
+    // value columns after so the struct max is total and deterministic
+    val ordered = orderCols ++ valueCols.filterNot(orderCols.contains)
+    var prevState: Option[String] = None
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val merged = prevState match {
+          case Some(p) => batch.sparkSession.read.parquet(p).unionByName(batch)
+          case None => batch
+        }
+        val next = s"$stateRoot/state_v$batchId"
+        merged.groupBy(col(keyCol))
+          .agg(max(struct(ordered.map(col): _*)).as("latest"))
+          .select(col(keyCol) +: ordered.map(c => col(s"latest.$c")): _*)
+          .write.mode("overwrite").parquet(next)
+        prevState = Some(next)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(prevState.getOrElse(
+      sys.error("upsert drain saw no batches")))
   }
 
   /** Drain a streaming DataFrame into an in-memory table with

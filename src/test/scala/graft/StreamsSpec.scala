@@ -112,4 +112,30 @@ class StreamsSpec extends SparkSpec {
     assert(closed.length == 1)
     assert(closed(0) == Streams.Session(1L, 0, 10 * 60000L, 2, 3.0))
   }
+
+  test("upsertStreamDrain: incremental merge equals the batch argmax") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // three versions of key 1 spread over four micro-batches, one of
+    // key 2; same-timestamp tie on key 2 broken by event_id
+    val ev = Seq(
+      (1L, ts(10), 101L, "a", 1.0), (1L, ts(30), 103L, "c", 3.0),
+      (1L, ts(20), 102L, "b", 2.0), (2L, ts(5), 104L, "d", 4.0),
+      (2L, ts(5), 105L, "e", 5.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val state = Streams.upsertStreamDrain(ev, "user_id",
+        Seq("ts", "event_id"), numBatches = 4)
+      .select("user_id", "event_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(state == Set((1L, 103L, "c", 3.0), (2L, 105L, "e", 5.0)))
+  }
+
+  test("upsertStreamDrain final state is batch-partitioning invariant") {
+    val ev = RelQueries.events(spark, sf001)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    def run(n: Int) = Streams.upsertStreamDrain(ev, "user_id",
+        Seq("ts", "event_id"), numBatches = n)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // the merge is commutative: 1 batch (pure batch argmax) == 5
+    assert(run(1) == run(5))
+  }
 }

@@ -185,4 +185,26 @@ class TextAnalysisSpec extends SparkSpec {
     // the model is corpus-relative: rarer tokens score strictly worse
     assert(r(2L)._2.get > r(1L)._2.get)
   }
+
+  test("stratifiedExactK: exact counts, deterministic, prefilter-invisible") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000)
+      .select($"id", ($"id" % 3).cast("string").as("g"))
+      .unionByName(Seq((9999L, "tiny")).toDF("id", "g"))
+    val got = stratifiedExactK(df, "id", "g", k = 7)
+      .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
+    // exactly k per full stratum, all of an under-k stratum
+    assert(got.count(_._1 == "0") == 7 && got.count(_._1 == "tiny") == 1)
+    // the prefilter must be invisible: plain full window is the truth
+    val full = df.withColumn("u", hashUniform($"id", "exactk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy("u", "id")))
+      .filter($"rk" <= 7)
+      .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
+    assert(got == full)
+    // deterministic under re-partitioning
+    val again = stratifiedExactK(df.repartition(13), "id", "g", k = 7)
+      .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
+    assert(again == got)
+  }
 }
