@@ -306,6 +306,39 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Broadcast-Bloom decontamination: given corpus rows keyed by a
+    * 64-bit content hash `hCol` and a contaminated reference keyed the
+    * same way, return the ids whose key set shares NOTHING with the
+    * reference — semantically an exact anti-join, executed as a Bloom
+    * prefilter + exact verify.
+    *
+    * Scale shape: the reference side is reduced to a Bloom sketch
+    * (`DataFrameStatFunctions.bloomFilter` — built by a Spark
+    * aggregate, never collected row-wise) that ships to every scan
+    * task; the corpus side is filtered by the sketch BEFORE any
+    * shuffle, so the overwhelmingly-clean majority of a 100 TB corpus
+    * never leaves its scan task. Bloom false positives are removed by
+    * an exact semi-join of the (tiny) candidate set against the
+    * reference; false negatives are impossible — the result is EXACTLY
+    * the anti-join (oracle-gated as d24) at a fraction of its shuffle
+    * volume. The probe is the one deliberate UDF in the engine: Spark
+    * exposes no Column-level might_contain, and a non-codegen probe on
+    * the narrow prefilter path beats shuffling the clean majority.
+    */
+  def bloomClean(rows: DataFrame, idCol: String, hCol: String,
+                 dirty: DataFrame, dirtyHCol: String,
+                 expectedItems: Long = 1000000L,
+                 fpp: Double = 0.01): DataFrame = {
+    val bf = dirty.stat.bloomFilter(dirtyHCol, expectedItems, fpp)
+    val might = udf((h: Long) => bf.mightContainLong(h))
+    val confirmed = rows.filter(might(col(hCol)))
+      .join(dirty.select(col(dirtyHCol).as(hCol)).distinct(),
+        Seq(hCol), "left_semi")
+      .select(col(idCol)).distinct()
+    rows.select(col(idCol)).distinct()
+      .join(confirmed, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-duplicate PAIR list — the
     * "pairs → clusters" closure every real dedup pipeline needs before
     * it can pick one keeper per group (pairs alone can't: near-dup is

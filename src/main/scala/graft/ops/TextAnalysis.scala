@@ -212,6 +212,47 @@ object TextAnalysis {
       .drop("__u", "__n")
   }
 
+  // --- sequence packing --------------------------------------------------
+
+  /** Concat-and-chunk sequence packing — the step that turns a curated
+    * corpus into fixed-length LM training rows (GPT-style packing:
+    * documents are laid end-to-end in a deterministic order and cut
+    * every `capacity` tokens, so a document may straddle a pack
+    * boundary). Emits each document's pack-stream coordinates: shard,
+    * the token offset where it starts, and the first/last pack
+    * (training-sequence index) it occupies.
+    *
+    * Scale shape: packing needs a total order — inherently sequential —
+    * so the corpus is first split into `shards` independent pack
+    * streams by a content-keyed [[hashUniform]] (deterministic under
+    * retries and repartitioning, and md5-portable so the oracle replays
+    * the assignment), and the cumulative token count is a window per
+    * shard ordered by id. One shuffle keyed by shard; pick `shards` so
+    * one stream's rows fit a task's window sort (10^4-10^5 at 100 TB —
+    * streams are independent, so the shard count changes nothing but
+    * the parallelism and pack numbering).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    capacity: Int, shards: Int,
+                    salt: String = "pack"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard",
+        floor(hashUniform(col("id"), salt) * shards).cast("int"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // a document ending exactly on a boundary stays in its last pack
+      // (offset + n - 1); an empty doc occupies its offset's pack
+      .withColumn("pack_first",
+        floor(col("tok_offset") / lit(capacity.toDouble)).cast("long"))
+      .withColumn("pack_last",
+        floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
+          / lit(capacity.toDouble)).cast("long"))
+      .select(col("id").as(idCol), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("pack_first"), col("pack_last"))
+  }
+
   // --- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

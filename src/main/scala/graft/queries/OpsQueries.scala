@@ -34,6 +34,22 @@ object OpsQueries {
     d.unionByName(mutated)
   }
 
+  /** Shared decontamination base (d16/d24): one row per (doc, distinct
+    * 3-gram), shingles carried as the portable md5 base hash (8-byte
+    * shuffles; the oracle computes the identical hash, so any collision
+    * is mirrored), split = the deterministic md5 assignment (d14).
+    */
+  private def contamBase(s: SparkSession, dir: String): DataFrame =
+    docsWithMutants(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("split"),
+        array_distinct(TextAnalysis.shinglesOf(col("toks"), 3)).as("sh"))
+      .select(col("doc_id"), col("split"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("split"),
+        Dedup.minhashBase(col("shingle")).as("h"))
+
   /** Embeddings + mutants: first component nudged by +0.01. */
   def embsWithMutants(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
@@ -337,21 +353,39 @@ object OpsQueries {
     // the portable md5 base hash (8-byte shuffles at scale; the oracle
     // computes the identical hash, so any collision is mirrored).
     "d16_decontaminate" -> ((s, dir) => {
-      val base = docsWithMutants(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.splitAssign(col("doc_id")).as("split"),
-          TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("split"),
-          array_distinct(TextAnalysis.shinglesOf(col("toks"), 3)).as("sh"))
-        .select(col("doc_id"), col("split"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("split"),
-          Dedup.minhashBase(col("shingle")).as("h"))
+      val base = contamBase(s, dir)
       val train = base.filter(col("split") === "train")
         .select("h").distinct()
       base.filter(col("split") =!= "train")
         .join(train, Seq("h"))
         .groupBy("doc_id", "split")
         .agg(countDistinct(col("h")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // the CLEAN-side complement of d16 at 100-TB shape: which corpus
+    // docs share NO 3-gram with a benchmark reference (the src0 slice)
+    // — an exact anti-join run as broadcast-Bloom prefilter + exact
+    // verify (Dedup.bloomClean), so the clean subset never shuffles.
+    // Same answer as the plain anti-join, which is exactly what the
+    // oracle computes.
+    "d24_bloom_clean" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          array_distinct(TextAnalysis.shinglesOf(col("toks"), 3)).as("sh"))
+        .select(col("doc_id"), col("source"),
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("source"),
+          Dedup.minhashBase(col("shingle")).as("h"))
+      val bench = base.filter(col("source") === "src0").select("h")
+      val corpus = base.filter(col("source") =!= "src0")
+      val clean = Dedup.bloomClean(corpus, "doc_id", "h", bench, "h",
+        expectedItems = 1000000L)
+      corpus.groupBy("doc_id", "source")
+        .agg(countDistinct(col("h")).as("n_shingles"))
+        .join(clean, Seq("doc_id"), "left_semi")
         .orderBy("doc_id")
     }),
 
@@ -434,6 +468,72 @@ object OpsQueries {
           "doc_id", "source", k = 10)
         .select(col("source"), col("rk"), col("doc_id"))
         .orderBy("source", "rk")),
+
+    // concat-and-chunk sequence packing: documents laid end-to-end in
+    // 8 independent hash-sharded streams, cut every 256 tokens — each
+    // doc's (shard, offset, first/last pack) coordinates. The window
+    // runs per shard, never globally (see TextAnalysis.packSequences)
+    "d23_seq_packing" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+          capacity = 256, shards = 8)
+        .orderBy("doc_id")),
+
+    // duplicate clusters -> one KEEPER per cluster by quality argmax
+    // (rounded score desc, id asc — deterministic across engines): the
+    // canonical-document selection that closes the dedup pipeline
+    // (pairs -> clusters -> keeper). Oracle replays the full chain:
+    // recursive-CTE closure + the d03 quality formula + the window.
+    "d25_cluster_keeper" -> ((s, dir) => {
+      val d = docsWithMutants(s, dir)
+      val pairs = Dedup.ngramJaccardJoin(d, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      val q = d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScoreOf(col("toks"), col("text")), 6)
+            .as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("q").desc, col("doc_id"))
+      labels.join(q, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("rn") === 1, col("q"))).as("best_q"))
+        .select("cluster", "keep_id", "n_members", "best_q")
+        .orderBy("cluster")
+    }),
+
+    // per-label embedding outlier gate: distance-to-own-centroid
+    // z-score — the "drop vectors far from their class manifold"
+    // quality filter for embedding corpora. Centroids via the native
+    // vector-sum aggregate (one array per group x task crosses the
+    // shuffle), then a broadcast join back and a narrow cosine per row;
+    // the outlier flag compares the ROUNDED z so a last-ulp divergence
+    // between engines cannot flip it.
+    "s07_embedding_outliers" -> ((s, dir) => {
+      graft.functions.VectorSum.register(s)
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = e.groupBy("label")
+        .agg(graft.functions.VectorSum.vecSum(col("v")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          transform(col("vs"), x => x / col("n")).as("cent"))
+      val scored = e.join(broadcast(cents), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          Similarity.cosine(col("v"), col("cent")).as("cos"))
+      val stats = scored.groupBy("label")
+        .agg(avg("cos").as("mu"), stddev_samp("cos").as("sd"))
+      scored.join(broadcast(stats), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          round(col("cos"), 6).as("cos"),
+          round((col("cos") - col("mu")) / col("sd"), 4).as("z"))
+        .withColumn("is_outlier", col("z") < -2.0)
+        .orderBy("label", "vec_id")
+    }),
 
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
@@ -647,6 +747,175 @@ object OpsQueries {
     "d07_minhash_lsh" -> minhashOracle,
     "d08_simhash" -> simhashOracle,
     "d16_decontaminate" -> decontaminateOracle,
+
+    // the clean-side anti-join the bloom prefilter must exactly equal
+    "d24_bloom_clean" -> s"""
+      WITH toks0 AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM toks0),
+      inv AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, source,
+               ${duckHex8("shingle")} % 2147483647 AS h
+        FROM inv),
+      bench AS (SELECT DISTINCT h FROM hv WHERE source = 'src0'),
+      corp AS (SELECT doc_id, source, h FROM hv WHERE source <> 'src0'),
+      dirty AS (SELECT DISTINCT corp.doc_id FROM corp JOIN bench USING (h))
+      SELECT doc_id, source, COUNT(DISTINCT h) AS n_shingles
+      FROM corp
+      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+      GROUP BY doc_id, source ORDER BY doc_id""",
+
+    // same md5 'pack' salt, shard = floor(u*8); the window cumsum and
+    // both pack divisions are power-of-two double math, exact in both
+    // engines
+    "d23_seq_packing" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS n_tokens,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+                      CAST(i AS INT), 1)) - 1)
+                 * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 AS u
+        FROM documents),
+      sh AS (
+        SELECT doc_id, n_tokens, CAST(floor(u * 8) AS INT) AS shard
+        FROM tk),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tok_offset
+        FROM sh)
+      SELECT doc_id, shard, n_tokens,
+             CAST(tok_offset AS BIGINT) AS tok_offset,
+             CAST(floor(tok_offset / 256.0) AS BIGINT) AS pack_first,
+             CAST(floor((tok_offset + GREATEST(n_tokens, 1) - 1) / 256.0)
+               AS BIGINT) AS pack_last
+      FROM c ORDER BY doc_id""",
+
+    // the full chain replayed: recursive-CTE closure (d15) + the d03
+    // quality formula over the mutant corpus + the keeper window
+    "d25_cluster_keeper" -> """
+      WITH RECURSIVE t0 AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, text FROM t0
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(list_filter(toks, (t, i) -> i <> 2), ' ')
+        FROM t0),
+      tk AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM docs2),
+      sh AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM tk),
+      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+               COUNT(*) AS inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      pr AS (
+        SELECT id_a, id_b FROM p
+        WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5),
+      e AS (
+        SELECT id_a AS a, id_b AS b FROM pr
+        UNION SELECT id_b, id_a FROM pr),
+      n AS (SELECT DISTINCT a AS id FROM e),
+      r AS (
+        SELECT id, id AS rid FROM n
+        UNION
+        SELECT r.id, e.b FROM r JOIN e ON e.a = r.rid),
+      lab AS (
+        SELECT id AS doc_id, MIN(rid) AS cluster FROM r GROUP BY id),
+      lt AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS ltoks
+        FROM docs2),
+      qc AS (
+        SELECT doc_id,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE len(list_filter(ltoks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','are',
+                       'was','it','that','for','on','with','as'], t)))
+                      * 1.0 / len(ltoks) END AS sw,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(ltoks)) * 1.0 / len(ltoks)
+                    END AS rep,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))
+                         * 1.0 / length(text) END AS punct,
+               LEAST(len(ltoks) / 100.0, 1.0) AS lenscore
+        FROM lt),
+      q AS (
+        SELECT doc_id,
+               ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
+                     + 0.25 * lenscore
+                     + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS q
+        FROM qc),
+      rk AS (
+        SELECT lab.cluster, lab.doc_id, q.q,
+               ROW_NUMBER() OVER (PARTITION BY lab.cluster
+                 ORDER BY q.q DESC, lab.doc_id) AS rn
+        FROM lab JOIN q USING (doc_id))
+      SELECT cluster, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+             COUNT(*) AS n_members,
+             MAX(CASE WHEN rn = 1 THEN q END) AS best_q
+      FROM rk GROUP BY cluster ORDER BY cluster""",
+
+    // centroid rebuilt per label, cosine to own centroid, per-label
+    // z-score; the outlier flag compares the ROUNDED z in both engines
+    "s07_embedding_outliers" -> """
+      WITH e AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      x AS (
+        SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS val
+        FROM e),
+      cm AS (SELECT label, i, AVG(val) AS c FROM x GROUP BY label, i),
+      cent AS (
+        SELECT label, list(c ORDER BY i) AS cent FROM cm GROUP BY label),
+      sc AS (
+        SELECT e.label, e.vec_id,
+               list_cosine_similarity(e.v, cent.cent) AS cos
+        FROM e JOIN cent USING (label)),
+      st AS (
+        SELECT label, AVG(cos) AS mu, STDDEV_SAMP(cos) AS sd
+        FROM sc GROUP BY label)
+      SELECT sc.label, sc.vec_id, ROUND(sc.cos, 6) AS cos,
+             ROUND((sc.cos - st.mu) / st.sd, 4) AS z,
+             (ROUND((sc.cos - st.mu) / st.sd, 4) < -2.0) AS is_outlier
+      FROM sc JOIN st USING (label)
+      ORDER BY sc.label, sc.vec_id""",
 
     "d17_tfidf" -> """
       WITH tk AS (

@@ -116,6 +116,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloomClean equals the exact anti-join") {
+    // ids 1..50 carry keys {id, id+1000}; dirty reference holds keys of
+    // every multiple of 3 -> clean = ids not divisible by 3
+    val rows = spark.range(1, 51)
+      .select($"id", explode(array($"id", $"id" + 1000)).as("h"))
+    val dirty = spark.range(1, 51).filter($"id" % 3 === 0)
+      .select($"id".as("h"))
+    val clean = Dedup.bloomClean(rows, "id", "h", dirty, "h",
+        expectedItems = 1000L)
+      .as[Long].collect().toSet
+    val expected = (1L until 51L).filterNot(_ % 3 == 0).toSet
+    assert(clean == expected)
+    // an aggressive fpp floods the prefilter with false positives; the
+    // exact verify stage must still return the identical clean set
+    val sloppy = Dedup.bloomClean(rows, "id", "h", dirty, "h",
+        expectedItems = 10L, fpp = 0.5)
+      .as[Long].collect().toSet
+    assert(sloppy == expected)
+  }
+
   test("chunkDedup keeps the globally-first span, preserves order") {
     val docs = Seq(
       (1L, "a b c d e f"),       // spans (k=3): "a b c", "d e f"

@@ -135,6 +135,21 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("o_totalprice"), readSchema)
   }
 
+  test("d23: pack window shuffles on shard, never a global sort") {
+    val plan = planOf("d23_seq_packing")
+    // the cumsum window must partition by shard (independent streams);
+    // a rangepartitioning over the window sort key would mean a global
+    // ordering — the scale-hostile shape packSequences exists to avoid.
+    // (the final orderBy of the query entry is presentation-only and
+    // does rangepartition; assert on the window exchange specifically)
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
+
+  test("s07: centroid and stats joins broadcast (no corpus shuffle)") {
+    val plan = planOf("s07_embedding_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(

@@ -207,4 +207,45 @@ class TextAnalysisSpec extends SparkSpec {
       .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
     assert(again == got)
   }
+
+  test("packSequences: contiguous offsets, boundary and empty-doc packs") {
+    // one shard -> the stream is simply id order; capacity 4 exercises
+    // an exact-boundary end (id 3 ends at token 8) and a straddle
+    val docs = Seq(
+      (1L, "t t t"),             // off 0, packs 0..0
+      (2L, "t t t t"),           // off 3, straddles into pack 1
+      (3L, "t t"),               // off 7, tokens 7-8 -> packs 1..2
+      (4L, "t t t t t t t t"),   // off 9, packs 2..4
+      (5L, "")                   // off 17, empty: pack 4 only
+    ).toDF("doc_id", "text")
+    val r = packSequences(docs, "doc_id", "text", capacity = 4, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "n_tokens", "tok_offset",
+        "pack_first", "pack_last")
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 0, 3, 0L, 0L, 0L)))
+    assert(r(1) == ((2L, 0, 4, 3L, 0L, 1L)))
+    assert(r(2) == ((3L, 0, 2, 7L, 1L, 2L)))
+    assert(r(3) == ((4L, 0, 8, 9L, 2L, 4L)))
+    assert(r(4) == ((5L, 0, 0, 17L, 4L, 4L)))
+  }
+
+  test("packSequences: shard streams are independent and deterministic") {
+    val docs = spark.range(0, 400)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), ($"id" % 7 + 1)),
+          _ => lit("w"))).as("text"))
+    val a = packSequences(docs, "doc_id", "text", capacity = 16, shards = 4)
+    val b = packSequences(docs.repartition(13), "doc_id", "text",
+      capacity = 16, shards = 4)
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq)
+    // within every shard the offsets tile the stream with no gaps:
+    // sum of n_tokens == max(offset + n_tokens) per shard
+    val tiles = a.groupBy("shard")
+      .agg(sum("n_tokens").as("s"),
+        max(col("tok_offset") + col("n_tokens")).as("m"))
+      .select((col("s") === col("m")).as("ok")).as[Boolean].collect()
+    assert(tiles.length == 4 && tiles.forall(identity))
+  }
 }
