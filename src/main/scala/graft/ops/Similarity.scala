@@ -177,6 +177,78 @@ object Similarity {
     cents
   }
 
+  /** Distributed spherical k-means (Lloyd's) — the at-scale companion
+    * to the driver-side sample quantizer [[trainCentroids]], for when
+    * the codebook must reflect the FULL distribution (corpus-level
+    * semantic clustering for diversity sampling / semantic dedup), not
+    * a 4k-vector sample.
+    *
+    * Scale shape: each Lloyd iteration is ONE `treeAggregate` over the
+    * cached unit-vector RDD — per-partition assign-and-accumulate into
+    * k×dim local sums, log-depth combine, no shuffle of the data and
+    * nothing driver-side but the k×dim codebook (the same pattern as
+    * the Glmm/Em objective passes, SURVEY M12). Deterministic:
+    * initial centers are the k vectors with the smallest content-keyed
+    * md5 draw (partitioning/retry-invariant — `TakeOrdered`, never a
+    * global sort), iteration count fixed; an emptied cell keeps its
+    * previous center.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): IndexedSeq[Array[Double]] = {
+    import org.apache.spark.storage.StorageLevel
+    val u = unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("u", TextAnalysis.hashUniform(col("id"), "km"))
+    val init = u.orderBy("u", "id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(init.length == k, s"need >= $k vectors, got ${init.length}")
+    val vecs = u.select("v").rdd.map(_.getSeq[Double](0).toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = init.head.length
+      def unit(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      var cents: IndexedSeq[Array[Double]] = init.toIndexedSeq.map(unit)
+      var it = 0
+      while (it < iters) {
+        val bc = vecs.sparkContext.broadcast(cents)
+        val (sums, counts) = vecs.treeAggregate(
+          (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
+          seqOp = { case ((s, c), v) =>
+            val cs = bc.value
+            var best = 0; var bestDot = Double.MinValue
+            var j = 0
+            while (j < k) {
+              var d = 0.0; var i = 0
+              while (i < dim) { d += v(i) * cs(j)(i); i += 1 }
+              if (d > bestDot) { bestDot = d; best = j }
+              j += 1
+            }
+            var i = 0
+            while (i < dim) { s(best)(i) += v(i); i += 1 }
+            c(best) += 1
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var j = 0
+            while (j < k) {
+              var i = 0
+              while (i < dim) { s1(j)(i) += s2(j)(i); i += 1 }
+              c1(j) += c2(j)
+              j += 1
+            }
+            (s1, c1)
+          })
+        bc.destroy()
+        cents = (0 until k).map(j =>
+          if (counts(j) == 0) cents(j) else unit(sums(j)))
+        it += 1
+      }
+      cents
+    } finally vecs.unpersist(blocking = false)
+  }
+
   /** IVF ANN — the second scale path next to [[lshTopK]]: a spherical
     * k-means coarse quantizer (trained driver-side on a bounded sample)
     * partitions the corpus into `nlist` cells; each query probes its

@@ -535,6 +535,57 @@ object OpsQueries {
         .orderBy("label", "vec_id")
     }),
 
+    // distributed spherical k-means over the FULL embedding corpus
+    // (one treeAggregate per Lloyd iteration, nothing driver-side but
+    // the codebook) + assignment back through one matvec literal —
+    // corpus-level semantic clustering for diversity sampling. Seeded
+    // deterministic init; rows-only (iterative, not SQL-expressible),
+    // blob-recovery + determinism in SimilaritySpec.
+    "s08_kmeans" -> ((s, dir) => {
+      graft.functions.MatVecDots.register(s)
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
+        k = 8, iters = 5)
+      val cb = graft.functions.MatVecDots.matrixLit(cents)
+      Similarity.unitized(e, "vec_id", "embedding", "vec_id", "v")
+        .withColumn("dots", graft.functions.MatVecDots.matvec(col("v"), cb))
+        .select(col("vec_id"),
+          (array_position(col("dots"), array_max(col("dots"))) - 1)
+            .cast("int").as("cell"),
+          array_max(col("dots")).as("cos"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("cos")), 4).as("mean_cos"))
+        .orderBy("cell")
+    }),
+
+    // label-confusion sweep (mislabel/near-class detection): each
+    // vector's nearest LABEL centroid vs its own label — the Cleanlab-
+    // shape hygiene check for labeled embedding corpora. The candidate
+    // space is vectors x labels (bounded by the label count), ranked on
+    // the ROUNDED cosine so a last-ulp divergence cannot flip ranks.
+    "s09_label_confusion" -> ((s, dir) => {
+      graft.functions.VectorSum.register(s)
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = e.groupBy("label")
+        .agg(graft.functions.VectorSum.vecSum(col("v")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("label").as("clabel"),
+          transform(col("vs"), x => x / col("n")).as("cent"))
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(Similarity.cosine(col("v"), col("cent")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"),
+          col("clabel").as("nearest_label"), col("cos"),
+          (col("label") =!= col("clabel")).as("confused"))
+        .orderBy("vec_id")
+    }),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -891,6 +942,32 @@ object OpsQueries {
              COUNT(*) AS n_members,
              MAX(CASE WHEN rn = 1 THEN q END) AS best_q
       FROM rk GROUP BY cluster ORDER BY cluster""",
+
+    // vectors x label-centroids, nearest by ROUNDED cosine (rank ties
+    // by label), confusion = nearest != own
+    "s09_label_confusion" -> """
+      WITH e AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      x AS (
+        SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS val
+        FROM e),
+      cm AS (SELECT label, i, AVG(val) AS c FROM x GROUP BY label, i),
+      cent AS (
+        SELECT label AS clabel, list(c ORDER BY i) AS cent
+        FROM cm GROUP BY label),
+      sc AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+               ROUND(list_cosine_similarity(e.v, cent.cent), 6) AS cos
+        FROM e CROSS JOIN cent),
+      rk AS (
+        SELECT vec_id, label, clabel, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, clabel) AS rn
+        FROM sc)
+      SELECT vec_id, label, clabel AS nearest_label, cos,
+             (label <> clabel) AS confused
+      FROM rk WHERE rn = 1 ORDER BY vec_id""",
 
     // centroid rebuilt per label, cosine to own centroid, per-label
     // z-score; the outlier flag compares the ROUNDED z in both engines

@@ -153,4 +153,33 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
     assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
   }
+
+  test("kmeansFit recovers planted blobs, deterministic under partitioning") {
+    // three tight blobs around orthogonal axes; k=3 must put one
+    // center per blob (cos > 0.99 to the axis), any partitioning
+    val rng = new scala.util.Random(7)
+    val axes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val pts = (0 until 300).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => x + rng.nextGaussian() * 0.05))
+    }
+    val df = pts.toDF("id", "v")
+    val cents = Similarity.kmeansFit(df, "id", "v", k = 3, iters = 8)
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    axes.foreach { ax =>
+      val best = cents.map(c => cos(c, ax)).max
+      assert(best > 0.99, s"axis $ax best cos $best")
+    }
+    // deterministic: same codebook from a different partitioning
+    // (treeAggregate sums of ~100 similar-magnitude doubles per cell:
+    // combine-order float drift is below the 1e-9 gate)
+    val again = Similarity.kmeansFit(df.repartition(13), "id", "v",
+      k = 3, iters = 8)
+    cents.zip(again).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
 }
