@@ -251,6 +251,72 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT join: pairs (a, b) where at least
+    * `threshold` of a's distinct shingles also appear in b — the
+    * sub-document/quote-detection operator (t = 1.0 is exact "a is a
+    * shingle-subset of b"), the asymmetric sibling of
+    * [[ngramJaccardJoin]]'s symmetric Jaccard.
+    *
+    * Candidate scheme: the contained side indexes only its PPJoin-style
+    * prefix — the first |A| - ceil(t*|A|) + 1 shingles in (global
+    * doc-frequency asc, shingle asc) order; pigeonhole: overlap >=
+    * ceil(t*|A|) forces at least one shared shingle into that prefix.
+    * The CONTAINER side must index its full shingle set (any doc can
+    * quote any other), which is the inherent cost of containment — but
+    * the join fan-out per shingle is prefixFreq(s) * fullFreq(s), and
+    * the df-asc prefix ordering keeps prefixFreq ~ 0 exactly for the
+    * hot shingles where fullFreq is large, so no hot key explodes. The
+    * positional filter prunes candidates that can't reach the required
+    * overlap; exact verification on the hashed sets makes the result
+    * identical to the naive all-pairs join (oracle-gated as d26). Same
+    * eps-nudged float-safe bounds as [[ngramJaccardJoin]].
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
+          .as("shs"))
+      .select(col("id"), transform(col("shs"), s => xxhash64(s)).as("sh"))
+      .withColumn("setSize", size(col("sh")))
+      .cache()
+    val inv = sh.select(col("id"), col("setSize"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dfreq"), col("shingle"))
+    val ranked = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .select("id", "shingle", "rn", "setSize")
+    val eps = 1e-9
+    val pre = ranked.filter(col("rn") <=
+      col("setSize") - ceil(col("setSize") * threshold - eps) + 1)
+    // overlap needed: I >= ceil(t*|A|); at the earliest common shingle
+    // (rank p in A, q in B) at most 1 + min(|A|-p, |B|-q) overlap
+    // remains — true pairs always pass there (int >= ceil(x) <=>
+    // int >= x, compared against x - eps to dodge the rounding hazard)
+    val cand = pre.as("a")
+      .join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .filter(
+        least(col("a.setSize") - col("a.rn"), col("b.setSize") - col("b.rn"))
+          + 1 >= col("a.setSize") * threshold - eps)
+      .select(col("a.id").as("id_in"), col("b.id").as("id_of"))
+      .dropDuplicates("id_in", "id_of")
+    cand
+      .join(sh.select(col("id").as("id_in"), col("sh").as("sh_in")),
+        Seq("id_in"))
+      .join(sh.select(col("id").as("id_of"), col("sh").as("sh_of")),
+        Seq("id_of"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_in"), col("sh_of"))))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("sh_in")))
+      .filter(col("containment") >= threshold)
+      .select("id_in", "id_of", "containment")
+  }
+
   /** C4-style span-level dedup (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — "we removed all but one of any three-sentence span
     * occurring more than once"): documents are cut into consecutive

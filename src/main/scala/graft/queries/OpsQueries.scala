@@ -535,6 +535,24 @@ object OpsQueries {
         .orderBy("label", "vec_id")
     }),
 
+    // asymmetric containment (sub-document / quote detection): corpus
+    // unioned with 20-token truncations (doc_id + 200000) — every
+    // truncation's shingle set sits inside its original, so true
+    // containment pairs exist by construction at every SF. Contained-
+    // side prefix + full container index + exact verify == the naive
+    // all-pairs containment join the oracle computes.
+    "d26_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val sub = d.select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 20)).as("text"))
+      Dedup.containmentJoin(d.unionByName(sub), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        .select(col("id_in"), col("id_of"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_in", "id_of")
+    }),
+
     // distributed spherical k-means over the FULL embedding corpus
     // (one treeAggregate per Lloyd iteration, nothing driver-side but
     // the codebook) + assignment back through one matvec literal —
@@ -942,6 +960,38 @@ object OpsQueries {
              COUNT(*) AS n_members,
              MAX(CASE WHEN rn = 1 THEN q END) AS best_q
       FROM rk GROUP BY cluster ORDER BY cluster""",
+
+    // naive all-pairs containment join over corpus + truncations — the
+    // prefix-filtered engine plan must be candidate-complete against it
+    "d26_containment" -> """
+      WITH t0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM t0
+        UNION ALL
+        SELECT doc_id + 200000, toks[1:20] FROM t0),
+      sh AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM docs2),
+      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+      p AS (
+        SELECT a.doc_id AS id_in, b.doc_id AS id_of, a.sz AS sa,
+               COUNT(*) AS inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2, 3)
+      SELECT id_in, id_of,
+             ROUND(CAST(inter AS DOUBLE) / sa, 6) AS containment
+      FROM p WHERE CAST(inter AS DOUBLE) / sa >= 0.8
+      ORDER BY id_in, id_of""",
 
     // vectors x label-centroids, nearest by ROUNDED cosine (rank ties
     // by label), confusion = nearest != own

@@ -244,6 +244,34 @@ object RelQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers x
+    // date-filtered orders x late-shipped lineitems, revenue per order,
+    // top-10. Both selective filters reach their scans as pushed
+    // predicates; the orderkey join shuffles; the top-10 is TakeOrdered
+    // over the reduced aggregate, never a global sort. Ranked on the
+    // ROUNDED revenue (ties by date, orderkey) so the cut cannot flip
+    // on a last-ulp sum divergence between engines.
+    "q30_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // J5 (beyond-reference) — as-of join: every click event enriched
     // with the user's most recent purchase value at-or-before it.
     // Union + single key shuffle + running window — no range-join
@@ -577,6 +605,20 @@ object RelQueries {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "q30_shipping_priority" -> """
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             o_orderpriority,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, o_date, l_orderkey
+      LIMIT 10""",
 
     // as-of join replicated with the same union + running-last-value
     // plan the engine uses. epoch_us matches the engine's

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash64
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextAnalysis}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -113,6 +113,36 @@ class DedupSpec extends SparkSpec {
           shingleN = 2, threshold = t)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(filtered == naive, s"t=$t prefix=$filtered naive=$naive")
+    }
+  }
+
+  test("containmentJoin equals the naive all-pairs containment join") {
+    // hand-built corpus: 2 contains 1 fully (prefix quote), 3 shares
+    // only part of 1, 4 is disjoint; plus threshold boundary docs
+    val corpus = Seq(
+      (1L, "a b c d e"),                 // 3 shingles: abc bcd cde
+      (2L, "a b c d e f g h"),           // superset of 1's shingles
+      (3L, "c d e x y z"),               // shares cde only
+      (4L, "p q r s t"),                 // disjoint
+      (5L, "a b c d x"),                 // abc bcd + bridge
+      (6L, "")                           // empty -> [""] shingle
+    ).toDF("id", "text")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val sh = corpus.select($"id",
+          TextAnalysis.tokens($"text").as("toks"))
+        .select($"id",
+          array_distinct(TextAnalysis.shinglesOf($"toks", 3)).as("sh"))
+      val naive = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.id" =!= $"b.id")
+        .select($"a.id".as("id_in"), $"b.id".as("id_of"),
+          (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+            size($"a.sh")).as("c"))
+        .filter($"c" >= t)
+        .select("id_in", "id_of").as[(Long, Long)].collect().toSet
+      val got = Dedup.containmentJoin(corpus, "id", "text",
+          shingleN = 3, threshold = t)
+        .select("id_in", "id_of").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"t=$t got=$got naive=$naive")
     }
   }
 
