@@ -353,7 +353,9 @@ object OpsQueries {
     // the portable md5 base hash (8-byte shuffles at scale; the oracle
     // computes the identical hash, so any collision is mirrored).
     "d16_decontaminate" -> ((s, dir) => {
-      val base = contamBase(s, dir)
+      // cached: the train side and the non-train probe side are both
+      // branches of the same mutant+shingle+md5 pipeline
+      val base = contamBase(s, dir).cache()
       val train = base.filter(col("split") === "train")
         .select("h").distinct()
       base.filter(col("split") =!= "train")
@@ -370,6 +372,9 @@ object OpsQueries {
     // Same answer as the plain anti-join, which is exactly what the
     // oracle computes.
     "d24_bloom_clean" -> ((s, dir) => {
+      // cached: evaluated by the bloom build, the candidate semi-join,
+      // the clean-id anti-join, AND the per-doc counts — uncached, the
+      // shingle+md5 pipeline would run 3-4x
       val base = docs(s, dir)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokens(col("text")).as("toks"))
@@ -379,6 +384,7 @@ object OpsQueries {
           explode(col("sh")).as("shingle"))
         .select(col("doc_id"), col("source"),
           Dedup.minhashBase(col("shingle")).as("h"))
+        .cache()
       val bench = base.filter(col("source") === "src0").select("h")
       val corpus = base.filter(col("source") =!= "src0")
       val clean = Dedup.bloomClean(corpus, "doc_id", "h", bench, "h",

@@ -150,6 +150,21 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("d26: containment join has no cartesian/BNLJ stage") {
+    val plan = planOf("d26_containment")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q30: selective filters are pushed to both scans") {
+    val plan = planOf("q30_shipping_priority")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), " +
+      "EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(
