@@ -272,6 +272,71 @@ object RelQueries {
         .limit(10)
     }),
 
+    // cohort retention (event analytics): users grouped by first-seen
+    // day, retention = distinct users of cohort c active on day c+d.
+    // Scale shape: per-user first-day is a map-side-combinable groupBy;
+    // the join back shuffles both sides on user_id; the final rollup is
+    // a tiny (cohorts x offsets) aggregate. distinct() before the
+    // rollup keeps countDistinct's per-group state to one row per
+    // (user, cohort, offset) — never the raw event stream.
+    "q31_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val firsts = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+      ev.join(firsts, Seq("user_id"))
+        .select(col("user_id"), col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort_d", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // conversion funnel (ClickHouse windowFunnel shape): how many users
+    // produce view -> click -> signup -> purchase as a strictly
+    // time-ordered subsequence. ONE shuffle keyed by user, then a HOF
+    // fold over each user's sorted events (state = (stage, last ts) —
+    // greedy first-qualifying advance is provably the sequential-min
+    // t_k = min(ts of stage k with ts > t_{k-1}), which is exactly what
+    // the oracle's four chained joins compute); the per-stage rollup
+    // happens on one row per user. The strict ts > last-ts advance
+    // makes equal-timestamp events a non-advance in BOTH engines, so
+    // sort-order ties cannot diverge.
+    "q32_funnel" -> ((s, dir) => {
+      val stages = Seq("view", "click", "signup", "purchase")
+      val stageArr = array(stages.map(lit): _*)
+      val zero = struct(lit(0).as("stage"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("t"))
+      // a 2-day slice (~5 events/user at sf0.01) keeps the stage
+      // counts discriminating — over the full month every user
+      // completes all four stages and the funnel degenerates
+      val folded = events(s, dir)
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("user_id"), struct(col("ts"), col("event_type")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("seq"))
+        .select(col("user_id"),
+          aggregate(col("seq"), zero, (acc, e) =>
+            when(acc.getField("stage") < stages.length &&
+                e.getField("event_type") ===
+                  element_at(stageArr, acc.getField("stage") + 1) &&
+                e.getField("ts") > acc.getField("t"),
+              struct((acc.getField("stage") + 1).as("stage"),
+                e.getField("ts").as("t")))
+              .otherwise(acc)).getField("stage").as("stage"))
+      folded.filter(col("stage") >= 1)
+        .select(col("user_id"),
+          explode(sequence(lit(1), col("stage"))).as("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("stage_idx"),
+          element_at(stageArr, col("stage_idx")).as("stage"),
+          col("n_users"))
+        .orderBy("stage_idx")
+    }),
+
     // J5 (beyond-reference) — as-of join: every click event enriched
     // with the user's most recent purchase value at-or-before it.
     // Union + single key shuffle + running window — no range-join
@@ -605,6 +670,45 @@ object RelQueries {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    // four chained stage-min joins == the engine's greedy fold
+    "q32_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+      t1 AS (
+        SELECT user_id, MIN(ts) AS t FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM ev e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM ev e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'signup' AND e.ts > t2.t GROUP BY 1),
+      t4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM ev e JOIN t3 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS stage_idx, 'view' AS stage,
+               (SELECT COUNT(*) FROM t1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+        UNION ALL SELECT 3, 'signup', (SELECT COUNT(*) FROM t3)
+        UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM t4))
+      WHERE n_users > 0 ORDER BY stage_idx""",
+
+    "q31_cohort_retention" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      f AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY 1),
+      j AS (
+        SELECT DISTINCT ev.user_id, f.cohort_d,
+               date_diff('day', f.cohort_d, ev.d) AS day_offset
+        FROM ev JOIN f USING (user_id))
+      SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort, day_offset,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM j GROUP BY cohort_d, day_offset ORDER BY cohort, day_offset""",
 
     "q30_shipping_priority" -> """
       SELECT l_orderkey,
