@@ -518,6 +518,28 @@ object RelQueries {
         .agg(count(lit(1)).as("n_cust"),
           round(sum("c_acctbal"), 2).as("sum_bal"))
         .orderBy("c_nationkey")
+    }),
+
+    // ORC round-trip (third interchange format next to CSV/JSON-lines):
+    // write orders to ORC with zlib, read back, aggregate — must equal
+    // the same aggregate computed straight from the parquet truth,
+    // proving types, nulls, and row counts survive the format. ORC is
+    // a Spark-native columnar source (predicate pushdown, column
+    // pruning) — no extra dependency.
+    "q33_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        graft.TempDirs.createCleanedAtExit("graft-q33-orc"))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      orders.write.mode("overwrite").option("compression", "zlib")
+        .orc(out.toString)
+      s.read.schema(orders.schema).orc(out.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -832,6 +854,12 @@ object RelQueries {
     "q29_json_roundtrip" -> """
       SELECT CAST(c_nationkey AS INT) AS c_nationkey,
              COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
-      FROM customer GROUP BY 1 ORDER BY 1"""
+      FROM customer GROUP BY 1 ORDER BY 1""",
+
+    // round-trip truth: the same aggregate straight from parquet
+    "q33_orc_roundtrip" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }
