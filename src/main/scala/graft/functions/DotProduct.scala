@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the same tight loop a native engine would run (two ArrayData reads
   * per element, no allocation), ~500x cheaper per pair, while staying a
   * regular expression Catalyst can place anywhere (join conditions,
-  * projections, filters).
+  * projections, filters). Full codegen support ([[doGenCode]] emits the
+  * same loop inline), so the expression never breaks a WholeStageCodegen
+  * span — a CodegenFallback here would force the surrounding projection
+  * or join condition into interpreted mode on the N^2 hot path.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -45,6 +48,22 @@ case class DotProduct(left: Expression, right: Expression)
     }
     s
   }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, typedLit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * engine would run.
   */
 case class MatVecDots(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -65,6 +65,23 @@ case class MatVecDots(left: Expression, right: Expression)
       c += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def compute(v: Any, m: Any): ArrayData =
+    nullSafeEval(v, m).asInstanceOf[ArrayData]
+
+  /** Codegen: one call into [[compute]] through a reference object —
+    * the loop itself isn't inlined (the cached `constMat` rows live on
+    * the expression instance), but the surrounding projection stays in
+    * its WholeStageCodegen span instead of falling back to an
+    * interpreted path around a CodegenFallback node.
+    */
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matvecExpr", this)
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = $ref.compute($v, $m);")
   }
 
   override protected def withNewChildrenInternal(

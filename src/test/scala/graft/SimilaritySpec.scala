@@ -154,6 +154,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
   }
 
+  test("DotProduct/MatVecDots codegen compiles (no silent fallback)") {
+    import graft.functions.{DotProduct, MatVecDots}
+    DotProduct.register(spark)
+    MatVecDots.register(spark)
+    // wholeStage + fallback disabled: a doGenCode that emits invalid
+    // Java would now throw instead of quietly degrading to eval mode
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+        .toDF("a", "b")
+      val d = df.select(DotProduct.dotFast($"a", $"b")).as[Double].head()
+      assert(d == 32.0)
+      val m = MatVecDots.matrixLit(
+        Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+      val mv = df.select(MatVecDots.matvec($"a", m))
+        .as[Seq[Double]].head()
+      assert(mv == Seq(1.0, 2.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("kmeansFit recovers planted blobs, deterministic under partitioning") {
     // three tight blobs around orthogonal axes; k=3 must put one
     // center per blob (cos > 0.99 to the axis), any partitioning
