@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -18,11 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * distance (`bit_count(a ^ b)` with builtin functions).
   *
   * Implemented as an Expression (not a Scala UDF) so it runs inside the
-  * operator without SerDe per row; eval-mode only (CodegenFallback) —
-  * the hot cost is the token loop, not the codegen boundary.
+  * operator without SerDe per row. Codegen calls [[compute]] through a
+  * reference object: the token/md5 loop itself isn't worth inlining,
+  * but the call keeps the surrounding projection inside its
+  * WholeStageCodegen span (a CodegenFallback node would force the whole
+  * stage into interpreted mode).
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
@@ -58,6 +60,15 @@ case class SimHash64(child: Expression) extends UnaryExpression
       b += 1
     }
     sig
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def compute(input: Any): Long = nullSafeEval(input).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =

@@ -116,6 +116,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: jaccard and containment joins equal naive on random corpora") {
+    // seeded scalacheck generator: small random corpora over a tiny
+    // vocabulary (maximizes shared shingles — the regime where prefix
+    // pruning could plausibly drop a true pair); every (corpus,
+    // threshold) draw must reproduce the naive all-pairs result exactly
+    import org.scalacheck.{Gen, rng}
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, 14)
+      ds <- Gen.listOfN(n, docGen)
+      t <- Gen.oneOf(0.3, 0.5, 0.75, 1.0)
+    } yield (ds, t)
+    val seed0 = rng.Seed(20260813L)
+    var seed = seed0
+    for (_ <- 1 to 12) {
+      val (ds, t) = corpusGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val corpus = ds.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      val sh = corpus.select($"id",
+          TextAnalysis.tokens($"text").as("toks"))
+        .select($"id",
+          array_distinct(TextAnalysis.shinglesOf($"toks", 2)).as("sh"))
+      val naiveJac = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.id" < $"b.id")
+        .select($"a.id", $"b.id",
+          (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+            size(array_union($"a.sh", $"b.sh"))).as("j"))
+        .filter($"j" >= t).select("a.id", "b.id")
+        .as[(Long, Long)].collect().toSet
+      val gotJac = Dedup.ngramJaccardJoin(corpus, "id", "text", 2, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(gotJac == naiveJac,
+        s"jaccard t=$t docs=$ds got=$gotJac naive=$naiveJac")
+      val naiveCon = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.id" =!= $"b.id")
+        .select($"a.id", $"b.id",
+          (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+            size($"a.sh")).as("c"))
+        .filter($"c" >= t).select("a.id", "b.id")
+        .as[(Long, Long)].collect().toSet
+      val gotCon = Dedup.containmentJoin(corpus, "id", "text", 2, t)
+        .select("id_in", "id_of").as[(Long, Long)].collect().toSet
+      assert(gotCon == naiveCon,
+        s"containment t=$t docs=$ds got=$gotCon naive=$naiveCon")
+    }
+  }
+
   test("containmentJoin equals the naive all-pairs containment join") {
     // hand-built corpus: 2 contains 1 fully (prefix quote), 3 shares
     // only part of 1, 4 is disjoint; plus threshold boundary docs
