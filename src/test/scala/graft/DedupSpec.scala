@@ -77,6 +77,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: connectedComponents equals union-find on random graphs") {
+    // seeded random edge lists (sparse to dense over up to 40 nodes,
+    // chains, stars, cliques all arise) checked against a local
+    // union-find — labels must be the per-component MINIMUM everywhere
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(36)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b").repartition(3), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"trial=$trial edges=$edges")
+      }
+    }
+  }
+
   test("connectedComponents converges on a long path in O(log n) rounds") {
     // a 200-node chain has diameter 199 — min-label propagation would
     // silently truncate at maxIter=20; large-star/small-star must merge
