@@ -540,6 +540,49 @@ object RelQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // size-targeted compaction sink: a 64-partition (worst-case small-
+    // files) input written through REBALANCE + AQE advisory sizing must
+    // land in few target-sized files (CompactSpec counts them) and
+    // round-trip losslessly — this query gates the lossless half
+    "q34_compacted_write" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        graft.TempDirs.createCleanedAtExit("graft-q34-compact"))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+        .repartition(64)
+      graft.sources.Compact.write(li, out.toString, targetBytes = 4L << 20)
+      s.read.parquet(out.toString)
+        .groupBy("l_linenumber")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_linenumber")
+    }),
+
+    // schema-evolution read: v1 files (even orderkeys) predate the
+    // o_orderpriority column, v2 files carry it; mergeSchema unions the
+    // footers and v1 rows surface null priority — the aggregate over
+    // the merged table must equal the oracle's parity-based replay
+    "q35_schema_merge" -> ((s, dir) => {
+      val out = graft.TempDirs.createCleanedAtExit("graft-q35-merge")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .drop("o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$out/v2")
+      graft.sources.Compact.readMerged(s, s"$out/v1", s"$out/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-schema)"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("priority")
     })
   )
 
@@ -859,6 +902,21 @@ object RelQueries {
     // round-trip truth: the same aggregate straight from parquet
     "q33_orc_roundtrip" -> """
       SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // compaction must be lossless: truth straight from parquet
+    "q34_compacted_write" -> """
+      SELECT l_linenumber, COUNT(*) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // parity replay of the v1/v2 schema split
+    "q35_schema_merge" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-schema)'
+                  ELSE o_orderpriority END AS priority,
+             COUNT(*) AS n_orders,
              ROUND(SUM(o_totalprice), 2) AS sum_price
       FROM orders GROUP BY 1 ORDER BY 1"""
   )
