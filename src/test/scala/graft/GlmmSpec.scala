@@ -19,6 +19,33 @@ class GlmmSpec extends SparkSpec {
     assert(err < 0.15, s"beta=$beta err=$err")
   }
 
+  test("fitLogistic agrees with Spark ML LogisticRegression") {
+    // independent cross-check: the treeAggregate L-BFGS fit and
+    // spark.ml (different optimizer, different code path) must land on
+    // the same MLE to fine tolerance on the same data
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val cov = SurveyFixture.covariates(numAreas = 8, rowsPerArea = 300)
+    val df = Bootstrap.simulateOutcome(cov, SurveyFixture.trueBeta,
+      SurveyFixture.featureCols, "state", Map.empty, Seq("uid"), 11L, 0, "y")
+    val beta = Glmm.fitLogistic(df, "y", SurveyFixture.featureCols)
+    val assembled = new VectorAssembler()
+      .setInputCols(SurveyFixture.featureCols.toArray)
+      .setOutputCol("features")
+      .transform(df.withColumn("label", col("y").cast("double")))
+    val ml = new LogisticRegression()
+      .setMaxIter(200).setTol(1e-9).setRegParam(0.0)
+      .fit(assembled)
+    // graft's design prepends the intercept as beta(0)
+    assert(math.abs(beta(0) - ml.intercept) < 1e-3,
+      s"intercept graft=${beta(0)} ml=${ml.intercept}")
+    val mlCoef = ml.coefficients.toArray
+    for (i <- SurveyFixture.featureCols.indices) {
+      assert(math.abs(beta(i + 1) - mlCoef(i)) < 1e-3,
+        s"coef $i graft=${beta(i + 1)} ml=${mlCoef(i)}")
+    }
+  }
+
   test("nllGrad gradient matches finite differences") {
     val df = SurveyFixture.smallSurvey(numAreas = 5, rowsPerArea = 40)
     val data = Glmm.designRdd(df, "y", SurveyFixture.featureCols)
