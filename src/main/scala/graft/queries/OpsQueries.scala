@@ -559,6 +559,24 @@ object OpsQueries {
         .orderBy("id_in", "id_of")
     }),
 
+    // incremental corpus ingestion: a persisted fingerprint STORE from
+    // yesterday's batch (even doc_ids) + today's full feed (redelivery
+    // included) -> only genuinely-new documents survive, via one
+    // anti-join against the store — history is a fingerprint table, so
+    // no re-scan of previously-ingested content ever happens. The
+    // batch-side keeper is the usual min-id-per-fingerprint groupBy.
+    "d27_incremental_dedup" -> ((s, dir) => {
+      val store = graft.TempDirs.createCleanedAtExit("graft-d27-store")
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      d.filter(col("doc_id") % 2 === 0).select("fp").distinct()
+        .write.mode("overwrite").parquet(store)
+      d.join(s.read.parquet(store), Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_in_batch"))
+        .orderBy("keep_id")
+    }),
+
     // distributed spherical k-means over the FULL embedding corpus
     // (one treeAggregate per Lloyd iteration, nothing driver-side but
     // the codebook) + assignment back through one matvec literal —
@@ -966,6 +984,19 @@ object OpsQueries {
              COUNT(*) AS n_members,
              MAX(CASE WHEN rn = 1 THEN q END) AS best_q
       FROM rk GROUP BY cluster ORDER BY cluster""",
+
+    // store = even-id fingerprints; survivors = fingerprints not in it
+    "d27_incremental_dedup" -> """
+      WITH fps AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+      fresh AS (
+        SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM store))
+      SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_batch
+      FROM fresh GROUP BY fp ORDER BY keep_id""",
 
     // naive all-pairs containment join over corpus + truncations — the
     // prefix-filtered engine plan must be candidate-complete against it
