@@ -302,8 +302,9 @@ object RelQueries {
     // t_k = min(ts of stage k with ts > t_{k-1}), which is exactly what
     // the oracle's four chained joins compute); the per-stage rollup
     // happens on one row per user. The strict ts > last-ts advance
-    // makes equal-timestamp events a non-advance in BOTH engines, so
-    // sort-order ties cannot diverge.
+    // makes equal-timestamp events a non-advance; the oracle compares
+    // epoch MICROSECONDS (q19's trick) so its "equal" matches the
+    // engine's nanos->micros truncated timestamps from events().
     "q32_funnel" -> ((s, dir) => {
       val stages = Seq("view", "click", "signup", "purchase")
       val stageArr = array(stages.map(lit): _*)
@@ -736,26 +737,32 @@ object RelQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
 
-    // four chained stage-min joins == the engine's greedy fold
+    // four chained stage-min joins == the engine's greedy fold. All
+    // comparisons run on epoch MICROSECONDS (q19's trick): the raw
+    // column is TIMESTAMP_NS and the engine truncates nanos -> micros,
+    // so a strict ns-level > here could advance a stage the engine's
+    // equal-after-truncation comparison would not.
     "q32_funnel" -> """
       WITH ev AS (
-        SELECT user_id, event_type, ts FROM events
-        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
       t1 AS (
-        SELECT user_id, MIN(ts) AS t FROM ev
+        SELECT user_id, MIN(tus) AS t FROM ev
         WHERE event_type = 'view' GROUP BY 1),
       t2 AS (
-        SELECT e.user_id, MIN(e.ts) AS t
+        SELECT e.user_id, MIN(e.tus) AS t
         FROM ev e JOIN t1 USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+        WHERE e.event_type = 'click' AND e.tus > t1.t GROUP BY 1),
       t3 AS (
-        SELECT e.user_id, MIN(e.ts) AS t
+        SELECT e.user_id, MIN(e.tus) AS t
         FROM ev e JOIN t2 USING (user_id)
-        WHERE e.event_type = 'signup' AND e.ts > t2.t GROUP BY 1),
+        WHERE e.event_type = 'signup' AND e.tus > t2.t GROUP BY 1),
       t4 AS (
-        SELECT e.user_id, MIN(e.ts) AS t
+        SELECT e.user_id, MIN(e.tus) AS t
         FROM ev e JOIN t3 USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY 1)
+        WHERE e.event_type = 'purchase' AND e.tus > t3.t GROUP BY 1)
       SELECT * FROM (
         SELECT 1 AS stage_idx, 'view' AS stage,
                (SELECT COUNT(*) FROM t1) AS n_users

@@ -19,12 +19,17 @@ class CompactSpec extends SparkSpec {
     val n = Compact.partFileCount(sized)
     // ~5-6 MB of parquet at a 4 MB target: a couple of files, never 64
     assert(n >= 1 && n <= 8, s"got $n part files")
-    // lossless: same rows, same values
+    // lossless: same rows, same values. The long sum is exact; the
+    // double sum is order-dependent (different partitioning on each
+    // side), so compare with a tolerance, not after rounding — a
+    // ~250k-magnitude sum's accumulation-order drift can straddle a
+    // rounding boundary.
     val back = spark.read.parquet(sized)
     assert(back.count() == 500000)
-    val s1 = df.agg(sum($"id"), round(sum($"v"), 6)).head()
-    val s2 = back.agg(sum($"id"), round(sum($"v"), 6)).head()
-    assert(s1 == s2)
+    val s1 = df.agg(sum($"id"), sum($"v")).head()
+    val s2 = back.agg(sum($"id"), sum($"v")).head()
+    assert(s1.getLong(0) == s2.getLong(0))
+    assert(math.abs(s1.getDouble(1) - s2.getDouble(1)) < 1e-4)
   }
 
   test("mergeSchema read surfaces missing columns as nulls") {

@@ -155,23 +155,38 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("DotProduct/MatVecDots codegen compiles (no silent fallback)") {
-    import graft.functions.{DotProduct, MatVecDots}
+    import graft.functions.{DotProduct, MatVecDots, SimHash64}
     DotProduct.register(spark)
     MatVecDots.register(spark)
     // wholeStage + fallback disabled: a doGenCode that emits invalid
-    // Java would now throw instead of quietly degrading to eval mode
+    // Java would now throw instead of quietly degrading to eval mode.
+    // The inputs MUST derive from spark.range, not a Seq-built
+    // LocalRelation: ConvertToLocalRelation folds the latter through an
+    // INTERPRETED projection and the gate never runs the generated code
+    // (verified: an intentionally broken doGenCode passes on Seq input,
+    // throws on range input).
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
-        .toDF("a", "b")
-      val d = df.select(DotProduct.dotFast($"a", $"b")).as[Double].head()
-      assert(d == 32.0)
+      val df = spark.range(0, 4).select($"id",
+        transform(sequence(lit(1), lit(3)),
+          i => i.cast("double") + $"id").as("a"),
+        transform(sequence(lit(1), lit(3)),
+          i => i.cast("double") * 2).as("b"))
+      // id=0: a=[1,2,3], b=[2,4,6] -> 2 + 8 + 18
+      val d = df.filter($"id" === 0)
+        .select(DotProduct.dotFast($"a", $"b")).as[Double].head()
+      assert(d == 28.0)
       val m = MatVecDots.matrixLit(
         Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
-      val mv = df.select(MatVecDots.matvec($"a", m))
-        .as[Seq[Double]].head()
+      val mv = df.filter($"id" === 0)
+        .select(MatVecDots.matvec($"a", m)).as[Seq[Double]].head()
       assert(mv == Seq(1.0, 2.0))
+      SimHash64.register(spark)
+      val sh = spark.range(0, 4)
+        .select(array($"id".cast("string"), lit("tok")).as("toks"))
+        .select(SimHash64.simhash64($"toks")).as[Long].collect()
+      assert(sh.distinct.length == 4) // id-dependent -> distinct sigs
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
