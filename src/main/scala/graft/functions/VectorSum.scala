@@ -22,10 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * task) through the shuffle: the same O(groups · dim) state a native
   * engine's SIMD accumulator would hold.
   *
-  * Mixed dimensions: elements are added over the shorter length
-  * (extra tail components of the longer buffer are kept as-is);
-  * embeddings pipelines have a fixed dim, so this never triggers
-  * there, and it keeps the aggregate total (never throws mid-task).
+  * Mixed dimensions: the buffer grows to the longest input seen and
+  * shorter vectors are treated as zero-padded, so extra tail
+  * components are genuinely kept (an empty first input can no longer
+  * zero out a group); embeddings pipelines have a fixed dim, so this
+  * never triggers there, and it keeps the aggregate total (never
+  * throws mid-task). Serialization length-prefixes the buffer so a
+  * legitimate zero-length sum survives a shuffle distinct from the
+  * no-input null buffer.
   */
 case class VectorSum(child: Expression,
                      mutableAggBufferOffset: Int = 0,
@@ -53,10 +57,12 @@ case class VectorSum(child: Expression,
       val arr = v.asInstanceOf[ArrayData]
       if (buffer == null) arr.toDoubleArray()
       else {
-        val n = math.min(buffer.length, arr.numElements())
+        val m = arr.numElements()
+        val out = if (m > buffer.length)
+          java.util.Arrays.copyOf(buffer, m) else buffer
         var i = 0
-        while (i < n) { buffer(i) += arr.getDouble(i); i += 1 }
-        buffer
+        while (i < m) { out(i) += arr.getDouble(i); i += 1 }
+        out
       }
     }
   }
@@ -66,19 +72,24 @@ case class VectorSum(child: Expression,
     if (b1 == null) b2
     else if (b2 == null) b1
     else {
-      val n = math.min(b1.length, b2.length)
+      val (long, short) =
+        if (b1.length >= b2.length) (b1, b2) else (b2, b1)
       var i = 0
-      while (i < n) { b1(i) += b2(i); i += 1 }
-      b1
+      while (i < short.length) { long(i) += short(i); i += 1 }
+      long
     }
 
   override def eval(buffer: Array[Double]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // length-prefixed: a zero-length buffer (all-empty-array group) is a
+  // real sum and must round-trip distinct from the null (no-input)
+  // buffer, which serializes to zero bytes
   override def serialize(buffer: Array[Double]): Array[Byte] =
     if (buffer == null) Array.emptyByteArray
     else {
-      val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+      val bb = java.nio.ByteBuffer.allocate(4 + buffer.length * 8)
+      bb.putInt(buffer.length)
       buffer.foreach(bb.putDouble)
       bb.array()
     }
@@ -87,7 +98,7 @@ case class VectorSum(child: Expression,
     if (bytes.isEmpty) null
     else {
       val bb = java.nio.ByteBuffer.wrap(bytes)
-      Array.fill(bytes.length / 8)(bb.getDouble)
+      Array.fill(bb.getInt())(bb.getDouble)
     }
 
   override def withNewMutableAggBufferOffset(offset: Int): VectorSum =

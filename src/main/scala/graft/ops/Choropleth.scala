@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Two deliberately separated halves:
   *   - [[shaded]] — the DISTRIBUTED part: min/max normalization and
   *     bin assignment as Column expressions (broadcast 1-row extent
-  *     join), fully SQL-expressible and oracle-checked (q27). `floor`
+  *     join), fully SQL-expressible and oracle-checked (m08). `floor`
   *     binning, not `round`: floor has identical semantics in every
   *     engine, while round's half-way tie-breaking differs.
   *   - [[render]] — the SINK part: collects the (key, value) table —

@@ -42,8 +42,12 @@ object Similarity {
   /** Exact top-k neighbors for each query vector. `queries` must be
     * dimension-sized (it is broadcast); `corpus` can be arbitrarily
     * large. Vectors are unit-normalized once up front, so each of the
-    * |Q| x N candidate pairs costs exactly one dot product. Ties broken
-    * by corpus id for determinism.
+    * |Q| x N candidate pairs costs exactly one dot product. Every
+    * ranking window here (and in the LSH/IVF/knn variants) orders by
+    * the cosine ROUNDED to 6dp with the corpus id as tie-break: the
+    * DuckDB oracle computes cosine through a different float path, and
+    * ranking on the raw value would let a last-ulp divergence flip
+    * neighbors at a rank boundary.
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -55,7 +59,7 @@ object Similarity {
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id"))
+      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cos")
@@ -130,7 +134,7 @@ object Similarity {
       .select("query_id", "query_id_v", "nbr_id", "nbr_id_v")
       .dropDuplicates("query_id", "nbr_id")
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id"))
+      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
     cand.withColumn("cos",
         DotProduct.dotFast(col("query_id_v"), col("nbr_id_v")))
       .withColumn("rank", row_number().over(w))
@@ -291,7 +295,7 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(col("probes").getField("i")).as("cell"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id"))
+      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
     q.join(c, Seq("cell"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
@@ -326,8 +330,13 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     val cents = trainCentroids(sample, nlist, trainIters)
     val cb = MatVecDots.matrixLit(cents)
+    // cached: the unitize + nlist-wide matvec projection feeds BOTH
+    // roles of the self-join (corpus cell + query probes) — uncached,
+    // the most expensive narrow stage runs twice (the minhashLsh /
+    // containmentJoin shared-projection pattern)
     val u = unitized(corpus, idCol, vecCol, "id", "v")
       .withColumn("dots", MatVecDots.matvec(col("v"), cb))
+      .cache()
     // corpus role: the argmax cell (ties -> lowest id, as trained)
     val c = u.withColumn("cell",
         (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
@@ -340,7 +349,7 @@ object Similarity {
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(col("probes").getField("i")).as("cell"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id"))
+      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))

@@ -317,9 +317,13 @@ object TextAnalysis {
     * broadcast, no driver-side model state.
     */
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // cached: the exploded token stream feeds both the vocabulary
+    // groupBy and the scoring join — uncached, the corpus tokenizes
+    // twice (same multi-branch shape as repetitionSignals' base)
     val terms = df
       .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("toks"))
       .select(col("id"), explode(col("toks")).as("term"))
+      .cache()
     val vocab = terms.groupBy("term").agg(count(lit(1)).as("tc"))
     val tot = vocab.agg(sum("tc").as("t_tokens"),
       count(lit(1)).as("v_size"))

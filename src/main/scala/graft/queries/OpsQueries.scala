@@ -1583,9 +1583,9 @@ object OpsQueries {
                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                  CAST(c.embedding AS DOUBLE[])) AS cos,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(
+                 ORDER BY ROUND(list_cosine_similarity(
                    CAST(q.embedding AS DOUBLE[]),
-                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
       WHERE rank <= 3 ORDER BY query_id, rank""",
@@ -1598,9 +1598,9 @@ object OpsQueries {
                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                  CAST(c.embedding AS DOUBLE[])) AS cos,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(
+                 ORDER BY ROUND(list_cosine_similarity(
                    CAST(q.embedding AS DOUBLE[]),
-                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id)
       WHERE rank <= 3 ORDER BY query_id, rank""",
 
@@ -1626,9 +1626,9 @@ object OpsQueries {
                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                  CAST(c.embedding AS DOUBLE[])) AS cos,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(
+                 ORDER BY ROUND(list_cosine_similarity(
                    CAST(q.embedding AS DOUBLE[]),
-                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
       WHERE rank <= 3 ORDER BY query_id, rank"""

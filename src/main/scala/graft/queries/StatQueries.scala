@@ -176,8 +176,12 @@ object StatQueries {
     // the image sink itself is exercised on every run.
     "m08_choropleth" -> ((s, dir) => {
       import graft.ops.Choropleth
+      // cached: the layout-keys collect, the BMP render's collect, and
+      // the shaded result (which also self-joins est against its own
+      // min/max) would otherwise re-run the survey aggregation ~4x
       val est = graft.rel.Relational.weightedMean(smallSurvey(s, dir),
         Seq("state"), col("y"), col("weight"), scale = 100.0, as = "est")
+        .cache()
       val keys = est.select("state").collect().map(_.getString(0)).toSeq
       val bmp = Choropleth.render(est, "state", "est",
         Choropleth.gridLayout(keys))

@@ -33,6 +33,16 @@ class SimilaritySpec extends SparkSpec {
     val r = withNull.groupBy("g").agg(VectorSum.vecSum($"v").as("s"))
       .as[(Long, Option[Seq[Double]])].collect().toMap
     assert(r(1L).contains(Seq(1.0, 2.0)) && r(2L).isEmpty)
+    // mixed lengths zero-pad (an empty first array must not truncate
+    // the group), and a zero-length sum survives the shuffle as []
+    // rather than collapsing into the null no-input buffer
+    val mixed = Seq((1L, Seq.empty[Double]), (1L, Seq(1.0, 2.0)),
+        (1L, Seq(3.0)), (2L, Seq.empty[Double]))
+      .toDF("g", "v").repartition(3)
+    val rm = mixed.groupBy("g").agg(VectorSum.vecSum($"v").as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rm(1L) == Seq(4.0, 2.0), rm.toString)
+    assert(rm(2L) == Seq(), rm.toString)
   }
 
   test("cosine matches hand-computed values") {

@@ -18,9 +18,11 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # optional extra args = query-name substrings for targeted re-checks
 flt = sys.argv[3:]
 fails = []
+checked = 0
 for name, sql in sorted(oracle.items()):
     if flt and not any(f in name for f in flt):
         continue
+    checked += 1
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
         print(f"MISS  {name}: no spark output")
@@ -62,5 +64,7 @@ for name, sql in sorted(oracle.items()):
         print(f"OK    {name} ({len(sdf)} rows)")
     else:
         fails.append(name)
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} match")
+# count only queries actually checked — with a filter, the skipped
+# ones must not be reported as matching
+print(f"\n{checked - len(fails)}/{checked} match")
 sys.exit(1 if fails else 0)
