@@ -503,6 +503,30 @@ object RelQueries {
         .orderBy("o_month")
     }),
 
+    // DYNAMIC partition pruning: q28 prunes on a literal the planner
+    // sees; here the pruning values only exist at RUNTIME (a filtered
+    // year dimension), so Catalyst injects a dynamicpruning subquery —
+    // the broadcast dim's keys — into the fact scan's PartitionFilters
+    // (PlanSpec asserts it). At 100 TB this is the difference between
+    // scanning the whole history and scanning the dim-selected slice
+    // when the slice is only known from a join.
+    "q36_dpp_join" -> ((s, dir) => {
+      val out = graft.TempDirs.createCleanedAtExit("graft-q36-dpp")
+      graft.sources.Partitioned.write(
+        t(s, dir, "orders"), year(col("o_orderdate")), "o_year", out)
+      val fact = graft.sources.Partitioned.read(s, out)
+      val dim = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("d_year")).distinct()
+        .withColumn("d_label",
+          when(col("d_year") % 2 === 0, "even").otherwise("odd"))
+      fact.join(broadcast(dim.filter(col("d_label") === "odd")),
+          fact("o_year") === dim("d_year"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_year")
+    }),
+
     // JSON-lines ingest round-trip: write customers as JSONL, read
     // back with an explicit schema (no inference pass), aggregate —
     // write→read must equal the parquet truth
@@ -911,6 +935,19 @@ object RelQueries {
       SELECT o_orderstatus, COUNT(*) AS n_orders,
              ROUND(SUM(o_totalprice), 2) AS sum_price
       FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the runtime-pruned join replayed statically
+    "q36_dpp_join" -> """
+      WITH dim AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS d_year
+        FROM orders),
+      odd AS (SELECT d_year FROM dim WHERE d_year % 2 <> 0)
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders JOIN odd
+        ON CAST(year(o_orderdate) AS INT) = odd.d_year
+      GROUP BY 1 ORDER BY 1""",
 
     // compaction must be lossless: truth straight from parquet
     "q34_compacted_write" -> """

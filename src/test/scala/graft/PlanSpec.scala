@@ -165,6 +165,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q36: partition pruning is DYNAMIC (runtime dim-filter subquery)") {
+    val plan = planOf("q36_dpp_join")
+    // the fact scan must carry a dynamicpruning expression in its
+    // partition filters — static pruning (q28) can't help when the
+    // surviving years are only known from the filtered dim at runtime
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(
