@@ -249,6 +249,43 @@ class DedupSpec extends SparkSpec {
     assert(sloppy == expected)
   }
 
+  test("fuzz: chunkDedup equals a local keep-first replay") {
+    // random tiny-vocab corpora (spans collide often); a sequential
+    // local replay of the keep-globally-first rule must match exactly
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c")
+    for (_ <- 1 to 6) {
+      val k = 1 + rnd.nextInt(3)
+      val docs = (1L to (3 + rnd.nextInt(8)).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      def spansOf(text: String): Seq[String] = {
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        toks.grouped(k).map(_.mkString(" ")).toSeq
+      }
+      val keeper = scala.collection.mutable.Map[String, (Long, Int)]()
+      docs.foreach { case (id, text) =>
+        spansOf(text).zipWithIndex.foreach { case (sp, i) =>
+          val cand = (id, i)
+          if (!keeper.contains(sp) ||
+              Ordering[(Long, Int)].lt(cand, keeper(sp)))
+            keeper(sp) = cand
+        }
+      }
+      val expected = docs.map { case (id, text) =>
+        val kept = spansOf(text).zipWithIndex
+          .filter { case (sp, i) => keeper(sp) == ((id, i)) }
+        (id, spansOf(text).length.toLong, kept.length.toLong,
+          kept.map(_._1).mkString(" "))
+      }
+      val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = k)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == expected, s"k=$k docs=$docs")
+    }
+  }
+
   test("chunkDedup keeps the globally-first span, preserves order") {
     val docs = Seq(
       (1L, "a b c d e f"),       // spans (k=3): "a b c", "d e f"
