@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.etl.Encodings._
-import graft.stats.{Bootstrap, Em, Glmm, Survey}
+import graft.stats.{Agq, Bootstrap, Em, Glmm, Survey}
 
 /** The reference's statistical pipeline (SURVEY.md §2.7 M1-M12) run as
   * first-class engine queries over a survey derived deterministically
@@ -56,6 +56,22 @@ object StatQueries {
   private val emCache = TrieMap.empty[String, Em.Fit]
   private val emConvCache = TrieMap.empty[String, Em.Fit]
   private val mspeCache = TrieMap.empty[String, Seq[(String, Double)]]
+  private val agqCache = TrieMap.empty[String, Agq.Fit]
+
+  /** The glmer-equivalent fit (adaptive Gauss-Hermite marginal ML) —
+    * the reference's model-fitting step itself (`Method_code.Rmd:
+    * 68-81`), independent of the EM. Shared by m09 and the
+    * reference-fidelity comparison.
+    */
+  def agqFit(s: SparkSession, dir: String): Agq.Fit =
+    agqCache.getOrElseUpdate(dir, {
+      val small = smallSurvey(s, dir).cache()
+      val init = Em.Params(
+        Glmm.fitLogistic(small, "y", featureCols), 0.25)
+      val fit = Agq.fit(small, "y", featureCols, "state", init)
+      small.unpersist(blocking = false)
+      fit
+    })
 
   /** The CONVERGED fit at the reference's stopping rule (tol 0.01 on
     * sigma and every beta coordinate, Method_code.Rmd:352-390) — unlike
@@ -166,6 +182,49 @@ object StatQueries {
         ("converged", if (fit.converged) 1.0 else 0.0)
       rows.toDF("metric", "value")
         .select(col("metric"), round(col("value"), 4).as("value"))
+        .orderBy("metric")
+    }),
+
+    // M1 — the TRUE random-intercept ML fit (adaptive Gauss-Hermite),
+    // the faithful glmer counterpart: (beta, sigma, logLik,
+    // convergence) plus per-area BLUPs u_<state>, glmer's ranef().
+    // Rows-only by nature (iterative quadrature ML); value-tested in
+    // AgqSpec against a brute-force integration oracle + recovery.
+    "m09_glmm_fit" -> ((s, dir) => {
+      import s.implicits._
+      val fit = agqFit(s, dir)
+      val b = fit.beta.toArray
+      val rows = (("beta_intercept", b(0)) +:
+        featureCols.zipWithIndex.map { case (c, i) => (s"beta_$c", b(i + 1)) } :+
+        ("sigma", fit.sigma) :+
+        ("loglik", fit.logLik) :+
+        ("outer_iters", fit.outerIters.toDouble) :+
+        ("converged", if (fit.converged) 1.0 else 0.0)) ++
+        fit.ranef.map { case (area, u, _) => (s"u_$area", u) }
+      rows.toDF("metric", "value")
+        .select(col("metric"), round(col("value"), 4).as("value"))
+        .orderBy("metric")
+    }),
+
+    // M1/M4 — the reference's printed glmer-vs-EM comparison
+    // (Method_code.Rmd:706-716): both fits' parameters side by side
+    // per term, plus the per-area BLUP vs EM Laplace-mode deltas that
+    // the paper's argument rests on (the EM tracks the ML fit).
+    "m10_glmm_vs_em" -> ((s, dir) => {
+      import s.implicits._
+      val agq = agqFit(s, dir)
+      val em = emFitConverged(s, dir)
+      val ab = agq.beta.toArray
+      val eb = em.params.beta.toArray
+      val terms = ("intercept" +: featureCols).zipWithIndex.map {
+        case (t, i) => (s"beta_$t", ab(i), eb(i)) } :+
+        ("sigma", agq.sigma, math.sqrt(em.params.sigmaSq))
+      val emModes = em.modes.map(m => m.area -> m.vhat).toMap
+      val ranefRows = agq.ranef.map { case (a, u, _) =>
+        (s"u_$a", u, emModes.getOrElse(a, 0.0)) }
+      (terms ++ ranefRows).toDF("metric", "glmm_est", "em_est")
+        .select(col("metric"), round(col("glmm_est"), 4).as("glmm_est"),
+          round(col("em_est"), 4).as("em_est"))
         .orderBy("metric")
     }),
 
