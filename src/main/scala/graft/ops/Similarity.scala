@@ -191,11 +191,15 @@ object Similarity {
     * cached unit-vector RDD — per-partition assign-and-accumulate into
     * k×dim local sums, log-depth combine, no shuffle of the data and
     * nothing driver-side but the k×dim codebook (the same pattern as
-    * the Glmm/Em objective passes, SURVEY M12). Deterministic:
+    * the Glmm/Em objective passes, SURVEY M12). Deterministic INIT:
     * initial centers are the k vectors with the smallest content-keyed
     * md5 draw (partitioning/retry-invariant — `TakeOrdered`, never a
     * global sort), iteration count fixed; an emptied cell keeps its
-    * previous center.
+    * previous center. The centroid VALUES are float-stable in practice
+    * but not bit-deterministic across partitionings — treeAggregate
+    * sums are combine-order dependent, so cross-partitioning runs can
+    * differ by accumulated ulps (assignments, not raw components, are
+    * the invariant to rely on).
     */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): IndexedSeq[Array[Double]] = {
@@ -253,6 +257,24 @@ object Similarity {
     } finally vecs.unpersist(blocking = false)
   }
 
+  /** Bounded quantizer training sample: the `sampleSize` unit vectors
+    * with the smallest content-keyed md5 draw (the [[kmeansFit]] init
+    * pattern) — a `TakeOrdered`, never a global sort. A plain
+    * `limit(sampleSize)` prefix is NOT a sample at corpus scale: parquet
+    * partition order clusters by source/crawl-date/shard, so a prefix
+    * trains the codebook on one source's manifold and the cell-keyed
+    * join degenerates toward a few giant hot cells. Hash-ordering makes
+    * the sample uniform over content AND invariant to partitioning,
+    * file order, and retries.
+    */
+  private def quantizerSample(corpus: DataFrame, idCol: String,
+                              vecCol: String,
+                              sampleSize: Int): Array[Array[Double]] =
+    unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("u", TextAnalysis.hashUniform(col("id"), "ivfsample"))
+      .orderBy("u", "id").limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
   /** IVF ANN — the second scale path next to [[lshTopK]]: a spherical
     * k-means coarse quantizer (trained driver-side on a bounded sample)
     * partitions the corpus into `nlist` cells; each query probes its
@@ -267,9 +289,7 @@ object Similarity {
               trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
     DotProduct.register(corpus.sparkSession)
     MatVecDots.register(corpus.sparkSession)
-    val sample = unitized(corpus, idCol, vecCol, "id", "v")
-      .select("v").limit(sampleSize)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
     val cents = trainCentroids(sample, nlist, trainIters)
     // the whole centroid codebook is ONE literal plan node; per-row
     // work is a single matvec (tight primitive loop) + tiny array ops.
@@ -325,15 +345,17 @@ object Similarity {
               trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
     DotProduct.register(corpus.sparkSession)
     MatVecDots.register(corpus.sparkSession)
-    val sample = unitized(corpus, idCol, vecCol, "id", "v")
-      .select("v").limit(sampleSize)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
     val cents = trainCentroids(sample, nlist, trainIters)
     val cb = MatVecDots.matrixLit(cents)
     // cached: the unitize + nlist-wide matvec projection feeds BOTH
     // roles of the self-join (corpus cell + query probes) — uncached,
     // the most expensive narrow stage runs twice (the minhashLsh /
-    // containmentJoin shared-projection pattern)
+    // containmentJoin shared-projection pattern). Library convention:
+    // the cache is left registered for the session (the returned plan
+    // still references it); callers batching many operator calls clear
+    // between queries (as Bench does), and LRU eviction bounds the
+    // residual storage pressure.
     val u = unitized(corpus, idCol, vecCol, "id", "v")
       .withColumn("dots", MatVecDots.matvec(col("v"), cb))
       .cache()
