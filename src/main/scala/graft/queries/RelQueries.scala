@@ -296,42 +296,27 @@ object RelQueries {
 
     // conversion funnel (ClickHouse windowFunnel shape): how many users
     // produce view -> click -> signup -> purchase as a strictly
-    // time-ordered subsequence. ONE shuffle keyed by user, then a HOF
-    // fold over each user's sorted events (state = (stage, last ts) —
-    // greedy first-qualifying advance is provably the sequential-min
-    // t_k = min(ts of stage k with ts > t_{k-1}), which is exactly what
-    // the oracle's four chained joins compute); the per-stage rollup
-    // happens on one row per user. The strict ts > last-ts advance
-    // makes equal-timestamp events a non-advance; the oracle compares
-    // epoch MICROSECONDS (q19's trick) so its "equal" matches the
-    // engine's nanos->micros truncated timestamps from events().
+    // time-ordered subsequence, by sequential-min chaining
+    // (Relational.sequentialFunnel) — per-stage state is ONE grouped
+    // MIN, never a per-user event buffer, so a bot user with 10^8
+    // events can't blow an aggregation buffer (the previous
+    // sort_array(collect_list) fold could). The strict ts > prev-ts
+    // advance makes equal-timestamp events a non-advance; the oracle
+    // compares epoch MICROSECONDS (q19's trick) so its "equal" matches
+    // the engine's nanos->micros truncated timestamps from events().
     "q32_funnel" -> ((s, dir) => {
       val stages = Seq("view", "click", "signup", "purchase")
       val stageArr = array(stages.map(lit): _*)
-      val zero = struct(lit(0).as("stage"),
-        lit("1970-01-01 00:00:00").cast("timestamp").as("t"))
       // a 2-day slice (~5 events/user at sf0.01) keeps the stage
       // counts discriminating — over the full month every user
-      // completes all four stages and the funnel degenerates
-      val folded = events(s, dir)
+      // completes all four stages and the funnel degenerates. Cached:
+      // the stage chain scans it 4x.
+      val slice = events(s, dir)
         .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
-        .select(col("user_id"), struct(col("ts"), col("event_type")).as("e"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("e"))).as("seq"))
-        .select(col("user_id"),
-          aggregate(col("seq"), zero, (acc, e) =>
-            when(acc.getField("stage") < stages.length &&
-                e.getField("event_type") ===
-                  element_at(stageArr, acc.getField("stage") + 1) &&
-                e.getField("ts") > acc.getField("t"),
-              struct((acc.getField("stage") + 1).as("stage"),
-                e.getField("ts").as("t")))
-              .otherwise(acc)).getField("stage").as("stage"))
-      folded.filter(col("stage") >= 1)
-        .select(col("user_id"),
-          explode(sequence(lit(1), col("stage"))).as("stage_idx"))
-        .groupBy("stage_idx")
-        .agg(count(lit(1)).as("n_users"))
+        .select("user_id", "ts", "event_type")
+        .cache()
+      graft.rel.Relational
+        .sequentialFunnel(slice, "user_id", "ts", "event_type", stages)
         .select(col("stage_idx"),
           element_at(stageArr, col("stage_idx")).as("stage"),
           col("n_users"))

@@ -152,4 +152,48 @@ object Relational {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop(bin)
   }
+
+  /** Sequential conversion funnel (the ClickHouse `windowFunnel`
+    * semantics): a user reaches stage k when their events contain
+    * stages(0) .. stages(k-1) as a strictly time-increasing
+    * subsequence, taken greedily — t_1 = min ts of a stage-1 event,
+    * t_k = min ts of a stage-k event with ts > t_(k-1). Returns
+    * (stage_idx [1-based], n_users) with one row per stage reached by
+    * at least one user.
+    *
+    * Scale shape: NO per-user event buffer anywhere — the obvious
+    * `sort_array(collect_list)` fold holds a user's entire event
+    * sequence in ONE aggregation buffer, which a single bot user with
+    * 10^8 events turns into an executor OOM. Here each stage is a join
+    * against the previous stage's (user, t) frame plus a grouped MIN:
+    * aggregation state is one timestamp, partially aggregated
+    * map-side, so a hot user costs their share of scan time and
+    * nothing else. Every join and agg keys on the user column, so one
+    * hash partitioning serves the whole chain (identical stage
+    * subplans additionally collapse via exchange reuse); a user
+    * reaching stage k appears in frames 1..k, so the final union +
+    * count per stage_idx IS the cumulative reach count.
+    *
+    * Callers iterating multiple funnels over one slice should cache
+    * `ev` — the chain scans it `stages.length` times.
+    */
+  def sequentialFunnel(ev: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val slice = ev.select(col(userCol).as("__fu"), col(typeCol).as("__fe"),
+      col(tsCol).as("__ft"))
+    var prev: DataFrame = null
+    val frames = stages.zipWithIndex.map { case (st, i) =>
+      val evk = slice.filter(col("__fe") === st)
+      prev =
+        if (i == 0) evk.groupBy("__fu").agg(min("__ft").as("__t"))
+        else evk
+          .join(prev.select(col("__fu"), col("__t").as("__tprev")), Seq("__fu"))
+          .filter(col("__ft") > col("__tprev"))
+          .groupBy("__fu").agg(min("__ft").as("__t"))
+      prev.select(col("__fu"), lit(i + 1).as("stage_idx"))
+    }
+    frames.reduce(_.unionByName(_))
+      .groupBy("stage_idx").agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -146,6 +146,58 @@ class RelationalSpec extends SparkSpec {
     assert(b == Set(1L, 2L))
   }
 
+  test("sequentialFunnel: greedy first-qualifying advance, strict " +
+      "time ordering") {
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // u1 completes all four in order
+      ("u1", "view", t(1)), ("u1", "click", t(2)),
+      ("u1", "signup", t(3)), ("u1", "purchase", t(4)),
+      // u2: click BEFORE first view -> that click can't count; no
+      // later click, so u2 stalls at stage 1
+      ("u2", "click", t(1)), ("u2", "view", t(2)),
+      // u3: equal timestamps do not advance (strict >)
+      ("u3", "view", t(1)), ("u3", "click", t(1)),
+      // u4: greedy takes the FIRST view (t1); the click at t2
+      // qualifies even though a later view (t3) also exists
+      ("u4", "view", t(1)), ("u4", "click", t(2)), ("u4", "view", t(3)),
+      // u5: no funnel events at all
+      ("u5", "other", t(1))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Relational.sequentialFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"))
+      .orderBy("stage_idx")
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    // stage 1: u1 u2 u3 u4; stage 2: u1 u4; stages 3, 4: u1
+    assert(r == Seq((1, 4L), (2, 2L), (3, 1L), (4, 1L)))
+  }
+
+  test("sequentialFunnel: one hot user with 1e6 events completes under " +
+      "bounded aggregation state (no per-user event buffer)") {
+    // a bot user emitting 10^6 view events plus one full funnel tail;
+    // the collect_list formulation would materialize all 10^6 rows in
+    // ONE aggregation buffer — the chained-min plan must not contain
+    // any list aggregation at all
+    val baseSec = 1700000000L // long -> timestamp cast is SECONDS
+    val bot = spark.range(1000000).select(
+      lit("bot").as("user_id"), lit("view").as("event_type"),
+      (col("id") + baseSec).cast("timestamp").as("ts"))
+    val tail = Seq( // java.sql.Timestamp ctor takes MILLIS
+      ("bot", "click", new java.sql.Timestamp((baseSec + 2000000L) * 1000L)),
+      ("bot", "signup", new java.sql.Timestamp((baseSec + 2000001L) * 1000L)),
+      ("u9", "view", new java.sql.Timestamp(baseSec * 1000L)))
+      .toDF("user_id", "event_type", "ts")
+    val funnel = Relational.sequentialFunnel(bot.unionByName(tail),
+      "user_id", "ts", "event_type", Seq("view", "click", "signup", "purchase"))
+    val plan = funnel.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      "funnel plan must not buffer per-user event lists")
+    val r = funnel.orderBy("stage_idx")
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(r == Seq((1, 2L), (2, 1L), (3, 1L)))
+  }
+
   test("saltedJoin equals the plain join under any partitioning") {
     // skewed probe: key 1 holds most rows (the straggler scenario)
     val probe = (1 to 200).map(i => (if (i <= 150) 1L else i.toLong, i))
