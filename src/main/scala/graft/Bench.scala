@@ -54,8 +54,10 @@ object Bench {
     }
     // a failed query reports -1 (never a truncated wall time) so broken
     // queries can't masquerade as fast ones; errors also listed
+    def r3(v: Double) = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
     val qs = results.map { case (k, v, ok, _) =>
-      s"\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + (if (ok) r3(v) else -1) }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, _, l) =>
       s"\"" + k + "\":" + l }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
@@ -64,7 +66,20 @@ object Bench {
     // any failure invalidates the total for cross-run comparison: a run
     // where the slowest query failed would otherwise report a lower sum
     val valid = results.forall(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"load_1m_at_start":$loads,"errors":$errs,"sf":"$sfDir"}""")
+    // key order matters: the harness keeps only a ~2000-char TAIL of
+    // the output, so the per-query timings map goes LAST (round 5 lost
+    // its timings when the load map crowded them out of the tail)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","errors":$errs,"load_1m_at_start":$loads,"queries":$qs}"""
+    println(line)
+    // truncation-proof sibling: the full line also lands in-repo so
+    // per-query numbers stay machine-readable regardless of capture
+    // limits (the driver commits it with round-end state)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "BENCH_LOCAL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL write failed: $e") }
     spark.stop()
   }
 }
