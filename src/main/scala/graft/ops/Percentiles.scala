@@ -52,17 +52,7 @@ object Percentiles {
       .sortWithinPartitions("g", "v")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // pass 1: (partition, group) -> row count; groups are contiguous
-      // within a sorted partition, so this is a streaming run count
-      val counts: Array[(Int, String, Long)] = ranged.rdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          it.foreach { r =>
-            val g = r.getString(0)
-            acc.update(g, acc.getOrElse(g, 0L) + 1L)
-          }
-          acc.iterator.map { case (g, c) => (pid, g, c) }
-        }.collect()
+      val counts = runCounts(ranged.rdd)
       // group sizes and, per partition, the global index of its first
       // row of each group
       val sizes: Map[String, Long] =
@@ -116,4 +106,29 @@ object Percentiles {
         spark.sparkContext.parallelize(rows, 1), schema)
     } finally ranged.unpersist(blocking = false)
   }
+
+  /** Pass 1: (partition, group) -> row count over the RANGE-partitioned
+    * sorted data. The collect is O(groups + partitions), NOT
+    * O(groups x partitions): range partitioning by (g, v) makes every
+    * group's rows contiguous across the partition sequence, so the
+    * total number of (pid, group) runs is (#groups) plus at most one
+    * extra run per partition boundary a group straddles — bounded by
+    * #groups + #partitions regardless of cardinality (asserted by
+    * PercentilesSpec's high-cardinality case). Driver memory is
+    * therefore proportional to the OUTPUT (one row per group) — the
+    * floor for any per-group report — plus the partition count, never
+    * to their product.
+    */
+  private[graft] def runCounts(
+      ranged: org.apache.spark.rdd.RDD[Row]): Array[(Int, String, Long)] =
+    ranged.mapPartitionsWithIndex { (pid, it) =>
+      // groups are contiguous within a sorted partition, so this is a
+      // streaming run count — per-task state is one (group, count)
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val g = r.getString(0)
+        acc.update(g, acc.getOrElse(g, 0L) + 1L)
+      }
+      acc.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
 }

@@ -41,6 +41,32 @@ class PercentilesSpec extends SparkSpec {
     assert(r("b") == ((1.0, 2.0, 3.0))) // interpolated median of {1,3}
   }
 
+  test("pass-1 driver footprint is O(groups + partitions) on a " +
+      "high-cardinality domain (range partitioning keeps groups " +
+      "contiguous)") {
+    val nGroups = 20000
+    val parts = 32
+    val df = spark.range(nGroups * 3L).select(
+      format_string("g%05d", col("id") % nGroups).as("g"),
+      (col("id") % 17).cast("double").as("v"))
+    val ranged = df.repartitionByRange(parts, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+    val counts = Percentiles.runCounts(ranged.rdd)
+    // the O(G x P) failure mode would be ~640k tuples; contiguity
+    // bounds it by G + P
+    assert(counts.length <= nGroups + parts,
+      s"${counts.length} run tuples for $nGroups groups x $parts parts")
+    assert(counts.map(_._3).sum == nGroups * 3L)
+    // and the full operator still answers correctly at this cardinality
+    val r = Percentiles.exact(df, "g", "v", Seq("p50" -> 0.5), parts)
+    assert(r.count() == nGroups)
+    val g0 = r.filter(col("g") === "g00000").select("p50").first().getDouble(0)
+    // group g00000 holds values {0, (nGroups % 17 scaled)..}: compute
+    // directly for the three planted rows
+    val vals = (0 until 3).map(i => (i.toLong * nGroups % 17).toDouble).sorted
+    assert(math.abs(g0 - vals(1)) < 1e-9, s"median $g0 vs ${vals(1)}")
+  }
+
   private implicit class Tuple4Seq(
       s: Array[(String, Double, Double, Double)]) {
     def toMap3: Map[String, IndexedSeq[Double]] =
