@@ -396,7 +396,13 @@ object Dedup {
                  expectedItems: Long = 1000000L,
                  fpp: Double = 0.01): DataFrame = {
     val bf = dirty.stat.bloomFilter(dirtyHCol, expectedItems, fpp)
-    val might = udf((h: Long) => bf.mightContainLong(h))
+    // boxed-arg UDF with an explicit null policy: a NULL key is CLEAN
+    // by definition — in the reference anti-join formulation a null
+    // never equals any dirty hash, so the row is kept; the guard makes
+    // that explicit instead of relying on Spark's primitive-arg
+    // null-skip producing the same outcome silently
+    val might = udf((h: java.lang.Long) =>
+      h != null && bf.mightContainLong(h))
     val confirmed = rows.filter(might(col(hCol)))
       .join(dirty.select(col(dirtyHCol).as(hCol)).distinct(),
         Seq(hCol), "left_semi")

@@ -19,19 +19,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Compact {
 
   /** Write `df` as parquet whose files target `targetBytes` each,
-    * regardless of the incoming partitioning. Restores the session's
-    * advisory size afterwards.
+    * regardless of the incoming partitioning.
+    *
+    * The advisory size is scoped to a CLONED session (same
+    * SparkContext/cache, private SQLConf), reached through a global
+    * temp view so the plan re-resolves under the write-local conf:
+    * concurrent queries on the caller's session are never re-planned
+    * with the altered advisory size, and concurrent Compact.write
+    * calls can't restore a stale value over each other.
     */
   def write(df: DataFrame, path: String, targetBytes: Long): Unit = {
     val s = df.sparkSession
-    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, targetBytes.toString)
-    try df.hint("rebalance").write.mode("overwrite").parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    val writer = s.newSession()
+    writer.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      targetBytes.toString)
+    val view = "graft_compact_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    try writer.table(s"global_temp.$view")
+      .hint("rebalance").write.mode("overwrite").parquet(path)
+    finally s.catalog.dropGlobalTempView(view)
   }
 
   /** Parquet part-file count under `path` (spec/gate helper). */

@@ -32,6 +32,19 @@ class CompactSpec extends SparkSpec {
     assert(math.abs(s1.getDouble(1) - s2.getDouble(1)) < 1e-4)
   }
 
+  test("write never mutates the caller session's advisory size") {
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = spark.conf.getOption(key)
+    val out = TempDirs.createCleanedAtExit("graft-compact-conf")
+    Compact.write(spark.range(0, 1000).toDF("id"), out, 1L << 20)
+    assert(spark.conf.getOption(key) == before,
+      "caller conf changed by Compact.write")
+    assert(spark.read.parquet(out).count() == 1000)
+    // and the writer session's view registration is cleaned up
+    assert(spark.sql("SHOW VIEWS IN global_temp")
+      .filter(col("viewName").startsWith("graft_compact_")).count() == 0)
+  }
+
   test("mergeSchema read surfaces missing columns as nulls") {
     val out = TempDirs.createCleanedAtExit("graft-merge-spec")
     Seq((1L, "a")).toDF("id", "s").write.mode("overwrite")

@@ -249,6 +249,23 @@ class DedupSpec extends SparkSpec {
     assert(sloppy == expected)
   }
 
+  test("bloomClean null-key policy: null hash = clean, matching " +
+      "anti-join null semantics") {
+    // in the exact anti-join a NULL key never equals any dirty hash,
+    // so the row survives; the bloom path must agree (documented
+    // policy, not an accident of primitive-arg null skipping)
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "h")
+    val dirty = Seq(10L).toDF("h")
+    val clean = Dedup.bloomClean(rows, "id", "h", dirty, "h",
+        expectedItems = 10L)
+      .as[Long].collect().toSet
+    val exact = rows.join(dirty.withColumnRenamed("h", "dh"),
+        col("h") === col("dh"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L) && exact == clean)
+  }
+
   test("fuzz: chunkDedup equals a local keep-first replay") {
     // random tiny-vocab corpora (spans collide often); a sequential
     // local replay of the keep-globally-first rule must match exactly
