@@ -350,33 +350,58 @@ object Streams {
     val ckpt = Files.createTempDirectory("graft-st05-ckpt").toString
     events.repartition(numBatches).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
+    try upsertStreamResume(spark, srcDir, schema, stateRoot, ckpt,
+      keyCol, orderCols)
+    finally { rmTree(srcDir); rmTree(ckpt) }
+  }
+
+  /** Restart-safe core of [[upsertStreamDrain]]: each batch discovers
+    * the latest committed state version (`state_v<j>`, j < batchId)
+    * from the FILESYSTEM — never a driver-side variable — so a fresh
+    * process resuming from `ckpt` continues the merge chain exactly
+    * where the previous run stopped (batch ids keep incrementing
+    * across restarts, so version numbering stays monotonic). A re-run
+    * of a failed batch b still reads the same `j < b` predecessor and
+    * overwrites its own `state_vb`, preserving idempotence
+    * (exactly-once state under at-least-once batch execution).
+    * Callable repeatedly against a growing `srcDir` with the same
+    * checkpoint + state root — the restart path StreamsSpec drives.
+    */
+  def upsertStreamResume(spark: SparkSession, srcDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         stateRoot: String, ckpt: String, keyCol: String,
+                         orderCols: Seq[String]): DataFrame = {
     val valueCols = schema.fieldNames.filter(_ != keyCol)
     // per-row ordering struct: orderCols first (latest wins), remaining
     // value columns after so the struct max is total and deterministic
     val ordered = orderCols ++ valueCols.filterNot(orderCols.contains)
-    var prevState: Option[String] = None
+    def latestVersion(before: Long): Option[String] = {
+      val d = new java.io.File(stateRoot)
+      Option(d.listFiles()).toSeq.flatten
+        .flatMap(f => scala.util.Try(
+          f.getName.stripPrefix("state_v").toLong).toOption
+          .filter(_ < before).map(v => (v, f.getAbsolutePath)))
+        .sortBy(-_._1).headOption.map(_._2)
+    }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val merged = prevState match {
+        val merged = latestVersion(batchId) match {
           case Some(p) => batch.sparkSession.read.parquet(p).unionByName(batch)
           case None => batch
         }
-        val next = s"$stateRoot/state_v$batchId"
         merged.groupBy(col(keyCol))
           .agg(max(struct(ordered.map(col): _*)).as("latest"))
           .select(col(keyCol) +: ordered.map(c => col(s"latest.$c")): _*)
-          .write.mode("overwrite").parquet(next)
-        prevState = Some(next)
+          .write.mode("overwrite").parquet(s"$stateRoot/state_v$batchId")
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    rmTree(srcDir); rmTree(ckpt)
-    spark.read.parquet(prevState.getOrElse(
+    spark.read.parquet(latestVersion(Long.MaxValue).getOrElse(
       sys.error("upsert drain saw no batches")))
   }
 

@@ -129,6 +129,50 @@ class StreamsSpec extends SparkSpec {
     assert(state == Set((1L, 103L, "c", 3.0), (2L, 105L, "e", 5.0)))
   }
 
+  test("upsert state survives a mid-stream restart (checkpoint recovery " +
+      "resumes the version chain from disk)") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val srcDir = java.nio.file.Files.createTempDirectory("st05r-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st05r-ckpt").toString
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory("st05r-state").toString
+    val schemaDf = Seq((1L, ts(0), 0L, "x", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val schema = schemaDf.schema
+    def resume() = Streams.upsertStreamResume(spark, srcDir, schema,
+      stateRoot, ckpt, "user_id", Seq("ts", "event_id"))
+
+    // run 1: two versions of key 1, one of key 2, then "the process
+    // dies" (query terminates; nothing driver-side survives — the merge
+    // chain exists only in stateRoot + the checkpoint)
+    Seq((1L, ts(10), 101L, "a", 1.0), (1L, ts(30), 103L, "c", 3.0),
+      (2L, ts(5), 104L, "d", 4.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("append").parquet(srcDir)
+    val s1 = resume().select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(s1 == Set((1L, 103L), (2L, 104L)))
+
+    // run 2 (the restart): new files only — the checkpoint skips run
+    // 1's inputs, and the merge must pick up state from disk. A stale
+    // update (ts 20 < ts 30) must lose against the RECOVERED state of
+    // key 1, which is only possible if the chain resumed correctly.
+    Seq((1L, ts(20), 102L, "b", 2.0), (3L, ts(40), 106L, "f", 6.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("append").parquet(srcDir)
+    val s2 = resume().select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(s2 == Set((1L, 103L), (2L, 104L), (3L, 106L)))
+
+    // run 3: no new input — a no-op resume must leave state unchanged
+    // (idempotence of the versioned chain under spurious restarts)
+    val s3 = resume().select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(s3 == s2)
+
+    TempDirs.rmTree(srcDir); TempDirs.rmTree(ckpt); TempDirs.rmTree(stateRoot)
+  }
+
   test("upsertStreamDrain final state is batch-partitioning invariant") {
     val ev = RelQueries.events(spark, sf001)
       .select("user_id", "ts", "event_id", "event_type", "value")
