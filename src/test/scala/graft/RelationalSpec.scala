@@ -100,6 +100,38 @@ class RelationalSpec extends SparkSpec {
     assert(full == 500L)
   }
 
+  test("skyline grid pre-merge path: survivors over the bound get " +
+      "pruned in one grid round and the exact front comes back") {
+    import graft.ops.Skyline
+    // 100-point anti-correlated TRUE front (i, 100-i) + 2000 interior
+    // points (200+j, 200-j): every interior point is dominated by EVERY
+    // front point, but interiors are mutually non-dominating, so an
+    // interior point survives phase 1 iff its partition holds no front
+    // point. Spread thin over 256 partitions most partitions are
+    // front-free -> phase-1 survivors far exceed the bound; the grid
+    // pre-merge concentrates survivors ~4x, front points reach most
+    // grid cells, and the candidate count collapses under the bound.
+    val front = (0 until 100).map(i => (i.toLong, i.toDouble, 100.0 - i))
+    val interior = (0 until 2000).map(j =>
+      (1000L + j, 200.0 + (j % 100), 200.0 - (j % 100)))
+    val df = (front ++ interior).toDF("id", "x", "y").repartition(256)
+    // replicate phase 1 against the same partitioning to PROVE this
+    // dataset actually drives the pre-merge branch (survivors > bound)
+    val survivors = df.select("x", "y").rdd.mapPartitions { it =>
+      val pts = it.map(r => Array(r.getDouble(0), r.getDouble(1))).toSeq
+      def dom(a: Array[Double], b: Array[Double]) =
+        b(0) <= a(0) && b(1) <= a(1) && (b(0) < a(0) || b(1) < a(1))
+      Iterator.single(pts.count(p => !pts.exists(q => !(q sameElements p) && dom(p, q))))
+    }.sum()
+    assert(survivors > 1000,
+      s"fixture broken: only $survivors phase-1 survivors, pre-merge " +
+        "branch would not trigger")
+    val r = Skyline.skyline(df, Seq("x", "y"), Seq(),
+        maxGlobalCandidates = 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(r == front.map(_._1).toSet)
+  }
+
   test("asofJoin attaches latest right value at-or-before, per key") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
