@@ -228,6 +228,44 @@ object StatQueries {
         .orderBy("metric")
     }),
 
+    // M4/M7/M8 at the REFERENCE configuration — the fidelity entry the
+    // round artifact exercises end-to-end, not only in specs: the EM
+    // runs the reference's 1000 draws (Method_code.Rmd:220) to its
+    // tol-0.01 stopping rule (:352-390), and the bootstrap runs the
+    // reference init/stopping scheme — constants init, iterate to tol
+    // (:611-614,:729-733). B defaults to 2 for bench tractability
+    // (reference B=10; set SPARK_GRAFT_FIDELITY_B=10 for the full
+    // configuration — runtime recorded in BASELINE.md). Rows-only by
+    // nature; exact values golden-tested in EmSpec/BootstrapSpec.
+    "m11_reference_fidelity" -> ((s, dir) => {
+      import s.implicits._
+      val small = smallSurvey(s, dir).cache()
+      val init = Em.Params(Glmm.fitLogistic(small, "y", featureCols), 0.25)
+      val fit = Em.fit(small, "y", featureCols, "state", init,
+        numDraws = 1000, tol = 0.01, maxIter = 40, seed = 42L)
+      val numB = sys.env.getOrElse("SPARK_GRAFT_FIDELITY_B", "2").toInt
+      val mspe = Bootstrap.mspe(small, bigSurvey(s, dir), "y", featureCols,
+          "state", "weight", Seq("uid"), fit.params, numB = numB,
+          seed = 7L, numDraws = 200, emIters = 10, ebpDraws = 100,
+          initScheme = "reference")
+        .select("mspe").as[Double].collect()
+      small.unpersist(blocking = false)
+      val b = fit.params.beta.toArray
+      val rows = (("em_beta_intercept", b(0)) +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          (s"em_beta_$c", b(i + 1)) } :+
+        ("em_sigma_sq", fit.params.sigmaSq) :+
+        ("em_iters", fit.iters.toDouble) :+
+        ("em_converged", if (fit.converged) 1.0 else 0.0) :+
+        ("em_draws", 1000.0) :+
+        ("boot_B", numB.toDouble) :+
+        ("mspe_mean", mspe.sum / mspe.length) :+
+        ("mspe_max", mspe.max))
+      rows.toDF("metric", "value")
+        .select(col("metric"), round(col("value"), 4).as("value"))
+        .orderBy("metric")
+    }),
+
     // S4 — the choropleth stage (Method_code.Rmd:513-550): per-area
     // estimates binned onto a color ramp. The shade table is the
     // oracle-gated result; the query also renders the REAL tile-grid
