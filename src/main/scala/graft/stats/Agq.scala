@@ -180,10 +180,118 @@ object Agq {
     (nll, DenseVector(grad), post)
   }
 
+  /** [[nodeStats]] over driver-local sufficient-statistics cells
+    * ([[Em.Cell]]): the per-unit sums collapse exactly to cell-weighted
+    * sums (y enters linearly), so
+    *   S(i,q) += sumY eta - m log1pexp(eta),
+    *   G      += (sumY - m sigmoid(eta)) x.
+    */
+  private def nodeStatsLocal(cells: Array[Em.Cell],
+                             areaIndex: Map[String, Int],
+                             nodesByArea: Array[Array[Double]],
+                             beta: Array[Double]): (Array[Double], Array[Double]) = {
+    val nA = nodesByArea.length
+    val q = nodesByArea(0).length
+    val k = beta.length
+    val s = new Array[Double](nA * q)
+    val g = new Array[Double](nA * q * k)
+    var ci = 0
+    while (ci < cells.length) {
+      val c = cells(ci)
+      val ai = areaIndex(c.area)
+      var eta0 = 0.0
+      var i = 0
+      while (i < k) { eta0 += beta(i) * c.x(i); i += 1 }
+      val vs = nodesByArea(ai)
+      var r = 0
+      while (r < q) {
+        val eta = eta0 + vs(r)
+        val idx = ai * q + r
+        s(idx) += c.sumY * eta - c.m * Glmm.log1pExp(eta)
+        val resid = c.sumY - c.m * Glmm.sigmoidD(eta)
+        i = 0
+        while (i < k) { g(idx * k + i) += resid * c.x(i); i += 1 }
+        r += 1
+      }
+      ci += 1
+    }
+    (s, g)
+  }
+
+  /** The outer re-adaptation + inner L-BFGS loop, parameterized over
+    * how modes and node statistics are produced (distributed passes or
+    * driver-local cell loops — identical math either way).
+    */
+  private def fitCore(
+      modesFn: (Em.Params, Map[String, Double]) => Seq[Em.AreaMode],
+      statsFn: (Map[String, Int], Array[Array[Double]], Array[Double]) => (Array[Double], Array[Double]),
+      k: Int, init: Em.Params, numNodes: Int, tol: Double, maxOuter: Int,
+      innerIter: Int): Fit = {
+    val (z, w) = hermiteNodes(numNodes)
+    val sqrt2 = math.sqrt(2.0)
+    var beta = init.beta
+    var sigma = math.sqrt(init.sigmaSq)
+    var modes: Seq[Em.AreaMode] = Nil
+    var outer = 0
+    var converged = false
+    while (outer < maxOuter && !converged) {
+      modes = modesFn(Em.Params(beta, sigma * sigma),
+        modes.map(m => m.area -> m.vhat).toMap)
+      val areaIndex = modes.map(_.area).zipWithIndex.toMap
+      val nodesByArea = modes.map(m =>
+        z.map(zq => m.vhat + sqrt2 * m.tau * zq)).toArray
+      val scale = 1.0 / math.max(1L, modes.map(_.n).sum).toDouble
+      val thetaInit = DenseVector((beta.toArray :+
+        // clamp keeps the unconstrained parametrization sane if a
+        // caller seeds sigma ~ 0; optimum interior for any real fit
+        math.max(math.log(math.max(sigma, 1e-6)), -10.0)): _*)
+      val theta = Optimize.lbfgsMin({ th =>
+        val b = th(0 until k).toArray
+        val stats = statsFn(areaIndex, nodesByArea, b)
+        val (nll, grad, _) = marginalNllGrad(stats, modes, nodesByArea,
+          z, w, th)
+        (nll * scale, grad * scale)
+      }, thetaInit, innerIter)
+      val newBeta = theta(0 until k).copy
+      val newSigma = math.exp(theta(k))
+      val dB = breeze.linalg.max(breeze.numerics.abs(newBeta - beta))
+      val dS = math.abs(newSigma - sigma)
+      beta = newBeta
+      sigma = newSigma
+      converged = dB < tol && dS < tol
+      outer += 1
+    }
+    // L-BFGS's final evaluation is at (or next to) the returned
+    // minimizer; recompute exactly at the fitted theta for the
+    // reported logLik/BLUPs
+    val areaIndex = modes.map(_.area).zipWithIndex.toMap
+    val nodesByArea = modes.map(m =>
+      z.map(zq => m.vhat + sqrt2 * m.tau * zq)).toArray
+    val stats = statsFn(areaIndex, nodesByArea, beta.toArray)
+    val thetaFit = DenseVector((beta.toArray :+ math.log(sigma)): _*)
+    val (nll, _, post) = marginalNllGrad(stats, modes, nodesByArea, z, w,
+      thetaFit)
+    val ranef = modes.zipWithIndex.map { case (m, ai) =>
+      val a = post(ai)
+      val vs = nodesByArea(ai)
+      var mean = 0.0; var m2 = 0.0
+      var r = 0
+      while (r < a.length) { mean += a(r) * vs(r); m2 += a(r) * vs(r) * vs(r); r += 1 }
+      (m.area, mean, math.sqrt(math.max(0.0, m2 - mean * mean)))
+    }
+    Fit(beta, sigma, -nll, ranef, outer, converged)
+  }
+
   /** Fit by outer re-adaptation + inner L-BFGS. `init` seeds both the
     * first Laplace centering and the optimizer ([[Glmm.fitLogistic]] +
     * a prior sigma guess is the natural initializer, mirroring the
     * reference's glmer-then-EM ordering).
+    *
+    * With `compress = true` (default) the design is collapsed to its
+    * [[Em.Cell]] table first (see Em.fit's doc — one shuffle, exact);
+    * when the cell table fits `maxLocalCells` the whole quadrature fit
+    * runs driver-side with zero further cluster work. Otherwise the
+    * distributed unit-level path runs as before.
     *
     * Boundary note: when the data carry little between-area variance
     * the ML optimum sits near sigma = 0 and the log-sigma direction
@@ -195,83 +303,50 @@ object Agq {
   def fit(df: DataFrame, yCol: String, featureCols: Seq[String],
           areaCol: String, init: Em.Params, numNodes: Int = 9,
           tol: Double = 1e-3, maxOuter: Int = 15,
-          innerIter: Int = 40): Fit = {
+          innerIter: Int = 40, compress: Boolean = true,
+          maxLocalCells: Int = 1 << 16): Fit = {
     import org.apache.spark.sql.functions.col
-    val (z, w) = hermiteNodes(numNodes)
-    val sqrt2 = math.sqrt(2.0)
-    // iteration-invariant slice persisted ONCE (same rationale as
-    // Em.fit): laplaceModes re-projects x'beta from it per pass
-    val slim = df.select(
-        (col(areaCol) +: featureCols.map(col)) :+ col(yCol): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val k = featureCols.length + 1
-    val design = slim.select(
-        (col(yCol).cast("double") +: featureCols.map(c => col(c).cast("double"))) :+
-          col(areaCol).cast("string"): _*)
-      .rdd.map { r =>
-        val x = new Array[Double](k)
-        x(0) = 1.0
-        var i = 0
-        while (i < k - 1) { x(i + 1) = r.getDouble(i + 1); i += 1 }
-        (r.getDouble(0), x, r.getString(k))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    design.count()
-    try {
-      var beta = init.beta
-      var sigma = math.sqrt(init.sigmaSq)
-      var modes: Seq[Em.AreaMode] = Nil
-      var outer = 0
-      var converged = false
-      while (outer < maxOuter && !converged) {
-        modes = Em.laplaceModes(slim, Em.Params(beta, sigma * sigma),
-          featureCols, areaCol, yCol,
-          warmStart = modes.map(m => m.area -> m.vhat).toMap)
-        val areaIndex = modes.map(_.area).zipWithIndex.toMap
-        val nodesByArea = modes.map(m =>
-          z.map(zq => m.vhat + sqrt2 * m.tau * zq)).toArray
-        val scale = 1.0 / math.max(1L, modes.map(_.n).sum).toDouble
-        val thetaInit = DenseVector((beta.toArray :+
-          // clamp keeps the unconstrained parametrization sane if a
-          // caller seeds sigma ~ 0; optimum interior for any real fit
-          math.max(math.log(math.max(sigma, 1e-6)), -10.0)): _*)
-        val theta = Optimize.lbfgsMin({ th =>
-          val b = th(0 until k).toArray
-          val stats = nodeStats(design, areaIndex, nodesByArea, b)
-          val (nll, grad, _) = marginalNllGrad(stats, modes, nodesByArea,
-            z, w, th)
-          (nll * scale, grad * scale)
-        }, thetaInit, innerIter)
-        val newBeta = theta(0 until k).copy
-        val newSigma = math.exp(theta(k))
-        val dB = breeze.linalg.max(breeze.numerics.abs(newBeta - beta))
-        val dS = math.abs(newSigma - sigma)
-        beta = newBeta
-        sigma = newSigma
-        converged = dB < tol && dS < tol
-        outer += 1
-      }
-      // L-BFGS's final evaluation is at (or next to) the returned
-      // minimizer; recompute exactly at the fitted theta for the
-      // reported logLik/BLUPs
-      val areaIndex = modes.map(_.area).zipWithIndex.toMap
-      val nodesByArea = modes.map(m =>
-        z.map(zq => m.vhat + sqrt2 * m.tau * zq)).toArray
-      val stats = nodeStats(design, areaIndex, nodesByArea, beta.toArray)
-      val thetaFit = DenseVector((beta.toArray :+ math.log(sigma)): _*)
-      val (nll, _, post) = marginalNllGrad(stats, modes, nodesByArea, z, w,
-        thetaFit)
-      val ranef = modes.zipWithIndex.map { case (m, ai) =>
-        val a = post(ai)
-        val vs = nodesByArea(ai)
-        var mean = 0.0; var m2 = 0.0
-        var r = 0
-        while (r < a.length) { mean += a(r) * vs(r); m2 += a(r) * vs(r) * vs(r); r += 1 }
-        (m.area, mean, math.sqrt(math.max(0.0, m2 - mean * mean)))
-      }
-      Fit(beta, sigma, -nll, ranef, outer, converged)
-    } finally {
-      design.unpersist(blocking = false)
-      slim.unpersist(blocking = false)
+    val localCells: Option[Array[Em.Cell]] =
+      if (compress)
+        Em.collectCellsIfSmall(
+          Em.compressCells(df, yCol, featureCols, areaCol),
+          featureCols.length, maxLocalCells)
+      else None
+    localCells match {
+      case Some(cells) =>
+        val byArea: Array[(String, Array[Em.Cell])] =
+          cells.groupBy(_.area).toArray.sortBy(_._1)
+        fitCore(
+          (p, warm) => Em.laplaceModesLocal(byArea, p, 3.0, warm),
+          (ai, nodes, b) => nodeStatsLocal(cells, ai, nodes, b),
+          k, init, numNodes, tol, maxOuter, innerIter)
+      case None =>
+        // iteration-invariant slice persisted ONCE (same rationale as
+        // Em.fit): laplaceModes re-projects x'beta from it per pass
+        val slim = df.select(
+            (col(areaCol) +: featureCols.map(col)) :+ col(yCol): _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val design = slim.select(
+            (col(yCol).cast("double") +: featureCols.map(c => col(c).cast("double"))) :+
+              col(areaCol).cast("string"): _*)
+          .rdd.map { r =>
+            val x = new Array[Double](k)
+            x(0) = 1.0
+            var i = 0
+            while (i < k - 1) { x(i + 1) = r.getDouble(i + 1); i += 1 }
+            (r.getDouble(0), x, r.getString(k))
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+        design.count()
+        try fitCore(
+          (p, warm) => Em.laplaceModes(slim, p, featureCols, areaCol,
+            yCol, warmStart = warm),
+          (ai, nodes, b) => nodeStats(design, ai, nodes, b),
+          k, init, numNodes, tol, maxOuter, innerIter)
+        finally {
+          design.unpersist(blocking = false)
+          slim.unpersist(blocking = false)
+        }
     }
   }
 }

@@ -46,6 +46,26 @@ object Em {
                  draws: Map[String, Array[Double]], iters: Int,
                  converged: Boolean)
 
+  /** One distinct-covariate cell of a logistic design: `m` rows share
+    * the covariate vector `x` (intercept at index 0) in `area`, of
+    * which `sumY` have y = 1. Every objective this file optimizes
+    * depends on the data ONLY through (area, x) — y enters linearly —
+    * so the per-unit likelihood sums collapse EXACTLY to
+    * cell-weighted sums: sum_j f(eta_j) = sum_cells m_c f(eta_c) and
+    * sum_j y_j g(eta_j) = sum_cells sumY_c g(eta_c).
+    *
+    * This is the frequency-weight sufficient-statistics trick (R's
+    * `glm(weights=)`): for categorical designs — the reference's model
+    * exactly (area x two binary indicators = areas x 4 cells) — the
+    * design compresses from N rows to a DIMENSION-sized cell table in
+    * ONE map-side-combining shuffle, after which the entire EM inner
+    * loop costs O(cells x draws) per evaluation instead of
+    * O(rows x draws). At 100 TB this is the difference between an EM
+    * iteration being ~20 full-data passes and being one grouped
+    * aggregation followed by driver arithmetic.
+    */
+  case class Cell(area: String, x: Array[Double], m: Long, sumY: Double)
+
   /** Step 2 — per-area Laplace approximation. Maximizes
     *   log g(v) = -v^2/(2 sigma^2) + sum_j [ y_j (xb_j+v) - log1pexp(xb_j+v) ]
     * over v in [-vBound, vBound] (reference bound 3, Method_code.Rmd:220)
@@ -66,8 +86,37 @@ object Em {
                    areaCol: String, yCol: String,
                    vBound: Double = 3.0,
                    warmStart: Map[String, Double] = Map.empty): Seq[AreaMode] = {
-    val spark = df.sparkSession
-    val sigmaSq = params.sigmaSq
+    // unit-level rows are the m = 1 special case of the weighted core
+    // (1.0 * p == p exactly, so this wrapper is float-identical to the
+    // historical unit-level formulation)
+    val base0 = df.select(col(areaCol).cast("string").as("area"),
+        Glmm.xBetaCol(params.beta, featureCols).as("xb"),
+        lit(1.0).as("m"),
+        col(yCol).cast("double").as("sy"))
+    laplaceCore(base0, df.storageLevel != StorageLevel.NONE,
+      params.sigmaSq, vBound, warmStart)
+  }
+
+  /** [[laplaceModes]] over a compressed cell table (columns: area,
+    * featureCols..., m, sumY — see [[Cell]]). Same math, cell-weighted:
+    * g'(v) = sum_c (sumY_c - m_c p_c) - v/sigma^2,
+    * info   = sum_c m_c p_c (1-p_c) + 1/sigma^2.
+    */
+  def laplaceModesCells(cellsDf: DataFrame, params: Params,
+                        featureCols: Seq[String], vBound: Double = 3.0,
+                        warmStart: Map[String, Double] = Map.empty): Seq[AreaMode] = {
+    val base0 = cellsDf.select(col("area"),
+        Glmm.xBetaCol(params.beta, featureCols).as("xb"),
+        col("m").cast("double").as("m"),
+        col("sumY").cast("double").as("sy"))
+    laplaceCore(base0, cellsDf.storageLevel != StorageLevel.NONE,
+      params.sigmaSq, vBound, warmStart)
+  }
+
+  private def laplaceCore(base0: DataFrame, upstreamCached: Boolean,
+                          sigmaSq: Double, vBound: Double,
+                          warmStart: Map[String, Double]): Seq[AreaMode] = {
+    val spark = base0.sparkSession
     // If the caller already persisted its slice (fit() does, once per
     // fit), DON'T persist the xb projection: xb depends on this
     // iteration's beta, so persisting here would re-write the data
@@ -75,10 +124,6 @@ object Em {
     // Recomputing xb per Newton pass from the cached slice is a few
     // multiplies per row, far cheaper than an iteration-wise persist
     // at scale.
-    val upstreamCached = df.storageLevel != StorageLevel.NONE
-    val base0 = df.select(col(areaCol).cast("string").as("area"),
-        Glmm.xBetaCol(params.beta, featureCols).as("xb"),
-        col(yCol).cast("double").as("y"))
     val base =
       if (upstreamCached) base0
       else base0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -110,12 +155,12 @@ object Em {
         val vDf = spark.createDataFrame(
           java.util.Arrays.asList(vRows: _*), vSchema)
         val stats = base.join(broadcast(vDf), Seq("area"))
-          .select(col("area"), col("y"),
+          .select(col("area"), col("m"), col("sy"),
             graft.etl.Encodings.sigmoid(col("xb") + col("v")).as("p"))
           .groupBy("area")
-          .agg(sum(col("y") - col("p")).as("gsum"),
-            sum(col("p") * (lit(1.0) - col("p"))).as("wsum"),
-            count(lit(1)).as("n"))
+          .agg(sum(col("sy") - col("m") * col("p")).as("gsum"),
+            sum(col("m") * col("p") * (lit(1.0) - col("p"))).as("wsum"),
+            sum(col("m")).cast("long").as("n"))
           .collect()
         stats.foreach { r =>
           val (a, gsum, wsum, n) =
@@ -229,13 +274,305 @@ object Em {
     } finally bc.destroy()
   }
 
+  /** [[updateBeta]] over weighted cells (m, sumY, x, area): the
+    * per-cell contribution is m * mean_r log1pexp(eta + v_r) - sumY * eta
+    * with gradient (m * mean_r sigmoid(eta + v_r) - sumY) x — the exact
+    * collapse of the unit-level sums. `totalN` (= sum of m) scales the
+    * objective to per-unit units so L-BFGS line searches behave
+    * identically to the uncompressed fit.
+    */
+  def updateBetaCells(cells: RDD[(Double, Double, Array[Double], String)],
+                      draws: Map[String, Array[Double]], totalN: Long,
+                      init: DenseVector[Double],
+                      maxIter: Int = 50): DenseVector[Double] = {
+    val sc = cells.sparkContext
+    val bc = sc.broadcast(draws)
+    val scale = 1.0 / math.max(1L, totalN).toDouble
+    try {
+      Optimize.lbfgsMin({ beta =>
+        val k = beta.length
+        val b = beta.toArray
+        val (loss, grad) = cells.treeAggregate((0.0, new Array[Double](k)))(
+          seqOp = { case ((l, g), (m, sy, x, area)) =>
+            var eta = 0.0
+            var i = 0
+            while (i < k) { eta += b(i) * x(i); i += 1 }
+            val vs = bc.value.getOrElse(area, Array(0.0))
+            var sumLog = 0.0; var sumP = 0.0
+            var r = 0
+            while (r < vs.length) {
+              sumLog += Glmm.log1pExp(eta + vs(r))
+              sumP += Glmm.sigmoidD(eta + vs(r))
+              r += 1
+            }
+            val mLog = sumLog / vs.length
+            val mP = sumP / vs.length
+            i = 0
+            while (i < k) { g(i) += (m * mP - sy) * x(i); i += 1 }
+            (l + m * mLog - sy * eta, g)
+          },
+          combOp = { case ((l1, g1), (l2, g2)) =>
+            var i = 0
+            while (i < k) { g1(i) += g2(i); i += 1 }
+            (l1 + l2, g1)
+          },
+          depth = 2)
+        (loss * scale, DenseVector(grad) * scale)
+      }, init, maxIter)
+    } finally bc.destroy()
+  }
+
+  // ---------------------------------------------------------------
+  // Sufficient-statistics compression (see [[Cell]])
+  // ---------------------------------------------------------------
+
+  /** Compress a design to its distinct-covariate cell table:
+    * groupBy(area, features) -> (m = count, sumY = sum y). ONE
+    * map-side-combining shuffle whose output is bounded by the
+    * covariate-cell cardinality, not the row count.
+    */
+  def compressCells(df: DataFrame, yCol: String, featureCols: Seq[String],
+                    areaCol: String): DataFrame =
+    df.groupBy((col(areaCol).cast("string").as("area") +:
+        featureCols.map(c => col(c).cast("double").as(c))): _*)
+      .agg(count(lit(1)).as("m"),
+        sum(col(yCol).cast("double")).as("sumY"))
+
+  /** Collect a cell table to the driver iff it has at most `maxLocal`
+    * cells; rows are sorted deterministically (area, then covariates)
+    * so driver-side float sums are invariant to partitioning and
+    * collect order. None = too many cells, stay distributed.
+    */
+  def collectCellsIfSmall(cellsDf: DataFrame, numFeatures: Int,
+                          maxLocal: Int): Option[Array[Cell]] = {
+    val rows = cellsDf.limit(maxLocal + 1).collect()
+    if (rows.length > maxLocal) None
+    else {
+      import scala.math.Ordering.Implicits._
+      Some(rows.map { r =>
+        val x = new Array[Double](numFeatures + 1)
+        x(0) = 1.0
+        var i = 0
+        while (i < numFeatures) { x(i + 1) = r.getDouble(i + 1); i += 1 }
+        Cell(r.getString(0), x, r.getLong(numFeatures + 1),
+          r.getDouble(numFeatures + 2))
+      }.sortBy(c => (c.area, c.x.toSeq)))
+    }
+  }
+
+  /** Driver-local Laplace modes over collected cells — the same
+    * safeguarded Newton as [[laplaceModes]], but each pass is a loop
+    * over the area's cells instead of a grouped aggregation. Exact to
+    * float-noise vs the distributed path (same update rule, same
+    * termination).
+    */
+  private[stats] def laplaceModesLocal(
+      byArea: Array[(String, Array[Cell])], params: Params,
+      vBound: Double, warmStart: Map[String, Double]): Seq[AreaMode] = {
+    val sigmaSq = params.sigmaSq
+    val b = params.beta.toArray
+    byArea.toSeq.map { case (area, cs) =>
+      val xb = cs.map { c =>
+        var e = 0.0
+        var i = 0
+        while (i < b.length) { e += b(i) * c.x(i); i += 1 }
+        e
+      }
+      val n = cs.map(_.m).sum
+      var v = math.max(-vBound, math.min(vBound,
+        warmStart.getOrElse(area, 0.0)))
+      var lo = -vBound
+      var hi = vBound
+      var tau = math.sqrt(sigmaSq)
+      var pass = 0
+      var done = false
+      while (!done && pass < 40) {
+        var gsum = 0.0; var wsum = 0.0
+        var i = 0
+        while (i < cs.length) {
+          val p = Glmm.sigmoidD(xb(i) + v)
+          gsum += cs(i).sumY - cs(i).m * p
+          wsum += cs(i).m * p * (1.0 - p)
+          i += 1
+        }
+        val g = gsum - v / sigmaSq
+        val info = wsum + 1.0 / sigmaSq
+        tau = math.sqrt(1.0 / info)
+        if (g > 0) lo = math.max(lo, v) else hi = math.min(hi, v)
+        val step = g / info
+        val atBound = (v >= vBound && g > 0) || (v <= -vBound && g < 0)
+        if (math.abs(step) < 1e-10 || hi - lo < 1e-12 || atBound) done = true
+        else {
+          var cand = v + step
+          if (cand <= lo || cand >= hi) cand = (lo + hi) / 2
+          v = math.max(-vBound, math.min(vBound, cand))
+          pass += 1
+        }
+      }
+      if (!done) System.err.println(
+        s"[graft.Em] laplaceModesLocal: area '$area' hit the pass cap " +
+          s"without converging (v=$v, bracket=[$lo, $hi]); " +
+          "emitting best bracketed value")
+      AreaMode(area, v, tau, n)
+    }
+  }
+
+  /** Driver-local beta update over collected cells — same objective as
+    * [[updateBetaCells]] without a cluster round-trip per L-BFGS
+    * evaluation.
+    */
+  private[stats] def updateBetaLocal(cells: Array[Cell],
+                                     draws: Map[String, Array[Double]],
+                                     totalN: Long,
+                                     init: DenseVector[Double],
+                                     maxIter: Int = 50): DenseVector[Double] = {
+    val scale = 1.0 / math.max(1L, totalN).toDouble
+    Optimize.lbfgsMin({ beta =>
+      val k = beta.length
+      val b = beta.toArray
+      var loss = 0.0
+      val grad = new Array[Double](k)
+      var ci = 0
+      while (ci < cells.length) {
+        val c = cells(ci)
+        var eta = 0.0
+        var i = 0
+        while (i < k) { eta += b(i) * c.x(i); i += 1 }
+        val vs = draws.getOrElse(c.area, Array(0.0))
+        var sumLog = 0.0; var sumP = 0.0
+        var r = 0
+        while (r < vs.length) {
+          sumLog += Glmm.log1pExp(eta + vs(r))
+          sumP += Glmm.sigmoidD(eta + vs(r))
+          r += 1
+        }
+        val mLog = sumLog / vs.length
+        val mP = sumP / vs.length
+        loss += c.m * mLog - c.sumY * eta
+        i = 0
+        while (i < k) { grad(i) += (c.m * mP - c.sumY) * c.x(i); i += 1 }
+        ci += 1
+      }
+      (loss * scale, DenseVector(grad) * scale)
+    }, init, maxIter)
+  }
+
+  /** The whole EM loop over driver-local cells: zero cluster work after
+    * the one compression shuffle. Identical update rules to the
+    * distributed loop (draws use the same keyed RNG, so given the same
+    * modes the draw streams are bit-identical).
+    */
+  private def fitLocal(cells: Array[Cell], init: Params, numDraws: Int,
+                       tol: Double, maxIter: Int, seed: Long,
+                       vBound: Double): Fit = {
+    val byArea: Array[(String, Array[Cell])] =
+      cells.groupBy(_.area).toArray.sortBy(_._1)
+    val nByArea = byArea.map { case (a, cs) => a -> cs.map(_.m).sum }.toMap
+    val totalN = nByArea.valuesIterator.sum
+    var params = init
+    var modes: Seq[AreaMode] = Nil
+    var draws: Map[String, Array[Double]] = Map.empty
+    var k = 0
+    var converged = false
+    while (k < maxIter && !converged) {
+      modes = laplaceModesLocal(byArea, params, vBound,
+        warmStart = modes.map(m => m.area -> m.vhat).toMap)
+      draws = simulateDraws(modes, numDraws, seed, k)
+      val s2 = updateSigmaSq(draws, nByArea, totalN)
+      val beta = updateBetaLocal(cells, draws, totalN, params.beta)
+      val dSigma = math.abs(math.sqrt(s2) - math.sqrt(params.sigmaSq))
+      val dBeta = breeze.linalg.max(breeze.numerics.abs(beta - params.beta))
+      converged = dSigma < tol && dBeta < tol
+      params = Params(beta, s2)
+      k += 1
+    }
+    Fit(params, modes, draws, k, converged)
+  }
+
   /** Outer EM loop (Method_code.Rmd:352-390): iterate to convergence,
     * tol on sigma and on every beta coordinate (reference tol = 0.01).
+    *
+    * With `compress = true` (default) the design is first collapsed to
+    * its [[Cell]] sufficient-statistics table (one shuffle). If the
+    * cell table fits the `maxLocalCells` bound it is collected —
+    * DIMENSION-sized for categorical designs, like the area list the
+    * loop already collects — and the whole EM runs driver-side with
+    * zero further cluster work; otherwise the loop stays distributed
+    * over the (still compressed) weighted cells. Pass
+    * `compress = false` for designs with continuous covariates, where
+    * the groupBy would shuffle the full data for no reduction — the
+    * loop then runs the historical unit-level path.
     */
   def fit(df: DataFrame, yCol: String, featureCols: Seq[String],
           areaCol: String, init: Params, numDraws: Int = 1000,
           tol: Double = 0.01, maxIter: Int = 50, seed: Long = 42L,
-          vBound: Double = 3.0): Fit = {
+          vBound: Double = 3.0, compress: Boolean = true,
+          maxLocalCells: Int = 1 << 16): Fit =
+    if (compress) {
+      val cellsDf = compressCells(df, yCol, featureCols, areaCol)
+      collectCellsIfSmall(cellsDf, featureCols.length, maxLocalCells) match {
+        case Some(cells) =>
+          fitLocal(cells, init, numDraws, tol, maxIter, seed, vBound)
+        case None =>
+          fitCellsDistributed(cellsDf, featureCols, init, numDraws, tol,
+            maxIter, seed, vBound)
+      }
+    } else fitUnits(df, yCol, featureCols, areaCol, init, numDraws, tol,
+      maxIter, seed, vBound)
+
+  /** The distributed loop over a compressed-but-large cell table:
+    * every Newton pass and L-BFGS evaluation aggregates weighted cells
+    * (bounded by cell cardinality), never unit rows.
+    */
+  private def fitCellsDistributed(cellsDf0: DataFrame,
+      featureCols: Seq[String], init: Params, numDraws: Int, tol: Double,
+      maxIter: Int, seed: Long, vBound: Double): Fit = {
+    val nf = featureCols.length
+    val cellsDf = cellsDf0.persist(StorageLevel.MEMORY_AND_DISK)
+    val design = cellsDf.select(
+        (col("m").cast("double") +: col("sumY").cast("double") +:
+          featureCols.map(c => col(c).cast("double"))) :+ col("area"): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](nf + 1)
+        x(0) = 1.0
+        var i = 0
+        while (i < nf) { x(i + 1) = r.getDouble(i + 2); i += 1 }
+        (r.getDouble(0), r.getDouble(1), x, r.getString(nf + 2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    design.count()
+    try {
+      var params = init
+      var modes: Seq[AreaMode] = Nil
+      var draws: Map[String, Array[Double]] = Map.empty
+      var k = 0
+      var converged = false
+      var totalN = 0L
+      while (k < maxIter && !converged) {
+        modes = laplaceModesCells(cellsDf, params, featureCols, vBound,
+          warmStart = modes.map(m => m.area -> m.vhat).toMap)
+        if (totalN == 0L) totalN = modes.map(_.n).sum
+        draws = simulateDraws(modes, numDraws, seed, k)
+        val nByArea = modes.map(m => m.area -> m.n).toMap
+        val s2 = updateSigmaSq(draws, nByArea, totalN)
+        val beta = updateBetaCells(design, draws, totalN, params.beta)
+        val dSigma = math.abs(math.sqrt(s2) - math.sqrt(params.sigmaSq))
+        val dBeta = breeze.linalg.max(breeze.numerics.abs(beta - params.beta))
+        converged = dSigma < tol && dBeta < tol
+        params = Params(beta, s2)
+        k += 1
+      }
+      Fit(params, modes, draws, k, converged)
+    } finally {
+      design.unpersist(blocking = false)
+      cellsDf.unpersist(blocking = false)
+    }
+  }
+
+  /** The historical unit-level distributed loop (`compress = false`). */
+  private def fitUnits(df: DataFrame, yCol: String, featureCols: Seq[String],
+          areaCol: String, init: Params, numDraws: Int,
+          tol: Double, maxIter: Int, seed: Long,
+          vBound: Double): Fit = {
     // the (area, features, y) slice is iteration-INVARIANT: persist it
     // once here and let every laplaceModes pass project x'beta from the
     // cached slice, instead of re-persisting a beta-dependent

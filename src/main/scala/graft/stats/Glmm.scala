@@ -85,15 +85,73 @@ object Glmm {
 
   /** Fit fixed-effects logistic regression; returns beta with intercept
     * at index 0 (feature order = featureCols).
+    *
+    * With `compress = true` (default) the design is first collapsed to
+    * its distinct-covariate cells — (x, m = count, sumY = sum y), one
+    * map-side-combining shuffle; see [[graft.stats.Em.Cell]] — and,
+    * when the cell table fits `maxLocalCells`, the entire L-BFGS runs
+    * driver-side over the weighted cells: exact (y enters the NLL
+    * linearly) and, for categorical designs, independent of row count.
+    * Pass `compress = false` for continuous covariates.
     */
   def fitLogistic(df: DataFrame, yCol: String, featureCols: Seq[String],
-                  l2: Double = 1e-8, maxIter: Int = 100): DenseVector[Double] = {
-    val data = designRdd(df, yCol, featureCols)
-    try {
-      val scale = 1.0 / math.max(1L, data.count()).toDouble
-      val init = DenseVector.zeros[Double](featureCols.length + 1)
-      Optimize.lbfgsMin(nllGrad(data, _, l2, scale), init, maxIter)
-    } finally data.unpersist(blocking = false)
+                  l2: Double = 1e-8, maxIter: Int = 100,
+                  compress: Boolean = true,
+                  maxLocalCells: Int = 1 << 16): DenseVector[Double] = {
+    val init = DenseVector.zeros[Double](featureCols.length + 1)
+    val localCells: Option[Array[(Array[Double], Double, Double)]] =
+      if (compress) {
+        val cellsDf = df
+          .groupBy(featureCols.map(c => col(c).cast("double").as(c)): _*)
+          .agg(count(lit(1)).cast("double").as("m"),
+            sum(col(yCol).cast("double")).as("sumY"))
+        val rows = cellsDf.limit(maxLocalCells + 1).collect()
+        if (rows.length > maxLocalCells) None
+        else {
+          import scala.math.Ordering.Implicits._
+          Some(rows.map { r =>
+            val x = new Array[Double](featureCols.length + 1)
+            x(0) = 1.0
+            var i = 0
+            while (i < featureCols.length) { x(i + 1) = r.getDouble(i); i += 1 }
+            (x, r.getDouble(featureCols.length),
+              r.getDouble(featureCols.length + 1))
+          }.sortBy(_._1.toSeq))
+        }
+      } else None
+    localCells match {
+      case Some(cells) =>
+        val totalN = cells.map(_._2).sum
+        val scale = 1.0 / math.max(1.0, totalN)
+        Optimize.lbfgsMin({ beta =>
+          val k = beta.length
+          val b = beta.toArray
+          var loss = 0.0
+          val grad = new Array[Double](k)
+          var ci = 0
+          while (ci < cells.length) {
+            val (x, m, sy) = cells(ci)
+            var eta = 0.0
+            var i = 0
+            while (i < k) { eta += b(i) * x(i); i += 1 }
+            val p = sigmoidD(eta)
+            loss += m * log1pExp(eta) - sy * eta
+            i = 0
+            while (i < k) { grad(i) += (m * p - sy) * x(i); i += 1 }
+            ci += 1
+          }
+          val gv = DenseVector(grad) * scale
+          val sLoss = loss * scale
+          if (l2 > 0) (sLoss + 0.5 * l2 * (beta dot beta), gv + beta * l2)
+          else (sLoss, gv)
+        }, init, maxIter)
+      case None =>
+        val data = designRdd(df, yCol, featureCols)
+        try {
+          val scale = 1.0 / math.max(1L, data.count()).toDouble
+          Optimize.lbfgsMin(nllGrad(data, _, l2, scale), init, maxIter)
+        } finally data.unpersist(blocking = false)
+    }
   }
 
   /** Linear-predictor Column from a fitted beta (intercept at index 0),

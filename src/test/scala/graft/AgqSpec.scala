@@ -120,6 +120,22 @@ class AgqSpec extends SparkSpec {
     assert(math.abs(a.sigma - b.sigma) < 1e-4)
   }
 
+  test("cell compression is exact: local-cells fit matches the " +
+      "unit-level distributed fit") {
+    val init = Em.Params(DenseVector(0.0, 0.5, -0.5), 0.25)
+    val local = Agq.fit(survey, "y", SurveyFixture.featureCols, "state", init)
+    val units = Agq.fit(survey, "y", SurveyFixture.featureCols, "state", init,
+      compress = false)
+    // identical math, different float-summation order; both optimizers
+    // re-converge to the same marginal-ML optimum
+    assert(breeze.linalg.max(breeze.numerics.abs(local.beta - units.beta)) < 1e-4,
+      s"local=${local.beta} units=${units.beta}")
+    assert(math.abs(local.sigma - units.sigma) < 1e-4)
+    local.ranef.zip(units.ranef).foreach { case ((a1, u1, s1), (a2, u2, s2)) =>
+      assert(a1 == a2 && math.abs(u1 - u2) < 1e-4 && math.abs(s1 - s2) < 1e-4)
+    }
+  }
+
   test("more quadrature nodes does not move the estimate (Q=5 vs Q=15)") {
     val init = Em.Params(
       Glmm.fitLogistic(survey, "y", SurveyFixture.featureCols), 0.25)

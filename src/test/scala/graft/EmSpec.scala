@@ -94,6 +94,54 @@ class EmSpec extends SparkSpec {
     assert(sig > 0.15 && sig < 1.0, s"sigma=$sig")
   }
 
+  test("compressCells collapses a categorical design to exact cell stats, " +
+      "invariant to partitioning") {
+    val df = Seq(
+      ("a", 0.0, 1.0, 1), ("a", 0.0, 1.0, 0), ("a", 0.0, 1.0, 1),
+      ("a", 1.0, 0.0, 0), ("b", 0.0, 0.0, 1), ("b", 0.0, 0.0, 1)
+    ).toDF("state", "x1", "x2", "y")
+    def cells(p: Int) = Em.collectCellsIfSmall(
+      Em.compressCells(df.repartition(p), "y", Seq("x1", "x2"), "state"),
+      numFeatures = 2, maxLocal = 100).get
+    val c1 = cells(1)
+    val c13 = cells(13)
+    assert(c1.length == 3)
+    // counts and 0/1 sums are exact integers — partitioning-exact
+    assert(c1.map(c => (c.area, c.x.toSeq, c.m, c.sumY)).toSeq ==
+      c13.map(c => (c.area, c.x.toSeq, c.m, c.sumY)).toSeq)
+    val cellA = c1.find(c => c.area == "a" && c.x.toSeq == Seq(1.0, 0.0, 1.0)).get
+    assert(cellA.m == 3 && cellA.sumY == 2.0)
+    // the bound is honored
+    assert(Em.collectCellsIfSmall(
+      Em.compressCells(df, "y", Seq("x1", "x2"), "state"), 2, maxLocal = 2)
+      .isEmpty)
+  }
+
+  test("cell compression is exact: local, distributed-cells, and " +
+      "unit-level fits agree") {
+    val init = Em.Params(DenseVector.zeros[Double](3), 1.0)
+    def run(compress: Boolean, maxLocal: Int) =
+      Em.fit(survey, "y", SurveyFixture.featureCols, "state", init,
+        numDraws = 100, maxIter = 3, seed = 5L, compress = compress,
+        maxLocalCells = maxLocal)
+    val local = run(compress = true, maxLocal = 1 << 16)
+    val distCells = run(compress = true, maxLocal = 0)
+    val units = run(compress = false, maxLocal = 1 << 16)
+    // identical math, different float-summation order: the optimizers
+    // re-converge to the same point well within 1e-4
+    Seq(distCells, units).foreach { other =>
+      val dB = breeze.linalg.max(breeze.numerics.abs(
+        local.params.beta - other.params.beta))
+      assert(dB < 1e-4, s"beta ${local.params.beta} vs ${other.params.beta}")
+      assert(math.abs(local.params.sigmaSq - other.params.sigmaSq) < 1e-4)
+      assert(local.modes.map(_.area) == other.modes.map(_.area))
+      assert(local.modes.map(_.n) == other.modes.map(_.n))
+      local.modes.zip(other.modes).foreach { case (x, y) =>
+        assert(math.abs(x.vhat - y.vhat) < 1e-5, s"$x vs $y")
+      }
+    }
+  }
+
   test("ebp with zero draws equals weighted mean of sigmoid(x'beta)") {
     val big = SurveyFixture.covariates(numAreas = 5, rowsPerArea = 30)
     val params = Em.Params(DenseVector(0.2, 0.5, -0.5), 1.0)

@@ -46,6 +46,24 @@ class GlmmSpec extends SparkSpec {
     }
   }
 
+  test("fitLogistic cell compression is exact (compressed vs unit-level)") {
+    // categorical design: 4 covariate cells regardless of row count —
+    // the compressed fit sees 4 weighted cells, the unit fit 2000 rows
+    val cov = SurveyFixture.covariates(numAreas = 5, rowsPerArea = 400)
+      .withColumn("x1", (col("x1") > 0).cast("double"))
+    val df = Bootstrap.simulateOutcome(cov, SurveyFixture.trueBeta,
+      SurveyFixture.featureCols, "state", Map.empty, Seq("uid"), 13L, 0, "y")
+    val compressed = Glmm.fitLogistic(df, "y", SurveyFixture.featureCols)
+    val units = Glmm.fitLogistic(df, "y", SurveyFixture.featureCols,
+      compress = false)
+    val d = breeze.linalg.max(breeze.numerics.abs(compressed - units))
+    assert(d < 1e-5, s"compressed=$compressed units=$units")
+    // the bound falls back to the distributed path and still agrees
+    val bounded = Glmm.fitLogistic(df, "y", SurveyFixture.featureCols,
+      maxLocalCells = 2)
+    assert(breeze.linalg.max(breeze.numerics.abs(bounded - units)) < 1e-5)
+  }
+
   test("nllGrad gradient matches finite differences") {
     val df = SurveyFixture.smallSurvey(numAreas = 5, rowsPerArea = 40)
     val data = Glmm.designRdd(df, "y", SurveyFixture.featureCols)
