@@ -24,6 +24,85 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]"))
 
+  /** PII regex classes — an RE2-safe subset (no backreferences or
+    * lookaround) so Java regex (Spark) and RE2 (the DuckDB oracle)
+    * agree token for token. The standard pre-training scrub step
+    * (emails / phone numbers / IPv4 addresses), applied as narrow
+    * codegen'd expressions over the scan.
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII counts plus the redacted text: emails ->
+    * `<EMAIL>`, IPv4 -> `<IP>`, phones -> `<PHONE>`. Counts are taken
+    * on the ORIGINAL text (independent per class); replacements chain
+    * email -> ip -> phone (the classes don't overlap textually, so
+    * order only matters defensively). Pure projection — no shuffle,
+    * scales as a map over the corpus scan.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(piiEmailRe)).as("n_email"),
+      regexp_count(t, lit(piiPhoneRe)).as("n_phone"),
+      regexp_count(t, lit(piiIpRe)).as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+          piiEmailRe, "<EMAIL>"),
+          piiIpRe, "<IP>"),
+          piiPhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** Token-budget corpus selection: keep documents in descending
+    * quality order until the running token total exceeds `budget` —
+    * semantically `SUM(n_tokens) OVER (ORDER BY qbin DESC, id) <=
+    * budget` with qbin = quality rounded to `binDp` decimals (ranking
+    * on the ROUNDED score is the engine's oracle-portability rule, and
+    * is what bounds the bin domain).
+    *
+    * Scale shape: the naive formulation is a GLOBAL sort + running sum
+    * — a single-partition window at 100 TB. Instead: (1) one grouped
+    * aggregation to per-bin token totals (<= 10^binDp + 1 bins —
+    * dimension-sized, collected); (2) the driver walks bins in
+    * descending order to find the boundary bin and the budget consumed
+    * above it; (3) bins strictly above keep everything, bins below
+    * drop everything — pure filters; (4) ONLY the boundary bin's rows
+    * (one bin's worth) flow through an exact per-bin cumulative-sum
+    * window. Identical output to the global window, no global sort.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        budget: Long, binDp: Int = 3): DataFrame = {
+    val base = df.select(col(idCol),
+        round(qualityScore(col(textCol)), 6).as("quality"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("qbin", round(col("quality"), binDp))
+      .cache() // fans into the bin aggregate + both output branches
+    val bins = base.groupBy("qbin")
+      .agg(sum("n_tokens").as("btok"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var before = 0L
+    var qStar = Double.NaN // boundary bin; NaN = budget never exceeded
+    var beforeStar = 0L
+    bins.foreach { case (q, btok) =>
+      if (qStar.isNaN && before + btok > budget) { qStar = q; beforeStar = before }
+      before += btok
+    }
+    val outCols = Seq(col(idCol), col("quality"), col("n_tokens"))
+    if (qStar.isNaN) base.select(outCols :+ lit(1).as("keep"): _*)
+    else {
+      val rest = base.filter(col("qbin") =!= qStar)
+        .select(outCols :+ (col("qbin") > qStar).cast("int").as("keep"): _*)
+      val w = Window.partitionBy("qbin").orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = base.filter(col("qbin") === qStar)
+        .withColumn("cum", sum("n_tokens").over(w) + lit(beforeStar))
+        .select(outCols :+ (col("cum") <= budget).cast("int").as("keep"): _*)
+      rest.unionByName(boundary)
+    }
+  }
+
   /** Normalize for fingerprinting: lowercase, strip non-alnum (keeping
     * spaces), collapse whitespace.
     */

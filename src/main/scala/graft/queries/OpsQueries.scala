@@ -577,6 +577,36 @@ object OpsQueries {
         .orderBy("keep_id")
     }),
 
+    // PII scrub (emails / phones / IPv4 -> typed placeholder tokens):
+    // the corpus has no organic PII, so every 7th doc gets a
+    // deterministic injected contact line (same injection replayed in
+    // the oracle, the d19-boilerplate pattern); counts per class +
+    // md5 of the redacted text prove the rewrite byte-for-byte. Pure
+    // narrow projection — no shuffle at any scale.
+    "d28_pii_redact" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or call "),
+            lit("555-123-4567 from 10.0."),
+            pmod(col("doc_id"), lit(200)).cast("string"), lit(".33 now")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redactPii(injected, "doc_id", "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // token-budget corpus selection: fill a 20k-token budget in
+    // descending (rounded) quality order — the "select the best N
+    // tokens" curation step. Scale-safe: per-bin totals + driver bin
+    // walk + a window over ONLY the boundary bin (no global sort);
+    // the oracle is the naive global running sum, proving equivalence.
+    "d29_token_budget_select" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSelect(docs(s, dir), "doc_id", "text",
+          budget = 20000L)
+        .orderBy("doc_id")),
+
     // distributed spherical k-means over the FULL embedding corpus
     // (one treeAggregate per Lloyd iteration, nothing driver-side but
     // the codebook) + assignment back through one matvec literal —
@@ -997,6 +1027,73 @@ object OpsQueries {
         SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM store))
       SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_batch
       FROM fresh GROUP BY fp ORDER BY keep_id""",
+
+    // same deterministic injection, same RE2-safe regexes, same
+    // email -> ip -> phone replacement chain
+    "d28_pii_redact" -> """
+      WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or call 555-123-4567 from 10.0.'
+                         || CAST(doc_id % 200 AS VARCHAR) || '.33 now'
+                    ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_email,
+             len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+               AS n_phone,
+             len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+      FROM injected ORDER BY doc_id""",
+
+    // the naive formulation the scale-safe bin plan must equal: global
+    // running token sum in (rounded-quality desc, doc_id) order
+    "d29_token_budget_select" -> """
+      WITH tk AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))
+                         * 1.0 / length(text) END AS punct
+        FROM documents),
+      r AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','are',
+                       'was','it','that','for','on','with','as'], t)))
+                      * 1.0 / len(toks) END AS sw,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END
+                 AS rep,
+               punct,
+               LEAST(len(toks) / 100.0, 1.0) AS lenscore
+        FROM tk),
+      q AS (
+        SELECT doc_id, n_tokens,
+               ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
+                     + 0.25 * lenscore
+                     + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS quality
+        FROM r),
+      c AS (
+        SELECT doc_id, quality, n_tokens,
+               SUM(n_tokens) OVER (
+                 ORDER BY ROUND(quality, 3) DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q)
+      SELECT doc_id, quality, n_tokens,
+             CASE WHEN cum <= 20000 THEN 1 ELSE 0 END AS keep
+      FROM c ORDER BY doc_id""",
 
     // naive all-pairs containment join over corpus + truncations — the
     // prefix-filtered engine plan must be candidate-complete against it

@@ -81,6 +81,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pr(1) > 0.1 && pr(0) == 0.0)
   }
 
+  test("redactPii counts and masks emails, phones, IPs") {
+    val df = Seq(
+      (1L, "mail me at a.b-c@ex-ample.co.uk or x@y.io thanks"),
+      (2L, "call 555-123-4567 or 555-999-0000; server at 10.0.0.255 up"),
+      (3L, "no pii here, just 1234-5678 and 1.2.3 fragments"),
+      (4L, "")
+    ).toDF("id", "t")
+    val r = redactPii(df, "id", "t")
+      .orderBy("id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(r(0) == ((1L, 2, 0, 0, "mail me at <EMAIL> or <EMAIL> thanks")))
+    assert(r(1) == ((2L, 0, 2, 1,
+      "call <PHONE> or <PHONE>; server at <IP> up")))
+    assert(r(2)._2 == 0 && r(2)._3 == 0 && r(2)._4 == 0 &&
+      r(2)._5 == "no pii here, just 1234-5678 and 1.2.3 fragments")
+    assert(r(3) == ((4L, 0, 0, 0, "")))
+  }
+
+  test("tokenBudgetSelect equals the naive global running-sum cut") {
+    // synthetic docs with spread-out quality; budget lands mid-corpus
+    // so the boundary bin is genuinely exercised
+    val rng = new scala.util.Random(3L)
+    val vocab = Seq("the", "fast", "query", "table", "row", "scan", "and")
+    val docsDf = (0L until 200L).map { i =>
+      val n = 5 + rng.nextInt(40)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = tokenBudgetSelect(docsDf, "doc_id", "text",
+        budget = 2000L)
+      .orderBy("doc_id")
+      .as[(Long, Double, Long, Int)].collect()
+    // naive oracle: global window in (qbin desc, doc_id) order
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(round(col("quality"), 3).desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docsDf.select(col("doc_id"),
+          round(qualityScore(col("text")), 6).as("quality"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("keep",
+          (sum("n_tokens").over(w) <= 2000L).cast("int"))
+        .orderBy("doc_id")
+        .as[(Long, Double, Long, Int)].collect()
+    }
+    assert(got.toSeq == naive.toSeq)
+    val kept = got.filter(_._4 == 1).map(_._3).sum
+    assert(kept <= 2000L && kept > 1500L, s"kept=$kept")
+    // budget >= total keeps everything
+    val all = tokenBudgetSelect(docsDf, "doc_id", "text",
+        budget = 1000000L).agg(min("keep")).as[Int].head()
+    assert(all == 1)
+  }
+
   test("langId identifies real-language sentences") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with this"),
