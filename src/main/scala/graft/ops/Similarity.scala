@@ -65,6 +65,63 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Exact maximum-inner-product top-k (MIPS — the retrieval mode of
+    * recommendation / late-interaction scorers, where vector length
+    * carries signal and cosine is the WRONG metric). Same plan shape
+    * as [[cosineTopK]]: broadcast dimension-sized query set over the
+    * corpus scan, one codegen'd dot product per candidate pair, per-
+    * query top-k window ranked on the ROUNDED inner product (oracle
+    * portability) with id tie-break. No normalization — the raw dot
+    * product IS the score.
+    */
+  def ipTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             k: Int): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("ip", DotProduct.dotFast(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("ip"), 6).desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "ip")
+  }
+
+  /** MIPS at corpus scale by the norm-augmentation reduction
+    * (Bachrach et al. 2014 / Shrivastava-Li asymmetric transform):
+    * append sqrt(M^2 - |x|^2) to every item (M = max item norm, one
+    * scalar aggregate) and 0 to every query. All augmented items then
+    * share norm M, so augmented cosine = x.q / (M |q|) — a per-query
+    * MONOTONE function of the inner product — and any cosine-ANN
+    * index answers MIPS. Routed through [[ivfTopK]]: at nprobe=nlist
+    * the result provably equals [[ipTopK]] (spec-gated); nprobe<<nlist
+    * is the corpus-scale setting. Returned `cos` is the augmented-
+    * space cosine (rank-equivalent to the inner product).
+    */
+  def mipsAnnTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val sq = (v: Column) =>
+      aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val items = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", sq(col("v")))
+    // max norm is a SCALAR (like the choropleth extent) — one
+    // aggregate over a narrow projection, never the vectors themselves
+    val m2 = items.agg(max("n2")).head().getDouble(0)
+    val aug = items.select(col("id"),
+      concat(col("v"),
+        array(sqrt(greatest(lit(m2) - col("n2"), lit(0.0))))).as("v"))
+    val qAug = queries.select(col(qIdCol).as("id"),
+      concat(col(qVecCol).cast("array<double>"), array(lit(0.0))).as("v"))
+    ivfTopK(aug, "id", "v", qAug, "id", "v", k, dim + 1, nlist, nprobe)
+  }
+
   /** Deterministic random hyperplanes: component h(t,j,d) from a seeded
     * driver RNG, materialized as literal nested arrays (tables x planes
     * x dim) — tiny, constant-folded into the plan.

@@ -658,6 +658,20 @@ object OpsQueries {
         .orderBy("vec_id")
     }),
 
+    // maximum-inner-product top-k (recommendation/late-interaction
+    // retrieval, where vector length carries signal): exact broadcast
+    // baseline, oracle-gated; the norm-augmentation MIPS->cosine-ANN
+    // reduction (mipsAnnTopK) is the scale path, spec-proven equal to
+    // this at nprobe=nlist
+    "s10_mips" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ipTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("ip"), 4).as("ip"))
+        .orderBy("query_id", "rank")
+    }),
+
     // frame sampling over REAL media: durations come from actually
     // decoded WAV payloads (no FakeCodec), each sampled frame computes
     // its window RMS from the decoded PCM — the decode→sample→
@@ -1681,6 +1695,21 @@ object OpsQueries {
                  CAST(c.embedding AS DOUBLE[])) AS cos,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                  ORDER BY ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // brute-force inner-product top-k, rank on the rounded ip
+    "s10_mips" -> """
+      SELECT query_id, rank, nbr_id, ROUND(ip, 4) AS ip
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) AS ip,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(
                    CAST(q.embedding AS DOUBLE[]),
                    CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id

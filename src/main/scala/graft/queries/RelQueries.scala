@@ -380,6 +380,26 @@ object RelQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // grouping sets: two independent aggregation grains in one pass
+    // (by returnflag, by linestatus) — unlike rollup's nested grains;
+    // GROUPING() disambiguates the nulls so real null keys could never
+    // collide with the subtotal rows. Spark expands to one shuffle
+    // with an Expand node (each row feeds every set's partial agg) —
+    // no second scan of the fact table for the second grain.
+    "q37_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY g_flag, g_status,
+                 l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      """)
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -841,6 +861,17 @@ object RelQueries {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q37_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag) AS g_flag,
+             GROUPING(l_linestatus) AS g_status,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY g_flag, g_status,
+               l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

@@ -145,6 +145,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
 
+  test("d29: budget window is bin-keyed over the filtered boundary bin, " +
+      "never a global sort") {
+    val plan = planOf("d29_token_budget_select")
+    // the cumulative-sum window must shuffle on the boundary bin key
+    // (qbin), with the bin filter below it — the only rows that reach
+    // the sort are one bin's worth. A rangepartitioning over the
+    // window's sort key would be the global-ordering shape
+    // tokenBudgetSelect exists to avoid. (the entry's presentation
+    // orderBy(doc_id) does rangepartition; assert on the window key.)
+    // (the float bin key is wrapped in normalizenanandzero by the
+    // planner, so match the key inside the hashpartitioning exchange)
+    assert("Exchange hashpartitioning\\([^)\\n]*qbin".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("rangepartitioning\\([^\\n]*qbin".r.findFirstIn(plan).isEmpty, plan)
+    // the boundary-bin equality filter sits below the window exchange
+    assert("Filter \\(isnotnull\\(qbin[^\\n]*\\(qbin[^\\n]* = ".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("s07: centroid and stats joins broadcast (no corpus shuffle)") {
     val plan = planOf("s07_embedding_outliers")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)

@@ -118,6 +118,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, s"missed=${exact -- full}")
   }
 
+  test("MIPS norm-augmentation reduction is exact at nprobe=nlist") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // scale vectors by a per-id factor so norms genuinely differ and
+    // cosine order != inner-product order (the case MIPS exists for)
+    val scaled = e.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        x => x * (lit(1.0) + pmod($"vec_id", lit(5)).cast("double")))
+        .as("embedding"))
+    val q = scaled.filter($"vec_id" < 10)
+    val exact = Similarity.ipTopK(scaled, "vec_id", "embedding", q,
+        "vec_id", "embedding", 3)
+      .select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val viaAug = Similarity.mipsAnnTopK(scaled, "vec_id", "embedding", q,
+        "vec_id", "embedding", 3, dim = 64, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(viaAug == exact, s"missed=${exact -- viaAug} extra=${viaAug -- exact}")
+    // and inner-product order really differs from cosine order here
+    val cosOrder = Similarity.cosineTopK(scaled, "vec_id", "embedding", q,
+        "vec_id", "embedding", 3)
+      .select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(cosOrder != exact, "fixture failed to separate IP from cosine")
+  }
+
   test("knnJoin: exhaustive probing equals brute-force top-k per point") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val exact = Similarity.cosineTopK(e, "vec_id", "embedding", e,
