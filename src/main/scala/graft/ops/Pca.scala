@@ -1,0 +1,96 @@
+package graft.ops
+
+import breeze.linalg.{eigSym, DenseMatrix}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MatVecDots
+
+/** PCA / whitening over an embedding corpus — the
+  * dimensionality-reduction step of embedding-based curation (cheaper
+  * downstream ANN, decorrelated features for outlier gates).
+  *
+  * Scale shape: mean and covariance come from ONE `treeAggregate` whose
+  * accumulator is (n, sum[dim], outer-product sum[dim x dim]) —
+  * dimension-sized regardless of row count, exactly the Gramian
+  * pattern of distributed linear algebra. The eigendecomposition runs
+  * on the driver over the dim x dim matrix (64x64 here — this is a
+  * CODEBOOK-sized problem; corpus size never touches it), and the
+  * projection back over the corpus is a single narrow map through one
+  * [[MatVecDots]] matrix literal. No shuffle anywhere.
+  */
+object Pca {
+
+  /** Fitted transform: sample mean, top-r components (rows, unit norm,
+    * canonical sign), their eigenvalues (descending), and the total
+    * variance (sum of ALL eigenvalues — for explained-variance ratios).
+    */
+  case class Fit(mean: Array[Double], components: IndexedSeq[Array[Double]],
+                 eigenvalues: Array[Double], totalVariance: Double)
+
+  /** Fit PCA from one pass. Covariance is the SAMPLE covariance
+    * (n - 1); eigenvector sign is canonicalized (largest-|coordinate|
+    * entry positive) so results don't flip sign across partitionings
+    * or BLAS builds.
+    */
+  def fit(corpus: DataFrame, vecCol: String, dim: Int, r: Int): Fit = {
+    require(r >= 1 && r <= dim, s"need 1 <= r <= dim, got r=$r dim=$dim")
+    val vecs = corpus.select(col(vecCol).cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val (n, s, o) = vecs.treeAggregate(
+      (0L, new Array[Double](dim), new Array[Double](dim * dim)))(
+      seqOp = { case ((cnt, sum, outer), x) =>
+        var i = 0
+        while (i < dim) {
+          sum(i) += x(i)
+          var j = 0
+          while (j < dim) { outer(i * dim + j) += x(i) * x(j); j += 1 }
+          i += 1
+        }
+        (cnt + 1, sum, outer)
+      },
+      combOp = { case ((n1, s1, o1), (n2, s2, o2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < o1.length) { o1(i) += o2(i); i += 1 }
+        (n1 + n2, s1, o1)
+      },
+      depth = 2)
+    require(n >= 2, s"need at least 2 vectors, got $n")
+    val mean = s.map(_ / n)
+    val cov = DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      (o(i * dim + j) - n * mean(i) * mean(j)) / (n - 1.0)
+    }
+    val es = eigSym(cov) // ascending eigenvalues
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    val comps = order.take(r).map { ei =>
+      val v = Array.tabulate(dim)(d => es.eigenvectors(d, ei))
+      // canonical sign: the largest-|coordinate| entry is positive
+      val pivot = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(pivot) < 0) v.map(-_) else v
+    }
+    Fit(mean, comps, order.take(r).map(es.eigenvalues(_)).toArray,
+      (0 until dim).map(es.eigenvalues(_)).sum)
+  }
+
+  /** Project every vector onto the fitted components: y = C (x - mean),
+    * optionally whitened (y_i / sqrt(lambda_i)). One matrix literal,
+    * one narrow projection over the scan.
+    */
+  def project(corpus: DataFrame, idCol: String, vecCol: String, fit: Fit,
+              whiten: Boolean = false, as: String = "pc"): DataFrame = {
+    MatVecDots.register(corpus.sparkSession)
+    val meanLit = array(fit.mean.map(lit): _*)
+    val scaled =
+      if (whiten) fit.components.zip(fit.eigenvalues).map { case (c, ev) =>
+        val s = 1.0 / math.sqrt(math.max(ev, 1e-12))
+        c.map(_ * s)
+      } else fit.components
+    val mat = MatVecDots.matrixLit(scaled)
+    corpus.select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), meanLit,
+          (x, m) => x - m).as("centered"))
+      .select(col(idCol), MatVecDots.matvec(col("centered"), mat).as(as))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pca, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (builder-prompt first-class surface
   * beyond SURVEY.md §2): dedup (exact/MinHash-LSH/SimHash/n-gram
@@ -656,6 +656,33 @@ object OpsQueries {
           col("clabel").as("nearest_label"), col("cos"),
           (col("label") =!= col("clabel")).as("confused"))
         .orderBy("vec_id")
+    }),
+
+    // PCA whitening of the embedding corpus: mean/covariance from ONE
+    // dimension-sized treeAggregate, driver eigendecomposition of the
+    // 64x64 matrix, whitened projection as one matrix-literal map.
+    // Surfaced: top eigenvalues, explained-variance ratios, and the
+    // per-component variance of the whitened projection (~1.0 by
+    // construction — an end-to-end self-check). Rows-only (eig is not
+    // DuckDB-expressible); anisotropy recovery + orthonormality +
+    // partitioning invariance spec'd in PcaSpec.
+    "s11_pca_whiten" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val fit = Pca.fit(e, "embedding", dim = 64, r = 4)
+      val proj = Pca.project(e, "vec_id", "embedding", fit,
+        whiten = true)
+      val wvarCols = (0 until 4).map(i =>
+        var_samp(element_at(col("pc"), i + 1)).as(s"v$i"))
+      val wvar = proj.agg(wvarCols.head, wvarCols.tail: _*).head()
+      val rows =
+        (0 until 4).map(i => (s"eig_${i + 1}", fit.eigenvalues(i))) ++
+        (0 until 4).map(i =>
+          (s"evr_${i + 1}", fit.eigenvalues(i) / fit.totalVariance)) ++
+        (0 until 4).map(i => (s"white_var_${i + 1}", wvar.getDouble(i)))
+      rows.toDF("metric", "value")
+        .select(col("metric"), round(col("value"), 4).as("value"))
+        .orderBy("metric")
     }),
 
     // maximum-inner-product top-k (recommendation/late-interaction

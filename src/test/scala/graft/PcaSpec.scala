@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pca
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Anisotropic Gaussian fixture: variance 9 along a planted unit
+    * direction, variance ~0.01 isotropic noise elsewhere, plus a
+    * nonzero mean — PCA must recover the direction, the spectrum, and
+    * remove the mean.
+    */
+  private lazy val planted: (Array[Double], org.apache.spark.sql.DataFrame) = {
+    val dim = 16
+    val rng = new scala.util.Random(7L)
+    val dirRaw = Array.fill(dim)(rng.nextGaussian())
+    val n0 = math.sqrt(dirRaw.map(x => x * x).sum)
+    val dir = dirRaw.map(_ / n0)
+    val mean = Array.tabulate(dim)(i => 0.5 * (i % 3))
+    val rows = (0L until 2000L).map { i =>
+      val t = 3.0 * rng.nextGaussian()
+      val v = Array.tabulate(dim)(d =>
+        mean(d) + t * dir(d) + 0.1 * rng.nextGaussian())
+      (i, v.toSeq)
+    }
+    (dir, rows.toDF("id", "v"))
+  }
+
+  test("fit recovers the planted principal direction and spectrum") {
+    val (dir, df) = planted
+    val fit = Pca.fit(df, "v", dim = 16, r = 3)
+    val c0 = fit.components(0)
+    val cos = c0.zip(dir).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999, s"|cos|=${math.abs(cos)}")
+    // spectrum: ~9 + noise for the top, ~0.01 for the rest
+    assert(fit.eigenvalues(0) > 7.0 && fit.eigenvalues(0) < 11.0,
+      s"eig=${fit.eigenvalues.toSeq}")
+    assert(fit.eigenvalues(1) < 0.05)
+    // components orthonormal
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val d = fit.components(i).zip(fit.components(j))
+        .map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"<c$i,c$j>=$d")
+    }
+  }
+
+  test("whitened projection has unit variance and zero mean per component") {
+    val (_, df) = planted
+    val fit = Pca.fit(df, "v", dim = 16, r = 3)
+    val proj = Pca.project(df, "id", "v", fit, whiten = true)
+    val stats = proj.select(
+        (0 until 3).map(i => element_at(col("pc"), i + 1).as(s"c$i")): _*)
+      .agg(avg("c0").as("m0"), var_samp("c0").as("v0"),
+        avg("c1").as("m1"), var_samp("c1").as("v1"),
+        avg("c2").as("m2"), var_samp("c2").as("v2"))
+      .head()
+    for (i <- 0 until 3) {
+      assert(math.abs(stats.getDouble(2 * i)) < 1e-6,
+        s"mean c$i = ${stats.getDouble(2 * i)}")
+      assert(math.abs(stats.getDouble(2 * i + 1) - 1.0) < 1e-6,
+        s"var c$i = ${stats.getDouble(2 * i + 1)}")
+    }
+  }
+
+  test("fit is invariant to partitioning (canonical sign, stable eig)") {
+    val (_, df) = planted
+    val a = Pca.fit(df.repartition(1), "v", dim = 16, r = 2)
+    val b = Pca.fit(df.repartition(13), "v", dim = 16, r = 2)
+    a.eigenvalues.zip(b.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-8, s"$x vs $y")
+    }
+    a.components.zip(b.components).foreach { case (ca, cb) =>
+      ca.zip(cb).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-6, s"$x vs $y")
+      }
+    }
+  }
+
+  test("projection without whitening is the centered coordinate") {
+    // 2-D exact check: data on a line along e1, mean removed
+    val df = Seq((0L, Seq(1.0, 5.0)), (1L, Seq(3.0, 5.0)),
+      (2L, Seq(5.0, 5.0))).toDF("id", "v")
+    val fit = Pca.fit(df, "v", dim = 2, r = 1)
+    assert(math.abs(fit.components(0)(0)) > 0.999)
+    val pcs = Pca.project(df, "id", "v", fit).orderBy("id")
+      .select(element_at(col("pc"), 1)).as[Double].collect()
+    assert(pcs.zip(Seq(-2.0, 0.0, 2.0)).forall {
+      case (g, e) => math.abs(math.abs(g) - math.abs(e)) < 1e-9 })
+  }
+}
