@@ -69,6 +69,12 @@ object TextAnalysis {
     * drop everything — pure filters; (4) ONLY the boundary bin's rows
     * (one bin's worth) flow through an exact per-bin cumulative-sum
     * window. Identical output to the global window, no global sort.
+    *
+    * Degenerate-bin caveat: the boundary bin is one window partition,
+    * so a corpus whose quality mass concentrates in a single bin (all
+    * docs identical score) degrades toward the global window it
+    * replaces; raise `binDp` to split hot bins when a score is known
+    * to be coarse.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
                         budget: Long, binDp: Int = 3): DataFrame = {
