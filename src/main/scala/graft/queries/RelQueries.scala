@@ -400,6 +400,25 @@ object RelQueries {
       """)
     }),
 
+    // per-user event-stream analytics: sequence index, inter-event gap
+    // and a 3-row moving average in ONE user-keyed shuffle (windows
+    // partitioned by user_id — parallel per-user sorts, never global).
+    // The gap is exact integer microseconds (unix_micros both engines);
+    // floats only in the rounded moving average.
+    "q38_window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wAvg = w.rowsBetween(-2, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("seq", row_number().over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("mavg3", round(avg(col("value")).over(wAvg), 4))
+        .select("user_id", "event_id", "seq", "gap_us", "mavg3")
+        .orderBy("user_id", "seq")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -872,6 +891,19 @@ object RelQueries {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       ORDER BY g_flag, g_status,
                l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q38_window_analytics" -> """
+      SELECT user_id, event_id, seq, gap_us, mavg3
+      FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS seq,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+               ROUND(AVG(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      ORDER BY user_id, seq""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

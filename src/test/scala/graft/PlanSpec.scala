@@ -145,6 +145,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
 
+  test("q38: seq/gap/mavg all ride ONE user-keyed shuffle (no per-" +
+      "function exchange, no global window sort)") {
+    val plan = planOf("q38_window_analytics")
+    // row_number, lag and the moving average may plan as separate
+    // Window operators, but they must share a single Exchange
+    // hashpartitioning(user_id) — the per-user sort is local to each
+    // partition. The only rangepartitioning allowed is the final
+    // presentation orderBy.
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size == 1, plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("d29: budget window is bin-keyed over the filtered boundary bin, " +
       "never a global sort") {
     val plan = planOf("d29_token_budget_select")
