@@ -419,6 +419,86 @@ object RelQueries {
         .orderBy("user_id", "seq")
     }),
 
+    // correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    // quantity is below 20% of their part's average. Written as the
+    // genuinely correlated form — Catalyst decorrelates it into a
+    // per-part aggregate joined back on l_partkey (asserted in
+    // PlanSpec: no nested-loop re-execution per outer row, which is
+    // the difference between O(n) and O(n²) at 100 TB). The threshold
+    // compare is float-exact across engines: l_quantity is
+    // integer-valued, so the per-part sum is exact in a double
+    // regardless of combine order and AVG is the same division in
+    // both engines.
+    "q39_avg_qty_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q39")
+      t(s, dir, "part").createOrReplaceTempView("part_q39")
+      s.sql("""
+        SELECT p.p_brand,
+               COUNT(*) AS n_small,
+               ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM li_q39 l JOIN part_q39 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM li_q39 l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+      """)
+    }),
+
+    // time-spine gap fill + forward fill (resampling): per-user daily
+    // purchase totals on a contiguous day spine from each user's first
+    // to last active day, gaps carried forward with last(ignoreNulls).
+    // Spine = explode(sequence(d0, d1)) — generated per user on
+    // executors, never a driver-side calendar; rows = users × span
+    // days, linear in users. Fill = ONE user-keyed window (local
+    // per-user sorts). Day is compared as a formatted string so
+    // engine DATE representations can't diverge.
+    "q40_gap_fill" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 4).as("day_value"))
+        .cache() // fans into the span branch and the spine join
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("day_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("filled"),
+          col("day_value").isNull.as("is_gap"))
+        .orderBy("user_id", "day")
+    }),
+
+    // set operations beyond union (q07): INTERSECT / EXCEPT with
+    // distinct-set semantics over day-1 purchaser vs day-1 error-er
+    // user sets (day 1 so both differences are non-empty at every SF).
+    // Catalyst plans these as left-semi / left-anti hash joins over
+    // the deduplicated sides — no sort-based set algebra, and the
+    // day-1 filter is pushed below the distinct so the shuffled sets
+    // are day-sized, not corpus-sized.
+    "q41_setops" -> ((s, dir) => {
+      val day1 = events(s, dir)
+        .filter(to_date(col("ts")) === lit("2024-01-01").cast("date"))
+        .select("user_id", "event_type")
+        .cache() // both sides of all three set ops read it
+      val purch = day1.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      val errs = day1.filter(col("event_type") === "error")
+        .select("user_id").distinct()
+      purch.intersect(errs).withColumn("side", lit("both"))
+        .unionByName(purch.except(errs)
+          .withColumn("side", lit("purchase_only")))
+        .unionByName(errs.except(purch)
+          .withColumn("side", lit("error_only")))
+        .orderBy("user_id", "side")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -904,6 +984,58 @@ object RelQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       ORDER BY user_id, seq""",
+
+    "q39_avg_qty_subquery" -> """
+      SELECT p.p_brand,
+             COUNT(*) AS n_small,
+             ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""",
+
+    "q40_gap_fill" -> """
+      WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               ROUND(SUM(value), 4) AS day_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1))
+      SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+             LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             d.day_value IS NULL AS is_gap
+      FROM spine s
+      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      ORDER BY s.user_id, s.day""",
+
+    "q41_setops" -> """
+      WITH day1 AS (
+        SELECT user_id, event_type FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02'),
+      p AS (SELECT DISTINCT user_id FROM day1
+            WHERE event_type = 'purchase'),
+      e AS (SELECT DISTINCT user_id FROM day1
+            WHERE event_type = 'error')
+      SELECT user_id, 'both' AS side FROM (
+        SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+      UNION ALL
+      SELECT user_id, 'purchase_only' AS side FROM (
+        SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+      UNION ALL
+      SELECT user_id, 'error_only' AS side FROM (
+        SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
+      ORDER BY user_id, side""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

@@ -159,6 +159,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q39: correlated scalar subquery decorrelates to an aggregate " +
+      "join (no per-row re-execution, no BNLJ)") {
+    val plan = planOf("q39_avg_qty_subquery")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the subquery must survive as a per-part aggregate joined back on
+    // l_partkey — the O(n) decorrelated shape
+    assert(plan.contains("partial_avg") || plan.contains("avg("), plan)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q40: day spine is generated on executors and the fill window " +
+      "is user-keyed (no driver calendar, no global sort)") {
+    val plan = planOf("q40_gap_fill")
+    assert(plan.contains("Generate explode"), plan) // per-user spine
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("q41: INTERSECT/EXCEPT plan as semi/anti hash joins") {
+    val plan = planOf("q41_setops")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("d29: budget window is bin-keyed over the filtered boundary bin, " +
       "never a global sort") {
     val plan = planOf("d29_token_budget_select")
