@@ -78,6 +78,27 @@ object StreamQueries {
           col("event_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("user_id")
+    }),
+
+    // stream-static enrichment: the event stream joined per micro-batch
+    // to a broadcast customer×nation dimension — STATELESS (no
+    // watermark, no state store; the stream never shuffles), the
+    // standard fact-stream + catalog-dim topology. Aggregated per
+    // (nation, segment) after the drain; oracle is the plain batch
+    // join, streaming == batch.
+    "st06_stream_static" -> ((s, dir) => {
+      val ev = RelQueries.events(s, dir)
+        .select("user_id", "event_type", "value", "ts")
+      val dim = graft.Tables(s, dir, "customer")
+        .join(graft.Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"),
+          col("c_mktsegment").as("segment"))
+      Streams.streamStaticDrain(ev, dim, "user_id", "c_custkey")
+        .groupBy("nation", "segment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("nation", "segment")
     })
   )
 
@@ -136,6 +157,15 @@ object StreamQueries {
              ROUND(SUM(p.value), 4) AS purchase_value
       FROM c JOIN p ON c.user_id = p.user_id
         AND c.tus >= p.tus AND c.tus <= p.tus + 1800000000
-      GROUP BY c.user_id ORDER BY c.user_id"""
+      GROUP BY c.user_id ORDER BY c.user_id""",
+
+    // batch replay of the stream-static enrichment join
+    "st06_stream_static" -> """
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2 ORDER BY nation, segment"""
   )
 }

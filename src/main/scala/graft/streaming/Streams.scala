@@ -322,6 +322,40 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Stream-static enrichment join drain: every micro-batch of the
+    * event stream inner-joins a STATIC dimension DataFrame. Unlike the
+    * stream-stream join (st04) this is STATELESS — the static side is
+    * re-resolved per micro-batch, nothing is buffered in a state
+    * store, and no watermark is required for correctness. The
+    * dimension is broadcast explicitly, so each micro-batch's join is
+    * map-side: the event stream never shuffles, which is the only
+    * acceptable shape when the stream is the 100 TB side and the
+    * dimension is catalog-sized. `dimKey` is dropped after the join
+    * (the stream's own key carries the value).
+    */
+  def streamStaticDrain(events: DataFrame, dim: DataFrame,
+                        eventKey: String, dimKey: String): DataFrame = {
+    val spark = events.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st06-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st06-sink")
+    val ckpt = Files.createTempDirectory("graft-st06-ckpt").toString
+    events.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream
+      .join(broadcast(dim), col(eventKey) === col(dimKey))
+      .drop(dimKey)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir)
+  }
+
   /** foreachBatch keyed UPSERT drain — incremental materialized state
     * without a table format: each micro-batch merges into a
     * latest-row-per-key parquet state, the pattern for maintaining a

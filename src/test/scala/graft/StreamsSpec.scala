@@ -26,6 +26,26 @@ class StreamsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streamStaticDrain equals the batch dimension join (parity) " +
+      "and keeps every stream column") {
+    val ev = RelQueries.events(spark, sf001)
+      .select("event_id", "user_id", "value", "ts")
+    val dim = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val streamed = Streams.streamStaticDrain(ev, dim, "user_id", "c_custkey")
+    // stateless enrichment: row count and columns = batch inner join
+    assert(streamed.columns.sorted.toSeq ==
+      Seq("event_id", "segment", "ts", "user_id", "value"))
+    val batch = ev.join(dim, col("user_id") === col("c_custkey"))
+      .drop("c_custkey")
+    assert(streamed.count() == batch.count())
+    val s = streamed.select("event_id", "user_id", "segment")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val b = batch.select("event_id", "user_id", "segment")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(s.sameElements(b))
+  }
+
   test("sessionizeBatch splits on inactivity gap and sums values") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val ev = Seq(
