@@ -499,6 +499,51 @@ object RelQueries {
         .orderBy("user_id", "side")
     }),
 
+    // sliding event-time windows (1h window, 15min slide): each event
+    // feeds window/slide = 4 overlapping windows. Spark expands the
+    // windows with a Generate (executor-side, narrow) then aggregates
+    // — one shuffle on (window, type), partial aggregation applies.
+    // The oracle replays the same epoch-aligned window enumeration
+    // arithmetically. Window starts are exact integer microseconds.
+    "q42_sliding_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
+    // mergeable distinct-count sketches (DataSketches HLL): per-day
+    // sketches of the active-user set, rolled up to a month total by
+    // sketch UNION — the 100 TB distinct-count pattern: daily partials
+    // persist as ~KB binaries, any rollup window is a cheap merge of
+    // stored sketches, never a re-scan of the raw events. Sketch
+    // binaries are engine-specific, so no SQL oracle (rows-only);
+    // estimate error and merge associativity are spec-gated
+    // (SketchSpec), and exact counts ride along for visibility.
+    "q43_approx_distinct" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .cache() // fans into the per-day rows and the month rollup
+      val monthEst = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val monthExact = ev.agg(countDistinct(col("user_id")).as("exact"))
+      daily.select(date_format(col("day"), "yyyy-MM-dd").as("scope"),
+          hll_sketch_estimate(col("sk")).cast("long").as("est_users"),
+          col("exact_users"))
+        .unionByName(monthEst.crossJoin(monthExact)
+          .select(lit("month_total").as("scope"),
+            col("est").cast("long").as("est_users"),
+            col("exact").as("exact_users")))
+        .orderBy("scope")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1036,6 +1081,18 @@ object RelQueries {
       SELECT user_id, 'error_only' AS side FROM (
         SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
       ORDER BY user_id, side""",
+
+    "q42_sliding_window" -> """
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type, value
+        FROM events),
+      x AS (
+        SELECT tus - (tus % 900000000) - 900000000 * k.k AS ws,
+               event_type, value
+        FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+      SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

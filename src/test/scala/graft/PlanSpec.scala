@@ -185,6 +185,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q42: sliding windows expand executor-side then aggregate with " +
+      "map-side partials (one shuffle)") {
+    val plan = planOf("q42_sliding_window")
+    // the 4-windows-per-event expansion must be a narrow executor-side
+    // node (Expand/Generate), feeding a partial+final aggregate pair
+    assert(plan.contains("Expand") || plan.contains("Generate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q43: HLL sketch aggregation runs partial then final " +
+      "(sketches merge map-side, raw user_ids never shuffle)") {
+    val plan = planOf("q43_approx_distinct")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_hll_sketch_agg") ||
+      "partial.*hll".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("d29: budget window is bin-keyed over the filtered boundary bin, " +
       "never a global sort") {
     val plan = planOf("d29_token_budget_select")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.RelQueries
+
+/** Mergeable HLL distinct-count sketches (q43): estimate quality and
+  * the algebraic properties the daily-partials-then-rollup pattern
+  * relies on at scale — a union of per-day sketches must stand in for
+  * a sketch of the whole month.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val result =
+    SparkEntry.queries("q43_approx_distinct")(spark, sf001)
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("q43: per-day and month estimates within 5% of exact") {
+    assert(result.nonEmpty)
+    result.foreach { case (scope, est, exact) =>
+      assert(exact > 0, scope)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$scope: est=$est exact=$exact")
+    }
+  }
+
+  test("q43: month row present and consistent with the day rows") {
+    val total = result.filter(_._1 == "month_total")
+    assert(total.size == 1)
+    // the union estimate can't exceed the sum of day-level exacts and
+    // can't be below any single day's exact count (monotonicity)
+    val dayExacts = result.filterNot(_._1 == "month_total").map(_._3)
+    assert(total.head._2 <= dayExacts.sum)
+    assert(total.head._2 >= dayExacts.max * 95 / 100)
+  }
+
+  test("hll union is associative: two-stage merge equals one-stage " +
+      "(the partial-rollup property the daily-sketch pattern needs)") {
+    val ev = RelQueries.events(spark, sf001)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        dayofmonth(col("day")).as("dom"))
+    val oneStage = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .as[Double].head()
+    val half1 = daily.filter(col("dom") <= 15)
+      .agg(hll_union_agg(col("sk")).as("u")).select(col("u"))
+    val half2 = daily.filter(col("dom") > 15)
+      .agg(hll_union_agg(col("sk")).as("u")).select(col("u").as("u2"))
+    val twoStage = half1.crossJoin(half2)
+      .select(hll_sketch_estimate(hll_union(col("u"), col("u2")))
+        .as("est"))
+      .as[Double].head()
+    assert(math.abs(oneStage - twoStage) <= 1e-6 * math.max(1.0, oneStage),
+      s"one=$oneStage two=$twoStage")
+  }
+
+  test("q43: sketch aggregation is deterministic across partitionings") {
+    val a = SparkEntry.queries("q43_approx_distinct")(spark, sf001)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val ev = RelQueries.events(spark, sf001)
+      .repartition(13, col("event_id"))
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val b = ev.groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .cast("long").as("est"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("scope"), col("est"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val aDays = a.filterNot(_._1 == "month_total").map(t => (t._1, t._2))
+    assert(aDays == b)
+  }
+}
