@@ -544,6 +544,40 @@ object RelQueries {
         .orderBy("scope")
     }),
 
+    // CUBE: all four grains of (returnflag, linestatus) in ONE Expand
+    // pass — completes the grouping family (rollup q22 = nested
+    // grains, grouping sets q37 = chosen grains, cube = the lattice).
+    // GROUPING() bits disambiguate subtotal nulls from real nulls,
+    // exactly as in q37.
+    "q44_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping("l_returnflag").as("g_flag"),
+          grouping("l_linestatus").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // single-pass approximate percentiles (GK sketch) — the companion
+    // to q24's exact two-pass operator: at 100 TB the sketch is the
+    // default (one pass, mergeable partials, bounded memory) and the
+    // exact op is reserved for audited reports. Sketch internals are
+    // engine-specific — rows-only; SketchSpec gates the rank error
+    // against the exact CDF.
+    "q45_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(col("ps")(0), 4).as("p25"),
+          round(col("ps")(1), 4).as("p50"),
+          round(col("ps")(2), 4).as("p75"))
+        .orderBy("l_returnflag")),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1093,6 +1127,16 @@ object RelQueries {
       SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
       FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    "q44_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n,
+             GROUPING(l_returnflag) AS g_flag,
+             GROUPING(l_linestatus) AS g_status
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status,
+               l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

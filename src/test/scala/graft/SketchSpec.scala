@@ -57,6 +57,24 @@ class SketchSpec extends SparkSpec {
       s"one=$oneStage two=$twoStage")
   }
 
+  test("q45: approx percentile rank error within 2% of the target " +
+      "quantile (GK sketch vs the exact CDF)") {
+    val approx = SparkEntry.queries("q45_approx_percentiles")(spark, sf001)
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    val li = Tables(spark, sf001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).cache()
+    try approx.foreach { case (flag, p25, p50, p75) =>
+      val grp = li.filter(col("l_returnflag") === flag)
+      val n = grp.count().toDouble
+      Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75).foreach { case (p, v) =>
+        val below = grp.filter(col("l_extendedprice") <= v).count()
+        assert(math.abs(below / n - p) <= 0.02,
+          s"$flag p$p: value $v sits at rank ${below / n}")
+      }
+    } finally li.unpersist()
+  }
+
   test("q43: sketch aggregation is deterministic across partitionings") {
     val a = SparkEntry.queries("q43_approx_distinct")(spark, sf001)
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
