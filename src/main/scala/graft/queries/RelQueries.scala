@@ -578,6 +578,35 @@ object RelQueries {
           round(col("ps")(2), 4).as("p75"))
         .orderBy("l_returnflag")),
 
+    // dirty-ingest audit: a JSON drop with 3 malformed lines read in
+    // PERMISSIVE mode with a corrupt-record column — one bad line
+    // neither kills the 100 TB ingest (FAILFAST would) nor silently
+    // vanishes (default PERMISSIVE without the column would): every
+    // line is accounted valid or corrupt, and the valid side must
+    // aggregate to the parquet truth.
+    "q46_corrupt_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val out = graft.TempDirs.createCleanedAtExit("graft-q46-json")
+      val valid = t(s, dir, "nation")
+        .select(to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))).as("value"))
+      import s.implicits._
+      val corrupt = Seq("{", "not json at all", "{\"n_nationkey\":")
+        .toDF("value")
+      valid.unionByName(corrupt).coalesce(1)
+        .write.mode("overwrite").text(out)
+      val schema = new StructType()
+        .add("n_nationkey", LongType).add("n_name", StringType)
+        .add("n_regionkey", LongType)
+      graft.sources.JsonLines.readAudit(s, out, schema)
+        .withColumn("status",
+          when(col("_corrupt_record").isNull, "valid")
+            .otherwise("corrupt"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("n_nationkey").as("sum_key"))
+        .orderBy("status")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1137,6 +1166,14 @@ object RelQueries {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY g_flag, g_status,
                l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q46_corrupt_ingest" -> """
+      SELECT 'corrupt' AS status, 3 AS n, CAST(NULL AS BIGINT) AS sum_key
+      UNION ALL
+      SELECT 'valid' AS status, COUNT(*) AS n,
+             CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM nation
+      ORDER BY status""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

@@ -99,7 +99,18 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 4).as("sum_value"))
         .orderBy("nation", "segment")
-    })
+    }),
+
+    // sliding event-time windows (1h/15min) through the streaming
+    // path: overlapping-window state (4 windows live per event) still
+    // bounded and evicted by the watermark, append sink emits each
+    // window exactly once. Oracle = the same arithmetic window
+    // enumeration as batch q42 — streaming == batch on overlapping
+    // windows too.
+    "st07_stream_sliding" -> ((s, dir) =>
+      Streams.hourlyAggStreamDrain(s, dir, slide = Some("15 minutes"))
+        .withColumnRenamed("hour", "w_start")
+        .orderBy("w_start", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +177,19 @@ object StreamQueries {
       FROM events e
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
-      GROUP BY 1, 2 ORDER BY nation, segment"""
+      GROUP BY 1, 2 ORDER BY nation, segment""",
+
+    // same epoch-aligned sliding-window enumeration as batch q42
+    "st07_stream_sliding" -> """
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type, value
+        FROM events),
+      x AS (
+        SELECT tus - (tus % 900000000) - 900000000 * k.k AS ws,
+               event_type, value
+        FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+      SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      FROM x GROUP BY 1, 2 ORDER BY w_start, event_type"""
   )
 }

@@ -24,4 +24,28 @@ object JsonLines {
 
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Auditing read: PERMISSIVE parse with the raw line of every
+    * malformed row captured in `corruptCol` (valid rows carry null
+    * there). One bad line can NOT kill a 100 TB ingest, and it can NOT
+    * silently vanish either — route `corruptCol IS NOT NULL` to a
+    * quarantine sink and reconcile counts. Built as a text scan +
+    * `from_json` rather than `spark.read.json` with a corrupt-record
+    * schema: the raw-file form throws QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    * whenever column pruning reduces the scan to the corrupt column
+    * alone (e.g. a downstream count grouped on validity), while the
+    * parse-an-attribute form has no such restriction — same codegen'd
+    * JacksonParser either way, one pass, no caching required.
+    */
+  def readAudit(spark: SparkSession, path: String, schema: StructType,
+                corruptCol: String = "_corrupt_record"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val withCorrupt = schema.add(corruptCol,
+      org.apache.spark.sql.types.StringType)
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+      .select("j.*")
+  }
 }

@@ -64,14 +64,18 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Event-time tumbling hourly aggregation with a watermark. The
-    * watermark bounds state: at scale, late data beyond 2h is dropped
-    * and window state older than that is evicted.
+  /** Event-time hourly aggregation with a watermark — tumbling by
+    * default, sliding when `slide` is given (each event then lands in
+    * window/slide overlapping windows; state is window/slide × the
+    * per-window footprint, still bounded by the watermark horizon).
+    * At scale, late data beyond 2h is dropped and window state older
+    * than that is evicted.
     */
-  def hourlyAgg(events: DataFrame): DataFrame =
+  def hourlyAgg(events: DataFrame, slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(slide.fold(window(col("ts"), "1 hour"))(sl =>
+        window(col("ts"), "1 hour", sl)), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -93,10 +97,12 @@ object Streams {
     * micro-batch (on by default) fires the state eviction after the
     * last data batch.
     */
-  def hourlyAggStreamDrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft-st01-src").toString
-    val sinkDir = tempDirCleanedAtExit("graft-st01-sink")
-    val ckpt = Files.createTempDirectory("graft-st01-ckpt").toString
+  def hourlyAggStreamDrain(spark: SparkSession, sfDir: String,
+                           slide: Option[String] = None): DataFrame = {
+    val tag = slide.fold("st01")(_ => "st07")
+    val srcDir = Files.createTempDirectory(s"graft-$tag-src").toString
+    val sinkDir = tempDirCleanedAtExit(s"graft-$tag-sink")
+    val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt").toString
     // nanos conf is scoped to the source rewrite (the write below
     // materializes it) — the caller's session conf is left untouched
     withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
@@ -115,7 +121,7 @@ object Streams {
       StructField("ts", TimestampType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
-    val q = hourlyAgg(stream)
+    val q = hourlyAgg(stream, slide)
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", ckpt)

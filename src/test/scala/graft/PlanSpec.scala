@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, when}
+
 import graft.queries.RelQueries
 
 /** Physical-plan quality gates: the optimizations the engine relies on
@@ -201,6 +203,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("partial_hll_sketch_agg") ||
       "partial.*hll".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime " +
+      "(the automatic complement to q25's explicit salting)") {
+    // one hot key (95% of the left side) would pin a single reducer;
+    // with skew-join thresholds sized for the fixture, AQE must mark
+    // the join skew=true in the FINAL adaptive plan (it replans from
+    // runtime shuffle statistics — exactly the lever that absorbs
+    // residual skew at 100 TB when keys can't be pre-salted).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(2000).select(
+        col("id").as("k"), (col("id") * 2).as("w"))
+      // reduce to one row so collect() — which executes THIS dataset's
+      // own adaptive plan, unlike count()/foreachPartition — is cheap
+      val j = left.join(right, "k").groupBy().count()
+      assert(j.collect().head.getLong(0) > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("d29: budget window is bin-keyed over the filtered boundary bin, " +
