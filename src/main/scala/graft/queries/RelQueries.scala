@@ -607,6 +607,68 @@ object RelQueries {
         .orderBy("status")
     }),
 
+    // batch MERGE/upsert: apply a deterministic change batch (updates
+    // where key%13=0, deletes where key%17=0 — delete wins on overlap
+    // — inserts keyed key+10M where key%19=0) to the orders snapshot
+    // in ONE full-outer shuffle join — the relational core of
+    // Delta/Iceberg MERGE INTO on plain parquet
+    "q47_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = orders
+        .filter(col("o_orderkey") % 13 === 0 || col("o_orderkey") % 17 === 0)
+        // floor-based 2dp rounding, not round(): the 10% bump lands on
+        // .xx5 halfway points where Spark (decimal-string HALF_UP) and
+        // DuckDB (binary) disagree; floor(x*100+0.5)/100 is pure IEEE
+        // arithmetic, identical everywhere
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
+            .as("o_totalprice"),
+          when(col("o_orderkey") % 17 === 0, "D").otherwise("U").as("op"))
+        .unionByName(orders.filter(col("o_orderkey") % 19 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+            lit("U").as("op")))
+      Relational.mergeUpsert(orders, changes, "o_orderkey", "op")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD2 dimension build: collapse each user's event-type feed into
+    // validity intervals (one row per run of consecutive identical
+    // values) — one shuffle on the key, lag/lead windows share one
+    // sort. Equal-ts observations are pre-aggregated away (the feed
+    // contract); timestamps formatted at microsecond precision on
+    // both engines.
+    "q48_scd2" -> ((s, dir) => {
+      val feed = events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min("event_type").as("event_type"))
+      Relational.scd2(feed, "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // unpivot/melt: wide per-flag metrics to long (metric, value)
+    // rows — Spark's native unpivot is a narrow Expand (rows ×
+    // n_metrics executor-side), never a shuffle
+    "q49_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1174,6 +1236,69 @@ object RelQueries {
              CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       FROM nation
       ORDER BY status""",
+
+    "q47_merge_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 19 = 0),
+      m AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice,
+               c.op
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice, 2) AS o_totalprice
+      FROM m WHERE op IS NULL OR op = 'U'
+      ORDER BY o_orderkey""",
+
+    "q48_scd2" -> """
+      WITH f AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               MIN(event_type) AS event_type
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev
+        FROM f),
+      r AS (
+        SELECT user_id, ts, event_type
+        FROM c WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+                 AS version
+        FROM r)
+      SELECT user_id, version, event_type,
+             strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             (valid_to IS NULL) AS is_current
+      FROM v ORDER BY user_id, version""",
+
+    "q49_unpivot" -> """
+      WITH w AS (
+        SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+      ORDER BY l_returnflag, metric""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

@@ -153,6 +153,73 @@ object Relational {
       .drop(bin)
   }
 
+  /** Batch MERGE / upsert (beyond-reference operator): apply a change
+    * batch to a target snapshot in one pass — the relational core of
+    * Delta/Iceberg `MERGE INTO`, usable on plain parquet. `changes`
+    * carries the target's data columns plus `opCol` ('U' = upsert,
+    * 'D' = delete): a matched 'U' replaces the target row, an
+    * unmatched 'U' inserts, a 'D' removes, everything untouched
+    * passes through.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — the
+    * unavoidable minimum, since both unmatched sides survive (a
+    * broadcast join can't produce build-side-unmatched rows). At
+    * 100 TB the win is what this does NOT do: no per-row driver
+    * logic, no second pass — table formats layer file-level pruning
+    * (join only the files whose key ranges overlap the change batch)
+    * on exactly this join. Requires at most one change row per key
+    * (SQL MERGE's "multiple source rows match" error is the caller's
+    * contract); duplicate keys would fan out the join.
+    */
+  def mergeUpsert(target: DataFrame, changes: DataFrame, keyCol: String,
+                  opCol: String): DataFrame = {
+    val dataCols = target.columns.toSeq
+    val t = target.select(col(keyCol).as("__k"),
+      struct(dataCols.map(col): _*).as("__t"))
+    val c = changes.select(col(keyCol).as("__k"),
+      struct(dataCols.map(col): _*).as("__c"), col(opCol).as("__op"))
+    t.join(c, Seq("__k"), "full_outer")
+      // target-only rows have null __op and pass through; 'D' rows
+      // vanish whether matched (delete) or unmatched (no-op)
+      .filter(col("__op").isNull || col("__op") === "U")
+      .select(when(col("__op") === "U", col("__c")).otherwise(col("__t"))
+        .as("__r"))
+      .select("__r.*")
+  }
+
+  /** Slowly-changing-dimension type-2 history build (beyond-reference
+    * operator): collapse an observation feed (key, ts, attributes...)
+    * into validity intervals — one row per run of consecutive
+    * identical attribute values, with `valid_from`/`valid_to`
+    * (null = open), `version` and `is_current`. The warehouse pattern
+    * for turning a CDC/snapshot feed into a point-in-time joinable
+    * dimension.
+    *
+    * Scale shape: one shuffle on the key, then two window passes over
+    * the SAME (key, ts) sort (change detection via lag, interval close
+    * via lead) — Catalyst reuses the single sort, and per-key state is
+    * one row, so a hot key costs a sort, never memory. Change
+    * detection is null-safe (`<=>`): a null attribute is a value, not
+    * a wildcard. The feed must be unique per (key, ts) — equal-ts
+    * observations have no defined order; pre-aggregate them away (as
+    * q48 does) before calling.
+    */
+  def scd2(feed: DataFrame, keyCol: String, tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol)
+    val attrs = struct(attrCols.map(col): _*)
+    feed
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .drop("__prev")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+
   /** Sequential conversion funnel (the ClickHouse `windowFunnel`
     * semantics): a user reaches stage k when their events contain
     * stages(0) .. stages(k-1) as a strictly time-increasing

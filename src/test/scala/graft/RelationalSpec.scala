@@ -230,6 +230,46 @@ class RelationalSpec extends SparkSpec {
     assert(r == Seq((1, 2L), (2, 1L), (3, 1L)))
   }
 
+  test("mergeUpsert applies update/delete/insert and passes the rest " +
+      "through untouched") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "B", 21.0, "U"), // matched update
+      (3L, "x", 0.0, "D"),  // matched delete
+      (9L, "zz", 0.0, "D"), // unmatched delete: no-op
+      (5L, "e", 50.0, "U")) // unmatched insert
+      .toDF("k", "s", "v", "op")
+    val r = Relational.mergeUpsert(target, changes, "k", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(r == Set((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0),
+      (5L, "e", 50.0)))
+  }
+
+  test("scd2 collapses runs null-safely and closes intervals in order") {
+    val ms = 1000L
+    def ts(s: Long) = new java.sql.Timestamp(s * ms)
+    val feed = Seq(
+      ("u1", ts(1), Some("gold")),
+      ("u1", ts(2), Some("gold")),   // same run — collapsed
+      ("u1", ts(3), None),           // null is a VALUE: a new version
+      ("u1", ts(4), None),           // same (null) run — collapsed
+      ("u1", ts(5), Some("silver")),
+      ("u2", ts(1), Some("bronze")))
+      .toDF("k", "ts", "tier")
+    val r = Relational.scd2(feed, "k", "ts", Seq("tier"))
+      .select($"k", $"version", $"tier",
+        $"valid_from".cast("long"), $"valid_to".cast("long"),
+        $"is_current")
+      .as[(String, Int, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(r == Set(
+      ("u1", 1, Some("gold"), 1L, Some(3L), false),
+      ("u1", 2, None, 3L, Some(5L), false),
+      ("u1", 3, Some("silver"), 5L, None, true),
+      ("u2", 1, Some("bronze"), 1L, None, true)))
+  }
+
   test("saltedJoin equals the plain join under any partitioning") {
     // skewed probe: key 1 holds most rows (the straggler scenario)
     val probe = (1 to 200).map(i => (if (i <= 150) 1L else i.toLong, i))
