@@ -425,6 +425,70 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every RAW-pool document by how much
+    * more likely its tokens are under a TARGET-corpus unigram model
+    * than under the raw-pool model, then Gumbel-top-k sample on the
+    * weight — equivalent to sampling without replacement with
+    * probability ∝ exp(llr), so selection is importance RESAMPLING,
+    * not a hard threshold. Both models are add-one-smoothed over the
+    * JOINT vocabulary (same support, so no ratio is ever 0/∞):
+    *
+    *   llr(doc) = Σ_occurrences [ln p_t(term) − ln p_r(term)]
+    *   key(doc) = round(llr + Gumbel(hashUniform(id, salt)), 4)
+    *
+    * The Gumbel draw is content-keyed md5 (partitioning/retry
+    * invariant and replayable by any engine); ranking happens on the
+    * ROUNDED key with doc-id tie-break, so float noise can't reorder
+    * engines. Returns the k selected docs as (rk, id, n_tokens, llr).
+    *
+    * Scale shape: one cached token explode feeds (a) the joint
+    * vocabulary groupBy carrying per-model counts side by side and
+    * (b) the scoring join — term-keyed, zipfian-hot terms stream
+    * through the probe side; then ONE doc-keyed aggregate and a
+    * TakeOrdered top-k (never a global sort). The final rank window
+    * orders k rows — bounded by construction. Empty raw docs score
+    * llr = 0 and still compete on their Gumbel draw (they are valid
+    * resampling candidates, as in the paper).
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int,
+                 salt: String = "dsir"): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("id"), isTarget.as("is_t"),
+        tokens(lower(col(textCol))).as("toks"))
+      .select(col("id"), col("is_t"), explode(col("toks")).as("term"))
+      .cache() // feeds the vocabulary groupBy AND the scoring join
+    val vocab = terms.groupBy("term").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val tot = vocab.agg(sum("ct").as("tt"), sum("cr").as("tr"),
+      count(lit(1)).as("vs"))
+    val scored = terms.filter(!col("is_t"))
+      .join(vocab, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((col("ct") + 1).cast("double") / (col("tt") + col("vs")))
+          - log((col("cr") + 1).cast("double") / (col("tr") + col("vs"))))
+          .as("llr"))
+    // (h + 0.5)/2^32 ∈ (0,1) strictly — ln never sees 0 — and both
+    // terms are exact powers-of-two arithmetic, identical everywhere
+    val u = hashUniform(col("id"), salt) + lit(0.5 / 4294967296.0)
+    val g = -log(-log(u))
+    val top = df.filter(!isTarget).select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr"), lit(0.0)).as("llr"))
+      .withColumn("__key", round(col("llr") + g, 4))
+      .orderBy(col("__key").desc, col("id"))
+      .limit(k)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("__key").desc, col("id"))))
+      .select(col("rk"), col("id").as(idCol), col("n_tokens"),
+        round(col("llr"), 4).as("llr"))
+  }
+
   // --- Gopher-style repetition signals -----------------------------------
 
   /** Per-document repetition quality signals in the shape of the Gopher

@@ -465,6 +465,17 @@ object OpsQueries {
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")),
 
+    // DSIR importance resampling (arXiv:2302.03169): target = the
+    // src0..src3 slice, raw pool = the rest; every raw doc scored by
+    // the unigram log-likelihood ratio of its tokens under the two
+    // smoothed models, then Gumbel-top-k on the content-keyed md5
+    // draw — sampling-without-replacement ∝ exp(llr), fully replayed
+    // by the oracle (models, llr, gumbel key, rank)
+    "d30_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(docs(s, dir), "doc_id", "text",
+          substring(col("source"), 4, 9).cast("int") < 4, k = 100)
+        .orderBy("rk")),
+
     // exact-k stratified sample: exactly 10 docs per source by
     // smallest content-keyed hash draw — count-join prefilter bounds
     // the per-stratum window sort (see TextAnalysis.stratifiedExactK)
@@ -1373,6 +1384,42 @@ object OpsQueries {
              MAX(n_target) AS n_target,
              CAST(SUM(keep) AS BIGINT) AS n_kept
       FROM k GROUP BY source ORDER BY source""",
+
+    // full DSIR replay: joint-vocab models, per-doc llr, the exact
+    // (h+0.5)/2^32 gumbel draw, rounded-key ranking
+    "d30_dsir_select" -> s"""
+      WITH tk AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) < 4 AS is_t,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END
+                 AS toks
+        FROM documents),
+      t AS (SELECT doc_id, is_t, unnest(toks) AS term FROM tk),
+      v AS (SELECT term,
+                   SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                   SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+            FROM t GROUP BY 1),
+      tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS vs FROM v),
+      sc AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(ln((v.ct + 1.0) / (tot.tt + tot.vs))
+                 - ln((v.cr + 1.0) / (tot.tr + tot.vs))) AS llr
+        FROM t JOIN v USING (term) CROSS JOIN tot
+        WHERE NOT t.is_t GROUP BY 1),
+      r AS (
+        SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+               COALESCE(sc.llr, 0.0) AS llr,
+               ROUND(COALESCE(sc.llr, 0.0)
+                 - ln(-ln((${duckHex8("CAST(d.doc_id AS VARCHAR) || 'dsir'")}
+                      + 0.5) / 4294967296.0)), 4) AS sel_key
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        WHERE CAST(substr(d.source, 4) AS INT) >= 4),
+      rk AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS rk,
+               doc_id, n_tokens, ROUND(llr, 4) AS llr
+        FROM r)
+      SELECT rk, doc_id, n_tokens, llr FROM rk WHERE rk <= 100
+      ORDER BY rk""",
 
     // the prefilter is invisible in the result — the full per-stratum
     // window is the truth

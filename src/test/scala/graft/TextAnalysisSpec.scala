@@ -302,4 +302,32 @@ class TextAnalysisSpec extends SparkSpec {
       .select((col("s") === col("m")).as("ok")).as[Boolean].collect()
     assert(tiles.length == 4 && tiles.forall(identity))
   }
+
+  test("dsirSelect prefers raw docs that look like the target and is " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // target speaks vocab A; raw pool is half A-speakers (ids 100-149),
+    // half B-speakers (ids 150-199) — selection must skew hard to A
+    def sentence(v: Seq[String], seed: Int) =
+      (0 until 30).map(i => v((seed * 31 + i * 7) % v.size)).mkString(" ")
+    val va = Seq("apple", "pear", "plum", "grape", "fig")
+    val vb = Seq("bolt", "nut", "gear", "cam", "rod")
+    val rows =
+      (0 until 50).map(i => (i.toLong, sentence(va, i), true)) ++
+      (100 until 150).map(i => (i.toLong, sentence(va, i), false)) ++
+      (150 until 200).map(i => (i.toLong, sentence(vb, i), false))
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val sel = dsirSelect(df, "doc_id", "text",
+      col("is_t"), k = 40)
+    val picked = sel.select("doc_id").as[Long].collect().toSet
+    assert(picked.size == 40)
+    val fromA = picked.count(_ < 150)
+    assert(fromA >= 35, s"only $fromA/40 picks from the target-like half")
+    // content-keyed gumbel + rounded-key ranking → partitioning-invariant
+    val again = dsirSelect(df.repartition(7), "doc_id",
+        "text", col("is_t"), k = 40)
+      .select("rk", "doc_id").as[(Int, Long)].collect().toSet
+    val first = sel.select("rk", "doc_id").as[(Int, Long)].collect().toSet
+    assert(again == first)
+  }
 }
