@@ -110,7 +110,26 @@ object StreamQueries {
     "st07_stream_sliding" -> ((s, dir) =>
       Streams.hourlyAggStreamDrain(s, dir, slide = Some("15 minutes"))
         .withColumnRenamed("hour", "w_start")
-        .orderBy("w_start", "event_type"))
+        .orderBy("w_start", "event_type")),
+
+    // stream-stream LEFT OUTER join: st04's correlation with
+    // null-extension for clicks that never convert — unmatched rows
+    // can only be emitted once the watermark proves no future match,
+    // so a sentinel flush drives the final watermark over every real
+    // row (see Streams.streamLeftJoinDrain). Oracle: batch left-join
+    // replay — streaming == batch including the null-extended rows.
+    "st08_stream_left_join" -> ((s, dir) => {
+      val ev = RelQueries.events(s, dir)
+        .select("user_id", "event_type", "ts", "value")
+      Streams.streamLeftJoinDrain(ev, windowMs = 30 * 60 * 1000L)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("p_user").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"),
+          round(sum(coalesce(col("p_value"), lit(0.0))), 4)
+            .as("purchase_value"))
+        .orderBy("user_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +209,25 @@ object StreamQueries {
         FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k)
       SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-      FROM x GROUP BY 1, 2 ORDER BY w_start, event_type"""
+      FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    // batch replay of the stream-stream LEFT OUTER range join
+    "st08_stream_left_join" -> """
+      WITH c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id AS pu, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               value
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT c.user_id, p.pu, p.value
+        FROM c LEFT JOIN p ON c.user_id = p.pu
+          AND c.tus >= p.tus AND c.tus <= p.tus + 1800000000)
+      SELECT user_id, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN pu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched,
+             ROUND(SUM(COALESCE(value, 0.0)), 4) AS purchase_value
+      FROM j GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -328,6 +328,64 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Stream-stream LEFT OUTER join drain: st04's correlation, but
+    * clicks with no purchase in the window are still emitted,
+    * null-extended — the state-semantics frontier of streaming joins.
+    * Spark can only emit an unmatched left row once the watermark
+    * proves no future right row can match, so rows inside the final
+    * watermark horizon would be withheld FOREVER on a finite stream.
+    * The fix is the sentinel-flush pattern (same as st01's windows):
+    * one punctuation row per side, far past real data, drives the
+    * final watermark over every real row; sentinels are keyed
+    * user_id = -1 and filtered from the drain, and the sentinel click
+    * precedes the sentinel purchase by less than the window lower
+    * bound so they cannot match each other. State stays bounded by
+    * the watermark horizon exactly as in the inner join.
+    */
+  def streamLeftJoinDrain(events: DataFrame, windowMs: Long,
+                          watermarkDelay: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st08-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st08-sink")
+    val ckpt = Files.createTempDirectory("graft-st08-ckpt").toString
+    val maxTsMs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    // horizon > watermark delay (2h) + window, with margin: the final
+    // watermark = min(side maxima) - delay must clear maxTs + window
+    val horizonMs = maxTsMs + 4L * 3600 * 1000 + 2L * windowMs
+    val sentinels = spark.range(1).select(
+        lit(-1L).as("user_id"), lit("click").as("event_type"),
+        timestamp_millis(lit(horizonMs)).as("ts"), lit(0.0).as("value"))
+      .unionByName(spark.range(1).select(
+        lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+        timestamp_millis(lit(horizonMs + windowMs + 60000L)).as("ts"),
+        lit(0.0).as("value")))
+    events.select("user_id", "event_type", "ts", "value")
+      .unionByName(sentinels)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", watermarkDelay)
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr(s"c_user = p_user AND c_ts >= p_ts AND " +
+        s"c_ts <= p_ts + INTERVAL ${windowMs / 1000} SECONDS"),
+      "left_outer")
+    val q = joined
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir).filter(col("c_user") >= 0)
+  }
+
   /** Stream-static enrichment join drain: every micro-batch of the
     * event stream inner-joins a STATIC dimension DataFrame. Unlike the
     * stream-stream join (st04) this is STATELESS — the static side is

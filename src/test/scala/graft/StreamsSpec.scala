@@ -46,6 +46,32 @@ class StreamsSpec extends SparkSpec {
     assert(s.sameElements(b))
   }
 
+  test("streamLeftJoinDrain equals the batch left join, null-extended " +
+      "rows included (sentinel flush emits the full tail)") {
+    val ev = RelQueries.events(spark, sf001)
+      .select("user_id", "event_type", "ts", "value")
+    val win = 30 * 60 * 1000L
+    val streamed = Streams.streamLeftJoinDrain(ev, windowMs = win)
+    // sentinels never leak
+    assert(streamed.filter(col("c_user") < 0).count() == 0)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("bc_user"), col("ts").as("bc_ts"),
+        col("value").as("bc_value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bp_user"), col("ts").as("bp_ts"),
+        col("value").as("bp_value"))
+    val batch = c.join(p,
+      expr(s"bc_user = bp_user AND bc_ts >= bp_ts AND " +
+        s"bc_ts <= bp_ts + INTERVAL ${win / 1000} SECONDS"), "left_outer")
+    assert(streamed.count() == batch.count())
+    // the outer tail is non-trivial AND matches batch exactly
+    val sNull = streamed.filter(col("p_user").isNull)
+      .select("c_user", "c_ts").as[(Long, Timestamp)].collect().sorted
+    val bNull = batch.filter(col("bp_user").isNull)
+      .select("bc_user", "bc_ts").as[(Long, Timestamp)].collect().sorted
+    assert(sNull.nonEmpty && sNull.sameElements(bNull))
+  }
+
   test("sessionizeBatch splits on inactivity gap and sums values") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val ev = Seq(
