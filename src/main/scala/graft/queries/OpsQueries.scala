@@ -476,6 +476,21 @@ object OpsQueries {
           substring(col("source"), 4, 9).cast("int") < 4, k = 100)
         .orderBy("rk")),
 
+    // mergeable approximate heavy hitters (Spark 4 approx_top_k — a
+    // frequent-items sketch with map-side partials, the one-pass
+    // 100 TB answer to "top terms" that d13 computes exactly): on this
+    // corpus the tracked-item budget exceeds the vocabulary, so the
+    // sketch is provably exact and the plain GROUP BY oracle gates it;
+    // ties re-sorted (n desc, term) so order is engine-independent
+    "d31_approx_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("term"))
+        .agg(expr("approx_top_k(term, 50)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("n"))
+        .orderBy(desc("n"), col("term"))),
+
     // exact-k stratified sample: exactly 10 docs per source by
     // smallest content-keyed hash draw — count-join prefilter bounds
     // the per-stratum window sort (see TextAnalysis.stratifiedExactK)
@@ -1384,6 +1399,16 @@ object OpsQueries {
              MAX(n_target) AS n_target,
              CAST(SUM(keep) AS BIGINT) AS n_kept
       FROM k GROUP BY source ORDER BY source""",
+
+    // the sketch is exact here (items tracked >= vocabulary), so the
+    // oracle is the plain exact histogram
+    "d31_approx_topk" -> """
+      WITH t AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+          AS term
+        FROM documents WHERE trim(text) <> '')
+      SELECT term, COUNT(*) AS n FROM t
+      GROUP BY 1 ORDER BY n DESC, term LIMIT 50""",
 
     // full DSIR replay: joint-vocab models, per-doc llr, the exact
     // (h+0.5)/2^32 gumbel draw, rounded-key ranking

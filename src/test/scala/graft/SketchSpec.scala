@@ -89,4 +89,29 @@ class SketchSpec extends SparkSpec {
     val aDays = a.filterNot(_._1 == "month_total").map(t => (t._1, t._2))
     assert(aDays == b)
   }
+
+  test("d31: approx_top_k is exact when the tracked budget covers the " +
+      "domain, finds true heavy hitters when it doesn't, and is " +
+      "partitioning-invariant") {
+    // zipf-ish: item i appears ~ 20000/(i+1) times, 200 distinct items
+    val df = spark.range(200).select(
+        explode(sequence(lit(1), (lit(20000) / (col("id") + 1))
+          .cast("int"))).as("rep"),
+        concat(lit("it"), col("id")).as("item"))
+      .select("item")
+    def topk(d: org.apache.spark.sql.DataFrame, k: Int) =
+      d.agg(expr(s"approx_top_k(item, $k)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item"), col("e.count"))
+        .as[(String, Long)].collect().sortBy(t => (-t._2, t._1)).toSeq
+    val exact = df.groupBy("item").count()
+      .as[(String, Long)].collect().sortBy(t => (-t._2, t._1)).toSeq
+    // budget >= domain: the whole histogram, exactly
+    assert(topk(df, 10000).size == 200 && topk(df, 10000) == exact)
+    // tight budget: the true top-10 survive with exact counts (zipf
+    // head dwarfs the sketch's small-count error band)
+    assert(topk(df, 10).toSet == exact.take(10).toSet)
+    // map-side partials merge to the same answer under any layout
+    assert(topk(df.repartition(13), 10000) == exact)
+  }
 }
