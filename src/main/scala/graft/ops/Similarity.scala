@@ -496,6 +496,54 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, then
+    * remove near-duplicates ONLY within each cluster — a doc is
+    * removed iff an earlier (smaller-id) doc in the SAME cell sits at
+    * cosine >= `tau` (greedy keep-first, the d09/d19 keeper
+    * convention; threshold applied to the 6dp-rounded cosine so float
+    * noise can't flip a pair). Returns every doc as
+    * (id, cell, dup_of, keep); `dup_of` is the smallest-id same-cell
+    * neighbor that evicted it.
+    *
+    * The cluster scoping IS the approximation that makes this scale:
+    * candidate pairs are cell-local, so the pair space is
+    * Σ_cells |cell|² instead of N² — SemDeDup sizes k so cells stay
+    * ~10⁴-10⁵ docs at any corpus size (k grows with N). A cross-cell
+    * near-dup pair is missed by design (the paper's recall trade);
+    * pairs the clustering separates are exactly what
+    * [[cosineNearDupLsh]] (d10) catches when full recall matters.
+    * One shuffle keys the self-join by cell; the keeper groupBy
+    * reduces skinny (cell, id, id) rows.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, trainIters: Int = 8,
+                    tau: Double = 0.9): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
+    val cents = kmeansFit(corpus, idCol, vecCol, k, trainIters)
+    val cb = MatVecDots.matrixLit(cents)
+    // cached: feeds both roles of the cell-keyed self-join AND the
+    // final left join (the knnJoin shared-projection pattern)
+    val u = unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("dots", MatVecDots.matvec(col("v"), cb))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .drop("dots")
+      .cache()
+    val a = u.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
+    val b = u.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("b_id") < col("a_id"))
+      .withColumn("cos", DotProduct.dotFast(col("av"), col("bv")))
+      .filter(round(col("cos"), 6) >= tau)
+      .groupBy(col("a_id").as("id"))
+      .agg(min("b_id").as("dup_of"))
+    u.select("id", "cell").join(removed, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Brute-force embedding-cosine threshold join — recall oracle for
     * [[cosineNearDupLsh]] in the specs ONLY: the full-corpus broadcast
     * and O(N^2) dot-product volume make it a non-starter at scale.

@@ -154,6 +154,18 @@ object OpsQueries {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup semantic dedup (arXiv:2303.09540): k-means cells +
+    // within-cell keep-first cosine eviction — every planted mutant
+    // (vec_id+100000, cos≈1 to its base) should fall to its base
+    // wherever the clustering keeps the pair together; cluster
+    // scoping is the documented recall trade. Seeded clustering is
+    // not SQL-replayable → rows-only; equivalence to per-cell brute
+    // force and partitioning invariance are SimilaritySpec-gated.
+    "d32_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embsWithMutants(s, dir), "vec_id",
+          "embedding", k = 8, tau = 0.9)
+        .orderBy("id")),
+
     // brute-force cosine top-k ANN baseline (oracle-checked against
     // DuckDB list_cosine_similarity)
     "s01_cosine_topk" -> ((s, dir) => {

@@ -301,4 +301,40 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("semanticDedup removes planted in-cluster near-dups, keeps " +
+      "originals, and is partitioning-invariant") {
+    // 3 blobs of 40 docs; ids 1000+ are near-copies of id-1000 (tiny
+    // perturbation -> cos ~ 1). Jitter 0.5 keeps same-blob cohesion
+    // ~0.6 (well under tau) while blobs still cluster apart.
+    val rng = new scala.util.Random(11L)
+    def vec(blob: Int, jitter: Double) =
+      Array.tabulate(24)(d => (if (d / 8 == blob) 1.0 else 0.0) +
+        jitter * rng.nextGaussian())
+    val base = (0 until 120).map(i => (i.toLong, vec(i % 3, 0.5).toSeq))
+    val dups = (0 until 40).map { i =>
+      val (id, v) = base(i * 3)
+      (id + 1000L, v.map(_ + 0.001 * rng.nextGaussian()))
+    }
+    val df = (base ++ dups).toDF("id", "v")
+    val r = Similarity.semanticDedup(df, "id", "v", k = 3, tau = 0.95)
+      .select("id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r.size == 160)
+    (0 until 40).foreach { i =>
+      val baseId = base(i * 3)._1
+      val (dupOf, keep) = r(baseId + 1000L)
+      assert(!keep && dupOf.contains(baseId),
+        s"dup of $baseId: got $dupOf keep=$keep")
+    }
+    (0 until 120).foreach(i =>
+      assert(r(base(i)._1)._2, s"original ${base(i)._1} was evicted"))
+    val again = Similarity.semanticDedup(df.repartition(7), "id", "v",
+        k = 3, tau = 0.95)
+      .select("id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(again == r)
+  }
 }
