@@ -669,6 +669,57 @@ object RelQueries {
           "metric", "value")
         .orderBy("l_returnflag", "metric")),
 
+    // semi-structured extraction: the events' JSON props column parsed
+    // with a declared schema via from_json — a typed, codegen'd narrow
+    // projection (NOT per-field get_json_object re-parsing, which
+    // re-tokenizes the document once per extracted field), then a
+    // plain typed aggregation. The 100 TB shape for "JSON lake with a
+    // known-enough schema".
+    "q50_json_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructType}
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), new StructType().add("k", LongType))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // incremental aggregate maintenance: per-user running aggregates
+    // over all history EXCEPT the newest day live in a persisted state
+    // table; the new day folds in as an algebraic merge (count/sum/max
+    // are commutative monoids) — history is NEVER re-scanned. The
+    // d27-style pattern for incremental ETL at 100 TB: state the size
+    // of the key domain, delta the size of one day.
+    "q51_incremental_agg" -> ((s, dir) => {
+      val store = graft.TempDirs.createCleanedAtExit("graft-q51-store")
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val lastDay = ev.agg(max("day")).head().getDate(0)
+      def agg(d: DataFrame) = d.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          max("value").as("mx"))
+      agg(ev.filter(col("day") < lit(lastDay)))
+        .write.mode("overwrite").parquet(store)
+      val state = s.read.parquet(store)
+        .select(col("user_id"), col("n").as("n1"), col("sv").as("sv1"),
+          col("mx").as("mx1"))
+      val delta = agg(ev.filter(col("day") === lit(lastDay)))
+        .select(col("user_id"), col("n").as("n2"), col("sv").as("sv2"),
+          col("mx").as("mx2"))
+      state.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+            .as("n"),
+          round(coalesce(col("sv1"), lit(0.0))
+            + coalesce(col("sv2"), lit(0.0)), 4).as("sum_value"),
+          round(greatest(coalesce(col("mx1"), lit(Double.MinValue)),
+            coalesce(col("mx2"), lit(Double.MinValue))), 4).as("max_value"))
+        .orderBy("user_id")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1299,6 +1350,23 @@ object RelQueries {
       UNION ALL
       SELECT l_returnflag, 'sum_qty', sum_qty FROM w
       ORDER BY l_returnflag, metric""",
+
+    "q50_json_extract" -> """
+      WITH e AS (
+        SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM e GROUP BY 1 ORDER BY event_type""",
+
+    // the incremental split/merge is algebraically invisible: the
+    // oracle is the plain full-history aggregate
+    "q51_incremental_agg" -> """
+      SELECT user_id, COUNT(*) AS n,
+             ROUND(SUM(value), 4) AS sum_value,
+             ROUND(MAX(value), 4) AS max_value
+      FROM events GROUP BY 1 ORDER BY user_id""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,
