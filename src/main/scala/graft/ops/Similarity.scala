@@ -122,6 +122,142 @@ object Similarity {
     ivfTopK(aug, "id", "v", qAug, "id", "v", k, dim + 1, nlist, nprobe)
   }
 
+  // --- Product quantization (PQ / ADC) -----------------------------------
+  // The memory-bound scale path: a 64-float embedding compresses to m
+  // one-byte codes (32x at m=8), so a 100 TB vector corpus's codes fit
+  // where its vectors never could, and candidate scoring becomes m table
+  // lookups instead of a dim-length dot product (Jegou et al. 2011,
+  // "Product Quantization for Nearest Neighbor Search").
+
+  /** Per-subspace plain-L2 k-means codebooks, trained driver-side on a
+    * bounded sample (same driver/executor split as the IVF coarse
+    * quantizer — only the m*kc*subdim codebook ever lives on the
+    * driver). Deterministic: init picks evenly-spaced points from the
+    * lexicographically-sorted DISTINCT subvector sample, so when the
+    * sample carries <= kc distinct subvectors every one becomes its own
+    * centroid and Lloyd is immediately stationary — the provable-
+    * exactness configuration the PQ spec gates on (each subvector then
+    * encodes to itself and ADC equals the exact score).
+    */
+  private[ops] def trainCodebooksL2(sample: Array[Array[Double]], m: Int,
+                                    kc: Int,
+                                    iters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => v.slice(s * sd, (s + 1) * sd))
+      val distinct = subs.map(_.toIndexedSeq).distinct.sorted(
+        math.Ordering.Implicits.seqOrdering[IndexedSeq, Double])
+        .map(_.toArray)
+      var cents: IndexedSeq[Array[Double]] =
+        (0 until kc).map(i => distinct(i * distinct.length / kc))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kc)(new Array[Double](sd))
+        val counts = new Array[Int](kc)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kc) {
+            var d = 0.0; var i = 0
+            while (i < sd) {
+              val t = v(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sd) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = (0 until kc).map(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents.toArray
+    }
+  }
+
+  /** Train PQ codebooks on the content-keyed [[quantizerSample]] of the
+    * unit-normalized corpus (hash-ordered, partitioning/retry-invariant
+    * — never a partition-order prefix).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+              kc: Int, sampleSize: Int = 4096,
+              iters: Int = 10): Array[Array[Array[Double]]] =
+    trainCodebooksL2(
+      quantizerSample(corpus, idCol, vecCol, sampleSize), m, kc, iters)
+
+  /** Encode every (unit-normalized) corpus vector to its m nearest-
+    * centroid codes — a NARROW map over the scan: codebooks are
+    * dimension-sized literals (constant-folded into the plan), each
+    * subspace's code is argmin over kc zip_with L2 distances, and
+    * nothing shuffles. Output: (id, codes array<int>), the 32x-smaller
+    * representation that persists / joins downstream.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sd = codebooks.head.head.length
+    val u = unitized(corpus, idCol, vecCol, "id", "v")
+    val codes = (0 until m).map { s =>
+      val sub = slice(col("v"), s * sd + 1, sd)
+      val d2 = codebooks(s).map { c =>
+        val cLit = array(c.map(lit).toIndexedSeq: _*)
+        aggregate(zip_with(sub, cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }
+      val darr = array(d2.toIndexedSeq: _*)
+      (array_position(darr, array_min(darr)) - 1).cast("int")
+    }
+    u.select(col("id"), array(codes: _*).as("codes"))
+  }
+
+  /** PQ/ADC approximate cosine top-k: corpus scanned as CODES only,
+    * each query carries its m x kc lookup table (query-subvector dot
+    * each centroid — computed once per query on the broadcast side),
+    * and a candidate's score is m table lookups summed
+    * (asymmetric distance computation). Plan shape = [[cosineTopK]]'s
+    * broadcast crossJoin, but the corpus side is the 32x-compressed
+    * code table and scoring never touches a corpus vector. Ranked on
+    * the 6dp-ROUNDED score with id tie-break (float-portable, as
+    * everywhere in this file). Exact when every subvector is a
+    * codebook centroid (spec-gated); approximate otherwise — recall
+    * governed by m/kc like any PQ index.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             k: Int, m: Int, kc: Int, sampleSize: Int = 4096,
+             iters: Int = 10): DataFrame = {
+    val cb = pqTrain(corpus, idCol, vecCol, m, kc, sampleSize, iters)
+    val sd = cb.head.head.length
+    val enc = pqEncode(corpus, idCol, vecCol, cb)
+      .withColumnRenamed("id", "nbr_id")
+    val qtab = array((0 until m).map { s =>
+      val qsub = slice(col("qv"), s * sd + 1, sd)
+      array(cb(s).map { c =>
+        val cLit = array(c.map(lit).toIndexedSeq: _*)
+        aggregate(zip_with(qsub, cLit, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+    }: _*)
+    val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
+      .select(col("query_id"), qtab.as("qtab"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("adc",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("adc"), 6).desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "adc")
+  }
+
   /** Deterministic random hyperplanes: component h(t,j,d) from a seeded
     * driver RNG, materialized as literal nested arrays (tables x planes
     * x dim) — tiny, constant-folded into the plan.

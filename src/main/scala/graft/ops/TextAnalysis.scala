@@ -425,6 +425,59 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** Bigram-LM perplexity proxy — the next-order CCNet-style quality
+    * filter above [[unigramNll]]: fit add-one-smoothed bigram
+    * transition probabilities on the corpus itself and score each doc
+    * by the mean −ln p(w2|w1) over its bigram occurrences, with
+    *
+    *   p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    *
+    * (c = corpus occurrence counts, V = unigram vocabulary size).
+    * Repetitive/boilerplate docs score low (their transitions dominate
+    * the model), incoherent or off-distribution docs score high —
+    * unlike the unigram score, word ORDER now matters. Docs with
+    * fewer than 2 tokens have no bigrams: n_bigrams = 0, avg_nll null.
+    *
+    * Scale shape mirrors unigramNll one order up: the cached
+    * (tokens, bigrams) projection feeds the unigram-count groupBy, the
+    * bigram-count groupBy, and the scoring join; both model joins are
+    * term-keyed shuffles (zipfian-hot contexts stream through the
+    * probe side), the vocabulary size is a broadcast scalar, and the
+    * final aggregate is doc-keyed. No corpus-sized broadcast, no
+    * driver-side model state.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("toks"))
+      .select(col("id"), col("toks"),
+        // shinglesOf degenerates to whole-text for short docs; a
+        // 1-token doc is not a bigram, so gate on size >= 2 (size == 2
+        // yields exactly the one true bigram)
+        when(size(col("toks")) >= 2, shinglesOf(col("toks"), 2))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .cache()
+    val c1 = base.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val vs = c1.agg(count(lit(1)).as("v_size"))
+    val bg = base.select(col("id"), explode(col("bgs")).as("bg"))
+      // tokens never contain whitespace, so the context word is
+      // recoverable from the space-joined shingle
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val scored = bg.join(c2, Seq("bg"))
+      .join(c1.withColumnRenamed("term", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vs))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c2") + 1).cast("double")
+          / (col("c1") + col("v_size")))).as("avg_nll"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
+
   /** DSIR-style data selection via importance resampling (Xie et al.
     * 2023, arXiv:2302.03169): score every RAW-pool document by how much
     * more likely its tokens are under a TARGET-corpus unigram model

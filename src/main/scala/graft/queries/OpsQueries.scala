@@ -166,6 +166,17 @@ object OpsQueries {
           "embedding", k = 8, tau = 0.9)
         .orderBy("id")),
 
+    // bigram-LM perplexity proxy (order-sensitive CCNet-shape filter,
+    // one model order above d21): add-one-smoothed corpus transition
+    // model, each doc scored by mean -ln p(w2|w1) over its bigrams —
+    // fully replayed by the oracle (both count models, smoothing,
+    // scoring join)
+    "d33_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramNll(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")),
+
     // brute-force cosine top-k ANN baseline (oracle-checked against
     // DuckDB list_cosine_similarity)
     "s01_cosine_topk" -> ((s, dir) => {
@@ -704,6 +715,23 @@ object OpsQueries {
     // construction — an end-to-end self-check). Rows-only (eig is not
     // DuckDB-expressible); anisotropy recovery + orthonormality +
     // partitioning invariance spec'd in PcaSpec.
+    // product-quantization ADC top-k (rows-only: seeded k-means
+    // codebooks are engine-specific; exactness at the codebook-
+    // coverable config + partitioning invariance are spec-gated):
+    // the corpus is scanned as 8-byte code rows — the 32x-compressed
+    // representation a 100 TB vector corpus actually fits in — and
+    // scoring is 8 table lookups per candidate, never a corpus-vector
+    // dot product
+    "s12_pq_adc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, m = 8, kc = 16)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("adc"), 4).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s11_pca_whiten" -> ((s, dir) => {
       import s.implicits._
       val e = embs(s, dir)
@@ -1491,6 +1519,43 @@ object OpsQueries {
         FROM t JOIN v USING (term) CROSS JOIN tot
         GROUP BY t.doc_id)
       SELECT d.doc_id, COALESCE(n.n_tokens, 0) AS n_tokens, n.avg_nll
+      FROM documents d LEFT JOIN n USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // full bigram-model replay: same tokenization, the engine's
+    // zip_with shingling re-expressed as list_transform over inclusive
+    // 1-based slices, add-one smoothing over (context count, vocab
+    // size), context word recovered from the space-joined bigram
+    "d33_bigram_lm" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+      c1 AS (SELECT term, COUNT(*) AS c1 FROM t GROUP BY 1),
+      vs AS (SELECT COUNT(*) AS v_size FROM c1),
+      bgx AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                    WHEN len(toks) = 2 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks)), i ->
+                           array_to_string(
+                             toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))
+               END AS bgs
+        FROM tk),
+      b AS (SELECT doc_id, unnest(bgs) AS bg FROM bgx),
+      c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+      n AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-ln((c2.c2 + 1.0) / (c1.c1 + vs.v_size))), 4)
+                 AS avg_nll
+        FROM b JOIN c2 USING (bg)
+        JOIN c1 ON c1.term = string_split(b.bg, ' ')[1]
+        CROSS JOIN vs
+        GROUP BY b.doc_id)
+      SELECT d.doc_id, COALESCE(n.n_bigrams, 0) AS n_bigrams, n.avg_nll
       FROM documents d LEFT JOIN n USING (doc_id)
       ORDER BY d.doc_id""",
 

@@ -720,6 +720,42 @@ object RelQueries {
         .orderBy("user_id")
     }),
 
+    // gap-and-island sessionization, relational formulation: the same
+    // 30-min-inactivity semantics as st02's flatMapGroupsWithState
+    // state machine, expressed as lag -> break flag -> per-user
+    // cumulative session index -> one groupBy. ONE user-keyed shuffle
+    // serves the lag window, the cumsum window, and the session
+    // aggregate (all partitioned by user_id); each user's sort is
+    // partition-local — never a global sort. Emits SESSION-grain rows
+    // (start/duration/n/value), a finer oracle surface than st02's
+    // per-user rollup. Tie rows (equal ts) always land in the same
+    // session regardless of intra-tie order: their pairwise gap is 0,
+    // so whichever tie row inherits the gap-to-predecessor carries the
+    // break for the whole group.
+    "q52_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tms")
+      events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+          col("value"))
+        .withColumn("brk",
+          when(col("tms") - lag("tms", 1).over(w) > 1800000L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("tms").as("start_ms"), max("tms").as("end_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .filter(col("user_id") < 50)
+        .select(col("user_id"),
+          date_format(timestamp_millis(col("start_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          (col("end_ms") - col("start_ms")).as("dur_ms"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1367,6 +1403,31 @@ object RelQueries {
              ROUND(SUM(value), 4) AS sum_value,
              ROUND(MAX(value), 4) AS max_value
       FROM events GROUP BY 1 ORDER BY user_id""",
+
+    // session-grain gap-and-island replay: identical lag/cumsum shape;
+    // epoch_ms matches the engine's unix_millis micro->ms truncation.
+    // Tie rows share a session whichever of them carries the break, so
+    // the grouping is order-stable (see the engine-side note).
+    "q52_sessionize" -> """
+      WITH m AS (
+        SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, value,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                      - LAG(epoch_ms(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id,
+             strftime(make_timestamp(MIN(tms) * 1000),
+               '%Y-%m-%d %H:%M:%S') AS s_start,
+             MAX(tms) - MIN(tms) AS dur_ms,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+      FROM g WHERE user_id < 50
+      GROUP BY user_id, sid
+      ORDER BY user_id, s_start""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

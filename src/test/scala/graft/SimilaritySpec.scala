@@ -337,4 +337,72 @@ class SimilaritySpec extends SparkSpec {
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(again == r)
   }
+
+  test("PQ/ADC is exact at the codebook-coverable config and codes are " +
+    "partitioning-invariant") {
+    // dim 8 = 4 subspaces x 2; per subspace, 4 distinct patterns on a
+    // circle of per-subspace radius. Every assembled vector then has
+    // the SAME total norm (sum of the fixed per-subspace radii^2), so
+    // unit normalization rescales all subvectors by one constant and
+    // each subspace still carries exactly 4 distinct values: with
+    // kc = 4, trainCodebooksL2's distinct-init makes every subvector
+    // its own centroid, encoding is lossless, and ADC == exact cosine.
+    val m = 4; val kc = 4
+    val radii = Seq(1.0, 2.0, 0.5, 1.5)
+    val patterns = radii.zipWithIndex.map { case (r, s) =>
+      (0 until kc).map { j =>
+        val a = 2 * math.Pi * (j + 0.3 * (s + 1)) / kc
+        Seq(r * math.cos(a), r * math.sin(a))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { id =>
+      (id.toLong, (0 until m).flatMap(s => patterns(s)(rnd.nextInt(kc))))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    def ranked(r: org.apache.spark.sql.DataFrame) =
+      r.select($"query_id", $"rank", $"nbr_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val exact = ranked(Similarity.cosineTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val pq = ranked(Similarity.pqTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, m = m, kc = kc,
+      sampleSize = 60))
+    assert(pq == exact)
+    // codes: shape m, range [0, kc), and invariant to partitioning
+    // (codebook comes from the hash-ordered sample, encode is a
+    // deterministic narrow map)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", m, kc,
+      sampleSize = 60)
+    def codes(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(d, "vec_id", "embedding", cb)
+        .as[(Long, Seq[Int])].collect().toMap
+    val c1 = codes(df)
+    assert(c1.values.forall(c => c.length == m &&
+      c.forall(x => x >= 0 && x < kc)))
+    assert(codes(df.repartition(7)) == c1)
+  }
+
+  test("PQ/ADC retrieves planted near-duplicates top-1") {
+    val rng = new scala.util.Random(11)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = (0 until 40).map(i =>
+      (i.toLong, unit(Array.fill(16)(rng.nextGaussian())).toSeq))
+    // mutants perturb far below the quantization cell size, so they
+    // encode to the SAME codes as their original and tie it on ADC;
+    // the id tie-break then ranks the lower-id original first
+    val muts = base.take(10).map { case (id, v) =>
+      (id + 1000L, v.map(_ + 1e-9 * rng.nextGaussian()))
+    }
+    val df = (base ++ muts).toDF("vec_id", "embedding")
+    val top1 = Similarity.pqTopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" >= 1000), "vec_id", "embedding",
+        k = 1, m = 4, kc = 8, sampleSize = 50)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toMap
+    (0 until 10).foreach(i =>
+      assert(top1(i + 1000L) == i.toLong, s"query ${i + 1000}"))
+  }
 }

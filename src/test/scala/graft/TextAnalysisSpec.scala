@@ -240,6 +240,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L)._2.get > r(1L)._2.get)
   }
 
+  test("bigramNll matches the hand-computed model and is order-sensitive") {
+    // corpus bigrams: "a b":2 (docs 1,2), "b a":1 (doc 2 pos 2);
+    // unigram context counts: a:3, b:2 (doc 2 is "a b a"), c:1; V=3
+    val df = Seq((1L, "a b"), (2L, "a B a"), (3L, "c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = bigramNll(df, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val pAB = 3.0 / 6 // (c("a b")+1) / (c1("a")+V) = (2+1)/(3+3)
+    val pBA = 2.0 / 5 // (1+1) / (2+3)
+    assert(r(1L)._1 == 1L)
+    assert(math.abs(r(1L)._2.get + math.log(pAB)) < 1e-12)
+    assert(r(2L)._1 == 2L)
+    assert(math.abs(r(2L)._2.get +
+      (math.log(pAB) + math.log(pBA)) / 2) < 1e-12)
+    // <2 tokens -> no bigrams, null score (never the degenerate
+    // whole-text shingle)
+    assert(r(3L) == (0L, None))
+    assert(r(4L) == (0L, None))
+
+    // order sensitivity — the point of the second model order: the
+    // same bag of words in corpus-typical vs atypical order scores
+    // differently under the bigram model (unigramNll cannot separate
+    // these two docs)
+    val o = Seq((1L, "x y x y x y"), (2L, "y y y x x x"))
+      .toDF("doc_id", "text")
+    val ro = bigramNll(o, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> x._3.get).toMap
+    assert(ro(1L) < ro(2L))
+    val ru = unigramNll(o, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> x._3.get).toMap
+    assert(math.abs(ru(1L) - ru(2L)) < 1e-12)
+  }
+
   test("stratifiedExactK: exact counts, deterministic, prefilter-invisible") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(0, 1000)
