@@ -107,6 +107,51 @@ object BmpCodec {
     out
   }
 
+  /** 64-bit difference hash (dHash) from decoded pixels: sample the
+    * luma on a 9x8 nearest-neighbor grid, emit bit (y*8 + x) = 1 iff
+    * luma(x, y) > luma(x+1, y). Robust to uniform rescaling (the grid
+    * resamples to the same relative positions) and to small brightness
+    * shifts (only ORDER of adjacent cells matters) — the standard
+    * perceptual fingerprint for image near-dup detection.
+    */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val (w, h, rgb) = decode(bytes)
+    // block-MEAN pooling, not point sampling: the mean over a grid
+    // cell survives nearest-neighbor rescaling (each cell still
+    // averages the same image region), where a point sample lands on
+    // a different source pixel and flips bits near luma wraparounds
+    def luma(gx: Int, gy: Int): Double = {
+      val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+      val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+      var s = 0L; var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val i = (y * w + x) * 3
+          s += (299 * (rgb(i) & 0xff) + 587 * (rgb(i + 1) & 0xff)
+            + 114 * (rgb(i + 2) & 0xff)) / 1000
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      s.toDouble / n
+    }
+    var sig = 0L
+    var gy = 0
+    while (gy < 8) {
+      val row = Array.tabulate(9)(gx => luma(gx, gy))
+      var gx = 0
+      while (gx < 8) {
+        if (row(gx) > row(gx + 1)) sig |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
   /** Nearest-neighbor downscale so max(w, h) <= maxSide (no-op when
     * already within bounds); returns re-encoded BMP bytes.
     */

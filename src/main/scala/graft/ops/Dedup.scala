@@ -140,9 +140,25 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
         SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
       .cache()
+    hammingBandPairs(sigs, maxHamming, tables, maxBucket)
+  }
+
+  /** Banded Hamming near-dup pairs over any 64-bit signature table
+    * (`sigs` must carry `id` and `sig`): candidates from matching any
+    * of `tables` (64/tables)-bit sub-bands — pigeonhole: <= maxHamming
+    * differing bits guarantees a clean band when maxHamming < tables —
+    * verified by exact Hamming distance via builtin bit ops. The
+    * shared engine behind text SimHash ([[simhashPairs]]) and image
+    * perceptual hashes ([[Multimodal.phash]]).
+    */
+  def hammingBandPairs(sigs: DataFrame, maxHamming: Int, tables: Int,
+                       maxBucket: Int): DataFrame = {
+    require(64 % tables == 0, s"tables=$tables must divide 64")
+    val bandBits = 64 / tables
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val bandArr = array((0 until tables).map(t =>
       struct(lit(t).as("band"),
-        shiftrightunsigned(col("sig"), 16 * t).bitwiseAND(lit(0xffffL))
+        shiftrightunsigned(col("sig"), bandBits * t).bitwiseAND(lit(mask))
           .as("bkey"))): _*)
     val allBanded = sigs.select(col("id"), col("sig"),
         explode(bandArr).as("bb"))

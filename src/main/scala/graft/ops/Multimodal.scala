@@ -158,6 +158,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual 64-bit image hash (dHash) from REAL decoded pixels —
+    * partition-local, batched, no shuffle (same scale shape as
+    * [[extractFeatures]]): the narrow first stage of image near-dup
+    * detection. Feed the result to [[Dedup.hammingBandPairs]] for the
+    * banded candidate join — at 100 TB only the 8-byte hashes ever
+    * shuffle, never pixels. Null media hashes to 0.
+    */
+  def phash(df: DataFrame, binaryCol: String, batchSize: Int = 64,
+            as: String = "phash"): DataFrame = {
+    val outSchema = df.schema.add(as, LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          val sig = if (bytes == null) 0L else BmpCodec.dhash64(bytes)
+          Row.fromSeq(r.toSeq :+ sig)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL pixel transform: decode, shift every channel by `delta`
+    * (clamped to [0, 255]), re-encode — partition-local, batched, no
+    * shuffle. The dev-harness mutation for perceptual-hash tests (a
+    * brightness-shifted copy is BYTE-different, so exact dedup can't
+    * see it, but adjacent-cell luma ORDER is preserved wherever no
+    * channel clamps, so its dHash stays within a few bits).
+    */
+  def withBrightness(df: DataFrame, binaryCol: String,
+                     delta: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        if (bytes == null) r
+        else {
+          val (w, h, rgb) = BmpCodec.decode(bytes)
+          val out = rgb.map(b =>
+            math.max(0, math.min(255, (b & 0xff) + delta)).toByte)
+          Row.fromSeq(r.toSeq.updated(idx, BmpCodec.encode(w, h, out)))
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata-level resize: recompute width/height bounded by
     * `maxSide`, keep bytes (decode stubbed). Pure Column ops.
     */

@@ -285,6 +285,28 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // image near-dup via perceptual hash (rows-only: hashes of decoded
+    // pixels are not SQL-expressible; planted-copy recovery and hash
+    // invariances are spec-gated): every doc's REAL decoded BMP ->
+    // 64-bit block-mean dHash (narrow, batched, partition-local), then
+    // the SAME banded Hamming join as text SimHash (d08) over the
+    // 8-byte signatures — pixels never shuffle. Mutants = the first 50
+    // images brightness-shifted (id+100000): BYTE-different (exact
+    // dedup is blind to them) but perceptually identical, so each must
+    // pair with its original within the Hamming budget.
+    "mm04_image_phash" -> ((s, dir) => {
+      val base = Multimodal.withBmpMedia(
+        docs(s, dir).select("doc_id", "text"), "text")
+      val mutants = Multimodal.withBrightness(
+          base.filter(col("doc_id") < 50), "media", delta = 10)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val sigs = Multimodal.phash(base.unionByName(mutants), "media")
+        .select(col("doc_id").as("id"), col("phash").as("sig"))
+      Dedup.hammingBandPairs(sigs, maxHamming = 3, tables = 8,
+          maxBucket = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // web-scrape cleaning: strip markup, mask URLs/emails, collapse
     // whitespace (oracle-checked). The harness corpus is plain text, so
     // the query plants deterministic markup/PII derived from doc_id —

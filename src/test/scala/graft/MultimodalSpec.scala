@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Multimodal
+import graft.ops.{BmpCodec, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -159,5 +159,71 @@ class MultimodalSpec extends SparkSpec {
           assert(rms > 0.0, s"tone window must be non-silent")
         }
     }
+  }
+
+  test("dHash: brightness-shift stays within budget, smooth resize " +
+    "invariant, deterministic") {
+    def img(i: Int) =
+      BmpCodec.synthesize(s"sample doc $i words " + ("x" * (i % 17)))
+    // identical bytes -> identical hash (determinism)
+    assert(BmpCodec.dhash64(img(3)) == BmpCodec.dhash64(img(3)))
+    // brightness shift preserves adjacent-cell luma ORDER wherever no
+    // channel clamps — across the whole synthetic family the planted
+    // mutation must stay within the mm04 Hamming budget (3)
+    val bs = (0 until 500).map { i =>
+      val b = img(i)
+      val (w, h, rgb) = BmpCodec.decode(b)
+      val brighter = rgb.map(x => math.min(255, (x & 0xff) + 10).toByte)
+      java.lang.Long.bitCount(BmpCodec.dhash64(b) ^
+        BmpCodec.dhash64(BmpCodec.encode(w, h, brighter)))
+    }
+    info(s"brightness hamming: max=${bs.max} mean=${bs.sum / 500.0}")
+    assert(bs.max <= 3, s"brightness shift moved a hash ${bs.max} bits")
+    // block-mean pooling survives downscale on smooth content: a
+    // linear luma ramp keeps cell-mean ORDER exactly (the synthetic
+    // gradient family with mod-256 wraparound is deliberately
+    // adversarial for resampling, so the invariance is asserted on
+    // the content class where it genuinely holds)
+    val rampW = 63; val rampH = 48
+    val ramp = Array.tabulate(rampW * rampH * 3) { j =>
+      val x = (j / 3) % rampW
+      (x * 255 / (rampW - 1)).toByte
+    }
+    val rampBmp = BmpCodec.encode(rampW, rampH, ramp)
+    assert(BmpCodec.dhash64(rampBmp) ==
+      BmpCodec.dhash64(BmpCodec.resize(rampBmp, 20)))
+    // cross-image separation at the mm04 threshold: distinct images
+    // from the (mutually similar by construction) gradient family
+    // must almost never collide within 3 bits
+    val sigs = (0 until 300).map(i => BmpCodec.dhash64(img(i)))
+    var le3 = 0
+    for (a <- 0 until 300; b <- a + 1 until 300)
+      if (java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3) le3 += 1
+    info(s"cross pairs of ${300 * 299 / 2}: le3=$le3")
+    assert(le3 < 300 * 299 / 2 / 50, "cross-image hashes collapsed")
+  }
+
+  test("phash + hammingBandPairs recovers every planted brightness copy") {
+    import graft.ops.Dedup
+    val docs = (0 until 25)
+      .map(i => (i.toLong, s"image seed $i " + ("y" * (i % 7))))
+      .toDF("doc_id", "text")
+    val base = Multimodal.withBmpMedia(docs, "text")
+    val mutants = Multimodal.withBrightness(base, "media", delta = 10)
+      .withColumn("doc_id", $"doc_id" + 1000)
+    val sigs = Multimodal.phash(base.unionByName(mutants), "media")
+      .select($"doc_id".as("id"), $"phash".as("sig"))
+    val pairs = Dedup.hammingBandPairs(sigs, maxHamming = 3, tables = 8,
+        maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 25).foreach(i =>
+      assert(pairs.contains((i.toLong, i + 1000L)),
+        s"planted copy of $i not recovered"))
+    // byte-level dedup CANNOT see these pairs — the perceptual hash's
+    // reason to exist
+    val fps = base.unionByName(mutants)
+      .select(md5($"media").as("fp"), $"doc_id")
+      .groupBy("fp").count().filter($"count" > 1).count()
+    assert(fps == 0, "brightness copies should be byte-distinct")
   }
 }
