@@ -756,6 +756,27 @@ object RelQueries {
         .orderBy("user_id", "s_start")
     }),
 
+    // PageRank over the customer—supplier trade graph (who trades with
+    // whom, via orders x lineitem), symmetrized so every node has
+    // out-degree >= 1 (no dangling mass) — the iterative-join graph
+    // operator next to d15's connected components. 3 fixed iterations;
+    // the oracle replays the exact arithmetic with 3 unrolled
+    // contribution/rank CTE pairs; ranks compared ROUNDED (sum order
+    // is float-ambiguous, values are not)
+    "q53_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(edges, iters = 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1428,6 +1449,39 @@ object RelQueries {
       FROM g WHERE user_id < 50
       GROUP BY user_id, sid
       ORDER BY user_id, s_start""",
+
+    // exact 3-iteration PageRank replay: same symmetrized edge list,
+    // same (1.0 - 0.85)/n jump term (written as the SAME float
+    // expression — the literal 0.15 is one ulp away), one
+    // contribution/rank CTE pair per iteration
+    "q53_pagerank" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+      r0 AS (SELECT src AS node, 1.0 / nn.n AS pr FROM deg, nn),
+      c1 AS (SELECT e.dst AS node, SUM(r0.pr / d.deg) AS m
+             FROM edges e JOIN r0 ON e.src = r0.node
+             JOIN deg d ON e.src = d.src GROUP BY 1),
+      r1 AS (SELECT d.src AS node,
+                    (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.m, 0.0) AS pr
+             FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.node = d.src),
+      c2 AS (SELECT e.dst AS node, SUM(r1.pr / d.deg) AS m
+             FROM edges e JOIN r1 ON e.src = r1.node
+             JOIN deg d ON e.src = d.src GROUP BY 1),
+      r2 AS (SELECT d.src AS node,
+                    (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.m, 0.0) AS pr
+             FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.node = d.src),
+      c3 AS (SELECT e.dst AS node, SUM(r2.pr / d.deg) AS m
+             FROM edges e JOIN r2 ON e.src = r2.node
+             JOIN deg d ON e.src = d.src GROUP BY 1),
+      r3 AS (SELECT d.src AS node,
+                    (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
+             FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.src)
+      SELECT node, ROUND(pr, 6) AS pr FROM r3 ORDER BY node""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,
