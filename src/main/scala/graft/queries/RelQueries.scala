@@ -777,6 +777,26 @@ object RelQueries {
         .orderBy("node")
     }),
 
+    // event-time RANGE window frame (trailing 24h per user): the
+    // VALUE-bounded sliding aggregate q38's ROWS frames can't express —
+    // frame membership follows the timestamp value, however many rows
+    // land inside. Integer epoch-seconds ordering keys keep both
+    // engines' frame boundaries exact; one user-keyed shuffle,
+    // per-user partition-local sort, never a global one.
+    "q54_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsec")
+        .rangeBetween(-86399L, 0L)
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("tsec"), col("value"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("sum_24h", round(sum("value").over(w), 4))
+        .select("user_id", "event_id", "tsec", "n_24h", "sum_24h")
+        .orderBy("user_id", "tsec", "event_id")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1482,6 +1502,21 @@ object RelQueries {
                     (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
              FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.src)
       SELECT node, ROUND(pr, 6) AS pr FROM r3 ORDER BY node""",
+
+    // same integer-second RANGE frame; epoch_us // 1000000 matches the
+    // engine's unix_micros div truncation
+    "q54_range_frame" -> """
+      WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, value
+        FROM events WHERE user_id < 50)
+      SELECT user_id, event_id, tsec,
+             COUNT(*) OVER w AS n_24h,
+             ROUND(SUM(value) OVER w, 4) AS sum_24h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                   RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, tsec, event_id""",
 
     "q23_pivot" -> """
       SELECT o_orderpriority,

@@ -161,6 +161,26 @@ object StatQueries {
           round(col("se"), 6).as("se"))
         .orderBy("state")),
 
+    // survey raking / IPF (the survey::rake companion to m04's
+    // svyby): a 1-in-3 customer subsample raked to the FULL table's
+    // segment and nation margins, 3 cycles — per pass one dimension-
+    // sized groupBy + two broadcast joins, the data never shuffles.
+    // Oracle replays all six scaling passes unrolled.
+    "m12_raking" -> ((s, dir) => {
+      val full = graft.Tables(s, dir, "customer")
+      val samp = full.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"), lit(1.0).as("w"))
+      val st = full.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).cast("double").as("_target"))
+      val nt = full.groupBy(col("c_nationkey").as("nat"))
+        .agg(count(lit(1)).cast("double").as("_target"))
+      Survey.rake(samp, "w", Seq("seg" -> st, "nat" -> nt), iters = 3)
+        .groupBy("seg", "nat")
+        .agg(round(sum("w"), 4).as("wsum"), count(lit(1)).as("n"))
+        .orderBy("seg", "nat")
+    }),
+
     // M7/M8 — parametric bootstrap MSPE (tiny B; full runs are offline)
     "m05_bootstrap_mspe" -> ((s, dir) =>
       bootstrapMspe(s, dir)
@@ -317,6 +337,50 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // all six IPF scaling passes unrolled (seg/nat per cycle x 3):
+    // identical arithmetic, margins from the full table
+    "m12_raking" -> """
+      WITH samp AS (
+        SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+               1.0 AS w
+        FROM customer WHERE c_custkey % 3 = 0),
+      st AS (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS DOUBLE) AS t
+             FROM customer GROUP BY 1),
+      nt AS (SELECT c_nationkey AS nat, CAST(COUNT(*) AS DOUBLE) AS t
+             FROM customer GROUP BY 1),
+      w1 AS (SELECT s.c_custkey, s.seg, s.nat, s.w * st.t / m.ms AS w
+             FROM samp s
+             JOIN (SELECT seg, SUM(w) AS ms FROM samp GROUP BY 1) m
+               USING (seg)
+             JOIN st USING (seg)),
+      w2 AS (SELECT s.c_custkey, s.seg, s.nat, s.w * nt.t / m.ms AS w
+             FROM w1 s
+             JOIN (SELECT nat, SUM(w) AS ms FROM w1 GROUP BY 1) m
+               USING (nat)
+             JOIN nt USING (nat)),
+      w3 AS (SELECT s.c_custkey, s.seg, s.nat, s.w * st.t / m.ms AS w
+             FROM w2 s
+             JOIN (SELECT seg, SUM(w) AS ms FROM w2 GROUP BY 1) m
+               USING (seg)
+             JOIN st USING (seg)),
+      w4 AS (SELECT s.c_custkey, s.seg, s.nat, s.w * nt.t / m.ms AS w
+             FROM w3 s
+             JOIN (SELECT nat, SUM(w) AS ms FROM w3 GROUP BY 1) m
+               USING (nat)
+             JOIN nt USING (nat)),
+      w5 AS (SELECT s.c_custkey, s.seg, s.nat, s.w * st.t / m.ms AS w
+             FROM w4 s
+             JOIN (SELECT seg, SUM(w) AS ms FROM w4 GROUP BY 1) m
+               USING (seg)
+             JOIN st USING (seg)),
+      w6 AS (SELECT s.c_custkey, s.seg, s.nat, s.w * nt.t / m.ms AS w
+             FROM w5 s
+             JOIN (SELECT nat, SUM(w) AS ms FROM w5 GROUP BY 1) m
+               USING (nat)
+             JOIN nt USING (nat))
+      SELECT seg, nat, ROUND(SUM(w), 4) AS wsum, COUNT(*) AS n
+      FROM w6 GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // floor-binned shades over the min/max extent: floor (not round)
     // because floor's semantics agree across engines
     "m08_choropleth" -> """

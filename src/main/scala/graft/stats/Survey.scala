@@ -20,6 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Survey {
 
+  /** Survey raking / iterative proportional fitting (the
+    * `survey::rake` companion to [[weightedMeanSE]]'s svyby): scale
+    * row weights so the weighted margins match known population totals
+    * over each margin variable in turn, cycling `iters` times. Each
+    * `margins` entry is (category column, targets DataFrame carrying
+    * that column + a `_target` total); one IPF pass multiplies every
+    * row's weight by target/current for its category.
+    *
+    * Scale shape: per margin per iteration, ONE map-side-combining
+    * groupBy for the current margin sums and two BROADCAST joins
+    * (margin tables are category-dimension-sized by definition) — the
+    * data never shuffles, weights update in a narrow projection.
+    * Convergence is the classical IPF result (margins are matched
+    * exactly for the LAST margin of the final cycle and geometrically
+    * closer for earlier ones); a fixed small `iters` is the standard
+    * practice. Any category with sample rows has a positive weight
+    * sum, so the scaling ratio is always defined.
+    */
+  def rake(df: DataFrame, weightCol: String,
+           margins: Seq[(String, DataFrame)], iters: Int): DataFrame = {
+    var cur = df
+    var it = 0
+    while (it < iters) {
+      margins.foreach { case (c, tgt) =>
+        val sums = cur.groupBy(c).agg(sum(weightCol).as("_cursum"))
+        cur = cur.join(broadcast(sums), c)
+          .join(broadcast(tgt), c)
+          .withColumn(weightCol,
+            col(weightCol) * col("_target") / col("_cursum"))
+          .drop("_cursum", "_target")
+      }
+      it += 1
+    }
+    cur
+  }
+
   def weightedMeanSE(df: DataFrame, groupCol: String, yCol: String,
                      wCol: String, scale: Double = 1.0): DataFrame = {
     val y = col(yCol).cast("double")
