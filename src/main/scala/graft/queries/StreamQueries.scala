@@ -112,6 +112,20 @@ object StreamQueries {
         .withColumnRenamed("hour", "w_start")
         .orderBy("w_start", "event_type")),
 
+    // sessionization via the NATIVE session_window aggregate (the
+    // engine-managed formulation — state-store window merging,
+    // watermark finalization, append emits each closed session once);
+    // session grain like q52, with end = last event + gap by
+    // session_window's definition. Oracle: gap-and-island replay with
+    // the +gap duration.
+    "st09_session_window" -> ((s, dir) =>
+      Streams.sessionWindowStreamDrain(s, dir, gapMinutes = 30)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"),
+          date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          col("dur_ms"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "s_start")),
+
     // stream-stream LEFT OUTER join: st04's correlation with
     // null-extension for clicks that never convert — unmatched rows
     // can only be emitted once the watermark proves no future match,
@@ -210,6 +224,34 @@ object StreamQueries {
       SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
       FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    // session-grain gap-and-island replay. Two deliberate deltas vs
+    // q52/st02's state-machine semantics: session_window windows are
+    // half-open, so the break fires at gap >= 30min (not >) and is
+    // decided at MICROsecond precision; and end = last event + gap,
+    // so dur_ms carries the trailing gap (+1800000; exact because the
+    // gap is a whole number of ms).
+    "st09_session_window" -> """
+      WITH m AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                      >= 1800000000 THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT user_id, tus // 1000 AS tms, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id,
+             strftime(make_timestamp(MIN(tms) * 1000),
+               '%Y-%m-%d %H:%M:%S') AS s_start,
+             MAX(tms) - MIN(tms) + 1800000 AS dur_ms,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+      FROM g WHERE user_id < 50
+      GROUP BY user_id, sid
+      ORDER BY user_id, s_start""",
 
     // batch replay of the stream-stream LEFT OUTER range join
     "st08_stream_left_join" -> """

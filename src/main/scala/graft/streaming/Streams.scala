@@ -134,6 +134,71 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Sessionization through Spark's NATIVE `session_window` aggregate
+    * — the engine-managed third formulation next to the custom
+    * flatMapGroupsWithState state machine ([[sessionize]], st02) and
+    * the batch gap-and-island window form (q52). The state store
+    * merges overlapping per-key session windows itself; a session
+    * window spans [first event, last event + gap), finalizes once the
+    * watermark passes its END, and append mode emits it exactly once
+    * before evicting its state.
+    *
+    * Same bounded-drain mechanics as [[hourlyAggStreamDrain]]: the
+    * watermark is GLOBAL, so one sentinel row at max ts + 4h (under a
+    * sentinel user id) pushes the final watermark past every real
+    * session's end + gap; the sentinel's own session stays open and
+    * is never emitted (and is filtered defensively anyway).
+    */
+  def sessionWindowStreamDrain(spark: SparkSession, sfDir: String,
+                               gapMinutes: Int = 30): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-st09-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st09-sink")
+    val ckpt = Files.createTempDirectory("graft-st09-ckpt").toString
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+      val raw = spark.read.schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("ts", "user_id", "value")
+      val sentinel = raw.agg(
+          timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L)
+            .as("ts"))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+      raw.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    // NOTE: no sentinel filter inside the streaming query — a filter
+    // on a grouping key is pushed below the aggregation AND below the
+    // EventTimeWatermark operator, so it would drop the sentinel row
+    // before it advances the watermark (trailing sessions then never
+    // finalize). The sentinel's own session never closes, so it never
+    // reaches the sink; the batch-side filter below is belt-and-braces.
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        (unix_millis(col("session_window.end"))
+          - unix_millis(col("session_window.start"))).as("dur_ms"),
+        col("n_events"), col("total_value"))
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir).filter(col("user_id") >= 0)
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,

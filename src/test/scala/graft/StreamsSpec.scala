@@ -110,6 +110,35 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("sessionWindowStreamDrain equals the batch session_window " +
+    "aggregation (parity)") {
+    // the native session_window drain (state-store window merging,
+    // sentinel-flushed watermark) must emit exactly the batch
+    // session_window result over the real events
+    val ev = RelQueries.events(spark, sf001)
+      .select(col("ts"), col("user_id"), col("value"))
+    val streamed = Streams.sessionWindowStreamDrain(spark, sf001,
+        gapMinutes = 30)
+      .select(col("user_id"), col("s_start"), col("dur_ms"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Timestamp, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        (unix_millis(col("session_window.end"))
+          - unix_millis(col("session_window.start"))).as("dur_ms"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Timestamp, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"onlyStream=${(streamed.keySet -- batch.keySet).take(3)} " +
+        s"onlyBatch=${(batch.keySet -- streamed.keySet).take(3)}")
+    streamed.foreach { case (k, s) => assert(s == batch(k)) }
+  }
+
   test("stateful sessionize persists open sessions across restarts") {
     // cross-batch state via the restart path: two AvailableNow drains
     // over a growing file source, sharing one checkpoint — the open
