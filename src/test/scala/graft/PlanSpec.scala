@@ -296,4 +296,47 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q52/q54: lag+cumsum sessionization and the RANGE frame each " +
+      "ride ONE user-keyed shuffle (no global window sort)") {
+    Seq("q52_sessionize", "q54_range_frame").foreach { q =>
+      val plan = planOf(q)
+      assert("Exchange hashpartitioning\\(user_id".r
+        .findAllIn(plan).size == 1, s"$q:\n$plan")
+      assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
+        s"$q:\n$plan")
+    }
+  }
+
+  test("s12: ADC scoring joins the broadcast query tables against the " +
+      "code scan (no BNLJ, no corpus-vector shuffle)") {
+    val e = graft.Tables(spark, sf001, "embeddings")
+    val plan = graft.ops.Similarity.pqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 3, m = 8, kc = 16, sampleSize = 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("m12: raking margin joins broadcast — the sample itself never " +
+      "shuffles") {
+    val full = graft.Tables(spark, sf001, "customer")
+    val samp = full.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"),
+        org.apache.spark.sql.functions.lit(1.0).as("w"))
+    val st = full.groupBy(col("c_mktsegment").as("seg"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("double")
+        .as("_target"))
+    val plan = graft.stats.Survey.rake(samp, "w", Seq("seg" -> st),
+        iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hashpartitioning exchanges are the dimension-sized
+    // margin-sum aggregates, never the sample rows
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
