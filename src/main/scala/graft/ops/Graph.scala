@@ -20,35 +20,46 @@ object Graph {
     * Scale shape: each iteration is ONE src-keyed hash join of the
     * degree-annotated edge list against the current rank vector plus
     * ONE dst-keyed aggregation — the standard message-passing
-    * formulation. The edge list (with degrees attached once) is cached
-    * and reused every iteration; only the rank vector (|V| rows, two
-    * columns) changes. Iteration count is fixed and small (ranking
-    * stabilizes in a few passes); at large K, localCheckpoint the rank
-    * vector per round like connectedComponents does to truncate
-    * lineage. Float note: contribution sums are combine-order
-    * dependent; compare ROUNDED ranks (the oracle replays the same
-    * arithmetic and rounds identically).
+    * formulation. Degrees are attached by a single window count (one
+    * src-keyed shuffle of the edge list, vs the groupBy+join shape
+    * that evaluates the upstream edge pipeline twice); the annotated
+    * edge list AND the |V|-row node table are both cached, so the
+    * per-iteration plan touches only cached blocks — the upstream
+    * edge-build pipeline (often an expensive join+distinct) is
+    * materialized exactly once. Every 8 iterations the rank vector is
+    * localCheckpoint'ed to truncate lineage, like
+    * [[Dedup.connectedComponents]]. Float note: contribution sums are
+    * combine-order dependent; compare ROUNDED ranks (the oracle
+    * replays the same arithmetic and rounds identically).
     */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").cache()
-    val n = deg.count()
+    import org.apache.spark.sql.expressions.Window
+    val ed = edges
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .cache()
+    val nodes = ed.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
     val jump = (1.0 - damping) / n
-    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     var it = 0
     while (it < iters) {
       val contrib = ed
         .join(ranks, ed("src") === ranks("node"))
         .groupBy("dst").agg(sum(col("pr") / col("deg")).as("m"))
         .withColumnRenamed("dst", "node")
-      ranks = deg.select(col("src").as("node"))
+      ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(jump) + lit(damping) * coalesce(col("m"), lit(0.0)))
             .as("pr"))
+      if (it % 8 == 7 && it != iters - 1)
+        ranks = ranks.localCheckpoint()
       it += 1
     }
+    // ed/nodes stay cached for the session (LRU-evictable) — the
+    // returned plan references them, so eager unpersist would force a
+    // full edge-pipeline recompute on materialization.
     ranks
   }
 }

@@ -766,12 +766,18 @@ object RelQueries {
     "q53_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // distinct on the raw int pair (cheaper hashing than strings),
+      // then symmetrize in ONE pass via explode — the union-of-reversed
+      // shape evaluates the whole join+distinct pipeline twice
       val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-      val edges = cs.unionByName(
-        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val cn = concat(lit("c"), col("ck"))
+      val sn = concat(lit("s"), col("sk"))
+      val edges = cs
+        .select(explode(array(struct(cn.as("src"), sn.as("dst")),
+          struct(sn.as("src"), cn.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.ops.Graph.pageRank(edges, iters = 3)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")
