@@ -353,6 +353,58 @@ object Dedup {
     * groups by doc id (uniform key), sorting each doc's surviving
     * spans locally.
     */
+  /** Entity-resolution pair join: all pairs of rows whose `strCol`
+    * values are within Levenshtein distance 1, via FastSS-style
+    * deletion-neighborhood blocking (Bocek et al., "Fast Similarity
+    * Search in Large Dictionaries", 2007 — public technique). Each
+    * string emits itself plus every single-character deletion as a
+    * block key; two strings within edit distance 1 (one substitution =
+    * same-position deletions collide; one insert/delete = the shorter
+    * string IS a deletion of the longer) necessarily share a key, so
+    * candidates come from same-key buckets only and the exact
+    * `levenshtein` check runs per CANDIDATE, never per cross pair —
+    * the O(n^2) all-pairs scan a naive fuzzy join would do (and which
+    * the DuckDB oracle deliberately does at verify scale).
+    *
+    * Scale shape: one narrow projection emits |s|+1 8-byte xxhash64'd
+    * keys per row, one key-hashed shuffle self-join over buckets
+    * (bucket sizes are alphabet-bounded per position), distinct on the
+    * id pair, then the verifying levenshtein filter. Output:
+    * `(a_id, b_id, dist)` with a_id < b_id. Null-keyed rows are
+    * excluded (a null string matches nothing, by policy — stated here
+    * rather than inherited from join null semantics). Hash-collision
+    * note: a 64-bit key collision only ever ADDS a candidate, which
+    * the exact verify then drops — never a lost pair.
+    */
+  def editDistance1Join(df: DataFrame, idCol: String,
+                        strCol: String): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s"),
+        explode(array_distinct(concat(
+          array(col("s")),
+          when(length(col("s")) > 0,
+            transform(sequence(lit(0), length(col("s")) - 1), i =>
+              concat(col("s").substr(lit(1), i),
+                col("s").substr(i + 2, length(col("s"))))))
+            .otherwise(array().cast("array<string>"))))).as("v"))
+      .select(col("id"), col("s"), xxhash64(col("v")).as("k"))
+      .cache() // feeds BOTH join sides — halves the variant generation
+    val a = keyed.select(col("k"), col("id").as("a_id"), col("s").as("a_s"))
+    val b = keyed.select(col("k"), col("id").as("b_id"), col("s").as("b_s"))
+    // verify BEFORE distinct, with the THRESHOLDED levenshtein (banded
+    // O(len * k) DP, -1 past the bound — ~10x the full-matrix form on
+    // long-ish strings), so the distinct shuffle carries only the
+    // surviving (a_id, b_id, dist) triples — never the strings, and
+    // never the unverified candidate multiset
+    a.join(b, Seq("k"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist")).distinct()
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 10): DataFrame = {
     val k = chunkTokens

@@ -62,4 +62,41 @@ object Graph {
     // full edge-pipeline recompute on materialization.
     ranks
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, over a
+    * directed edge list `(src, dst)`, bounded by `maxHops`. Returns
+    * `(node, hop)` for every REACHED node (unreached nodes are absent,
+    * not null — the caller chooses the fill policy). `seeds` must be a
+    * single-column `node` DataFrame.
+    *
+    * Scale shape: classic frontier expansion — each round is ONE
+    * src-keyed join of the cached edge list against the current
+    * frontier (|frontier| <= |V| rows) plus ONE anti-join against the
+    * visited set, so per-round cost is proportional to the edges
+    * touched by the frontier, never |V|x|E|. Both the frontier and the
+    * visited set are localCheckpoint'ed every round: visited feeds
+    * every later round, so without truncation the lineage (and the
+    * re-execution cost of the final plan) would grow linearly with
+    * hop count. Early-exits when the frontier empties.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+              maxHops: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).cache()
+    var visited = seeds.select(col("node"), lit(0L).as("hop"))
+      .distinct().localCheckpoint()
+    var frontier = visited.select("node")
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = ed
+        .join(frontier, ed("src") === frontier("node"))
+        .select(ed("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(frontier.withColumn("hop", lit(hop)))
+        .localCheckpoint()
+    }
+    visited
+  }
 }

@@ -177,6 +177,18 @@ object OpsQueries {
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")),
 
+    // entity resolution: every customer-name pair within Levenshtein
+    // distance 1, via FastSS deletion-neighborhood blocking — exact
+    // levenshtein runs per candidate bucket, never per cross pair.
+    // The oracle deliberately does the naive all-pairs cross join
+    // (fine at verify scale; quadratic at corpus scale, which is
+    // exactly why the blocked join is the scale path)
+    "d34_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistance1Join(Tables(s, dir, "customer"),
+          "c_custkey", "c_name")
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy("a_id", "b_id")),
+
     // brute-force cosine top-k ANN baseline (oracle-checked against
     // DuckDB list_cosine_similarity)
     "s01_cosine_topk" -> ((s, dir) => {
@@ -1580,6 +1592,17 @@ object OpsQueries {
       SELECT d.doc_id, COALESCE(n.n_bigrams, 0) AS n_bigrams, n.avg_nll
       FROM documents d LEFT JOIN n USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // naive all-pairs verify: the blocked join must equal the
+    // quadratic scan exactly (levenshtein cast to INT — Spark's
+    // returns int32, DuckDB's BIGINT)
+    "d34_fuzzy_join" -> """
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY a_id, b_id""",
 
     "d01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -23,6 +23,27 @@ object RelQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Symmetrized customer—supplier trade graph (who trades with whom,
+    * via orders x lineitem), the shared input of q53 (PageRank) and
+    * q55 (BFS). distinct runs on the raw int pair (cheaper hashing
+    * than strings); symmetrization is ONE explode pass — the
+    * union-of-reversed shape would evaluate the join+distinct pipeline
+    * twice. Every node has out-degree >= 1 by construction (q53's
+    * no-dangling-mass precondition).
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val cn = concat(lit("c"), col("ck"))
+    val sn = concat(lit("s"), col("sk"))
+    cs.select(explode(array(struct(cn.as("src"), sn.as("dst")),
+        struct(sn.as("src"), cn.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
     * reader rejects as a timestamp type. Read nanos as Long (legacy
     * conf) and rebuild a microsecond timestamp column — semantics match
@@ -763,23 +784,21 @@ object RelQueries {
     // the oracle replays the exact arithmetic with 3 unrolled
     // contribution/rank CTE pairs; ranks compared ROUNDED (sum order
     // is float-ambiguous, values are not)
-    "q53_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      // distinct on the raw int pair (cheaper hashing than strings),
-      // then symmetrize in ONE pass via explode — the union-of-reversed
-      // shape evaluates the whole join+distinct pipeline twice
-      val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-        .distinct()
-      val cn = concat(lit("c"), col("ck"))
-      val sn = concat(lit("s"), col("sk"))
-      val edges = cs
-        .select(explode(array(struct(cn.as("src"), sn.as("dst")),
-          struct(sn.as("src"), cn.as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      graft.ops.Graph.pageRank(edges, iters = 3)
+    "q53_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(tradeEdges(s, dir), iters = 3)
         .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")),
+
+    // multi-source BFS over the same trade graph: hop distance from
+    // the nation-0 suppliers to every reachable node, bounded at 3
+    // hops — the frontier-expansion iterative-join pattern next to
+    // q53's rank propagation and d15's connected components. Oracle:
+    // WITH RECURSIVE walk (UNION-dedup bounds the expansion), MIN(hop)
+    "q55_bfs_hops" -> ((s, dir) => {
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      graft.ops.Graph.bfsHops(tradeEdges(s, dir), seeds, maxHops = 3)
         .orderBy("node")
     }),
 
@@ -1508,6 +1527,25 @@ object RelQueries {
                     (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
              FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.src)
       SELECT node, ROUND(pr, 6) AS pr FROM r3 ORDER BY node""",
+
+    // frontier expansion replayed as a recursive CTE; the UNION is
+    // set-semantics, so each (node, hop) row appears once and the
+    // hop < 3 guard bounds the walk exactly like maxHops
+    "q55_bfs_hops" -> """
+      WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      walk(node, hop) AS (
+        SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS hop
+        FROM supplier WHERE s_nationkey = 0
+        UNION
+        SELECT e.dst AS node, w.hop + 1 AS hop
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hop < 3)
+      SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+      ORDER BY node""",
 
     // same integer-second RANGE frame; epoch_us // 1000000 matches the
     // engine's unix_micros div truncation

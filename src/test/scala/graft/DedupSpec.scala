@@ -320,4 +320,63 @@ class DedupSpec extends SparkSpec {
     assert(r(3) == ((4L, 1L, 1L, "p q")))         // short span survives
     assert(r(4) == ((5L, 0L, 0L, "")))            // empty doc round-trips
   }
+
+  test("editDistance1Join equals the naive all-pairs levenshtein join") {
+    // one substitution, one insertion, one deletion, identical pair,
+    // distance-2 decoys, a null (excluded by policy), empty strings
+    val rows = Seq(1L -> "kitten", 2L -> "mitten", 3L -> "kittens",
+      4L -> "kiten", 5L -> "kitten", 6L -> "mittens", 7L -> "sitting",
+      8L -> "", 9L -> "", 10L -> null.asInstanceOf[String], 11L -> "a")
+    val df = rows.toDF("id", "s")
+    val got = graft.ops.Dedup.editDistance1Join(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val naive = (for {
+      (ia, sa) <- rows if sa != null
+      (ib, sb) <- rows if sb != null && ia < ib
+      d = {
+        // classic DP levenshtein
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) {
+          (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got == naive, s"got $got\nexpected $naive")
+    // sanity on content: the known relations are present
+    assert(got.contains((1L, 2L, 1)))  // substitution
+    assert(got.contains((1L, 3L, 1)))  // insertion
+    assert(got.contains((1L, 4L, 1)))  // deletion
+    assert(got.contains((1L, 5L, 0)))  // identical
+    assert(got.contains((8L, 9L, 0)))  // identical empties
+    assert(got.contains((8L, 11L, 1))) // empty vs 1-char
+    assert(!got.exists(p => p._1 == 10L || p._2 == 10L)) // null excluded
+    assert(!got.contains((1L, 7L, 1))) // kitten-sitting is distance 3
+  }
+
+  test("fuzz: editDistance1Join equals naive on random short strings") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    val rows = (1L to 120L).map(i =>
+      i -> (0 until (1 + rnd.nextInt(5)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val df = rows.toDF("id", "s")
+    val got = graft.ops.Dedup.editDistance1Join(df, "id", "s")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) {
+        (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val naive = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == naive,
+      s"missing ${naive -- got}, extra ${got -- naive}")
+  }
 }

@@ -43,4 +43,23 @@ class GraphSpec extends SparkSpec {
         .as[(String, Double)].collect().toMap
     assert(rounded(3) == rounded(11))
   }
+
+  test("bfsHops: hand-computed hops, multi-source min, hop bound, " +
+      "unreachable nodes absent") {
+    // two components: a-b-c-d chain (directed both ways) and x-y
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    def run(seeds: Seq[String], maxHops: Int) =
+      Graph.bfsHops(edges, seeds.toDF("node"), maxHops)
+        .as[(String, Long)].collect().toMap
+    assert(run(Seq("a"), 3) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
+      "d" -> 3L))
+    // hop bound truncates; x/y component never appears
+    assert(run(Seq("a"), 2) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // multi-source: hop = min over seeds; early-exit past the diameter
+    assert(run(Seq("a", "d"), 9) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+    // seed with no out-edges is still reported at hop 0
+    assert(run(Seq("y"), 1) == Map("y" -> 0L, "x" -> 1L))
+  }
 }

@@ -320,6 +320,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d34: deletion-neighborhood fuzzy join is key-hashed — no " +
+      "cartesian/BNLJ all-pairs stage") {
+    val plan = planOf("d34_fuzzy_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+  }
+
   test("m12: raking margin joins broadcast — the sample itself never " +
       "shuffles") {
     val full = graft.Tables(spark, sf001, "customer")
