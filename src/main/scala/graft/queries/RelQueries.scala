@@ -1014,6 +1014,32 @@ object RelQueries {
         .orderBy("l_linenumber")
     }),
 
+    // Z-order layout rewrite: lineitem clustered on the Morton curve
+    // over (partkey, orderkey) range-reduced to 10 bits each, written
+    // as 16 z-sorted files, read back, and summarized per curve
+    // bucket. The per-bucket min/max ranges ARE the point: each
+    // 32nd of the curve spans <= 1/4 of x and <= 1/8 of y (alternating
+    // bit halvings), the property that makes parquet min/max pruning
+    // selective on EITHER key. The oracle replays the interleave as
+    // pure div/mod arithmetic. File-extent behavior (range boundaries
+    // are sampled) is LayoutSpec territory, not the oracle's.
+    "q56_zorder" -> ((s, dir) => {
+      val out = graft.TempDirs.createCleanedAtExit("graft-q56-zorder")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 1024).as("x"),
+          (col("l_orderkey") % 1024).as("y"))
+      graft.sources.Layout.zorderWrite(li, "x", "y", out,
+        numFiles = 16, bits = 10)
+      val z = graft.sources.Layout.zValue(col("x"), col("y"), bits = 10)
+      s.read.parquet(out)
+        .groupBy(shiftright(z, 15).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("zbucket")
+    }),
+
     // schema-evolution read: v1 files (even orderkeys) predate the
     // o_orderpriority column, v2 files carry it; mergeSchema unions the
     // footers and v1 rows surface null priority — the aggregate over
@@ -1660,6 +1686,25 @@ object RelQueries {
              ROUND(SUM(l_quantity), 2) AS sum_qty,
              ROUND(SUM(l_extendedprice), 2) AS sum_price
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // the Morton interleave replayed as pure div/mod arithmetic
+    // (identical integer math to the engine's shift/mask form on
+    // non-negative inputs); bucket = top 5 bits of the 20-bit z
+    "q56_zorder" -> {
+      val zExpr = (0 until 10).map(i =>
+        s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""
+      WITH b AS (
+        SELECT l_partkey % 1024 AS x, l_orderkey % 1024 AS y
+        FROM lineitem),
+      z AS (SELECT x, y, ($zExpr) AS zval FROM b)
+      SELECT zval // 32768 AS zbucket, COUNT(*) AS n,
+             MIN(x) AS x_min, MAX(x) AS x_max,
+             MIN(y) AS y_min, MAX(y) AS y_max
+      FROM z GROUP BY zbucket ORDER BY zbucket"""
+    },
 
     // parity replay of the v1/v2 schema split
     "q35_schema_merge" -> """
