@@ -161,6 +161,24 @@ object StatQueries {
           round(col("se"), 6).as("se"))
         .orderBy("state")),
 
+    // Fay–Herriot area-level EB: m04's design-based direct estimates
+    // (rounded first, so both engines' FH arithmetic starts from
+    // identical doubles) shrunk toward the GLS intercept with the
+    // moment-estimated model variance — the area-level classic of the
+    // reference's small-area domain, next to the unit-level EM/EBP.
+    // Oracle replays every expression verbatim.
+    "m13_fay_herriot" -> ((s, dir) => {
+      val direct = Survey.weightedMeanSE(smallSurvey(s, dir), "state",
+          "y", "weight", scale = 100.0)
+        .select(col("state"), round(col("mean"), 6).as("mean"),
+          round(col("se"), 6).as("se"))
+      Survey.fayHerriot(direct, "state", "mean", "se")
+        .select(col("area").as("state"), round(col("direct"), 6).as("direct"),
+          round(col("gamma"), 6).as("gamma"), round(col("fh"), 6).as("fh"),
+          round(col("mse1"), 6).as("mse1"))
+        .orderBy("state")
+    }),
+
     // survey raking / IPF (the survey::rake companion to m04's
     // svyby): a 1-in-3 customer subsample raked to the FULL table's
     // segment and nation margins, 3 cycles — per pass one dimension-
@@ -419,6 +437,46 @@ object StatQueries {
                    SUM(w * w * y * y) AS swwyy, SUM(w * w * y) AS swwy,
                    SUM(w * w) AS sww, COUNT(*) AS n
             FROM small GROUP BY state)
+      ORDER BY state""",
+
+    // m04's direct stage rounded first, then the FH chain with the
+    // same expressions as Survey.fayHerriot: moment sigma2 via the
+    // explicit sum-of-squares identity, GLS intercept, gamma blend
+    "m13_fay_herriot" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      direct AS (
+        SELECT state, ROUND(100 * swy / sw, 6) AS mean,
+               ROUND(100 * SQRT((n / (n - 1.0))
+                 * (swwyy - 2 * (swy / sw) * swwy
+                    + (swy / sw) * (swy / sw) * sww) / (sw * sw)), 6) AS se
+        FROM (SELECT state, SUM(y * w) AS swy, SUM(w) AS sw,
+                     SUM(w * w * y * y) AS swwyy, SUM(w * w * y) AS swwy,
+                     SUM(w * w) AS sww, COUNT(*) AS n
+              FROM small GROUP BY state)),
+      d AS (SELECT state AS area, mean AS theta, se * se AS psi
+            FROM direct),
+      mom AS (
+        SELECT GREATEST(0.0,
+                 (stt - st * st / m) / (m - 1.0) - spsi / m) AS sig2
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(theta) AS st,
+                     SUM(theta * theta) AS stt, SUM(psi) AS spsi
+              FROM d)),
+      gls AS (
+        SELECT SUM(theta / (sig2 + psi)) / SUM(1.0 / (sig2 + psi)) AS beta
+        FROM d CROSS JOIN mom)
+      SELECT area AS state, ROUND(theta, 6) AS direct,
+             ROUND(sig2 / (sig2 + psi), 6) AS gamma,
+             ROUND(sig2 / (sig2 + psi) * theta
+               + (1.0 - sig2 / (sig2 + psi)) * beta, 6) AS fh,
+             ROUND(sig2 / (sig2 + psi) * psi, 6) AS mse1
+      FROM d CROSS JOIN mom CROSS JOIN gls
       ORDER BY state"""
   )
 }

@@ -56,6 +56,55 @@ object Survey {
     cur
   }
 
+  /** Fay–Herriot area-level EB blend (Fay & Herriot 1979; simple
+    * moment variance estimator in the Prasad–Rao 1990 family) — the
+    * area-LEVEL companion to the unit-level EM/EBP pipeline, and the
+    * classic small-area model of the reference's domain. Input: one
+    * row per area with a direct estimate and its design SE (e.g.
+    * [[weightedMeanSE]] output). Model: theta_i = beta + v_i + e_i
+    * with Var(v)=sigma2 (estimated), Var(e_i)=psi_i=se_i^2 (known).
+    *
+    *   sigma2 = max(0, s2(theta) - mean(psi))        (moment)
+    *   beta   = GLS intercept = sum(theta/(sigma2+psi))
+    *                            / sum(1/(sigma2+psi))
+    *   gamma  = sigma2 / (sigma2 + psi_i)
+    *   fh     = gamma*theta_i + (1-gamma)*beta       (EB shrinkage)
+    *   mse1   = gamma*psi_i                          (leading g1 term)
+    *
+    * Float note: the sample variance is written as its explicit
+    * sum-of-squares identity (not var_samp) so a DuckDB oracle can
+    * replay the IDENTICAL expression; feed ROUNDED direct estimates
+    * for bit-agreement across engines.
+    *
+    * Scale shape: the area table is dimension-sized by construction
+    * (the big-table scan happened upstream in the direct estimator),
+    * so this is two tiny global aggregates broadcast back over the
+    * area rows — no data shuffle at any corpus size.
+    */
+  def fayHerriot(direct: DataFrame, areaCol: String, meanCol: String,
+                 seCol: String): DataFrame = {
+    val d = direct.select(col(areaCol).as("area"),
+      col(meanCol).cast("double").as("theta"),
+      (col(seCol).cast("double") * col(seCol).cast("double")).as("psi"))
+    val mom = d.agg(count(lit(1)).cast("double").as("m"),
+        sum("theta").as("st"),
+        sum(col("theta") * col("theta")).as("stt"),
+        sum("psi").as("spsi"))
+      .select(greatest(lit(0.0),
+        (col("stt") - col("st") * col("st") / col("m"))
+          / (col("m") - lit(1.0)) - col("spsi") / col("m")).as("sig2"))
+    val d2 = d.crossJoin(broadcast(mom))
+    val gls = d2.agg(
+      (sum(col("theta") / (col("sig2") + col("psi")))
+        / sum(lit(1.0) / (col("sig2") + col("psi")))).as("beta"))
+    d2.crossJoin(broadcast(gls))
+      .withColumn("gamma", col("sig2") / (col("sig2") + col("psi")))
+      .select(col("area"), col("theta").as("direct"), col("gamma"),
+        (col("gamma") * col("theta")
+          + (lit(1.0) - col("gamma")) * col("beta")).as("fh"),
+        (col("gamma") * col("psi")).as("mse1"))
+  }
+
   def weightedMeanSE(df: DataFrame, groupCol: String, yCol: String,
                      wCol: String, scale: Double = 1.0): DataFrame = {
     val y = col(yCol).cast("double")

@@ -44,4 +44,48 @@ class SurveySpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(again == first)
   }
+
+  test("fayHerriot: shrinkage contract — gamma in (0,1), noisier areas " +
+      "shrink harder, estimates move toward the GLS mean") {
+    // 4 areas: two precise (small psi), two noisy (large psi)
+    val direct = Seq(("a", 10.0, 1.0), ("b", 20.0, 1.0),
+      ("c", 30.0, 5.0), ("d", 40.0, 5.0)).toDF("area", "mean", "se")
+    val r = Survey.fayHerriot(direct, "area", "mean", "se")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val beta = {
+      // replicate the GLS intercept for the expected-direction checks
+      val thetas = Seq(10.0, 20.0, 30.0, 40.0)
+      val psis = Seq(1.0, 1.0, 25.0, 25.0)
+      val m = 4.0
+      val s2 = (thetas.map(t => t * t).sum -
+        math.pow(thetas.sum, 2) / m) / (m - 1)
+      val sig2 = math.max(0.0, s2 - psis.sum / m)
+      thetas.zip(psis).map { case (t, p) => t / (sig2 + p) }.sum /
+        psis.map(p => 1.0 / (sig2 + p)).sum
+    }
+    r.values.foreach { case (_, g, _, _) =>
+      assert(g > 0 && g < 1, s"gamma out of range: $g") }
+    // noisy areas have smaller gamma (shrink more)
+    assert(r("c")._2 < r("a")._2 && r("d")._2 < r("b")._2)
+    // every FH estimate lies strictly between its direct and beta
+    r.foreach { case (_, (direct0, _, fh, _)) =>
+      val lo = math.min(direct0, beta); val hi = math.max(direct0, beta)
+      assert(fh > lo && fh < hi, s"fh $fh outside ($direct0, $beta)") }
+    // mse1 = gamma*psi is below the direct design variance
+    assert(r("c")._4 < 25.0 && r("a")._4 < 1.0)
+  }
+
+  test("fayHerriot: identical direct estimates collapse to full " +
+      "shrinkage (sigma2 = 0, fh = beta = the common value)") {
+    val direct = Seq(("a", 7.0, 2.0), ("b", 7.0, 3.0), ("c", 7.0, 1.0))
+      .toDF("area", "mean", "se")
+    val r = Survey.fayHerriot(direct, "area", "mean", "se")
+      .as[(String, Double, Double, Double, Double)].collect()
+    r.foreach { case (_, _, g, fh, mse1) =>
+      assert(g == 0.0)
+      assert(math.abs(fh - 7.0) < 1e-12)
+      assert(mse1 == 0.0)
+    }
+  }
 }
