@@ -822,6 +822,35 @@ object RelQueries {
         .orderBy("user_id", "tsec", "event_id")
     }),
 
+    // running COUNT(DISTINCT) per user — a frame no engine's window
+    // machinery supports directly. The workaround: sort each user's
+    // rows by (type, time) and flag each type's first occurrence via
+    // lag, then cumulative-sum the flags in time order. BOTH windows
+    // partition by user_id only (the first orders by type to make
+    // type-runs contiguous), so the whole query rides ONE user-keyed
+    // exchange with two partition-local sorts — no second shuffle on
+    // (user, type), no global sort
+    "q57_running_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy("user_id")
+        .orderBy("event_type", "tsec", "event_id")
+      val byTime = Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("tsec"))
+        .withColumn("first_seen",
+          when(lag("event_type", 1).over(byType).isNull ||
+            lag("event_type", 1).over(byType) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("n_types_seen", sum("first_seen").over(byTime))
+        .select("user_id", "event_id", "tsec", "event_type",
+          "n_types_seen")
+        .orderBy("user_id", "tsec", "event_id")
+    }),
+
     // pivot: order counts + total price by priority x status, explicit
     // pivot values so column order is deterministic
     "q23_pivot" -> ((s, dir) =>
@@ -1572,6 +1601,27 @@ object RelQueries {
         WHERE w.hop < 3)
       SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
       ORDER BY node""",
+
+    // the same first-occurrence-flag + running-sum replay
+    "q57_running_distinct" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
+        FROM events WHERE user_id < 50),
+      f AS (
+        SELECT user_id, event_id, tsec, event_type,
+               CASE WHEN lag(event_type) OVER
+                      (PARTITION BY user_id
+                       ORDER BY event_type, tsec, event_id)
+                      IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM e)
+      SELECT user_id, event_id, tsec, event_type,
+             CAST(SUM(first_seen) OVER
+               (PARTITION BY user_id ORDER BY tsec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_types_seen
+      FROM f ORDER BY user_id, tsec, event_id""",
 
     // same integer-second RANGE frame; epoch_us // 1000000 matches the
     // engine's unix_micros div truncation

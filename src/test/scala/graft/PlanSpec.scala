@@ -297,9 +297,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("q52/q54: lag+cumsum sessionization and the RANGE frame each " +
-      "ride ONE user-keyed shuffle (no global window sort)") {
-    Seq("q52_sessionize", "q54_range_frame").foreach { q =>
+  test("q52/q54/q57: lag+cumsum sessionization, the RANGE frame, and " +
+      "the running-distinct trick each ride ONE user-keyed shuffle " +
+      "(no global window sort, no (user,type) second exchange)") {
+    Seq("q52_sessionize", "q54_range_frame",
+        "q57_running_distinct").foreach { q =>
       val plan = planOf(q)
       assert("Exchange hashpartitioning\\(user_id".r
         .findAllIn(plan).size == 1, s"$q:\n$plan")
