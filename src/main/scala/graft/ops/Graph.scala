@@ -63,6 +63,53 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts over an UNDIRECTED graph given as a
+    * canonical edge list `(a, b)` with `a < b`, one row per edge, no
+    * self-loops. Returns `(node, n_tri)` for every node in >= 1
+    * triangle.
+    *
+    * Scale shape: the classic degree-ordered orientation (each edge
+    * directed from its lower-(degree, id) endpoint to the higher one)
+    * caps every node's OUT-degree at O(sqrt(m)) regardless of its real
+    * degree, so the wedge self-join — the quadratic step — fans out
+    * per-node as out-deg^2 <= O(m) TOTAL instead of deg^2 (a celebrity
+    * hub with 10^6 neighbors contributes ~0 wedges instead of 10^12).
+    * Cost: one degree count (map-side combining groupBy), one wedge
+    * self-join keyed on the shared lower endpoint, one semi-join of
+    * wedges against the oriented closing edge, one final per-corner
+    * count. Every join is key-hashed; nothing is ever all-pairs.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient: lo = endpoint with smaller (deg, id); ties impossible to
+    // matter (same node never appears twice in one edge)
+    val e = edges
+      .join(deg.withColumnsRenamed(Map("node" -> "a", "deg" -> "da")), "a")
+      .join(deg.withColumnsRenamed(Map("node" -> "b", "deg" -> "db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+      .cache() // feeds the wedge join twice + the closing semi-join
+    // wedges (y, z) sharing lower endpoint x, canonicalized y < z so
+    // each candidate triangle is generated exactly once
+    val e2 = e.select(col("lo").as("lo2"), col("hi").as("hi2"))
+    val wedges = e.join(e2, col("lo") === col("lo2") &&
+        col("hi") < col("hi2"))
+      .select(col("lo").as("x"), col("hi").as("y"), col("hi2").as("z"))
+    // a wedge closes iff the (y, z) edge exists in EITHER orientation
+    val closing = e.select(col("lo").as("y"), col("hi").as("z"))
+      .unionAll(e.select(col("hi").as("y"), col("lo").as("z")))
+    val tris = wedges.join(closing, Seq("y", "z"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed node, over a
     * directed edge list `(src, dst)`, bounded by `maxHops`. Returns
     * `(node, hop)` for every REACHED node (unreached nodes are absent,

@@ -802,6 +802,24 @@ object RelQueries {
         .orderBy("node")
     }),
 
+    // per-node triangle counts over the supplier co-supply graph
+    // (suppliers sharing an order; per-order fan-out is bounded by
+    // order size, so the edge build is never quadratic in suppliers).
+    // Degree-ordered orientation caps wedge fan-out at O(sqrt(m)) per
+    // node — see Graph.triangleCounts. Oracle replays the exact
+    // orientation + wedge-close chain; counts are integers, so the
+    // hash-compare is exact.
+    "q58_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+      graft.ops.Graph.triangleCounts(e).orderBy("node")
+    }),
+
     // event-time RANGE window frame (trailing 24h per user): the
     // VALUE-bounded sliding aggregate q38's ROWS frames can't express —
     // frame membership follows the timestamp value, however many rows
@@ -1601,6 +1619,40 @@ object RelQueries {
         WHERE w.hop < 3)
       SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
       ORDER BY node""",
+
+    // same degree-ordered orientation -> wedge join -> closing-edge
+    // semi-join -> per-corner count; integer arithmetic throughout
+    "q58_triangles" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+             FROM li x JOIN li y
+               ON x.l_orderkey = y.l_orderkey
+              AND x.l_suppkey < y.l_suppkey),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+                (SELECT a AS node FROM e0
+                 UNION ALL SELECT b AS node FROM e0)
+              GROUP BY node),
+      e AS (SELECT CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND e0.a < e0.b)
+                        THEN e0.a ELSE e0.b END AS lo,
+                   CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND e0.a < e0.b)
+                        THEN e0.b ELSE e0.a END AS hi
+            FROM e0 JOIN deg da ON e0.a = da.node
+                    JOIN deg db ON e0.b = db.node),
+      w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+            FROM e e1 JOIN e e2
+              ON e1.lo = e2.lo AND e1.hi < e2.hi),
+      tri AS (SELECT x, y, z FROM w
+              WHERE EXISTS (SELECT 1 FROM e
+                            WHERE (e.lo = w.y AND e.hi = w.z)
+                               OR (e.lo = w.z AND e.hi = w.y))),
+      c AS (SELECT node, COUNT(*) AS n_tri FROM
+              (SELECT x AS node FROM tri
+               UNION ALL SELECT y AS node FROM tri
+               UNION ALL SELECT z AS node FROM tri)
+            GROUP BY node)
+      SELECT node, n_tri FROM c ORDER BY node""",
 
     // the same first-occurrence-flag + running-sum replay
     "q57_running_distinct" -> """

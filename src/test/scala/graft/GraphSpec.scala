@@ -44,6 +44,44 @@ class GraphSpec extends SparkSpec {
     assert(rounded(3) == rounded(11))
   }
 
+  test("triangleCounts: hand-computed counts, no false positives, " +
+      "partitioning-invariant") {
+    // K4 on 1-4 (every node in C(3,2)=3 triangles) plus a pendant
+    // wedge 4-5, 5-6 (no triangle) and an isolated edge 7-8
+    val k4 = for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (7L, 8L))).toDF("a", "b")
+    val r = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // triangle-free bipartite graph -> empty result
+    val bip = (for (a <- 1 to 3; b <- 10 to 12)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    assert(Graph.triangleCounts(bip).isEmpty)
+
+    // random graph: counts match a local brute force and are stable
+    // across input partitioning
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 300)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val eset = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map[Long, Long]()
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+      n <- Seq(a, b, c)
+    } brute(n) = brute.getOrElse(n, 0L) + 1L
+    def run(parts: Int) =
+      Graph.triangleCounts(es.toDF("a", "b").repartition(parts))
+        .as[(Long, Long)].collect().toMap
+    assert(run(2) == brute.toMap)
+    assert(run(9) == brute.toMap)
+  }
+
   test("bfsHops: hand-computed hops, multi-source min, hop bound, " +
       "unreachable nodes absent") {
     // two components: a-b-c-d chain (directed both ways) and x-y
