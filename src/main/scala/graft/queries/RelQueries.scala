@@ -44,17 +44,30 @@ object RelQueries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
-    * reader rejects as a timestamp type. Read nanos as Long (legacy
-    * conf) and rebuild a microsecond timestamp column — semantics match
-    * DuckDB's native nanosecond read for the positive-epoch test data.
+  /** Schema-adaptive events reader. The harness has shipped `ts` both
+    * as TIMESTAMP(NANOS) (which Spark's parquet reader rejects as a
+    * timestamp — the legacy conf reads it as raw Long nanos) and as
+    * native timestamp[us]. The conf is a no-op for the latter, so set
+    * it, read, and branch on the landed type; both paths end at the
+    * same microsecond TimestampType column DuckDB sees.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables(s, dir, "events")
-    // exact integer division — `/` on longs is double division, and
-    // epoch nanos exceed double's 53-bit exact range (ulp ~256ns)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      // exact integer division — `/` on longs is double division, and
+      // epoch nanos exceed double's 53-bit exact range (ulp ~256ns)
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // un-adjusted timestamp[us] lands as NTZ, which watermarks and
+      // the epoch functions reject; the session tz is pinned to UTC
+      // everywhere (Verify/Bench/SparkSpec), so the LTZ cast is
+      // wall-clock-identical and matches DuckDB's naive read
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   // J2 flagship — the reference's one true SQL entry point

@@ -32,36 +32,47 @@ object Streams {
   private def tempDirCleanedAtExit(prefix: String): String =
     graft.TempDirs.createCleanedAtExit(prefix)
 
-  /** Run `body` with a session conf temporarily set, restoring the
-    * previous value (or unsetting) afterwards — drains must not leak
-    * conf mutations into the caller's session.
+  /** Schema-adaptive batch read of the events table — same TIMESTAMP
+    * (NANOS)-as-Long vs native timestamp[us] handling as
+    * RelQueries.events, via a glob-filtered directory read (the file
+    * streaming source needs the directory form).
     */
-  private def withConf[T](spark: SparkSession, key: String, value: String)
-                         (body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private def eventsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ -> LTZ: wall-clock-identical under the UTC session tz,
+      // and required by watermarks / unix_millis / Row.getTimestamp
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
   }
 
-  /** events.parquet schema with ts as raw nanos (see RelQueries.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of the events table (file source). */
+  /** Streaming read of the events table (file source). The schema is
+    * probed from a batch read (file streaming sources require an
+    * explicit schema); the nanos->micros rebuild applies only when the
+    * file carries raw Long nanos.
+    */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
     // the file source needs a directory; glob-filter to the events table
-    spark.readStream
-      .schema(eventsRawSchema)
+    val src = spark.readStream
+      .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
   }
 
   /** Event-time hourly aggregation with a watermark — tumbling by
@@ -103,12 +114,8 @@ object Streams {
     val srcDir = Files.createTempDirectory(s"graft-$tag-src").toString
     val sinkDir = tempDirCleanedAtExit(s"graft-$tag-sink")
     val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt").toString
-    // nanos conf is scoped to the source rewrite (the write below
-    // materializes it) — the caller's session conf is left untouched
-    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
-      val raw = spark.read.schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    locally {
+      val raw = eventsBatch(spark, sfDir)
         .select("ts", "event_type", "value")
       val sentinel = raw.agg(
           timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L).as("ts"))
@@ -154,10 +161,8 @@ object Streams {
     val srcDir = Files.createTempDirectory("graft-st09-src").toString
     val sinkDir = tempDirCleanedAtExit("graft-st09-sink")
     val ckpt = Files.createTempDirectory("graft-st09-ckpt").toString
-    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
-      val raw = spark.read.schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    locally {
+      val raw = eventsBatch(spark, sfDir)
         .select("ts", "user_id", "value")
       val sentinel = raw.agg(
           timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L)
