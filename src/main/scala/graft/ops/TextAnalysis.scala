@@ -478,6 +478,68 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score each document by LM perplexity (here the
+    * [[bigramNll]] proxy), then split each language into `k`
+    * equal-count tiers — head/middle/tail for k=3 — so downstream
+    * curation can weight or drop tiers per language. Unscorable docs
+    * (< 2 tokens, no bigrams) are excluded, as in CCNet.
+    *
+    * Semantics are EXACTLY `ntile(k) OVER (PARTITION BY lang ORDER BY
+    * round(nll,4), id)`, but computed without a per-language window
+    * sort — a naive ntile puts an entire language in one task, and at
+    * 100 TB a corpus is usually dominated by one language. Instead:
+    *
+    *   1. aggregate the (lang, rounded-nll) VALUE DISTRIBUTION — a
+    *      domain bounded by distinct 4-decimal scores, not by corpus
+    *      size — and take a running sum over those aggregated rows
+    *      (the only window over a whole language runs on the compact
+    *      distribution, not the docs);
+    *   2. rank(doc) = docs strictly below its score (broadcast-joined
+    *      from 1) + its row_number within the (lang, score) TIE GROUP
+    *      (a window partitioned by tie group — hot only if one exact
+    *      rounded score dominates a language);
+    *   3. bucket via ntile's integer arithmetic on (rank, n, k).
+    *
+    * Every step is integer/rounded arithmetic, so the DuckDB oracle can
+    * check it against its NATIVE ntile — the distributed formulation is
+    * hash-proven equal to the textbook window function.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val scored = bigramNll(df, idCol, textCol)
+      .filter(col("n_bigrams") >= 1)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol).as("lang"),
+        round(col("avg_nll"), 4).as("nll"))
+    // (1) compact value distribution + running count below each score
+    val dist = scored.groupBy("lang", "nll").agg(count(lit(1)).as("c"))
+    val wLang = Window.partitionBy("lang").orderBy("nll")
+    val cum = dist
+      .withColumn("below", coalesce(sum(col("c")).over(
+        wLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang", sum(col("c")).over(
+        Window.partitionBy("lang")))
+      .select(col("lang"), col("nll"), col("below"), col("n_lang"))
+    // (2) exact rank = strictly-below + position within the tie group
+    val wTie = Window.partitionBy("lang", "nll").orderBy(idCol)
+    val ranked = scored.join(cum, Seq("lang", "nll"))
+      .withColumn("rank", col("below") + row_number().over(wTie))
+    // (3) ntile arithmetic: first (n % k) buckets get (n div k)+1 rows.
+    // `div` (exact integer division) throughout — Column `/` is double
+    // division and would not replay exactly in the oracle
+    ranked
+      .withColumn("q", expr(s"n_lang div $k"))
+      .withColumn("r", expr(s"n_lang % $k"))
+      .withColumn("big", (col("q") + 1) * col("r"))
+      .withColumn("bucket",
+        when(col("rank") <= col("big"),
+          expr("(rank - 1) div (q + 1) + 1"))
+        .otherwise(expr("r + (rank - big - 1) div q + 1")).cast("int"))
+      .select(col(idCol), col("lang"), col("nll"), col("bucket"))
+  }
+
   /** DSIR-style data selection via importance resampling (Xie et al.
     * 2023, arXiv:2302.03169): score every RAW-pool document by how much
     * more likely its tokens are under a TARGET-corpus unigram model

@@ -177,6 +177,17 @@ object OpsQueries {
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")),
 
+    // CCNet head/middle/tail perplexity tiers per language — ntile
+    // semantics computed WITHOUT a per-language window sort (compact
+    // value-distribution running sum + tie-group row_number + integer
+    // ntile arithmetic); the oracle checks it against DuckDB's native
+    // ntile, so the distributed rank is hash-proven equal to the
+    // textbook window function
+    "d35_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text",
+          "lang", k = 3)
+        .orderBy("doc_id")),
+
     // entity resolution: every customer-name pair within Levenshtein
     // distance 1, via FastSS deletion-neighborhood blocking — exact
     // levenshtein runs per candidate bucket, never per cross pair.
@@ -1592,6 +1603,44 @@ object OpsQueries {
       SELECT d.doc_id, COALESCE(n.n_bigrams, 0) AS n_bigrams, n.avg_nll
       FROM documents d LEFT JOIN n USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // d33's NLL replay + DuckDB's NATIVE ntile over (lang, nll, id) —
+    // the engine's distributed rank formulation must hash-match the
+    // textbook window function
+    "d35_ccnet_buckets" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+      c1 AS (SELECT term, COUNT(*) AS c1 FROM t GROUP BY 1),
+      vs AS (SELECT COUNT(*) AS v_size FROM c1),
+      bgx AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                    WHEN len(toks) = 2 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks)), i ->
+                           array_to_string(
+                             toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))
+               END AS bgs
+        FROM tk),
+      b AS (SELECT doc_id, unnest(bgs) AS bg FROM bgx),
+      c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+      n AS (
+        SELECT b.doc_id,
+               ROUND(AVG(-ln((c2.c2 + 1.0) / (c1.c1 + vs.v_size))), 4)
+                 AS nll
+        FROM b JOIN c2 USING (bg)
+        JOIN c1 ON c1.term = string_split(b.bg, ' ')[1]
+        CROSS JOIN vs
+        GROUP BY b.doc_id)
+      SELECT n.doc_id, d.lang, n.nll,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY n.nll, n.doc_id) AS INT) AS bucket
+      FROM n JOIN documents d USING (doc_id)
+      ORDER BY n.doc_id""",
 
     // naive all-pairs verify: the blocked join must equal the
     // quadratic scan exactly (levenshtein cast to INT — Spark's

@@ -366,4 +366,43 @@ class TextAnalysisSpec extends SparkSpec {
     val first = sel.select("rk", "doc_id").as[(Int, Long)].collect().toSet
     assert(again == first)
   }
+
+  test("perplexityBuckets equals the textbook ntile window, any " +
+      "partitioning, including a hot-language skew") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 languages with skew: 'en' dominates (the case the distributed
+    // rank exists for); repeated seeds produce TIED nll scores so the
+    // tie-group path is exercised
+    def sentence(seed: Int) = {
+      val v = Seq("the", "cat", "sat", "on", "a", "mat", "dog", "ran")
+      (0 until 12).map(i => v((seed + i * 3) % v.size)).mkString(" ")
+    }
+    val rows = (0 until 60).map(i => (i.toLong, sentence(i % 7), "en")) ++
+      (100 until 110).map(i => (i.toLong, sentence(i % 3), "fr")) ++
+      (200 until 204).map(i => (i.toLong, sentence(i), "de"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val expected = bigramNll(df, "doc_id", "text")
+      .filter(col("n_bigrams") >= 1)
+      .join(df.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("avg_nll"), 4).as("nll"))
+      .withColumn("bucket", ntile(3).over(Window.partitionBy("lang")
+        .orderBy(col("nll"), col("doc_id"))).cast("int"))
+      .select("doc_id", "lang", "nll", "bucket")
+      .as[(Long, String, Double, Int)].collect().toSet
+    for (parts <- Seq(1, 7)) {
+      val got = perplexityBuckets(df.repartition(parts), "doc_id",
+          "text", "lang", k = 3)
+        .as[(Long, String, Double, Int)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // equal-split contract: per-language bucket sizes differ by <= 1
+    val sizes = perplexityBuckets(df, "doc_id", "text", "lang", k = 3)
+      .groupBy("lang", "bucket").count()
+      .select("lang", "count").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    sizes.foreach { case (lang, cs) =>
+      assert(cs.max - cs.min <= 1, s"$lang buckets unbalanced: $cs")
+    }
+  }
 }
