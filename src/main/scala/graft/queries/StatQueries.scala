@@ -179,6 +179,23 @@ object StatQueries {
         .orderBy("state")
     }),
 
+    // post-stratification (the single-margin classic next to m12's
+    // raking): a deterministic 1-in-3 customer subsample reweighted to
+    // the full table's segment counts; per-stratum mean ± fpc'd SE
+    // plus the combined post-stratified estimate on the ALL row.
+    // Oracle replays the explicit sum-of-squares variance verbatim.
+    "m14_poststratify" -> ((s, dir) => {
+      val full = graft.Tables(s, dir, "customer")
+      val samp = full.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal"))
+      val pop = full.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).cast("double").as("pop_n"))
+      Survey.poststratify(samp, "seg", "c_acctbal", pop)
+        .select(col("seg"), col("pop_n"), col("samp_n"),
+          round(col("mean"), 6).as("mean"), round(col("se"), 6).as("se"))
+        .orderBy("seg")
+    }),
+
     // survey raking / IPF (the survey::rake companion to m04's
     // svyby): a 1-in-3 customer subsample raked to the FULL table's
     // segment and nation margins, 3 cycles — per pass one dimension-
@@ -355,6 +372,41 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same explicit sum-of-squares variance + fpc arithmetic; ALL row
+    // via UNION ALL of the combined post-stratified estimate
+    "m14_poststratify" -> """
+      WITH samp AS (
+        SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS y
+        FROM customer WHERE c_custkey % 3 = 1),
+      pop AS (
+        SELECT c_mktsegment AS seg, CAST(COUNT(*) AS DOUBLE) AS pop_n
+        FROM customer GROUP BY 1),
+      st AS (
+        SELECT seg, CAST(COUNT(*) AS DOUBLE) AS n_h,
+               SUM(y) AS sy, SUM(y * y) AS syy
+        FROM samp GROUP BY 1),
+      parts AS (
+        SELECT st.seg, pop.pop_n, st.n_h,
+               st.sy / st.n_h AS ybar,
+               (st.syy - st.sy * st.sy / st.n_h) / (st.n_h - 1.0) AS s2,
+               1.0 - st.n_h / pop.pop_n AS fpc
+        FROM st JOIN pop USING (seg)),
+      tot AS (SELECT SUM(pop_n) AS bigN FROM parts)
+      SELECT seg, CAST(pop_n AS BIGINT) AS pop_n,
+             CAST(n_h AS BIGINT) AS samp_n,
+             ROUND(ybar, 6) AS mean,
+             ROUND(SQRT(fpc * s2 / n_h), 6) AS se
+      FROM parts
+      UNION ALL
+      SELECT 'ALL',
+             CAST(SUM(pop_n) AS BIGINT),
+             CAST(SUM(n_h) AS BIGINT),
+             ROUND(SUM(pop_n * ybar) / MAX(bigN), 6),
+             ROUND(SQRT(SUM((pop_n / bigN) * (pop_n / bigN)
+                            * fpc * s2 / n_h)), 6)
+      FROM parts CROSS JOIN tot
+      ORDER BY seg""",
+
     // all six IPF scaling passes unrolled (seg/nat per cycle x 3):
     // identical arithmetic, margins from the full table
     "m12_raking" -> """

@@ -105,6 +105,58 @@ object Survey {
         (col("gamma") * col("psi")).as("mse1"))
   }
 
+  /** Post-stratification (the classical companion to [[rake]] for a
+    * single margin): reweight a self-weighting sample so each stratum
+    * represents its KNOWN population count, then estimate the overall
+    * mean with the stratified variance (finite-population-corrected):
+    *
+    *   est = sum_h N_h*ybar_h / N
+    *   SE  = sqrt( sum_h (N_h/N)^2 * (1 - n_h/N_h) * s2_h / n_h )
+    *
+    * Output: one row per stratum (population/sample counts, stratum
+    * mean and fpc'd SE) plus an `ALL` row carrying the post-stratified
+    * estimate and SE. The sample variance is written as its explicit
+    * sum-of-squares identity so a DuckDB oracle replays the IDENTICAL
+    * float expression (var_samp's internal order differs).
+    *
+    * Scale shape: ONE map-side-combining groupBy over the sample and
+    * one over the population produce stratum-dimension tables; the
+    * combination is arithmetic over those tiny rows (broadcast join).
+    * No data shuffle beyond the two aggregations at any size.
+    */
+  def poststratify(sample: DataFrame, strataCol: String, yCol: String,
+                   pop: DataFrame): DataFrame = {
+    // pop: one row per stratum, columns (strataCol, pop_n)
+    val y = col(yCol).cast("double")
+    val st = sample.groupBy(strataCol)
+      .agg(count(lit(1)).cast("double").as("n_h"),
+        sum(y).as("sy"), sum(y * y).as("syy"))
+      .withColumn("ybar", col("sy") / col("n_h"))
+      .withColumn("s2",
+        (col("syy") - col("sy") * col("sy") / col("n_h"))
+          / (col("n_h") - lit(1.0)))
+      .join(broadcast(pop), Seq(strataCol))
+    val tot = st.agg(sum("pop_n").as("bigN"))
+    val parts = st.crossJoin(broadcast(tot))
+      .withColumn("fpc", lit(1.0) - col("n_h") / col("pop_n"))
+      .withColumn("vpart",
+        // (r*r) not pow(r,2): the oracle multiplies, and the two are
+        // not spec-guaranteed bit-identical
+        (col("pop_n") / col("bigN")) * (col("pop_n") / col("bigN"))
+          * col("fpc") * col("s2") / col("n_h"))
+    val overall = parts.agg(
+      sum("pop_n").cast("long").as("pop_n"),
+      sum("n_h").cast("long").as("samp_n"),
+      (sum(col("pop_n") * col("ybar")) / max(col("bigN"))).as("mean"),
+      sqrt(sum("vpart")).as("se"))
+      .select(lit("ALL").as(strataCol), col("pop_n"), col("samp_n"),
+        col("mean"), col("se"))
+    parts.select(col(strataCol), col("pop_n").cast("long").as("pop_n"),
+        col("n_h").cast("long").as("samp_n"), col("ybar").as("mean"),
+        sqrt(col("fpc") * col("s2") / col("n_h")).as("se"))
+      .unionByName(overall)
+  }
+
   def weightedMeanSE(df: DataFrame, groupCol: String, yCol: String,
                      wCol: String, scale: Double = 1.0): DataFrame = {
     val y = col(yCol).cast("double")

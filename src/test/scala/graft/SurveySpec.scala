@@ -88,4 +88,36 @@ class SurveySpec extends SparkSpec {
       assert(mse1 == 0.0)
     }
   }
+
+  test("poststratify: hand-computed two-strata case, census collapse, " +
+      "and partitioning invariance") {
+    // stratum a: sample {1, 3} of pop 4; stratum b: {10, 14} of pop 8
+    val samp = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0))
+      .toDF("seg", "y")
+    val pop = Seq(("a", 4.0), ("b", 8.0)).toDF("seg", "pop_n")
+    val r = Survey.poststratify(samp, "seg", "y", pop)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._3, t._4, t._5))).toMap
+    // stratum means 2 and 12; est = (4*2 + 8*12)/12 = 104/12
+    assert(math.abs(r("ALL")._2 - 104.0 / 12.0) < 1e-12)
+    // s2 = 2 and 8; fpc = 1/2 and 3/4:
+    // var = (4/12)^2*(1/2)*2/2 + (8/12)^2*(3/4)*8/2
+    val v = math.pow(4.0 / 12, 2) * 0.5 * 2 / 2 +
+      math.pow(8.0 / 12, 2) * 0.75 * 8 / 2
+    assert(math.abs(r("ALL")._3 - math.sqrt(v)) < 1e-12)
+    assert(r("a")._1 == 2L && r("b")._1 == 2L)
+    // census (n_h = N_h): fpc kills every variance term
+    val census = Survey.poststratify(samp, "seg", "y",
+        Seq(("a", 2.0), ("b", 2.0)).toDF("seg", "pop_n"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    census.foreach { case (_, _, _, _, se) => assert(se == 0.0) }
+    // partitioning-invariant (pure aggregates + rounded output)
+    val again = Survey.poststratify(samp.repartition(7), "seg", "y", pop)
+      .select(col("seg"), round(col("mean"), 9), round(col("se"), 9))
+      .as[(String, Double, Double)].collect().toSet
+    val first = Survey.poststratify(samp, "seg", "y", pop)
+      .select(col("seg"), round(col("mean"), 9), round(col("se"), 9))
+      .as[(String, Double, Double)].collect().toSet
+    assert(again == first)
+  }
 }
