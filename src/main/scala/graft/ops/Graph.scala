@@ -110,6 +110,43 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007 community
+    * detection, made deterministic): labels start as node ids; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label. Fixed `iters`
+    * rounds over a symmetrized edge list `(src, dst)` (every node
+    * appears as a source). Deterministic by construction — no random
+    * visit order — so the result is partitioning/retry-invariant and
+    * a SQL oracle can replay it round for round.
+    *
+    * Scale shape: each round is ONE src-keyed join of the cached edge
+    * list against the label vector, ONE (dst, label) count aggregation
+    * (map-side combinable), and ONE per-dst argmax expressed as
+    * `min(struct(-count, label))` — a single aggregation, not a
+    * window sort. Labels are localCheckpoint'ed each round (they feed
+    * the next), keeping lineage O(1) like [[pageRank]] /
+    * [[bfsHops]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).cache()
+    var labels = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      labels = ed
+        .join(labels, ed("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("dst").as("node"), col("m.l").as("label"))
+        .localCheckpoint()
+      it += 1
+    }
+    labels
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed node, over a
     * directed edge list `(src, dst)`, bounded by `maxHops`. Returns
     * `(node, hop)` for every REACHED node (unreached nodes are absent,

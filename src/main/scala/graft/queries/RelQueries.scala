@@ -807,6 +807,17 @@ object RelQueries {
     // hops — the frontier-expansion iterative-join pattern next to
     // q53's rank propagation and d15's connected components. Oracle:
     // WITH RECURSIVE walk (UNION-dedup bounds the expansion), MIN(hop)
+    // deterministic synchronous label propagation over the trade
+    // graph — the community-detection member of the iterative-join
+    // family (q53 rank propagation, q55 frontier expansion, d15
+    // min-label closure): most-frequent neighbor label, smallest label
+    // on ties, 3 rounds. Oracle unrolls the rounds; the engine's
+    // min(struct(-count, label)) argmax is replayed as a row_number
+    // window over (count DESC, label)
+    "q59_label_prop" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(tradeEdges(s, dir), iters = 3)
+        .orderBy("node")),
+
     "q55_bfs_hops" -> ((s, dir) => {
       val seeds = t(s, dir, "supplier")
         .filter(col("s_nationkey") === 0)
@@ -1613,6 +1624,37 @@ object RelQueries {
                     (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
              FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.src)
       SELECT node, ROUND(pr, 6) AS pr FROM r3 ORDER BY node""",
+
+    // three LPA rounds unrolled; per round the engine's single-agg
+    // argmax (min over (-count, label) structs) appears as the
+    // row_number-over-(count DESC, label) window — identical
+    // deterministic semantics
+    "q59_label_prop" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      c1 AS (SELECT e.dst, l.label, COUNT(*) AS c
+             FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+      l1 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (
+                 PARTITION BY dst ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT e.dst, l.label, COUNT(*) AS c
+             FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+      l2 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (
+                 PARTITION BY dst ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT e.dst, l.label, COUNT(*) AS c
+             FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+      l3 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (
+                 PARTITION BY dst ORDER BY c DESC, label) AS rn
+               FROM c3) WHERE rn = 1)
+      SELECT node, label FROM l3 ORDER BY node""",
 
     // frontier expansion replayed as a recursive CTE; the UNION is
     // set-semantics, so each (node, hop) row appears once and the

@@ -100,4 +100,38 @@ class GraphSpec extends SparkSpec {
     // seed with no out-edges is still reported at hop 0
     assert(run(Seq("y"), 1) == Map("y" -> 0L, "x" -> 1L))
   }
+
+  test("labelPropagation finds the two cliques bridged by one edge " +
+      "and is partitioning-invariant") {
+    // K4 on a1-a4 + K4 on b1-b4, one bridge a1-b1; communities must
+    // converge to the min label of each clique (a1 / b1), with the
+    // bridge endpoints still dominated by their own clique
+    def clique(ns: Seq[String]) =
+      for (x <- ns; y <- ns if x != y) yield (x, y)
+    val as = Seq("a1", "a2", "a3", "a4")
+    val bs = Seq("b1", "b2", "b3", "b4")
+    val base = clique(as) ++ clique(bs) ++ Seq(("a1", "b1"), ("b1", "a1"))
+    val edges = base.toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, iters = 4)
+      .as[(String, String)].collect().toMap
+    assert(as.forall(n => r(n) == "a1"), s"a-clique labels: $r")
+    assert(bs.forall(n => r(n) == "b1"), s"b-clique labels: $r")
+    // deterministic under repartitioning (single-agg argmax, no
+    // visit-order randomness)
+    for (parts <- Seq(2, 7)) {
+      val again = Graph.labelPropagation(edges.repartition(parts), 4)
+        .as[(String, String)].collect().toMap
+      assert(again == r, s"parts=$parts")
+    }
+  }
+
+  test("labelPropagation tie-break takes the smallest label") {
+    // star: center c with leaves l1, l2 — after one round the center
+    // sees {l1, l2} tied and must take l1; leaves see only {c}
+    val edges = Seq(("c", "l1"), ("l1", "c"), ("c", "l2"), ("l2", "c"))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(r("c") == "l1" && r("l1") == "c" && r("l2") == "c")
+  }
 }
