@@ -206,6 +206,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit audio spectral fingerprint from REAL decoded samples
+    * ([[WavCodec.fingerprint64]]: 8 frames × 8 Goertzel bands,
+    * gain-invariant relative-energy bits) — partition-local, batched,
+    * no shuffle; the audio twin of [[phash]]. Feed the result to
+    * [[Dedup.hammingBandPairs]]: at 100 TB only 8-byte prints ever
+    * shuffle, never waveforms. Null media prints to 0.
+    */
+  def audioFingerprint(df: DataFrame, binaryCol: String,
+                       batchSize: Int = 64,
+                       as: String = "afp"): DataFrame = {
+    val outSchema = df.schema.add(as, LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          val sig = if (bytes == null) 0L else WavCodec.fingerprint64(bytes)
+          Row.fromSeq(r.toSeq :+ sig)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL waveform transform: decode, apply uniform gain + hash-keyed
+    * low-level dither, re-encode ([[WavCodec.withGain]]) —
+    * partition-local, no shuffle. The dev-harness mutation for audio
+    * fingerprint tests (byte-different, perceptually the same tone).
+    */
+  def withAudioGain(df: DataFrame, binaryCol: String,
+                    gain: Double): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        if (bytes == null) r
+        else Row.fromSeq(r.toSeq.updated(idx,
+          WavCodec.withGain(bytes, gain)))
+      }
+    }(enc)
+  }
+
   /** Metadata-level resize: recompute width/height bounded by
     * `maxSide`, keep bytes (decode stubbed). Pure Column ops.
     */

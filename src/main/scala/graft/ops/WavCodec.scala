@@ -116,6 +116,87 @@ object WavCodec {
     out
   }
 
+  /** Goertzel single-bin spectral energy of `s[lo, hi)` at `freq` —
+    * the O(n) per-band DFT probe (no FFT library needed; exact for
+    * the fingerprint's relative comparisons).
+    */
+  private def goertzel(s: Array[Short], lo: Int, hi: Int,
+                       freq: Double, sampleRate: Int): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * freq / sampleRate)
+    var s1 = 0.0; var s2 = 0.0
+    var i = lo
+    while (i < hi) {
+      val s0 = s(i) / 32768.0 + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** 64-bit spectral fingerprint: 2 time frames × 32
+    * geometrically-spaced Goertzel bands (150 Hz to ~3 kHz, ~10% band
+    * width); bit set iff the band's energy exceeds its frame's MEAN
+    * band energy. Relative-energy bits make the print invariant to
+    * uniform gain (every band scales together, the comparison is
+    * unchanged) and robust to low-level dither; the FINE band spacing
+    * is what discriminates — tonal content a band apart flips bits.
+    * 32 narrow bands beat 8 wide ones because near-stationary audio
+    * repeats the same pattern in every time frame, so frame count
+    * buys far less entropy than frequency resolution. The audio
+    * analogue of the image dHash (mm04), and like it the narrow
+    * no-shuffle first stage of near-dup detection: only 8-byte prints
+    * ever reach [[Dedup.hammingBandPairs]].
+    */
+  def fingerprint64(bytes: Array[Byte]): Long = {
+    val (sr, _, s) = decode(bytes)
+    if (s.isEmpty) return 0L
+    val frames = 2; val bands = 32
+    var fp = 0L
+    val e = new Array[Double](bands)
+    var f = 0
+    while (f < frames) {
+      val lo = (s.length.toLong * f / frames).toInt
+      val hi = (s.length.toLong * (f + 1) / frames).toInt
+      var mean = 0.0
+      var b = 0
+      while (b < bands) {
+        e(b) = goertzel(s, lo, hi, 150.0 * math.pow(1.1014, b), sr)
+        mean += e(b)
+        b += 1
+      }
+      mean /= bands
+      b = 0
+      while (b < bands) {
+        if (e(b) > mean) fp |= 1L << (f * bands + b)
+        b += 1
+      }
+      f += 1
+    }
+    fp
+  }
+
+  /** Deterministic gain + low-level dither mutation: scales every
+    * sample and adds a hash-keyed triangular dither — byte-different
+    * from the original (so exact dedup is blind to it) while keeping
+    * relative band energies, hence the [[fingerprint64]], close.
+    */
+  def withGain(bytes: Array[Byte], gain: Double,
+               ditherAmp: Int = 8): Array[Byte] = {
+    val (sr, ch, s) = decode(bytes)
+    var h = 1469598103934665603L
+    val out = new Array[Short](s.length)
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ i) * 1099511628211L
+      val dither = (math.floorMod(h, 2L * ditherAmp + 1)
+        - ditherAmp).toInt
+      val v = math.round(s(i) * gain).toInt + dither
+      out(i) = math.max(Short.MinValue, math.min(Short.MaxValue, v)).toShort
+      i += 1
+    }
+    encode(sr, ch, out)
+  }
+
   /** Deterministic synthetic clip for a seed text: two-harmonic tone
     * with hash-keyed frequencies, amplitude, and length — the
     * dev-harness generator for real-decoder tests.

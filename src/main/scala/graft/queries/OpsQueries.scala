@@ -330,6 +330,30 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // audio near-dup via spectral fingerprint (rows-only like mm04:
+    // Goertzel energies of decoded PCM are not SQL-expressible;
+    // planted-copy recovery and gain invariance are spec-gated):
+    // every doc's REAL synthesized WAV -> 64-bit frame×band
+    // fingerprint (narrow, batched, partition-local), then the SAME
+    // banded Hamming join as text SimHash / image phash. Copies with
+    // gain 0.8 + dither (id+100000) are BYTE-different but
+    // relative-band-energy-identical, so each must pair with its
+    // original — uniform gain preserves the bits exactly, hence
+    // budget 1 (tighter than the image dHash's 3).
+    "mm05_audio_fp" -> ((s, dir) => {
+      val base = Multimodal.withWavMedia(
+        docs(s, dir).select("doc_id", "text"), "text")
+      val mutants = Multimodal.withAudioGain(
+          base.filter(col("doc_id") < 50), "media", gain = 0.8)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val sigs = Multimodal.audioFingerprint(
+          base.unionByName(mutants), "media")
+        .select(col("doc_id").as("id"), col("afp").as("sig"))
+      Dedup.hammingBandPairs(sigs, maxHamming = 1, tables = 8,
+          maxBucket = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // web-scrape cleaning: strip markup, mask URLs/emails, collapse
     // whitespace (oracle-checked). The harness corpus is plain text, so
     // the query plants deterministic markup/PII derived from doc_id —

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{BmpCodec, Multimodal}
+import graft.ops.{BmpCodec, Multimodal, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -225,5 +225,60 @@ class MultimodalSpec extends SparkSpec {
       .select(md5($"media").as("fp"), $"doc_id")
       .groupBy("fp").count().filter($"count" > 1).count()
     assert(fps == 0, "brightness copies should be byte-distinct")
+  }
+
+  test("audio fingerprint64: deterministic, gain-invariant within " +
+      "budget, and discriminative across clips") {
+    val clips = (0 until 200).map(i => WavCodec.synthesize(s"clip $i"))
+    // deterministic
+    assert(WavCodec.fingerprint64(clips(7)) ==
+      WavCodec.fingerprint64(clips(7)))
+    // gain 0.8 + dither: byte-different, fingerprint within the mm05
+    // Hamming budget (relative band energies survive uniform gain)
+    val hs = clips.map { c =>
+      val m = WavCodec.withGain(c, 0.8)
+      assert(!java.util.Arrays.equals(c, m))
+      java.lang.Long.bitCount(WavCodec.fingerprint64(c) ^
+        WavCodec.fingerprint64(m))
+    }
+    info(s"gain hamming: max=${hs.max} mean=${hs.sum / 200.0}")
+    // uniform gain scales every band energy together, so the
+    // relative-energy bits are EXACTLY preserved — budget 1, not the
+    // image dHash's 3
+    assert(hs.max <= 1, s"gain mutation moved a print ${hs.max} bits")
+    // distinct tones must not collide: cross-pair distance stays high
+    val prints = clips.map(WavCodec.fingerprint64)
+    val close = (for {
+      i <- prints.indices; j <- prints.indices if i < j
+    } yield java.lang.Long.bitCount(prints(i) ^ prints(j)))
+      .count(_ <= 1)
+    val pairs = prints.size * (prints.size - 1) / 2
+    info(s"cross-clip collisions <=1 bit: $close / $pairs")
+    assert(close <= pairs / 100,
+      s"$close of $pairs cross-pairs within 1 bit — not discriminative")
+  }
+
+  test("mm05 pipeline recovers planted gain-scaled audio copies that " +
+      "byte dedup cannot see") {
+    import graft.ops.Dedup
+    val docs = (0 until 25)
+      .map(i => (i.toLong, s"some audio doc number $i with tone"))
+      .toDF("doc_id", "text")
+    val base = Multimodal.withWavMedia(docs, "text")
+    val mutants = Multimodal.withAudioGain(base, "media", gain = 0.8)
+      .withColumn("doc_id", $"doc_id" + 1000)
+    val sigs = Multimodal.audioFingerprint(base.unionByName(mutants),
+        "media")
+      .select($"doc_id".as("id"), $"afp".as("sig"))
+    val pairs = Dedup.hammingBandPairs(sigs, maxHamming = 1, tables = 8,
+        maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 25).foreach(i =>
+      assert(pairs.contains((i.toLong, i + 1000L)),
+        s"planted audio copy of $i not recovered"))
+    val fps = base.unionByName(mutants)
+      .select(md5($"media").as("fp"), $"doc_id")
+      .groupBy("fp").count().filter($"count" > 1).count()
+    assert(fps == 0, "gain copies should be byte-distinct")
   }
 }
