@@ -509,6 +509,55 @@ object RelQueries {
         .orderBy("user_id", "day")
     }),
 
+    // linear time-series interpolation — the value-aware companion to
+    // q40's forward fill: missing days get the straight line between
+    // the nearest known days (prev/next found via IGNORE-NULLS
+    // windows). Both directions share the user-keyed sort, so the
+    // whole query is ONE shuffle + one Window operator; the spine
+    // spans each user's [min, max] known day, so interior gaps always
+    // have both endpoints. The daily statistic is MAX — exactly
+    // combine-order-invariant, unlike sum/avg whose last-ulp float
+    // drift across engines flips ROUND at .00005 boundaries — so the
+    // cross-engine interpolation arithmetic starts from identical
+    // doubles.
+    "q60_interpolate" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(max("value"), 4).as("y"))
+        .cache() // fans into the spine build and the join
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wb = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("py", last(col("y"), ignoreNulls = true).over(wb))
+        .withColumn("pd", last(when(col("y").isNotNull, col("day")),
+          ignoreNulls = true).over(wb))
+        .withColumn("ny", first(col("y"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when(col("y").isNotNull, col("day")),
+          ignoreNulls = true).over(wf))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          // UNROUNDED on purpose: the inputs are bit-identical across
+          // engines (rounded MAX) and +,-,*,/ are IEEE-exact in both,
+          // so the raw doubles hash-match — while rounding would
+          // CREATE divergence (4-decimal endpoints x dyadic day
+          // fractions produce exact .xxxx5 midpoints, where Spark's
+          // BigDecimal HALF_UP and DuckDB's multiply-rint disagree)
+          when(col("y").isNotNull, col("y"))
+            .otherwise(col("py") + (col("ny") - col("py"))
+              * (datediff(col("day"), col("pd")).cast("double")
+                 / datediff(col("nd"), col("pd")).cast("double")))
+            .as("y_interp"),
+          col("y").isNull.as("is_interp"))
+        .orderBy("user_id", "day")
+    }),
+
     // set operations beyond union (q07): INTERSECT / EXCEPT with
     // distinct-set semantics over day-1 purchaser vs day-1 error-er
     // user sets (day 1 so both differences are non-empty at every SF).
@@ -1437,6 +1486,48 @@ object RelQueries {
       FROM spine s
       LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
       ORDER BY s.user_id, s.day""",
+
+    // same IGNORE-NULLS window pair; date_diff argument order mirrors
+    // Spark's datediff(end, start); MAX (not avg) keeps the daily
+    // inputs bit-identical across engines
+    "q60_interpolate" -> """
+      WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               ROUND(MAX(value), 4) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1)),
+      j AS (
+        SELECT s.user_id, s.day, d.y,
+               LAST_VALUE(d.y IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+               LAST_VALUE(CASE WHEN d.y IS NOT NULL THEN s.day END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               FIRST_VALUE(d.y IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+               FIRST_VALUE(CASE WHEN d.y IS NOT NULL THEN s.day END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             CASE WHEN y IS NOT NULL THEN y
+                  ELSE py + (ny - py)
+                       * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                          / CAST(date_diff('day', pd, nd) AS DOUBLE))
+             END AS y_interp,
+             y IS NULL AS is_interp
+      FROM j ORDER BY user_id, day""",
 
     "q41_setops" -> """
       WITH day1 AS (

@@ -196,6 +196,28 @@ object StatQueries {
         .orderBy("seg")
     }),
 
+    // Horvitz–Thompson totals under Poisson sampling with UNEQUAL
+    // segment-dependent inclusion probabilities (the third
+    // design-based estimator next to m04's svymean and m14's
+    // post-stratification): inclusion decided by the content-keyed
+    // md5 draw (deterministic, replayable), pi = (1 + ascii(seg) mod
+    // 4)/10. Oracle replays draw, pi, and the sum-of-group-sums ALL
+    // row verbatim.
+    "m15_ht_total" -> ((s, dir) => {
+      val full = graft.Tables(s, dir, "customer")
+      val withPi = full.select(col("c_custkey"),
+          col("c_mktsegment").as("seg"), col("c_acctbal"),
+          ((lit(1) + pmod(ascii(col("c_mktsegment")), lit(4)))
+            .cast("double") / 10.0).as("pi"))
+        .filter(graft.ops.TextAnalysis.hashUniform(col("c_custkey"),
+          "ht") < col("pi"))
+      Survey.htTotal(withPi, "seg", "c_acctbal", "pi")
+        .select(col("seg"), col("n_sampled"),
+          round(col("est_total"), 4).as("est_total"),
+          round(col("se"), 4).as("se"))
+        .orderBy("seg")
+    }),
+
     // survey raking / IPF (the survey::rake companion to m04's
     // svyby): a 1-in-3 customer subsample raked to the FULL table's
     // segment and nation margins, 3 cycles — per pass one dimension-
@@ -405,6 +427,33 @@ object StatQueries {
              ROUND(SQRT(SUM((pop_n / bigN) * (pop_n / bigN)
                             * fpc * s2 / n_h)), 6)
       FROM parts CROSS JOIN tot
+      ORDER BY seg""",
+
+    // md5-draw inclusion + HT arithmetic replayed; the ALL row sums
+    // the per-group sums (same float association as the engine)
+    "m15_ht_total" -> """
+      WITH samp AS (
+        SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS y,
+               CAST(1 + unicode(c_mktsegment) % 4 AS DOUBLE) / 10.0 AS pi
+        FROM customer
+        WHERE CAST(list_sum(list_transform(range(1, 9), i ->
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(c_custkey AS VARCHAR) || 'ht'),
+                     CAST(i AS INT), 1)) - 1)
+                * power(16, 8 - i))) AS DOUBLE) / 4294967296.0
+              < CAST(1 + unicode(c_mktsegment) % 4 AS DOUBLE) / 10.0),
+      per AS (
+        SELECT seg, COUNT(*) AS n_sampled,
+               SUM(y / pi) AS est_total,
+               SUM((1.0 - pi) * (y / pi) * (y / pi)) AS v
+        FROM samp GROUP BY 1)
+      SELECT seg, n_sampled, ROUND(est_total, 4) AS est_total,
+             ROUND(SQRT(v), 4) AS se
+      FROM per
+      UNION ALL
+      SELECT 'ALL', SUM(n_sampled), ROUND(SUM(est_total), 4),
+             ROUND(SQRT(SUM(v)), 4)
+      FROM per
       ORDER BY seg""",
 
     // all six IPF scaling passes unrolled (seg/nat per cycle x 3):

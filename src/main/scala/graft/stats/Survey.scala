@@ -157,6 +157,40 @@ object Survey {
       .unionByName(overall)
   }
 
+  /** Horvitz–Thompson estimation of population TOTALS under Poisson
+    * sampling with KNOWN per-unit inclusion probabilities — the
+    * unequal-probability companion to [[poststratify]] (which assumes
+    * self-weighting within strata):
+    *
+    *   est_g = sum_{sampled in g} y/pi
+    *   V_g   = sum_{sampled in g} (1 - pi) * (y/pi)^2   (HT/Poisson)
+    *
+    * Output: one row per group plus an `ALL` row whose estimate and
+    * variance are the SUMS of the per-group figures (totals and
+    * Poisson variances are both additive over disjoint groups; an
+    * oracle must replay the ALL row as sum-of-group-sums to keep the
+    * float association identical).
+    *
+    * Scale shape: ONE map-side-combining groupBy over the sample; the
+    * ALL row folds the group-dimension rows. Nothing else shuffles.
+    */
+  def htTotal(sample: DataFrame, groupCol: String, yCol: String,
+              piCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val pi = col(piCol).cast("double")
+    val per = sample.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(y / pi).as("est_total"),
+        sum((lit(1.0) - pi) * (y / pi) * (y / pi)).as("v"))
+    per.select(col(groupCol), col("n_sampled"), col("est_total"),
+        sqrt(col("v")).as("se"))
+      .unionByName(per
+        .agg(sum("n_sampled").as("n_sampled"),
+          sum("est_total").as("est_total"), sum("v").as("v"))
+        .select(lit("ALL").as(groupCol), col("n_sampled"),
+          col("est_total"), sqrt(col("v")).as("se")))
+  }
+
   def weightedMeanSE(df: DataFrame, groupCol: String, yCol: String,
                      wCol: String, scale: Double = 1.0): DataFrame = {
     val y = col(yCol).cast("double")

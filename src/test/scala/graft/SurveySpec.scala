@@ -120,4 +120,27 @@ class SurveySpec extends SparkSpec {
       .as[(String, Double, Double)].collect().toSet
     assert(again == first)
   }
+
+  test("htTotal: hand-computed case, census collapse, additive ALL row") {
+    // group a: y={10, 20} at pi=0.5 -> est 60, v = 0.5*400 + 0.5*1600
+    // group b: y={30} at pi=0.25    -> est 120, v = 0.75*14400
+    val samp = Seq(("a", 10.0, 0.5), ("a", 20.0, 0.5), ("b", 30.0, 0.25))
+      .toDF("seg", "y", "pi")
+    val r = Survey.htTotal(samp, "seg", "y", "pi")
+      .as[(String, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("a")._2 == 60.0 && r("b")._2 == 120.0)
+    assert(math.abs(r("a")._3 - math.sqrt(0.5 * 400 + 0.5 * 1600)) < 1e-12)
+    assert(math.abs(r("b")._3 - math.sqrt(0.75 * 14400)) < 1e-12)
+    // ALL row: totals and variances add over disjoint groups
+    assert(r("ALL")._1 == 3L && r("ALL")._2 == 180.0)
+    assert(math.abs(r("ALL")._3
+      - math.sqrt(0.5 * 400 + 0.5 * 1600 + 0.75 * 14400)) < 1e-12)
+    // census (pi = 1): estimator is the exact total with zero variance
+    val census = Survey.htTotal(
+        samp.withColumn("pi", lit(1.0)), "seg", "y", "pi")
+      .as[(String, Long, Double, Double)].collect()
+    census.foreach { case (_, _, _, se) => assert(se == 0.0) }
+    assert(census.find(_._1 == "ALL").get._3 == 60.0)
+  }
 }
