@@ -457,6 +457,30 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // decision-rule decontamination (the GPT-3/PaLM-style gate on top
+    // of d16's raw overlap counts): a probe doc is dirty iff >= half
+    // its distinct 3-grams appear in train. The comparison is kept in
+    // INTEGERS (2*n_shared >= n_sh) so the rule replays exactly — no
+    // float fraction to diverge. Same shingle+md5 base pipeline; the
+    // totals branch and the shared branch reuse one cached scan.
+    "d36_contam_fraction" -> ((s, dir) => {
+      val base = contamBase(s, dir).cache()
+      val train = base.filter(col("split") === "train")
+        .select("h").distinct()
+      val probe = base.filter(col("split") =!= "train")
+      val totals = probe.groupBy("doc_id", "split")
+        .agg(countDistinct(col("h")).as("n_sh"))
+      val shared = probe.join(train, Seq("h"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_shared"))
+      totals.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("n_sh"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_sh"))
+            .as("dirty"))
+        .orderBy("doc_id")
+    }),
+
     // the CLEAN-side complement of d16 at 100-TB shape: which corpus
     // docs share NO 3-gram with a benchmark reference (the src0 slice)
     // — an exact anti-join run as broadcast-Bloom prefilter + exact
@@ -1042,10 +1066,67 @@ object OpsQueries {
       WHERE hv.split <> 'train'
       GROUP BY hv.doc_id, hv.split ORDER BY hv.doc_id"""
 
+  /** d36: d16's pipeline plus per-doc totals and the integer >= 1/2
+    * decision rule.
+    */
+  private def contamFractionOracle: String =
+    s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sp AS (
+        SELECT doc_id, toks,
+               CASE WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 < 0.8
+                    THEN 'train'
+                    WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 < 0.9
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM docs2),
+      sh AS (
+        SELECT doc_id, split, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM sp),
+      inv AS (SELECT doc_id, split, unnest(sh) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, split,
+               ${duckHex8("shingle")} % 2147483647 AS h
+        FROM inv),
+      tr AS (SELECT DISTINCT h FROM hv WHERE split = 'train'),
+      probe AS (SELECT doc_id, split, h FROM hv WHERE split <> 'train'),
+      tot AS (SELECT doc_id, split, COUNT(DISTINCT h) AS n_sh
+              FROM probe GROUP BY 1, 2),
+      shr AS (SELECT p.doc_id, COUNT(DISTINCT p.h) AS n_shared
+              FROM probe p JOIN tr ON p.h = tr.h GROUP BY 1)
+      SELECT t.doc_id, t.split, t.n_sh,
+             COALESCE(s.n_shared, 0) AS n_shared,
+             COALESCE(s.n_shared, 0) * 2 >= t.n_sh AS dirty
+      FROM tot t LEFT JOIN shr s USING (doc_id)
+      ORDER BY t.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "d07_minhash_lsh" -> minhashOracle,
     "d08_simhash" -> simhashOracle,
     "d16_decontaminate" -> decontaminateOracle,
+    "d36_contam_fraction" -> contamFractionOracle,
 
     // the clean-side anti-join the bloom prefilter must exactly equal
     "d24_bloom_clean" -> s"""

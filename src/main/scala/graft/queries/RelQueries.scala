@@ -558,6 +558,22 @@ object RelQueries {
         .orderBy("user_id", "day")
     }),
 
+    // percent_rank over per-segment balances WITHOUT the per-segment
+    // window sort (Relational.scalableRank: compact value-distribution
+    // running sum + tie-group row_number — the q61 twin of d35's
+    // distributed ntile); (rank-1)/(n-1) in exact integers-cast-double
+    // hash-matches DuckDB's NATIVE percent_rank ordered by (bal, id)
+    "q61_percent_rank" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"))
+      Relational.scalableRank(base, "seg", "bal", "c_custkey")
+        .select(col("c_custkey"), col("seg"), col("bal"),
+          when(col("n_group") === 1, lit(0.0))
+            .otherwise((col("rank") - 1).cast("double")
+              / (col("n_group") - 1).cast("double")).as("pr"))
+        .orderBy("c_custkey")
+    }),
+
     // set operations beyond union (q07): INTERSECT / EXCEPT with
     // distinct-set semantics over day-1 purchaser vs day-1 error-er
     // user sets (day 1 so both differences are non-empty at every SF).
@@ -1528,6 +1544,15 @@ object RelQueries {
              END AS y_interp,
              y IS NULL AS is_interp
       FROM j ORDER BY user_id, day""",
+
+    // native percent_rank over the composite (bal, id) order — all
+    // ranks distinct, so it equals the engine's (rank-1)/(n-1)
+    "q61_percent_rank" -> """
+      SELECT c_custkey, c_mktsegment AS seg,
+             ROUND(c_acctbal, 2) AS bal,
+             percent_rank() OVER (PARTITION BY c_mktsegment
+               ORDER BY ROUND(c_acctbal, 2), c_custkey) AS pr
+      FROM customer ORDER BY c_custkey""",
 
     "q41_setops" -> """
       WITH day1 AS (

@@ -25,6 +25,40 @@ object Relational {
     df.groupBy(groupCols.map(col): _*)
       .agg((lit(scale) * sum(y * w) / sum(w)).as(as))
 
+  /** Exact per-group rank of `valueCol` (1-based, ties split by
+    * `idCol`) plus the group size — the building block for
+    * ntile / percent_rank / cume_dist WITHOUT the per-group window
+    * sort that serializes a dominant group at scale (same machinery
+    * as TextAnalysis.perplexityBuckets):
+    *
+    *   1. aggregate the (group, value) DISTRIBUTION — compact when
+    *      `valueCol` is bounded-cardinality (pass a rounded value) —
+    *      and running-sum it per group (a window over the aggregated
+    *      rows only);
+    *   2. rank(row) = rows strictly below its value + its row_number
+    *      within the (group, value) TIE GROUP.
+    *
+    * All integer arithmetic, so rank-derived statistics replay exactly
+    * against native SQL window functions ordered by (value, id).
+    * Adds columns `rank` and `n_group`.
+    */
+  def scalableRank(df: DataFrame, groupCol: String, valueCol: String,
+                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("c"))
+    val wGrp = Window.partitionBy(groupCol).orderBy(valueCol)
+    val cum = dist
+      .withColumn("below", coalesce(sum(col("c")).over(
+        wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_group", sum(col("c")).over(
+        Window.partitionBy(groupCol)))
+      .select(col(groupCol), col(valueCol), col("below"), col("n_group"))
+    val wTie = Window.partitionBy(groupCol, valueCol).orderBy(idCol)
+    df.join(cum, Seq(groupCol, valueCol))
+      .withColumn("rank", col("below") + row_number().over(wTie))
+      .drop("below")
+  }
+
   /** Chained full outer join on a shared key (reference J1,
     * `Method_code.Rmd:466-469`: `reduce(full_join, by='state')`).
     * 51-vs-49-key asymmetry yields nulls, exactly as the reference.

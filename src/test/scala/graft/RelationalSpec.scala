@@ -292,4 +292,33 @@ class RelationalSpec extends SparkSpec {
       .where($"k" === 1L).distinct().count()
     assert(salts > 1, s"hot key collapsed to $salts salt(s)")
   }
+
+  test("scalableRank equals the textbook row_number window, any " +
+      "partitioning, ties and hot group included") {
+    import org.apache.spark.sql.expressions.Window
+    // group g0 dominates (the case the machinery exists for), with
+    // heavy value ties exercising the tie-group path
+    val rows = (0 until 300).map(i => (i.toLong, "g0", (i % 7).toDouble)) ++
+      (1000 until 1010).map(i => (i.toLong, "g1", (i % 3).toDouble)) ++
+      Seq((2000L, "g2", 5.0))
+    val df = rows.toDF("id", "g", "v")
+    val expected = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("v"), col("id"))))
+      .withColumn("n_group", count(lit(1)).over(Window.partitionBy("g")))
+      .select("id", "g", "v", "rank", "n_group")
+      .as[(Long, String, Double, Int, Long)].collect().toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Relational.scalableRank(df.repartition(parts), "g", "v", "id")
+        .select(col("id"), col("g"), col("v"),
+          col("rank").cast("int"), col("n_group"))
+        .as[(Long, String, Double, Int, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // singleton group: rank 1 of 1
+    val solo = Relational.scalableRank(df, "g", "v", "id")
+      .filter($"g" === "g2").select("rank", "n_group")
+      .as[(Long, Long)].head()
+    assert(solo == ((1L, 1L)))
+  }
 }
