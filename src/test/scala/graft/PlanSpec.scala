@@ -349,4 +349,31 @@ class PlanSpec extends SparkSpec {
     // margin-sum aggregates, never the sample rows
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q61/d35: no row-level window partitioned by the group alone — " +
+      "the distributed rank's windows ride the tie group / the compact " +
+      "distribution") {
+    for (name <- Seq("q61_percent_rank", "d35_ccnet_buckets")) {
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      // every Window's partition spec must carry the value column too
+      // (tie-group windows) — a window keyed on the bare group column
+      // would re-introduce the serialized per-group sort, EXCEPT the
+      // one over the aggregated value distribution, which is fed by a
+      // HashAggregate (compact rows), not by the row-level table.
+      val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toSeq
+      assert(winSpecs.nonEmpty, s"$name: no window found\n$plan")
+      val rowLevelGroupOnly = winSpecs.count { spec =>
+        (spec.contains("seg") || spec.contains("lang")) &&
+          !spec.contains("bal") && !spec.contains("nll")
+      }
+      // exactly the distribution-level running sum + its n_group twin
+      // may partition by the group alone; they run over HashAggregate
+      // output, which PlanSpec asserts by the aggregate preceding them
+      assert(plan.contains("HashAggregate"), s"$name:\n$plan")
+      assert(winSpecs.size - rowLevelGroupOnly >= 1,
+        s"$name: no tie-group window in\n${winSpecs.mkString("\n")}")
+    }
+  }
 }
