@@ -574,6 +574,54 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive/metric training: each
+    * labeled vector's top-k nearest neighbors carrying a DIFFERENT
+    * label — the "hardest negatives" a triplet/InfoNCE loss wants.
+    * Same IVF-cell self-join shape as [[knnJoin]] (shared unitize +
+    * matvec projection cached, cell-keyed shuffle, never all-pairs);
+    * the label-mismatch filter runs at candidate time, before the
+    * ranking window, so same-label near-duplicates can't crowd
+    * negatives out of the top-k. At nprobe < nlist recall is
+    * approximate like s03/s06; the query entry runs nprobe = nlist,
+    * which is exhaustive and therefore exact (oracle-gated).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, dim: Int,
+                    nlist: Int = 16, nprobe: Int = 4,
+                    trainIters: Int = 8,
+                    sampleSize: Int = 4096): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
+    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
+    val cents = trainCentroids(sample, nlist, trainIters)
+    val cb = MatVecDots.matrixLit(cents)
+    val u = unitized(corpus, idCol, vecCol, "id", "v")
+      .join(corpus.select(col(idCol).as("id"),
+        col(labelCol).as("lbl")), Seq("id"))
+      .withColumn("dots", MatVecDots.matvec(col("v"), cb))
+      .cache()
+    val c = u.withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .select(col("id").as("nbr_id"), col("v").as("cv"), col("cell"),
+        col("lbl").as("nbr_lbl"))
+    val q = u.withColumn("probes",
+        slice(sort_array(zip_with(col("dots"),
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("i")))), 1, nprobe))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("lbl").as("q_lbl"),
+        explode(col("probes").getField("i")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("q_lbl") =!= col("nbr_lbl"))
+      .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
+      .select("query_id", "q_lbl", "nbr_id", "nbr_lbl", "cos")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "q_lbl", "rank", "nbr_id", "nbr_lbl", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold join), LSH-
     * bucketed — the scale path and the d10 query entry. Candidates are
     * generated only inside shared (table, sign-bucket) cells and then

@@ -294,6 +294,18 @@ object OpsQueries {
           round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")),
 
+    // hard-negative mining (triplet/InfoNCE training): each labeled
+    // vector's top-3 nearest DIFFERENT-label neighbors, via the s06
+    // IVF-cell self-join with the label filter at candidate time.
+    // nprobe = nlist -> exhaustive -> exact, so the oracle is the
+    // brute-force label-aware ranking.
+    "s13_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embs(s, dir), "vec_id", "embedding",
+          "label", k = 3, dim = 64, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("q_lbl"), col("rank"),
+          col("nbr_id"), col("nbr_lbl"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")),
+
     // audio pipeline on REAL decoded PCM samples: synthesize a WAV per
     // doc -> rms / zero-crossings / energy profile from the samples
     "mm03_audio" -> ((s, dir) => {
@@ -2103,6 +2115,23 @@ object OpsQueries {
                    CAST(q.embedding AS DOUBLE[]),
                    CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // brute-force label-aware ranking: same rounded-cosine window as
+    // s06 plus the label-mismatch predicate
+    "s13_hard_negatives" -> """
+      SELECT query_id, q_lbl, rank, nbr_id, nbr_lbl,
+             ROUND(cos, 4) AS cos
+      FROM (
+        SELECT q.vec_id AS query_id, q.label AS q_lbl,
+               c.vec_id AS nbr_id, c.label AS nbr_lbl,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.label <> c.label)
       WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "s05_label_centroids" -> """

@@ -174,6 +174,46 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size <= exact.size)
   }
 
+  test("hardNegatives: every neighbor crosses labels, exhaustive " +
+      "probing equals the label-aware brute force, approximate stays " +
+      "a subset") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // label-aware brute force: rank only different-label candidates
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{round, row_number}
+    import graft.functions.DotProduct
+    DotProduct.register(spark)
+    val labels = e.select($"vec_id", $"label")
+    def unit(role: String) =
+      Similarity.unitized(e, "vec_id", "embedding", s"${role}_id", role)
+        .join(labels.select($"vec_id".as(s"${role}_id"),
+          $"label".as(s"${role}_lbl")), Seq(s"${role}_id"))
+    val brute = unit("q").join(unit("c"), $"q_lbl" =!= $"c_lbl")
+      .select($"q_id".as("query_id"), $"c_id".as("nbr_id"),
+        DotProduct.dotFast($"q", $"c").as("cos"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("query_id")
+          .orderBy(round($"cos", 6).desc, $"nbr_id")))
+      .filter($"rank" <= 3)
+      .select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val mined = Similarity.hardNegatives(e, "vec_id", "embedding",
+        "label", k = 3, dim = 64, nlist = 8, nprobe = 8)
+    val got = mined.select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
+    // label contract: no returned neighbor shares the query's label
+    assert(mined.filter($"q_lbl" === $"nbr_lbl").isEmpty)
+    // approximate probing never invents neighbors
+    val approx = Similarity.hardNegatives(e, "vec_id", "embedding",
+        "label", k = 3, dim = 64, nlist = 8, nprobe = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val full = mined.select("query_id", "nbr_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (full & approx).size.toDouble / full.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("cosineNearDupLsh matches brute force on real embeddings + mutants") {
     // planted near-dups: every vector pairs with its +0.01-nudged copy
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
