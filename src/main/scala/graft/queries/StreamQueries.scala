@@ -126,6 +126,15 @@ object StreamQueries {
           col("dur_ms"), col("n_events"), col("total_value"))
         .orderBy("user_id", "s_start")),
 
+    // hourly approximate distinct users through the real streaming
+    // path (rows-only: the HLL++ estimate has no SQL-oracle twin,
+    // q43's precedent; StreamsSpec asserts the streaming estimate
+    // EQUALS the batch approx_count_distinct exactly — register-max
+    // merge is commutative — and lands within rsd bounds of exact)
+    "st10_stream_approx_distinct" -> ((s, dir) =>
+      Streams.hourlyApproxDistinctDrain(s, dir)
+        .orderBy("hour")),
+
     // stream-stream LEFT OUTER join: st04's correlation with
     // null-extension for clicks that never convert — unmatched rows
     // can only be emitted once the watermark proves no future match,

@@ -141,6 +141,57 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Hourly APPROXIMATE distinct users through the real streaming
+    * path — the sketch member of the drain family (st01 sums, st09
+    * session windows): watermarked event-time windows whose aggregate
+    * is HyperLogLog++ (`approx_count_distinct`), the only distinct
+    * that works at stream scale (exact distinct state grows with the
+    * key universe; the HLL register array is a few KB per window
+    * regardless of cardinality, and its merge is register-wise max —
+    * commutative, so partial merges across micro-batches are
+    * order-invariant and the streaming estimate EQUALS the batch one,
+    * which StreamsSpec asserts exactly).
+    *
+    * Same bounded-drain mechanics as [[hourlyAggStreamDrain]]: one
+    * sentinel event at max ts + 4h under user_id -1 pushes the final
+    * watermark past every real window; the sentinel's own window
+    * stays open and unemitted.
+    */
+  def hourlyApproxDistinctDrain(spark: SparkSession, sfDir: String,
+                                rsd: Double = 0.02): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-st10-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st10-sink")
+    val ckpt = Files.createTempDirectory("graft-st10-ckpt").toString
+    locally {
+      val raw = eventsBatch(spark, sfDir).select("ts", "user_id")
+      val sentinel = raw.agg(
+          timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L)
+            .as("ts"))
+        .withColumn("user_id", lit(-1L))
+      raw.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("est_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("est_users"))
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir)
+  }
+
   /** Sessionization through Spark's NATIVE `session_window` aggregate
     * — the engine-managed third formulation next to the custom
     * flatMapGroupsWithState state machine ([[sessionize]], st02) and

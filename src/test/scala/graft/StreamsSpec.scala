@@ -26,6 +26,31 @@ class StreamsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming hourly HLL distinct equals the batch estimate " +
+      "exactly and lands within rsd bounds of exact") {
+    val streamed = Streams.hourlyApproxDistinctDrain(spark, sf001)
+      .orderBy("hour").as[(String, Long)].collect()
+    val batch = RelQueries.events(spark, sf001)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("hour")
+      .as[(String, Long, Long)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length == batch.length)
+    // HLL++ register-max merge is commutative: micro-batch partials
+    // must land on the SAME estimate as the batch aggregation
+    streamed.zip(batch).foreach { case ((sh, se), (bh, be, _)) =>
+      assert(sh == bh); assert(se == be, s"hour $sh: stream $se batch $be")
+    }
+    // and the estimate is an estimate of the right thing
+    batch.foreach { case (h, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(3.0, 5 * 0.02 * exact),
+        s"hour $h: est $est exact $exact")
+    }
+  }
+
   test("streamStaticDrain equals the batch dimension join (parity) " +
       "and keeps every stream column") {
     val ev = RelQueries.events(spark, sf001)
