@@ -891,6 +891,37 @@ object RelQueries {
         .orderBy("node")
     }),
 
+    // market-basket association rules: part pairs co-occurring in >= 3
+    // orders, with support and lift — the frequent-itemset family.
+    // The pair generation is keyed on the order (fan-out bounded by
+    // order size, the q58 edge-build argument — never quadratic in
+    // parts); item supports attach via two part-keyed joins; lift's
+    // (sup_ab * n) / (sup_a * sup_b) is integer-times-integer cast
+    // once, so the float expression replays exactly.
+    "q62_market_basket" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .cache() // feeds both roles of the pair join + item supports
+      val nOrders = li.select("l_orderkey").distinct().count()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 3)
+      val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+      pairs
+        .join(item.select(col("l_partkey").as("pa"), col("sup").as("sup_a")),
+          Seq("pa"))
+        .join(item.select(col("l_partkey").as("pb"), col("sup").as("sup_b")),
+          Seq("pb"))
+        .select(col("pa"), col("pb"), col("sup_ab"),
+          col("sup_a"), col("sup_b"),
+          round((col("sup_ab") * nOrders).cast("double")
+            / (col("sup_a") * col("sup_b")), 6).as("lift"))
+        .orderBy("pa", "pb")
+    }),
+
     // per-node triangle counts over the supplier co-supply graph
     // (suppliers sharing an order; per-order fan-out is bounded by
     // order size, so the edge build is never quadratic in suppliers).
@@ -1790,6 +1821,28 @@ object RelQueries {
         WHERE w.hop < 3)
       SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
       ORDER BY node""",
+
+    // same pair generation + support joins; lift cast once from the
+    // integer product, matching the engine's expression
+    "q62_market_basket" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+      pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               COUNT(*) AS sup_ab
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey
+         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      item AS (SELECT l_partkey, COUNT(*) AS sup FROM li GROUP BY 1)
+      SELECT p.pa, p.pb, p.sup_ab, a.sup AS sup_a, b.sup AS sup_b,
+             ROUND(CAST(p.sup_ab * n.n_orders AS DOUBLE)
+                   / (a.sup * b.sup), 6) AS lift
+      FROM pairs p
+      JOIN item a ON p.pa = a.l_partkey
+      JOIN item b ON p.pb = b.l_partkey
+      CROSS JOIN n
+      ORDER BY p.pa, p.pb""",
 
     // same degree-ordered orientation -> wedge join -> closing-edge
     // semi-join -> per-corner count; integer arithmetic throughout

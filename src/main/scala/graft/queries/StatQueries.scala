@@ -196,6 +196,28 @@ object StatQueries {
         .orderBy("seg")
     }),
 
+    // Gini concentration index of positive balances per segment — the
+    // classic inequality measure of the survey-stats domain, computed
+    // from Relational.scalableRank (no per-segment window sort):
+    //   G = 2*sum(rank*y) / (n*sum(y)) - (n+1)/n
+    // Tie blocks contribute y*sum(ranks) regardless of intra-tie
+    // order, so the id tie-break cannot change the statistic. Oracle
+    // replays the formula over row_number ordered by (bal, id).
+    "m16_gini" -> ((s, dir) => {
+      val base = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .filter(col("bal") > 0)
+      graft.rel.Relational.scalableRank(base, "seg", "bal", "c_custkey")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("bal").as("sy"),
+          sum(col("rank") * col("bal")).as("sry"))
+        .select(col("seg"), col("n"),
+          round(lit(2.0) * col("sry") / (col("n") * col("sy"))
+            - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+        .orderBy("seg")
+    }),
+
     // Horvitz–Thompson totals under Poisson sampling with UNEQUAL
     // segment-dependent inclusion probabilities (the third
     // design-based estimator next to m04's svymean and m14's
@@ -428,6 +450,23 @@ object StatQueries {
                             * fpc * s2 / n_h)), 6)
       FROM parts CROSS JOIN tot
       ORDER BY seg""",
+
+    // same formula over row_number ordered by (bal, id); tie blocks
+    // make the intra-tie order irrelevant
+    "m16_gini" -> """
+      WITH base AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS bal
+        FROM customer WHERE ROUND(c_acctbal, 2) > 0),
+      r AS (
+        SELECT seg, bal,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                 ORDER BY bal, c_custkey) AS rank
+        FROM base)
+      SELECT seg, COUNT(*) AS n,
+             ROUND(2.0 * SUM(rank * bal) / (COUNT(*) * SUM(bal))
+               - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      FROM r GROUP BY seg ORDER BY seg""",
 
     // md5-draw inclusion + HT arithmetic replayed; the ALL row sums
     // the per-group sums (same float association as the engine)
