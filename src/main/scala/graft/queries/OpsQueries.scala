@@ -67,6 +67,30 @@ object OpsQueries {
         .orderBy("keep_id")
         .select("fp", "keep_id", "n_dups")),
 
+    // cross-source duplicate overlap matrix — the "how much of source
+    // A is already in source B" measurement that decides which crawl
+    // to keep (the harness corpus has no cross-source dups, so the
+    // query plants a 'mirror' source copying the first 100 docs; the
+    // oracle plants the identical copy). One fingerprint groupBy to
+    // (fp, source) grain, then a fp-keyed self-join ON DISTINCT
+    // (fp, source) rows — pair fan-out is bounded by sources-per-fp,
+    // never by duplicate multiplicity inside a source.
+    "d37_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("text"))
+      val mirrored = d.unionByName(
+        docs(s, dir).filter(col("doc_id") < 100)
+          .select(lit("mirror").as("source"), col("text")))
+      val bySrc = mirrored
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp", "source").agg(count(lit(1)).as("n"))
+      bySrc.as("a").join(bySrc.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // token counting: whitespace + BPE-ish (oracle-checked)
     "d02_token_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1775,6 +1799,23 @@ object OpsQueries {
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // identical mirror planting + the (fp, source)-grain self-join
+    "d37_source_overlap" -> """
+      WITH m AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' AS source, text FROM documents WHERE doc_id < 100),
+      fps AS (
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+               source, COUNT(*) AS n
+        FROM m GROUP BY 1, 2)
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS n_shared_fps
+      FROM fps a JOIN fps b
+        ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
     "d02_token_stats" -> """
       SELECT doc_id,

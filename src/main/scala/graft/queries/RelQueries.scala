@@ -891,6 +891,29 @@ object RelQueries {
         .orderBy("node")
     }),
 
+    // incremental JOIN-view maintenance (the join companion to q51's
+    // incremental aggregate): orders x customer split into old
+    // snapshot + append deltas on both sides; the maintained view
+    // V ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB must equal the full recompute, which
+    // is exactly what the oracle runs. Work is |Δ|-proportional —
+    // the old view is never re-joined.
+    "q63_incremental_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cc = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (oOld, oDelta) = (o.filter(col("o_orderkey") % 10 =!= 0),
+        o.filter(col("o_orderkey") % 10 === 0))
+      val (cOld, cDelta) = (cc.filter(col("o_custkey") % 20 =!= 0),
+        cc.filter(col("o_custkey") % 20 === 0))
+      val view = oOld.join(cOld, Seq("o_custkey"))
+      Relational.incrementalJoin(view, oOld, oDelta, cOld, cDelta,
+          "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("c_mktsegment"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // market-basket association rules: part pairs co-occurring in >= 3
     // orders, with support and lift — the frequent-itemset family.
     // The pair generation is keyed on the order (fan-out bounded by
@@ -1821,6 +1844,13 @@ object RelQueries {
         WHERE w.hop < 3)
       SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
       ORDER BY node""",
+
+    // the full recompute the incremental view must equal
+    "q63_incremental_join" -> """
+      SELECT o_orderkey, o_custkey, c_mktsegment,
+             ROUND(o_totalprice, 2) AS price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
 
     // same pair generation + support joins; lift cast once from the
     // integer product, matching the engine's expression

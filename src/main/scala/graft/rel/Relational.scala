@@ -59,6 +59,27 @@ object Relational {
       .drop("below")
   }
 
+  /** Incremental (delta) maintenance of an INNER-join materialized
+    * view under append-only deltas — the join companion to q51's
+    * incremental aggregate maintenance:
+    *
+    *   V' = V ∪ (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * where A/B are the OLD snapshots (the standard delta-rule
+    * derivation: the new-join cross terms expand to exactly these
+    * three, each delta row pairing once). At scale only the
+    * delta-sided joins execute — work proportional to |Δ|, never a
+    * recompute of A ⋈ B; with A/B bucketed on the key the delta
+    * probes are co-located and the old view is append-only storage.
+    */
+  def incrementalJoin(view: DataFrame, aOld: DataFrame, aDelta: DataFrame,
+                      bOld: DataFrame, bDelta: DataFrame,
+                      key: String): DataFrame =
+    view
+      .unionByName(aDelta.join(bOld, Seq(key)))
+      .unionByName(aOld.join(bDelta, Seq(key)))
+      .unionByName(aDelta.join(bDelta, Seq(key)))
+
   /** Chained full outer join on a shared key (reference J1,
     * `Method_code.Rmd:466-469`: `reduce(full_join, by='state')`).
     * 51-vs-49-key asymmetry yields nulls, exactly as the reference.

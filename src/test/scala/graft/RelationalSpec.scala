@@ -321,4 +321,23 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(solo == ((1L, 1L)))
   }
+
+  test("incrementalJoin delta rule equals the full recompute, " +
+      "including delta-delta matches and keys new on both sides") {
+    // key 5 exists ONLY in the deltas — the ΔA⋈ΔB term must catch it
+    val aOld = Seq((1, "a1"), (2, "a2"), (3, "a3")).toDF("k", "av")
+    val aDel = Seq((2, "a2d"), (5, "a5d")).toDF("k", "av")
+    val bOld = Seq((1, "b1"), (2, "b2"), (4, "b4")).toDF("k", "bv")
+    val bDel = Seq((3, "b3d"), (5, "b5d")).toDF("k", "bv")
+    val view = aOld.join(bOld, Seq("k"))
+    val maintained = Relational.incrementalJoin(view, aOld, aDel,
+        bOld, bDel, "k")
+      .as[(Int, String, String)].collect().sorted.toSeq
+    val recompute = aOld.unionByName(aDel)
+      .join(bOld.unionByName(bDel), Seq("k"))
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(maintained == recompute)
+    // the delta-only key made it in
+    assert(maintained.contains((5, "a5d", "b5d")))
+  }
 }
