@@ -196,6 +196,16 @@ object StatQueries {
         .orderBy("seg")
     }),
 
+    // Kish design effect + effective sample size per state — the
+    // "what did the weighting cost" diagnostic attached to m04's
+    // design-based estimates; scale cancels in the ratio. Oracle
+    // replays both variances verbatim from one grouped pass.
+    "m17_design_effect" -> ((s, dir) =>
+      Survey.designEffect(smallSurvey(s, dir), "state", "y", "weight")
+        .select(col("state"), col("n"), round(col("deff"), 6).as("deff"),
+          round(col("n_eff"), 4).as("n_eff"))
+        .orderBy("state")),
+
     // Gini concentration index of positive balances per segment — the
     // classic inequality measure of the survey-stats domain, computed
     // from Relational.scalableRank (no per-segment window sort):
@@ -450,6 +460,35 @@ object StatQueries {
                             * fpc * s2 / n_h)), 6)
       FROM parts CROSS JOIN tot
       ORDER BY seg""",
+
+    // one grouped pass; both variances as explicit sums, scale-free
+    "m17_design_effect" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      sums AS (
+        SELECT state, SUM(y * w) AS swy, SUM(w) AS sw,
+               SUM(w * w * y * y) AS swwyy, SUM(w * w * y) AS swwy,
+               SUM(w * w) AS sww, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(y) AS sy, SUM(y * y) AS syy
+        FROM small GROUP BY state),
+      d AS (
+        SELECT state, n,
+               (n / (n - 1.0))
+                 * (swwyy - 2.0 * (swy / sw) * swwy
+                    + (swy / sw) * (swy / sw) * sww) / (sw * sw)
+                 AS vdesign,
+               (syy - sy * sy / n) / (n - 1.0) AS s2
+        FROM sums)
+      SELECT state, CAST(n AS BIGINT) AS n,
+             ROUND(vdesign / (s2 / n), 6) AS deff,
+             ROUND(n / (vdesign / (s2 / n)), 4) AS n_eff
+      FROM d ORDER BY state""",
 
     // same formula over row_number ordered by (bal, id); tie blocks
     // make the intra-tie order irrelevant

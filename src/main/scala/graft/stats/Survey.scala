@@ -191,6 +191,40 @@ object Survey {
           col("est_total"), sqrt(col("v")).as("se")))
   }
 
+  /** Design effect (Kish): DEFF = Var_design(mean) / Var_SRS(mean)
+    * per group, plus the effective sample size n/DEFF — the standard
+    * "how much did the weighting cost me" diagnostic attached to any
+    * [[weightedMeanSE]] estimate. Var_design is the same linearized
+    * form as weightedMeanSE (scale cancels in the ratio, so none is
+    * applied); Var_SRS = s2/n with the explicit sum-of-squares s2 so
+    * the oracle replays the identical float expression. ONE grouped
+    * pass computes every sum.
+    */
+  def designEffect(df: DataFrame, groupCol: String, yCol: String,
+                   wCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val w = col(wCol).cast("double")
+    df.filter(y.isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        sum(y * w).as("swy"), sum(w).as("sw"),
+        sum(w * w * y * y).as("swwyy"), sum(w * w * y).as("swwy"),
+        sum(w * w).as("sww"), count(lit(1)).cast("double").as("n"),
+        sum(y).as("sy"), sum(y * y).as("syy"))
+      .withColumn("mu", col("swy") / col("sw"))
+      .withColumn("vdesign",
+        (col("n") / (col("n") - lit(1.0))) *
+          (col("swwyy") - lit(2.0) * col("mu") * col("swwy")
+            + col("mu") * col("mu") * col("sww"))
+          / (col("sw") * col("sw")))
+      .withColumn("s2",
+        (col("syy") - col("sy") * col("sy") / col("n"))
+          / (col("n") - lit(1.0)))
+      .withColumn("deff", col("vdesign") / (col("s2") / col("n")))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("deff"), (col("n") / col("deff")).as("n_eff"))
+  }
+
   def weightedMeanSE(df: DataFrame, groupCol: String, yCol: String,
                      wCol: String, scale: Double = 1.0): DataFrame = {
     val y = col(yCol).cast("double")
