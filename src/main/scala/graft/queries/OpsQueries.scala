@@ -330,6 +330,39 @@ object OpsQueries {
           col("nbr_id"), col("nbr_lbl"), round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")),
 
+    // cluster-quality eval: simplified (centroid) silhouette per label
+    // — a_i = distance to own centroid, b_i = distance to the nearest
+    // OTHER centroid, s_i = (b-a)/max(a,b), averaged per label. The
+    // centroid components are ROUNDED to 6dp first (the s05 lesson:
+    // rounded means are the cross-engine-stable representation), so
+    // the per-point distance folds start from identical doubles in
+    // both engines. Scale shape: centroids are one VectorSum pass;
+    // scoring is a broadcast of the 20x64 codebook over a narrow map
+    // — the corpus never shuffles.
+    "s14_silhouette" -> ((s, dir) => {
+      graft.functions.VectorSum.register(s)
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = e.groupBy(col("label").as("clbl"))
+        .agg(graft.functions.VectorSum.vecSum(col("v")).as("vs"),
+          count(lit(1)).as("cn"))
+        .select(col("clbl"),
+          transform(col("vs"), x => round(x / col("cn"), 6)).as("cv"))
+      val dists = e.crossJoin(broadcast(cents))
+        .withColumn("dist", sqrt(aggregate(
+          zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)))
+      val ab = dists.groupBy("vec_id", "label")
+        .agg(min(when(col("clbl") === col("label"), col("dist"))).as("a"),
+          min(when(col("clbl") =!= col("label"), col("dist"))).as("b"))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      ab.groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("sil"), 6).as("mean_sil"))
+        .orderBy("label")
+    }),
+
     // audio pipeline on REAL decoded PCM samples: synthesize a WAV per
     // doc -> rms / zero-crossings / energy profile from the samples
     "mm03_audio" -> ((s, dir) => {
@@ -2174,6 +2207,37 @@ object OpsQueries {
                    CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.label <> c.label)
       WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // rounded centroids like s05, explicit squared-difference fold
+    // (sequential like the engine's aggregate), min over other labels
+    "s14_silhouette" -> """
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      x AS (
+        SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS val
+        FROM e),
+      n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+      cl AS (
+        SELECT x.label AS clbl, x.i, ROUND(SUM(x.val) / n.n, 6) AS cval
+        FROM x JOIN n USING (label) GROUP BY x.label, n.n, x.i),
+      cents AS (
+        SELECT clbl, list(cval ORDER BY i) AS cv FROM cl GROUP BY clbl),
+      d AS (
+        SELECT e.vec_id, e.label, c.clbl,
+               SQRT(list_sum(list_transform(range(1, 65), i ->
+                 (v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                 * (v[CAST(i AS INT)] - cv[CAST(i AS INT)])))) AS dist
+        FROM e CROSS JOIN cents c),
+      ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clbl = label THEN dist END) AS a,
+               MIN(CASE WHEN clbl <> label THEN dist END) AS b
+        FROM d GROUP BY vec_id, label)
+      SELECT label, COUNT(*) AS n,
+             ROUND(AVG(CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0
+                       ELSE (b - a) / GREATEST(a, b) END), 6) AS mean_sil
+      FROM ab GROUP BY label ORDER BY label""",
 
     "s05_label_centroids" -> """
       WITH e AS (

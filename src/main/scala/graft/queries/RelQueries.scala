@@ -891,6 +891,39 @@ object RelQueries {
         .orderBy("node")
     }),
 
+    // last-click attribution: each purchase credits the user's most
+    // recent click at-or-before it, IF that click is within 24h;
+    // campaigns derive from the click's props. Rides the asofJoin
+    // machinery (one user-keyed union window, no range join) with the
+    // click's (ts, campaign) packed as the ordered struct value, so
+    // equal-ts resolution stays deterministic. The oracle's LATERAL
+    // top-1 is equivalent because the latest at-or-before click is in
+    // the 24h window iff any candidate is.
+    "q64_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val ev = events(s, dir).withColumn("k",
+        from_json(col("props"), new StructType().add("k", LongType))
+          .getField("k"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("k").as("camp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val att = Relational.asofJoin(purchases, clicks, "user_id", "ts",
+          struct(unix_micros(col("ts")).as("cts"),
+            pmod(col("camp"), lit(5)).as("camp")),
+          as = "lc")
+        .withColumn("campaign",
+          when(col("lc").isNotNull &&
+            unix_micros(col("ts")) - col("lc.cts") <= 86400000000L,
+            concat(lit("camp_"), col("lc.camp")))
+          .otherwise(lit("organic")))
+      att.groupBy("campaign")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("revenue"))
+        .orderBy("campaign")
+    }),
+
     // incremental JOIN-view maintenance (the join companion to q51's
     // incremental aggregate): orders x customer split into old
     // snapshot + append deltas on both sides; the maintained view
@@ -1844,6 +1877,32 @@ object RelQueries {
         WHERE w.hop < 3)
       SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
       ORDER BY node""",
+
+    // LATERAL top-1 last click per purchase — equivalent to the
+    // engine's asof+window form because the latest at-or-before click
+    // is inside the 24h window iff any candidate is; same
+    // (ts, campaign) DESC tie resolution
+    "q64_attribution" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               event_type, value,
+               CAST(props->>'k' AS BIGINT) % 5 AS camp
+        FROM events),
+      c AS (SELECT user_id, tus, camp FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, tus, value FROM e
+            WHERE event_type = 'purchase'),
+      a AS (
+        SELECT p.value,
+               CASE WHEN c2.tus IS NOT NULL
+                     AND p.tus - c2.tus <= 86400000000
+                    THEN 'camp_' || c2.camp ELSE 'organic' END AS campaign
+        FROM p LEFT JOIN LATERAL (
+          SELECT c.tus, c.camp FROM c
+          WHERE c.user_id = p.user_id AND c.tus <= p.tus
+          ORDER BY c.tus DESC, c.camp DESC LIMIT 1) c2 ON TRUE)
+      SELECT campaign, COUNT(*) AS n_purchases,
+             ROUND(SUM(value), 4) AS revenue
+      FROM a GROUP BY 1 ORDER BY campaign""",
 
     // the full recompute the incremental view must equal
     "q63_incremental_join" -> """
