@@ -67,6 +67,35 @@ object OpsQueries {
         .orderBy("keep_id")
         .select("fp", "keep_id", "n_dups")),
 
+    // truncation-duplicate detection: crawls routinely carry the same
+    // page cut at different lengths, which byte-exact dedup (d01)
+    // cannot see. Key = the first 60 chars of the NORMALIZED text
+    // (md5'd so only 8-byte keys shuffle); groups with > 1 distinct
+    // length are truncation families, keeper = longest text, ties by
+    // lowest id. The harness corpus has no truncation dups, so the
+    // query plants 80-char cuts of the first 50 docs (id+100000); the
+    // oracle plants the identical cuts.
+    "d38_prefix_dup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val cuts = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          substring(col("text"), 1, 80).as("text"))
+      val all = d.unionByName(cuts)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          md5(substring(TextAnalysis.normalized(col("text")), 1, 60))
+            .as("pfx"))
+      all.groupBy("pfx")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("len")).as("n_lens"),
+          max(struct(col("len").as("len"),
+            (-col("doc_id")).as("nid"))).as("m"),
+          min("doc_id").as("first_id"))
+        .filter(col("n_docs") > 1)
+        .select(col("pfx"), col("n_docs"), col("n_lens"),
+          (-col("m.nid")).as("keep_id"), col("first_id"))
+        .orderBy("first_id")
+    }),
+
     // cross-source duplicate overlap matrix — the "how much of source
     // A is already in source B" measurement that decides which crawl
     // to keep (the harness corpus has no cross-source dups, so the
@@ -1832,6 +1861,32 @@ object OpsQueries {
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // identical cut planting; keeper replayed as the (len DESC, id)
+    // top-1 window
+    "d38_prefix_dup" -> """
+      WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, substr(text, 1, 80)
+        FROM documents WHERE doc_id < 50),
+      p AS (
+        SELECT doc_id, length(text) AS len,
+               md5(substr(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), 1, 60))
+                 AS pfx
+        FROM d),
+      g AS (SELECT pfx, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT len) AS n_lens,
+                   MIN(doc_id) AS first_id
+            FROM p GROUP BY 1),
+      k AS (SELECT pfx, doc_id AS keep_id FROM (
+              SELECT pfx, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY pfx ORDER BY len DESC, doc_id) AS rn
+              FROM p) WHERE rn = 1)
+      SELECT g.pfx, g.n_docs, g.n_lens, k.keep_id, g.first_id
+      FROM g JOIN k USING (pfx)
+      WHERE g.n_docs > 1 ORDER BY g.first_id""",
 
     // identical mirror planting + the (fp, source)-grain self-join
     "d37_source_overlap" -> """

@@ -228,6 +228,34 @@ object StatQueries {
         .orderBy("seg")
     }),
 
+    // Lorenz decile shares per segment — the distributional detail
+    // behind m16's single Gini number: which tenth of customers holds
+    // which share of the balance mass. Deciles come from the same
+    // sort-free distributed rank + ntile integer arithmetic (d35);
+    // shares divide two per-segment sums of ROUNDED balances.
+    "m18_decile_shares" -> ((s, dir) => {
+      val base = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .filter(col("bal") > 0)
+      val ranked = graft.rel.Relational
+        .scalableRank(base, "seg", "bal", "c_custkey")
+        .withColumn("q", expr("n_group div 10"))
+        .withColumn("r", expr("n_group % 10"))
+        .withColumn("big", (col("q") + 1) * col("r"))
+        .withColumn("decile",
+          when(col("rank") <= col("big"),
+            expr("(rank - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rank - big - 1) div q + 1")).cast("int"))
+      val tot = ranked.groupBy("seg").agg(sum("bal").as("tot"))
+      ranked.groupBy("seg", "decile")
+        .agg(count(lit(1)).as("n"), sum("bal").as("dsum"))
+        .join(broadcast(tot), Seq("seg"))
+        .select(col("seg"), col("decile"), col("n"),
+          round(col("dsum") / col("tot"), 6).as("share"))
+        .orderBy("seg", "decile")
+    }),
+
     // Horvitz–Thompson totals under Poisson sampling with UNEQUAL
     // segment-dependent inclusion probabilities (the third
     // design-based estimator next to m04's svymean and m14's
@@ -506,6 +534,24 @@ object StatQueries {
              ROUND(2.0 * SUM(rank * bal) / (COUNT(*) * SUM(bal))
                - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
       FROM r GROUP BY seg ORDER BY seg""",
+
+    // native ntile(10) over (bal, id) must equal the engine's integer
+    // decile arithmetic; shares from the same two sums
+    "m18_decile_shares" -> """
+      WITH base AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS bal
+        FROM customer WHERE ROUND(c_acctbal, 2) > 0),
+      r AS (
+        SELECT seg, bal,
+               CAST(ntile(10) OVER (PARTITION BY seg
+                 ORDER BY bal, c_custkey) AS INT) AS decile
+        FROM base),
+      t AS (SELECT seg, SUM(bal) AS tot FROM r GROUP BY 1)
+      SELECT r.seg, r.decile, COUNT(*) AS n,
+             ROUND(SUM(r.bal) / MAX(t.tot), 6) AS share
+      FROM r JOIN t ON r.seg = t.seg
+      GROUP BY r.seg, r.decile ORDER BY r.seg, r.decile""",
 
     // md5-draw inclusion + HT arithmetic replayed; the ALL row sums
     // the per-group sums (same float association as the engine)
