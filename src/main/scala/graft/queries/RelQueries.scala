@@ -924,6 +924,38 @@ object RelQueries {
         .orderBy("campaign")
     }),
 
+    // conversion-latency percentiles per campaign: how long between
+    // the attributed click (q64's asof machinery) and the purchase —
+    // p50/p90 via the distributed exact-percentile selection (q24's
+    // operator), so no per-campaign value list ever materializes.
+    // Latencies are exact integer micros, so the cross-engine linear
+    // interpolation starts from identical doubles.
+    "q65_conversion_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val ev = events(s, dir).withColumn("k",
+        from_json(col("props"), new StructType().add("k", LongType))
+          .getField("k"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("k").as("camp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val att = Relational.asofJoin(purchases, clicks, "user_id", "ts",
+          struct(unix_micros(col("ts")).as("cts"),
+            pmod(col("camp"), lit(5)).as("camp")),
+          as = "lc")
+        .withColumn("lat", unix_micros(col("ts")) - col("lc.cts"))
+        .filter(col("lc").isNotNull && col("lat") <= 86400000000L)
+        .select(concat(lit("camp_"), col("lc.camp")).as("campaign"),
+          col("lat"))
+      val counts = att.groupBy("campaign").agg(count(lit(1)).as("n"))
+      graft.ops.Percentiles.exact(att, "campaign", "lat",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .join(broadcast(counts), Seq("campaign"))
+        .select(col("campaign"), col("n"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+        .orderBy("campaign")
+    }),
+
     // incremental JOIN-view maintenance (the join companion to q51's
     // incremental aggregate): orders x customer split into old
     // snapshot + append deltas on both sides; the maintained view
@@ -1902,6 +1934,27 @@ object RelQueries {
           ORDER BY c.tus DESC, c.camp DESC LIMIT 1) c2 ON TRUE)
       SELECT campaign, COUNT(*) AS n_purchases,
              ROUND(SUM(value), 4) AS revenue
+      FROM a GROUP BY 1 ORDER BY campaign""",
+
+    // q64's LATERAL attribution restricted to in-window conversions;
+    // quantile_cont matches the engine's linear interpolation
+    "q65_conversion_latency" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               event_type, CAST(props->>'k' AS BIGINT) % 5 AS camp
+        FROM events),
+      c AS (SELECT user_id, tus, camp FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, tus FROM e WHERE event_type = 'purchase'),
+      a AS (
+        SELECT 'camp_' || c2.camp AS campaign, p.tus - c2.tus AS lat
+        FROM p JOIN LATERAL (
+          SELECT c.tus, c.camp FROM c
+          WHERE c.user_id = p.user_id AND c.tus <= p.tus
+          ORDER BY c.tus DESC, c.camp DESC LIMIT 1) c2 ON TRUE
+        WHERE p.tus - c2.tus <= 86400000000)
+      SELECT campaign, COUNT(*) AS n,
+             ROUND(quantile_cont(CAST(lat AS DOUBLE), 0.5), 4) AS p50,
+             ROUND(quantile_cont(CAST(lat AS DOUBLE), 0.9), 4) AS p90
       FROM a GROUP BY 1 ORDER BY campaign""",
 
     // the full recompute the incremental view must equal

@@ -228,6 +228,28 @@ object StatQueries {
         .orderBy("seg")
     }),
 
+    // design-based ratio estimator (price per weighted urgency unit,
+    // y = totalprice/1000, x = 1 + urgent indicator): the survey
+    // classic whose x = 1 case is m04's svymean; linearized variance
+    // from one grouped pass, oracle replays every sum verbatim.
+    "m19_ratio_estimator" -> ((s, dir) => {
+      val withXY = graft.Tables(s, dir, "orders")
+        .join(graft.Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(graft.Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("state"),
+          (col("o_totalprice") / 1000.0).as("yy"),
+          (lit(1.0) + when(col("o_orderpriority") === "1-URGENT", 1.0)
+            .otherwise(0.0)).as("xx"),
+          (lit(1.0) + pmod(col("o_custkey"), lit(3)).cast("double"))
+            .as("weight"))
+      Survey.ratioEstimator(withXY, "state", "yy", "xx", "weight")
+        .select(col("state"), col("n"),
+          round(col("ratio"), 6).as("ratio"), round(col("se"), 6).as("se"))
+        .orderBy("state")
+    }),
+
     // Lorenz decile shares per segment — the distributional detail
     // behind m16's single Gini number: which tenth of customers holds
     // which share of the balance mass. Deciles come from the same
@@ -534,6 +556,31 @@ object StatQueries {
              ROUND(2.0 * SUM(rank * bal) / (COUNT(*) * SUM(bal))
                - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
       FROM r GROUP BY seg ORDER BY seg""",
+
+    // every sum replayed verbatim; same expansion of the linearized
+    // variance, r computed once
+    "m19_ratio_estimator" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               o_totalprice / 1000.0 AS y,
+               1.0 + CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1.0 ELSE 0.0 END AS x,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      sums AS (
+        SELECT state, SUM(y * w) AS swy, SUM(x * w) AS swx,
+               SUM(w * w * y * y) AS swwyy, SUM(w * w * x * y) AS swwxy,
+               SUM(w * w * x * x) AS swwxx, COUNT(*) AS n
+        FROM small GROUP BY state),
+      d AS (SELECT state, n, swy / swx AS r, swx, swwyy, swwxy, swwxx
+            FROM sums)
+      SELECT state, n, ROUND(r, 6) AS ratio,
+             ROUND(SQRT((n / (n - 1.0))
+               * (swwyy - 2.0 * r * swwxy + r * r * swwxx)
+               / (swx * swx)), 6) AS se
+      FROM d ORDER BY state""",
 
     // native ntile(10) over (bal, id) must equal the engine's integer
     // decile arithmetic; shares from the same two sums

@@ -225,6 +225,36 @@ object Survey {
         col("deff"), (col("n") / col("deff")).as("n_eff"))
   }
 
+  /** Design-based RATIO estimator R = sum(wy)/sum(wx) with the
+    * linearized (Taylor) variance — the survey classic for "y per x"
+    * quantities (income per household member, price per unit):
+    *
+    *   V(R) = n/(n-1) * sum(w^2 (y - R x)^2) / (sum wx)^2
+    *
+    * expanded algebraically (sum w2y2 - 2R sum w2xy + R^2 sum w2x2)
+    * so ONE grouped pass computes everything — same single-shuffle
+    * shape as [[weightedMeanSE]], which is the x = 1 special case.
+    */
+  def ratioEstimator(df: DataFrame, groupCol: String, yCol: String,
+                     xCol: String, wCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    val w = col(wCol).cast("double")
+    df.filter(y.isNotNull && x.isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        sum(y * w).as("swy"), sum(x * w).as("swx"),
+        sum(w * w * y * y).as("swwyy"), sum(w * w * x * y).as("swwxy"),
+        sum(w * w * x * x).as("swwxx"), count(lit(1)).as("n"))
+      .withColumn("r", col("swy") / col("swx"))
+      .select(
+        col(groupCol), col("n"), col("r").as("ratio"),
+        sqrt((col("n") / (col("n") - lit(1.0))) *
+          (col("swwyy") - lit(2.0) * col("r") * col("swwxy")
+            + col("r") * col("r") * col("swwxx"))
+          / (col("swx") * col("swx"))).as("se"))
+  }
+
   def weightedMeanSE(df: DataFrame, groupCol: String, yCol: String,
                      wCol: String, scale: Double = 1.0): DataFrame = {
     val y = col(yCol).cast("double")
