@@ -67,6 +67,29 @@ object OpsQueries {
         .orderBy("keep_id")
         .select("fp", "keep_id", "n_dups")),
 
+    // differentially-private count release (Laplace mechanism): per-
+    // source doc counts + Laplace(sensitivity/eps) noise, clamped at 0
+    // (post-processing preserves DP). The noise draw is CONTENT-KEYED
+    // (md5 of the source + salt -> inverse CDF) so the release is
+    // reproducible and the oracle replays it exactly — production
+    // swaps the seeded uniform for a secure RNG; the MECHANISM
+    // (sensitivity-1 count, b = 1/eps, clamp) is the real thing.
+    "d39_dp_counts" -> ((s, dir) => {
+      val eps = 1.0
+      val b = 1.0 / eps
+      val u = TextAnalysis.hashUniform(col("source"), "dp")
+      docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("u", u)
+        .withColumn("noise",
+          when(col("u") < 0.5, lit(b) * log(lit(2.0) * col("u")))
+            .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - col("u")))))
+        .select(col("source"),
+          round(greatest(lit(0.0), col("n") + col("noise")), 4)
+            .as("noisy_n"),
+          lit(eps).as("epsilon"))
+        .orderBy("source")
+    }),
+
     // truncation-duplicate detection: crawls routinely carry the same
     // page cut at different lengths, which byte-exact dedup (d01)
     // cannot see. Key = the first 60 chars of the NORMALIZED text
@@ -1861,6 +1884,23 @@ object OpsQueries {
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // identical md5-seeded uniform -> Laplace inverse CDF -> clamp
+    "d39_dp_counts" -> """
+      WITH c AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(source || 'dp'), CAST(i AS INT), 1)) - 1)
+                 * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 AS u
+        FROM documents GROUP BY source)
+      SELECT source,
+             ROUND(GREATEST(0.0, n + CASE WHEN u < 0.5
+                    THEN 1.0 * ln(2.0 * u)
+                    ELSE -(1.0 * ln(2.0 * (1.0 - u))) END), 4)
+               AS noisy_n,
+             1.0 AS epsilon
+      FROM c ORDER BY source""",
 
     // identical cut planting; keeper replayed as the (len DESC, id)
     // top-1 window
