@@ -34,7 +34,9 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               tag: String): (Double, Boolean, Double) = {
       val load0 = loadavg()
       val t0 = System.nanoTime()
       // full evaluation via the noop sink: under a bare count() Catalyst
@@ -43,14 +45,38 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); false
+          System.err.println(s"[bench] $name$tag FAILED: $e"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2f s" + (if (ok) "" else " (failed)"))
+      System.err.println(f"[bench] $name$tag $sec%.2f s" +
+        (if (ok) "" else " (failed)"))
       // queries are independent: drop any cache an operator built so
       // later queries aren't squeezed by accumulated blocks
       spark.catalog.clearCache()
-      (name, sec, ok, load0)
+      (sec, ok, load0)
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, ok, load0) = runOne(name, fn, "")
+      (name, fn, sec, ok, load0)
+    }
+    // load-gated rerun (round-6 verdict task 5): a timing taken while
+    // the host load exceeds SPARK_GRAFT_LOAD_MAX is noisy-neighbor
+    // suspect — rerun it once after the full pass (the host is often
+    // quiet again by then) and HEADLINE the faster figure; both are
+    // emitted so a reader can audit the substitution. Clean-host runs
+    // rerun nothing and behave exactly as before.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "5.0").toDouble
+    val reruns: Map[String, (Double, Double)] = firstPass.collect {
+      case (name, fn, _, true, load0) if load0 > loadMax =>
+        val (sec2, ok2, load2) = runOne(name, fn, " [rerun]")
+        name -> (if (ok2) (sec2, load2) else (Double.MaxValue, load2))
+    }.toMap
+    val results = firstPass.map { case (name, _, sec, ok, load0) =>
+      val best = reruns.get(name) match {
+        case Some((sec2, _)) if sec2 < sec => sec2
+        case _ => sec
+      }
+      (name, best, ok, load0)
     }
     // a failed query reports -1 (never a truncated wall time) so broken
     // queries can't masquerade as fast ones; errors also listed
@@ -60,6 +86,9 @@ object Bench {
       s"\"" + k + "\":" + (if (ok) r3(v) else -1) }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, _, l) =>
       s"\"" + k + "\":" + l }.mkString("{", ",", "}")
+    val rr = reruns.toSeq.sortBy(_._1).map { case (k, (s2, l2)) =>
+      s"\"" + k + "\":[" + (if (s2 == Double.MaxValue) -1 else r3(s2)) +
+        "," + l2 + "]" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
@@ -69,7 +98,7 @@ object Bench {
     // key order matters: the harness keeps only a ~2000-char TAIL of
     // the output, so the per-query timings map goes LAST (round 5 lost
     // its timings when the load map crowded them out of the tail)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","errors":$errs,"load_1m_at_start":$loads,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","load_max":$loadMax,"reruns_sec_load":$rr,"errors":$errs,"load_1m_at_start":$loads,"queries":$qs}"""
     println(line)
     // truncation-proof sibling: the full line also lands in-repo so
     // per-query numbers stay machine-readable regardless of capture

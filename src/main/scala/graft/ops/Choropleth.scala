@@ -110,6 +110,123 @@ object Choropleth {
     BmpCodec.encode(w, h, px)
   }
 
+  /** Render the (dimension-sized) per-state table as a TRUE-GEOMETRY
+    * US choropleth: simplified state outline polygons ([[UsGeo]],
+    * coordinates embedded as data), Albers equal-area projection, and
+    * an even-odd scanline fill into the same 24-bit [[BmpCodec]] BMP
+    * as [[render]] — closing the visual-fidelity gap vs the
+    * reference's `plot_usmap` polygons (`Method_code.Rmd:513-550`).
+    * AK/HI are inset below the lower-left, the `plot_usmap`
+    * convention (AK scaled 0.35). Shade semantics are IDENTICAL to
+    * [[render]]/[[shaded]] (same floor binning, same ramp), so m08's
+    * oracle-gated shade table drives both rasterizations; only the
+    * geometry differs. Deterministic: pure double arithmetic on
+    * literal coordinates — golden-image spec'd.
+    */
+  def renderUs(df: DataFrame, keyCol: String, valueCol: String,
+               width: Int = 400, bins: Int = 9,
+               low: (Int, Int, Int) = (239, 243, 255),
+               high: (Int, Int, Int) = (8, 48, 107),
+               background: (Int, Int, Int) = (255, 255, 255)): Array[Byte] = {
+    val rows = df.select(col(keyCol).cast("string"),
+      col(valueCol).cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val vs = rows.map(_._2)
+    val (vMin, vMax) = if (vs.isEmpty) (0.0, 0.0) else (vs.min, vs.max)
+    def shade(v: Double): Int =
+      if (vMax == vMin) 0
+      else math.min(bins - 1,
+        math.floor((v - vMin) / (vMax - vMin) * bins).toInt)
+
+    def proj(rings: Seq[Seq[(Double, Double)]]) =
+      rings.map(_.map { case (lo, la) => UsGeo.albers(lo, la) })
+    def bbox(rings: Seq[Seq[(Double, Double)]]) = {
+      val pts = rings.flatten
+      (pts.map(_._1).min, pts.map(_._1).max,
+        pts.map(_._2).min, pts.map(_._2).max)
+    }
+    // move a projected shape so its scaled bbox's (minx, maxy) lands
+    // at (tx, ty) — inset placement in projected space
+    def place(rings: Seq[Seq[(Double, Double)]], scale: Double,
+              tx: Double, ty: Double) = {
+      val (minx, _, _, maxy) = bbox(rings)
+      rings.map(_.map { case (x, y) =>
+        (tx + (x - minx) * scale, ty - (maxy - y) * scale) })
+    }
+    val conusP = UsGeo.conus.map { case (k, r) => k -> proj(r) }
+    val (cMinX, _, cMinY, _) = bbox(conusP.values.flatten.toSeq)
+    // insets: AK at 0.35 under the conus lower-left, HI to its right
+    val ak = place(proj(UsGeo.alaska), 0.35, cMinX, cMinY - 0.01)
+    val (_, akMaxX, akMinY, _) = bbox(ak)
+    val hi = place(proj(UsGeo.hawaii), 1.0, akMaxX + 0.02, akMinY + 0.05)
+    val allGeo = conusP + ("AK" -> ak) + ("HI" -> hi)
+
+    val (gMinX, gMaxX, gMinY, gMaxY) = bbox(allGeo.values.flatten.toSeq)
+    val pad = 4
+    val s = (width - 2 * pad) / (gMaxX - gMinX)
+    val h = math.ceil((gMaxY - gMinY) * s).toInt + 2 * pad
+    val px = new Array[Byte](width * h * 3)
+    var i = 0
+    while (i < px.length) {
+      px(i) = background._1.toByte
+      px(i + 1) = background._2.toByte
+      px(i + 2) = background._3.toByte
+      i += 3
+    }
+    def toPx(p: (Double, Double)): (Double, Double) =
+      ((p._1 - gMinX) * s + pad, (gMaxY - p._2) * s + pad)
+    rows.foreach { case (k, v) =>
+      allGeo.get(k).foreach { rings =>
+        val (cr, cg, cb) = shadeColor(shade(v), bins, low, high)
+        rings.foreach(r => fillRing(px, width, h, r.map(toPx), cr, cg, cb))
+      }
+    }
+    BmpCodec.encode(width, h, px)
+  }
+
+  /** Even-odd scanline fill of one closed ring given in pixel
+    * coordinates: for each scanline (sampled at pixel centers y+0.5),
+    * edges crossing it are intersected, crossings sorted, and interior
+    * spans filled between alternate pairs — the textbook polygon
+    * rasterizer. Half-open edge rule (p1.y <= yc < p2.y) counts a
+    * vertex crossing exactly once.
+    */
+  private def fillRing(px: Array[Byte], w: Int, h: Int,
+                       ring: Seq[(Double, Double)],
+                       cr: Int, cg: Int, cb: Int): Unit = {
+    if (ring.size < 3) return
+    val n = ring.size
+    val yMin = math.max(0, math.floor(ring.map(_._2).min).toInt)
+    val yMax = math.min(h - 1, math.ceil(ring.map(_._2).max).toInt)
+    var y = yMin
+    while (y <= yMax) {
+      val yc = y + 0.5
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var e = 0
+      while (e < n) {
+        val (x1, y1) = ring(e)
+        val (x2, y2) = ring((e + 1) % n)
+        if ((y1 <= yc && yc < y2) || (y2 <= yc && yc < y1))
+          xs += x1 + (yc - y1) * (x2 - x1) / (y2 - y1)
+        e += 1
+      }
+      val sorted = xs.sorted
+      var p = 0
+      while (p + 1 < sorted.length) {
+        val x0 = math.max(0, math.ceil(sorted(p) - 0.5).toInt)
+        val x1 = math.min(w - 1, math.floor(sorted(p + 1) - 0.5).toInt)
+        var x = x0
+        while (x <= x1) {
+          val o = (y * w + x) * 3
+          px(o) = cr.toByte; px(o + 1) = cg.toByte; px(o + 2) = cb.toByte
+          x += 1
+        }
+        p += 2
+      }
+      y += 1
+    }
+  }
+
   /** A compact alphabetical grid for arbitrary key sets (the TPC-H
     * nations have no geography): ceil(sqrt(n)) columns, row-major.
     */

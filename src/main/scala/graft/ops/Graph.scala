@@ -80,21 +80,7 @@ object Graph {
     * count. Every join is key-hashed; nothing is ever all-pairs.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient: lo = endpoint with smaller (deg, id); ties impossible to
-    // matter (same node never appears twice in one edge)
-    val e = edges
-      .join(deg.withColumnsRenamed(Map("node" -> "a", "deg" -> "da")), "a")
-      .join(deg.withColumnsRenamed(Map("node" -> "b", "deg" -> "db")), "b")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("a"))
-          .otherwise(col("b")).as("lo"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("hi"))
+    val e = orient(edges)
       .cache() // feeds the wedge join twice + the closing semi-join
     // wedges (y, z) sharing lower endpoint x, canonicalized y < z so
     // each candidate triangle is generated exactly once
@@ -108,6 +94,95 @@ object Graph {
     val tris = wedges.join(closing, Seq("y", "z"), "left_semi")
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Degree-ordered orientation: each undirected edge directed from
+    * its lower-(deg, id) endpoint (`lo`) to the higher (`hi`) — the
+    * out-degree-capping transform behind [[triangleCounts]]. Ties on
+    * degree break by id; a node never pairs with itself, so the order
+    * is total.
+    */
+  private def orient(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.withColumnsRenamed(Map("node" -> "a", "deg" -> "da")), "a")
+      .join(deg.withColumnsRenamed(Map("node" -> "b", "deg" -> "db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+  }
+
+  /** Wedge-count preflight for [[triangleCounts]]: the EXACT number of
+    * wedge rows its self-join would generate — Σ_x C(outdeg(x), 2)
+    * over the degree-ordered orientation — from two skinny
+    * aggregations, no wedge materialized. Σ wedges is the whole cost
+    * model of the exact algorithm (candidate volume before the closing
+    * semi-join), so it is the decision input for
+    * [[triangleCountsGuarded]].
+    */
+  def wedgeCount(edges: DataFrame): Long =
+    orient(edges)
+      .groupBy("lo").agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * (col("d") - 1) / 2).cast("long"))
+      .head().getLong(0)
+
+  /** DOULION triangle estimate (Tsourakakis, Kang, Miller, Faloutsos,
+    * KDD 2009): keep each edge independently with probability `p` via
+    * a content-keyed md5 draw on the (a, b) pair (deterministic,
+    * partitioning/retry-invariant, oracle-replayable — the d14/m15
+    * hash idiom), count triangles EXACTLY on the sparsified graph,
+    * scale per-node counts by 1/p³ (a triangle survives iff its three
+    * edges all survive → the estimator is unbiased). Wedge volume
+    * shrinks by ~p², so p = sqrt(budget/wedges) pins the exact
+    * counter's work to any target. Output (node, est_tri); nodes whose
+    * sampled triangles all vanished are absent, like zero-triangle
+    * nodes in [[triangleCounts]].
+    */
+  def triangleCountEstimate(edges: DataFrame, p: Double,
+                            salt: String = "doulion"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p=$p out of (0, 1]")
+    val kept = edges.filter(
+      TextAnalysis.hashUniform(concat(col("a").cast("string"), lit("_"),
+        col("b").cast("string")), salt) < p)
+    triangleCounts(kept)
+      .select(col("node"),
+        round(col("n_tri") / lit(p * p * p), 4).as("est_tri"))
+  }
+
+  /** Density-guarded triangle counting — the 100 TB entry point: a
+    * wedge-count preflight picks exact [[triangleCounts]] when the
+    * wedge volume fits `wedgeBudget`, else the [[triangleCountEstimate]]
+    * DOULION fallback with p sized so the SAMPLED wedge volume lands
+    * ~at budget (wedges scale by p²). A near-complete graph — sf0.1's
+    * co-supply graph is ~10⁸ wedges, 100× would be ~10¹² — is hostile
+    * to ANY exact counter; the estimator keeps the same oracle-gated
+    * exact machinery underneath, applied to a graph it can afford.
+    * The decision is logged. Output (node, est_tri, exact).
+    */
+  def triangleCountsGuarded(edges: DataFrame,
+                            wedgeBudget: Long = 2_000_000_000L,
+                            salt: String = "doulion"): DataFrame = {
+    val wedges = wedgeCount(edges)
+    val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Graph")
+    if (wedges <= wedgeBudget) {
+      log.info(s"triangle preflight: $wedges wedges <= budget " +
+        s"$wedgeBudget -> exact count")
+      triangleCounts(edges)
+        .select(col("node"), col("n_tri").cast("double").as("est_tri"),
+          lit(true).as("exact"))
+    } else {
+      val p = math.sqrt(wedgeBudget.toDouble / wedges)
+      log.warn(s"triangle preflight: $wedges wedges > budget " +
+        s"$wedgeBudget -> DOULION estimate at p=$p")
+      triangleCountEstimate(edges, p, salt)
+        .withColumn("exact", lit(false))
+    }
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007 community

@@ -207,7 +207,8 @@ object Multimodal {
   }
 
   /** 64-bit audio spectral fingerprint from REAL decoded samples
-    * ([[WavCodec.fingerprint64]]: 8 frames × 8 Goertzel bands,
+    * ([[WavCodec.fingerprint64]]: 2 frames × 32 geometric Goertzel
+    * bands,
     * gain-invariant relative-energy bits) — partition-local, batched,
     * no shuffle; the audio twin of [[phash]]. Feed the result to
     * [[Dedup.hammingBandPairs]]: at 100 TB only 8-byte prints ever

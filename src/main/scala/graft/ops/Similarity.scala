@@ -199,12 +199,19 @@ object Similarity {
     * representation that persists / joins downstream.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
+               codebooks: Array[Array[Array[Double]]]): DataFrame =
+    unitized(corpus, idCol, vecCol, "id", "v")
+      .select(col("id"), pqCodeCol(codebooks, col("v")).as("codes"))
+
+  /** The m nearest-centroid codes of a (unit) vector column — argmin
+    * L2 per subspace against dimension-sized literal codebooks; a
+    * narrow per-row expression, nothing shuffles.
+    */
+  private def pqCodeCol(codebooks: Array[Array[Array[Double]]],
+                        v: Column): Column = {
     val sd = codebooks.head.head.length
-    val u = unitized(corpus, idCol, vecCol, "id", "v")
-    val codes = (0 until m).map { s =>
-      val sub = slice(col("v"), s * sd + 1, sd)
+    array(codebooks.indices.map { s =>
+      val sub = slice(v, s * sd + 1, sd)
       val d2 = codebooks(s).map { c =>
         val cLit = array(c.map(lit).toIndexedSeq: _*)
         aggregate(zip_with(sub, cLit, (x, y) => (x - y) * (x - y)),
@@ -212,8 +219,7 @@ object Similarity {
       }
       val darr = array(d2.toIndexedSeq: _*)
       (array_position(darr, array_min(darr)) - 1).cast("int")
-    }
-    u.select(col("id"), array(codes: _*).as("codes"))
+    }: _*)
   }
 
   /** PQ/ADC approximate cosine top-k: corpus scanned as CODES only,
@@ -224,19 +230,37 @@ object Similarity {
     * broadcast crossJoin, but the corpus side is the 32x-compressed
     * code table and scoring never touches a corpus vector. Ranked on
     * the 6dp-ROUNDED score with id tie-break (float-portable, as
-    * everywhere in this file). Exact when every subvector is a
-    * codebook centroid (spec-gated); approximate otherwise — recall
-    * governed by m/kc like any PQ index.
+    * everywhere in this file) through the BOUNDED top-k aggregate
+    * ([[graft.functions.TopKPairs]]) — each map task forwards at most
+    * k entries per query, so the scored candidate volume never crosses
+    * the shuffle (the round-6 verdict's s12 scale fix; the old
+    * row_number window shuffled all N×Q scored rows). Exact when every
+    * subvector is a codebook centroid (spec-gated); approximate
+    * otherwise — recall governed by m/kc like any PQ index.
     */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qIdCol: String, qVecCol: String,
              k: Int, m: Int, kc: Int, sampleSize: Int = 4096,
              iters: Int = 10): DataFrame = {
     val cb = pqTrain(corpus, idCol, vecCol, m, kc, sampleSize, iters)
-    val sd = cb.head.head.length
     val enc = pqEncode(corpus, idCol, vecCol, cb)
       .withColumnRenamed("id", "nbr_id")
-    val qtab = array((0 until m).map { s =>
+    val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
+      .select(col("query_id"), adcTable(cb).as("qtab"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("adc", adcScore(col("codes"), col("qtab")))
+    boundedTopK(scored, col("adc"), k)
+      .select("query_id", "rank", "nbr_id", "adc")
+  }
+
+  /** Per-query ADC lookup table: m × kc dots of each query subvector
+    * against every subspace centroid — computed once per query on the
+    * broadcast side.
+    */
+  private def adcTable(cb: Array[Array[Array[Double]]]): Column = {
+    val sd = cb.head.head.length
+    array(cb.indices.map { s =>
       val qsub = slice(col("qv"), s * sd + 1, sd)
       array(cb(s).map { c =>
         val cLit = array(c.map(lit).toIndexedSeq: _*)
@@ -244,17 +268,89 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x)
       }.toIndexedSeq: _*)
     }: _*)
+  }
+
+  /** ADC score of a code array against a query's lookup table:
+    * m table lookups summed.
+    */
+  private def adcScore(codes: Column, qtab: Column): Column =
+    aggregate(zip_with(codes, qtab,
+      (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
+
+  /** Shared final ranking stage for the ANN paths: bounded per-query
+    * top-k on (ROUND(score, 6) DESC, nbr_id ASC) via the
+    * [[graft.functions.TopKPairs]] aggregate, emitting
+    * (query_id, rank, nbr_id, <score>) with the RAW score value.
+    * Identical kept-set and order to the row_number window it
+    * replaces, without shuffling the scored candidates.
+    */
+  private def boundedTopK(scored: DataFrame, score: Column, k: Int,
+                          as: String = "adc"): DataFrame = {
+    graft.functions.TopKPairs.register(scored.sparkSession)
+    scored.withColumn("__btk_score", score)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topK(round(col("__btk_score"), 6),
+        col("nbr_id").cast("long"), col("__btk_score"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.nbr_id").as("nbr_id"), col("t.score").as(as))
+  }
+
+  /** IVFADC (Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, §V): the configuration PQ actually
+    * runs at corpus scale — [[ivfTopK]]'s coarse cell routing composed
+    * with [[pqTopK]]'s ADC scoring, so a query scores only the
+    * ~nprobe/nlist fraction of the corpus in its probed cells, and
+    * each candidate costs m table lookups over its 32×-compressed
+    * codes, never a corpus vector.
+    *
+    * Deviations from the paper, both deliberate: (1) codes encode the
+    * unit vector itself, not the cell residual, so scoring is the
+    * same inner-product ADC as [[pqTopK]] — at nprobe=nlist the two
+    * are IDENTICAL (spec-gated), which keeps the whole pipeline
+    * anchored to the SQL-checked s12 semantics; (2) ranking rides the
+    * bounded top-k aggregate, so scored candidates never cross the
+    * shuffle (at most k entries per query per map task).
+    *
+    * Plan shape at 100 TB: both quantizers train on one bounded
+    * hash-ordered sample (driver-side, retry-invariant); the corpus
+    * scan computes (cell, codes) in ONE narrow pass; the probe table
+    * (queries × nprobe) broadcasts, so non-probed corpus rows drop at
+    * a broadcast hash join with no corpus shuffle at all; the only
+    * exchange is the k-bounded per-query aggregate.
+    */
+  def ivfadcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int, nlist: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, kc: Int = 16, trainIters: Int = 8,
+                 sampleSize: Int = 4096, pqIters: Int = 10): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
+    // ONE sample feeds both quantizers (coarse cells + PQ codebooks) —
+    // same hash-ordered content key as ivfTopK/pqTopK, so the PQ
+    // codebooks here are bit-identical to pqTopK's at equal params
+    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
+    val cents = trainCentroids(sample, nlist, trainIters)
+    val pq = trainCodebooksL2(sample, m, kc, pqIters)
+    val cbLit = MatVecDots.matrixLit(cents)
+    val c = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
+      .withColumn("dots", MatVecDots.matvec(col("cv"), cbLit))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .select(col("nbr_id"), col("cell"),
+        pqCodeCol(pq, col("cv")).as("codes"))
     val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
-      .select(col("query_id"), qtab.as("qtab"))
-    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("dots", MatVecDots.matvec(col("qv"), cbLit))
+      .withColumn("probes",
+        slice(sort_array(zip_with(col("dots"),
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("i")))), 1, nprobe))
+      .select(col("query_id"), adcTable(pq).as("qtab"),
+        explode(col("probes").getField("i")).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("adc",
-        aggregate(zip_with(col("codes"), col("qtab"),
-          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("adc"), 6).desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .withColumn("adc", adcScore(col("codes"), col("qtab")))
+    boundedTopK(scored, col("adc"), k)
       .select("query_id", "rank", "nbr_id", "adc")
   }
 
@@ -692,32 +788,35 @@ object Similarity {
     *
     * The cluster scoping IS the approximation that makes this scale:
     * candidate pairs are cell-local, so the pair space is
-    * Σ_cells |cell|² instead of N² — SemDeDup sizes k so cells stay
-    * ~10⁴-10⁵ docs at any corpus size (k grows with N). A cross-cell
-    * near-dup pair is missed by design (the paper's recall trade);
-    * pairs the clustering separates are exactly what
-    * [[cosineNearDupLsh]] (d10) catches when full recall matters.
-    * One shuffle keys the self-join by cell; the keeper groupBy
-    * reduces skinny (cell, id, id) rows.
+    * Σ_cells |cell|² instead of N² — SemDeDup (§3) sizes k so cells
+    * stay bounded at any corpus size. k=0 (the default) auto-sizes
+    * k = max(8, ceil(N / targetCellSize)), so k GROWS with the corpus
+    * and expected cell size stays ~targetCellSize; on top of that,
+    * [[semanticCells]]' pair-budget backstop subdivides any cell the
+    * clustering leaves over-cap, bounding total pair volume at
+    * N × cellCap no matter how skewed the cells land. A cross-cell
+    * (or cross-sub-cell) near-dup pair is missed by design (the
+    * paper's recall trade); pairs the clustering separates are
+    * exactly what [[cosineNearDupLsh]] (d10) catches when full recall
+    * matters. One shuffle keys the self-join by (cell, sub); the
+    * keeper groupBy reduces skinny (cell, id, id) rows.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 8, trainIters: Int = 8,
-                    tau: Double = 0.9): DataFrame = {
-    DotProduct.register(corpus.sparkSession)
-    MatVecDots.register(corpus.sparkSession)
-    val cents = kmeansFit(corpus, idCol, vecCol, k, trainIters)
-    val cb = MatVecDots.matrixLit(cents)
-    // cached: feeds both roles of the cell-keyed self-join AND the
-    // final left join (the knnJoin shared-projection pattern)
-    val u = unitized(corpus, idCol, vecCol, "id", "v")
-      .withColumn("dots", MatVecDots.matvec(col("v"), cb))
-      .withColumn("cell",
-        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
-      .drop("dots")
-      .cache()
-    val a = u.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
-    val b = u.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
-    val removed = a.join(b, Seq("cell"))
+                    k: Int = 0, trainIters: Int = 8,
+                    tau: Double = 0.9,
+                    targetCellSize: Int = 4096,
+                    cellCap: Int = 0): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else math.max(8,
+        math.ceil(corpus.count().toDouble / targetCellSize).toInt)
+    val capEff = if (cellCap > 0) cellCap else 4 * targetCellSize
+    val u = semanticCells(corpus, idCol, vecCol, kEff, trainIters, capEff)
+    val a = u.select(col("cell"), col("sub"),
+      col("id").as("a_id"), col("v").as("av"))
+    val b = u.select(col("cell"), col("sub"),
+      col("id").as("b_id"), col("v").as("bv"))
+    val removed = a.join(b, Seq("cell", "sub"))
       .filter(col("b_id") < col("a_id"))
       .withColumn("cos", DotProduct.dotFast(col("av"), col("bv")))
       .filter(round(col("cos"), 6) >= tau)
@@ -726,6 +825,41 @@ object Similarity {
     u.select("id", "cell").join(removed, Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
+  }
+
+  /** Cell assignment for [[semanticDedup]]: nearest k-means centroid
+    * per doc PLUS a per-cell pair-budget backstop (the d08 hot-bucket
+    * guard re-expressed for cells) — any cell larger than `cellCap`
+    * is subdivided into ceil(|cell|/cellCap) sub-cells by a
+    * content-keyed hash of the id (deterministic, partitioning-
+    * invariant), so the cell-keyed self-join's pair volume is bounded:
+    * Σ_(cell,sub) |group|² <= N × cellCap even when the clustering
+    * collapses onto one centroid. Returns (cell, sub, id, v); cells
+    * at-or-under cap keep sub=0. The size lookup is k rows →
+    * broadcast join, never a corpus shuffle; the assigned frame is
+    * cached (it feeds both self-join sides and the final keeper join).
+    */
+  def semanticCells(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, trainIters: Int, cellCap: Int): DataFrame = {
+    require(cellCap > 0, s"cellCap=$cellCap must be positive")
+    DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
+    val cents = kmeansFit(corpus, idCol, vecCol, k, trainIters)
+    val cb = MatVecDots.matrixLit(cents)
+    val assigned = unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("dots", MatVecDots.matvec(col("v"), cb))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .drop("dots")
+      .cache()
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("sub",
+        when(col("__cn") <= cellCap, lit(0))
+          .otherwise(pmod(xxhash64(col("id"), lit("semcell")),
+            ceil(col("__cn").cast("double") / cellCap).cast("long"))
+            .cast("int")))
+      .drop("__cn")
   }
 
   /** Brute-force embedding-cosine threshold join — recall oracle for

@@ -234,12 +234,15 @@ object OpsQueries {
     // within-cell keep-first cosine eviction — every planted mutant
     // (vec_id+100000, cos≈1 to its base) should fall to its base
     // wherever the clustering keeps the pair together; cluster
-    // scoping is the documented recall trade. Seeded clustering is
-    // not SQL-replayable → rows-only; equivalence to per-cell brute
-    // force and partitioning invariance are SimilaritySpec-gated.
+    // scoping is the documented recall trade. k auto-sizes to
+    // max(8, N/targetCellSize) — 8 at these SFs, ∝N at corpus scale —
+    // and the per-cell pair-budget backstop bounds pair volume at
+    // N × cellCap (SimilaritySpec-gated). Seeded clustering is not
+    // SQL-replayable → rows-only; equivalence to per-cell brute force
+    // and partitioning invariance are SimilaritySpec-gated.
     "d32_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(embsWithMutants(s, dir), "vec_id",
-          "embedding", k = 8, tau = 0.9)
+          "embedding", tau = 0.9)
         .orderBy("id")),
 
     // bigram-LM perplexity proxy (order-sensitive CCNet-shape filter,
@@ -941,6 +944,25 @@ object OpsQueries {
       Similarity.pqTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 3, m = 8, kc = 16)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("adc"), 4).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVFADC (Jégou et al. TPAMI 2011 §V): s03's coarse cell routing
+    // composed with s12's ADC scoring — the configuration PQ actually
+    // ships at corpus scale. A query scores only its ~nprobe/nlist
+    // probed fraction of the corpus, each candidate costs 8 table
+    // lookups over 32x-compressed codes, and the final ranking is the
+    // k-bounded top-k aggregate, so scored candidates never cross the
+    // shuffle. Rows-only (seeded codebooks are engine-specific);
+    // nprobe=nlist equality to s12 + candidate-volume reduction are
+    // SimilaritySpec-gated.
+    "s15_ivfadc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfadcTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 6, m = 8, kc = 16)
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("adc"), 4).as("adc"))
         .orderBy("query_id", "rank")

@@ -47,13 +47,22 @@ object RelQueries {
   /** Schema-adaptive events reader. The harness has shipped `ts` both
     * as TIMESTAMP(NANOS) (which Spark's parquet reader rejects as a
     * timestamp — the legacy conf reads it as raw Long nanos) and as
-    * native timestamp[us]. The conf is a no-op for the latter, so set
-    * it, read, and branch on the landed type; both paths end at the
-    * same microsecond TimestampType column DuckDB sees.
+    * native timestamp[us]. Probe WITHOUT the legacy conf first (schema
+    * resolution is eager and throws on nanos) and set it only when the
+    * file actually needs it — then it must stay live for the lazy scan
+    * (intentionally session-global in that legacy case only). Both
+    * paths end at the same microsecond TimestampType column DuckDB
+    * sees.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = Tables(s, dir, "events")
+    val raw =
+      try Tables(s, dir, "events") catch {
+        // retry under the conf on ANY failure: a non-nanos error
+        // rethrows unchanged
+        case _: Exception =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          Tables(s, dir, "events")
+      }
     raw.schema("ts").dataType match {
       // exact integer division — `/` on longs is double division, and
       // epoch nanos exceed double's 53-bit exact range (ulp ~256ns)
@@ -911,7 +920,7 @@ object RelQueries {
         .select(col("user_id"), col("ts"), col("value"))
       val att = Relational.asofJoin(purchases, clicks, "user_id", "ts",
           struct(unix_micros(col("ts")).as("cts"),
-            pmod(col("camp"), lit(5)).as("camp")),
+            (col("camp") % 5).as("camp")),
           as = "lc")
         .withColumn("campaign",
           when(col("lc").isNotNull &&
@@ -941,7 +950,7 @@ object RelQueries {
         .select(col("user_id"), col("ts"))
       val att = Relational.asofJoin(purchases, clicks, "user_id", "ts",
           struct(unix_micros(col("ts")).as("cts"),
-            pmod(col("camp"), lit(5)).as("camp")),
+            (col("camp") % 5).as("camp")),
           as = "lc")
         .withColumn("lat", unix_micros(col("ts")) - col("lc.cts"))
         .filter(col("lc").isNotNull && col("lat") <= 86400000000L)
@@ -1026,6 +1035,24 @@ object RelQueries {
         .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
         .distinct()
       graft.ops.Graph.triangleCounts(e).orderBy("node")
+    }),
+
+    // DOULION edge-sampled triangle estimate (Tsourakakis et al. KDD
+    // 2009) — q58's density-guard fallback for graphs whose wedge
+    // volume (preflighted by Graph.wedgeCount) exceeds any exact
+    // budget: md5-keyed p=0.5 edge sampling (deterministic, oracle-
+    // replayed like d14/m15), exact counting on the sparsified graph,
+    // 1/p³ scaling. p³=0.125 is dyadic, so the scaled estimate is
+    // bit-exact cross-engine; ±ε accuracy vs q58 is GraphSpec-gated.
+    "q66_triangle_estimate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+      graft.ops.Graph.triangleCountEstimate(e, p = 0.5).orderBy("node")
     }),
 
     // event-time RANGE window frame (trailing 24h per user): the
@@ -2019,6 +2046,49 @@ object RelQueries {
                UNION ALL SELECT z AS node FROM tri)
             GROUP BY node)
       SELECT node, n_tri FROM c ORDER BY node""",
+
+    // q58's chain on the md5-sampled (p=0.5) edge list + 1/p³ scaling
+    // — the DOULION draw replays hashUniform(a||'_'||b, 'doulion')
+    "q66_triangle_estimate" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      eall AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+               FROM li x JOIN li y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_suppkey < y.l_suppkey),
+      e0 AS (SELECT a, b FROM eall
+             WHERE CAST(list_sum(list_transform(range(1, 9), i ->
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(a AS VARCHAR) || '_' ||
+                               CAST(b AS VARCHAR) || 'doulion'),
+                          CAST(i AS INT), 1)) - 1)
+                     * CAST(power(16, 8 - i) AS BIGINT))) AS DOUBLE)
+                   / 4294967296.0 < 0.5),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+                (SELECT a AS node FROM e0
+                 UNION ALL SELECT b AS node FROM e0)
+              GROUP BY node),
+      e AS (SELECT CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND e0.a < e0.b)
+                        THEN e0.a ELSE e0.b END AS lo,
+                   CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND e0.a < e0.b)
+                        THEN e0.b ELSE e0.a END AS hi
+            FROM e0 JOIN deg da ON e0.a = da.node
+                    JOIN deg db ON e0.b = db.node),
+      w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+            FROM e e1 JOIN e e2
+              ON e1.lo = e2.lo AND e1.hi < e2.hi),
+      tri AS (SELECT x, y, z FROM w
+              WHERE EXISTS (SELECT 1 FROM e
+                            WHERE (e.lo = w.y AND e.hi = w.z)
+                               OR (e.lo = w.z AND e.hi = w.y))),
+      c AS (SELECT node, COUNT(*) AS n_tri FROM
+              (SELECT x AS node FROM tri
+               UNION ALL SELECT y AS node FROM tri
+               UNION ALL SELECT z AS node FROM tri)
+            GROUP BY node)
+      SELECT node, ROUND(n_tri / 0.125, 4) AS est_tri
+      FROM c ORDER BY node""",
 
     // the same first-occurrence-flag + running-sum replay
     "q57_running_distinct" -> """

@@ -161,6 +161,19 @@ object StatQueries {
           round(col("se"), 6).as("se"))
         .orderBy("state")),
 
+    // svyby covmat=TRUE (Method_code.Rmd:461): the full area×area
+    // covariance of m04's direct estimates — diagonal = the Taylor
+    // variance, off-diagonals exactly zero under the reference's
+    // independent-across-areas design (disjoint samples ⇒ zero
+    // covariance; see Survey.weightedMeanCov). #areas² rows,
+    // dimension-sized at any data scale.
+    "m20_direct_covmat" -> ((s, dir) =>
+      Survey.weightedMeanCov(smallSurvey(s, dir), "state", "y", "weight",
+          scale = 100.0)
+        .select(col("area_a"), col("area_b"),
+          round(col("cov"), 6).as("cov"))
+        .orderBy("area_a", "area_b")),
+
     // Fay–Herriot area-level EB: m04's design-based direct estimates
     // (rounded first, so both engines' FH arithmetic starts from
     // identical doubles) shrunk toward the GLS intercept with the
@@ -392,17 +405,20 @@ object StatQueries {
     // runs the reference's 1000 draws (Method_code.Rmd:220) to its
     // tol-0.01 stopping rule (:352-390), and the bootstrap runs the
     // reference init/stopping scheme — constants init, iterate to tol
-    // (:611-614,:729-733). B defaults to 2 for bench tractability
-    // (reference B=10; set SPARK_GRAFT_FIDELITY_B=10 for the full
-    // configuration — runtime recorded in BASELINE.md). Rows-only by
-    // nature; exact values golden-tested in EmSpec/BootstrapSpec.
+    // (:611-614,:729-733). B defaults to the reference's 10
+    // (Method_code.Rmd:729-733) — affordable since the sufficient-
+    // statistics cell compression (round 6: the B=2 gate existed for
+    // the 476s pre-compression era; runtime recorded in BASELINE.md).
+    // SPARK_GRAFT_FIDELITY_B still overrides for quick local runs.
+    // Rows-only by nature; exact values golden-tested in
+    // EmSpec/BootstrapSpec.
     "m11_reference_fidelity" -> ((s, dir) => {
       import s.implicits._
       val small = smallSurvey(s, dir).cache()
       val init = Em.Params(Glmm.fitLogistic(small, "y", featureCols), 0.25)
       val fit = Em.fit(small, "y", featureCols, "state", init,
         numDraws = 1000, tol = 0.01, maxIter = 40, seed = 42L)
-      val numB = sys.env.getOrElse("SPARK_GRAFT_FIDELITY_B", "2").toInt
+      val numB = sys.env.getOrElse("SPARK_GRAFT_FIDELITY_B", "10").toInt
       val mspe = Bootstrap.mspe(small, bigSurvey(s, dir), "y", featureCols,
           "state", "weight", Seq("uid"), fit.params, numB = numB,
           seed = 7L, numDraws = 200, emIters = 10, ebpDraws = 100,
@@ -441,10 +457,19 @@ object StatQueries {
       val keys = est.select("state").collect().map(_.getString(0)).toSeq
       val bmp = Choropleth.render(est, "state", "est",
         Choropleth.gridLayout(keys))
+      val outDir = graft.TempDirs.createCleanedAtExit("graft-m08-map")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(
-          graft.TempDirs.createCleanedAtExit("graft-m08-map"), "map.bmp"),
-        bmp)
+        java.nio.file.Paths.get(outDir, "map.bmp"), bmp)
+      // true-geometry companion (Method_code.Rmd:513-550 plot_usmap
+      // fidelity): the 25 nations have no US geography, so they map
+      // deterministically (alphabetical zip) onto state codes — the
+      // polygon rasterizer runs against the same per-round values
+      val toUs: Map[String, String] = keys.sorted.zip(
+        graft.ops.UsGeo.allStates.toSeq.sorted).toMap
+      val usKeyed = est.na.replace("state", toUs)
+      val poly = Choropleth.renderUs(usKeyed, "state", "est")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "map_poly.bmp"), poly)
       Choropleth.shaded(est, "state", "est", bins = 9)
         .select(col("state"), round(col("est"), 6).as("est"), col("shade"))
         .orderBy("state")
@@ -622,7 +647,7 @@ object StatQueries {
              ROUND(SQRT(v), 4) AS se
       FROM per
       UNION ALL
-      SELECT 'ALL', SUM(n_sampled), ROUND(SUM(est_total), 4),
+      SELECT 'ALL', CAST(SUM(n_sampled) AS BIGINT), ROUND(SUM(est_total), 4),
              ROUND(SQRT(SUM(v)), 4)
       FROM per
       ORDER BY seg""",
@@ -710,6 +735,33 @@ object StatQueries {
                    SUM(w * w) AS sww, COUNT(*) AS n
             FROM small GROUP BY state)
       ORDER BY state""",
+
+    // m04's variance algebra on the diagonal, literal 0 elsewhere —
+    // the independent-design covariance matrix replayed verbatim
+    "m20_direct_covmat" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      agg AS (SELECT state, SUM(y * w) AS swy, SUM(w) AS sw,
+                     SUM(w * w * y * y) AS swwyy, SUM(w * w * y) AS swwy,
+                     SUM(w * w) AS sww, COUNT(*) AS n
+              FROM small GROUP BY state),
+      v AS (SELECT state AS area_a,
+                   10000 * (n / (n - 1.0))
+                     * (swwyy - 2 * (swy / sw) * swwy
+                        + (swy / sw) * (swy / sw) * sww) / (sw * sw)
+                     AS var_a
+            FROM agg)
+      SELECT a.area_a, b.area_b,
+             ROUND(CASE WHEN a.area_a = b.area_b THEN a.var_a
+                        ELSE 0.0 END, 6) AS cov
+      FROM v a CROSS JOIN (SELECT area_a AS area_b FROM v) b
+      ORDER BY a.area_a, b.area_b""",
 
     // m04's direct stage rounded first, then the FH chain with the
     // same expressions as Survey.fayHerriot: moment sigma2 via the

@@ -41,6 +41,12 @@ object Relational {
     * All integer arithmetic, so rank-derived statistics replay exactly
     * against native SQL window functions ordered by (value, id).
     * Adds columns `rank` and `n_group`.
+    *
+    * Null `valueCol` rows rank FIRST (their own tie group), matching
+    * the row_number window this replaces (Spark ascending null
+    * ordering): the join back onto the (group, value) distribution is
+    * null-SAFE (`<=>`), which Spark still plans as a hash join, so a
+    * null value is a regular distribution row, never a dropped one.
     */
   def scalableRank(df: DataFrame, groupCol: String, valueCol: String,
                    idCol: String): DataFrame = {
@@ -52,11 +58,13 @@ object Relational {
         wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_group", sum(col("c")).over(
         Window.partitionBy(groupCol)))
-      .select(col(groupCol), col(valueCol), col("below"), col("n_group"))
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        col("below"), col("n_group"))
     val wTie = Window.partitionBy(groupCol, valueCol).orderBy(idCol)
-    df.join(cum, Seq(groupCol, valueCol))
+    df.join(cum, col(groupCol) <=> col("__g") &&
+        col(valueCol) <=> col("__v"))
       .withColumn("rank", col("below") + row_number().over(wTie))
-      .drop("below")
+      .drop("__g", "__v", "below")
   }
 
   /** Incremental (delta) maintenance of an INNER-join materialized

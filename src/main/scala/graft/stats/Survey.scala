@@ -274,4 +274,42 @@ object Survey {
               + pow(col("swy") / col("sw"), 2) * col("sww"))
             / pow(col("sw"), 2))).as("se"))
   }
+
+  /** `svyby(..., covmat=TRUE)` companion (`Method_code.Rmd:461`): the
+    * full area×area covariance matrix of the design-based means, long
+    * form (area_a, area_b, cov). The diagonal is [[weightedMeanSE]]'s
+    * variance (same algebraic single-pass, variance computed directly
+    * — never by squaring a rounded SE). The OFF-DIAGONALS ARE EXACTLY
+    * ZERO, and that is the design, not a shortcut: every unit belongs
+    * to exactly one area and the reference's svydesign samples areas
+    * independently (no cross-area clustering stage), so any two area
+    * means are functions of disjoint independent samples and their
+    * covariance vanishes. The reference's own downstream report
+    * (`Method_code.Rmd:767`) consumes only the diagonal; emitting the
+    * matrix keeps a covmat=TRUE caller whole. Scale: the matrix is
+    * #areas² rows — dimension-sized however big the input — and the
+    * area list rides a broadcast cross join, never a data shuffle.
+    */
+  def weightedMeanCov(df: DataFrame, groupCol: String, yCol: String,
+                      wCol: String, scale: Double = 1.0): DataFrame = {
+    val y = col(yCol).cast("double")
+    val w = col(wCol).cast("double")
+    val base = df.filter(y.isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        sum(y * w).as("swy"), sum(w).as("sw"),
+        sum(w * w * y * y).as("swwyy"), sum(w * w * y).as("swwy"),
+        sum(w * w).as("sww"), count(lit(1)).as("n"))
+      .select(
+        col(groupCol).as("area_a"),
+        (lit(scale * scale) *
+          (col("n") / (col("n") - lit(1.0))) *
+          (col("swwyy") - lit(2.0) * (col("swy") / col("sw")) * col("swwy")
+            + pow(col("swy") / col("sw"), 2) * col("sww"))
+          / pow(col("sw"), 2)).as("var_a"))
+    base.crossJoin(broadcast(base.select(col("area_a").as("area_b"))))
+      .select(col("area_a"), col("area_b"),
+        when(col("area_a") === col("area_b"), col("var_a"))
+          .otherwise(lit(0.0)).as("cov"))
+  }
 }

@@ -32,15 +32,34 @@ object Streams {
   private def tempDirCleanedAtExit(prefix: String): String =
     graft.TempDirs.createCleanedAtExit(prefix)
 
+  /** Glob-filtered directory read of the events table (the file
+    * streaming source needs the directory form). A TIMESTAMP(NANOS)
+    * file is only readable with the legacy nanosAsLong conf, so probe
+    * WITHOUT it first (schema resolution is eager and throws on nanos)
+    * and set it only when actually required — the lazy scan then needs
+    * it live through execution, so in that legacy case (and only
+    * then) the conf intentionally stays session-global. Native
+    * timestamp[us]/NTZ files — the current testdata — leave the
+    * session conf untouched.
+    */
+  private def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    def read() = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // retry under the conf on ANY failure: if the error wasn't the
+    // nanos one the retry rethrows it unchanged
+    try read() catch {
+      case _: Exception =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        read()
+    }
+  }
+
   /** Schema-adaptive batch read of the events table — same TIMESTAMP
     * (NANOS)-as-Long vs native timestamp[us] handling as
-    * RelQueries.events, via a glob-filtered directory read (the file
-    * streaming source needs the directory form).
+    * RelQueries.events.
     */
   private def eventsBatch(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val raw = rawEvents(spark, sfDir)
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -58,9 +77,7 @@ object Streams {
     * file carries raw Long nanos.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val rawSchema = rawEvents(spark, sfDir).schema
     // the file source needs a directory; glob-filter to the events table
     val src = spark.readStream
       .schema(rawSchema)

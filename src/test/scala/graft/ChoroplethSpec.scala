@@ -39,6 +39,43 @@ class ChoroplethSpec extends SparkSpec {
     assert(pixelAt(cell + 2, cell + 2) == (255, 255, 255))
   }
 
+  test("renderUs rasterizes true state polygons: interior probes carry " +
+    "the exact shade colors, no-data states stay background, " +
+    "deterministic bytes") {
+    // values chosen so shades are unambiguous: extent [0, 10], 3 bins
+    val df = Seq(("TX", 0.0), ("CA", 5.0), ("MT", 10.0), ("FL", 10.0))
+      .toDF("k", "v")
+    val bytes = Choropleth.renderUs(df, "k", "v", width = 400, bins = 3)
+    val (w, h, px) = BmpCodec.decode(bytes)
+    assert(w == 400 && h > 100)
+    // shade-color presence + area: each filled state contributes its
+    // exact ramp color (the fill writes the literal RGB, so counting
+    // exact-match pixels is a geometry-independent interior probe)
+    def count(rgb: (Int, Int, Int)): Int = {
+      var n = 0; var i = 0
+      while (i < px.length) {
+        if ((px(i) & 0xff) == rgb._1 && (px(i + 1) & 0xff) == rgb._2 &&
+          (px(i + 2) & 0xff) == rgb._3) n += 1
+        i += 3
+      }
+      n
+    }
+    val c0 = Choropleth.shadeColor(0, 3) // TX
+    val c1 = Choropleth.shadeColor(1, 3) // CA
+    val c2 = Choropleth.shadeColor(2, 3) // MT + FL
+    // each shade present with substantial area (hundreds of px at
+    // width 400 for states this big), and c2 covers two states
+    assert(count(c0) > 300, s"TX area ${count(c0)}")
+    assert(count(c1) > 300, s"CA area ${count(c1)}")
+    assert(count(c2) > 400, s"MT+FL area ${count(c2)}")
+    assert(count(c2) > count(c1), "two c2 states should out-area one")
+    // no-data states stay background: white dominates the raster
+    assert(count((255, 255, 255)) > w * h / 2)
+    // determinism: bit-identical bytes on re-render
+    val again = Choropleth.renderUs(df, "k", "v", width = 400, bins = 3)
+    assert(java.util.Arrays.equals(bytes, again))
+  }
+
   test("gridLayout is dense, collision-free, deterministic; usTileGrid " +
     "covers 50 states + DC without overlaps") {
     val keys = Seq("N5", "N1", "N3", "N2", "N4")

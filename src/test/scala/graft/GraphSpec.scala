@@ -82,6 +82,43 @@ class GraphSpec extends SparkSpec {
     assert(run(9) == brute.toMap)
   }
 
+  test("DOULION estimate lands within ±30% of exact triangle totals " +
+      "on the sf0.01 co-supply graph; wedge-budget guard switches paths") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val e = li.as("x").join(li.as("y"),
+        $"x.l_orderkey" === $"y.l_orderkey" &&
+          $"x.l_suppkey" < $"y.l_suppkey")
+      .select($"x.l_suppkey".as("a"), $"y.l_suppkey".as("b"))
+      .distinct().cache()
+    val exactTotal = Graph.triangleCounts(e)
+      .agg(sum("n_tri")).head().getLong(0)
+    assert(exactTotal > 0L)
+    // deterministic md5 draws -> the realized estimate is a fixed
+    // number; DOULION at p=0.5 on a graph this dense concentrates
+    // well inside ±30%
+    val estTotal = Graph.triangleCountEstimate(e, p = 0.5)
+      .agg(sum("est_tri")).head().getDouble(0)
+    val relErr = math.abs(estTotal - exactTotal) / exactTotal
+    assert(relErr < 0.3, s"est $estTotal vs exact $exactTotal ($relErr)")
+    // preflight: budget >= wedges -> exact path (all rows exact=true,
+    // integer-valued estimates)
+    val wedges = Graph.wedgeCount(e)
+    assert(wedges > 0L)
+    val g1 = Graph.triangleCountsGuarded(e, wedgeBudget = wedges)
+    assert(g1.filter(!$"exact").isEmpty)
+    assert(g1.agg(sum("est_tri")).head().getDouble(0) ==
+      exactTotal.toDouble)
+    // budget < wedges -> DOULION engages at p = sqrt(budget/wedges),
+    // still inside a loose accuracy gate
+    val g2 = Graph.triangleCountsGuarded(e, wedgeBudget = wedges / 4)
+    assert(g2.filter($"exact").isEmpty)
+    val est2 = g2.agg(sum("est_tri")).head().getDouble(0)
+    assert(math.abs(est2 - exactTotal) / exactTotal < 0.5,
+      s"guarded est $est2 vs exact $exactTotal")
+  }
+
   test("bfsHops: hand-computed hops, multi-source min, hop bound, " +
       "unreachable nodes absent") {
     // two components: a-b-c-d chain (directed both ways) and x-y

@@ -320,6 +320,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin")
       || plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // the round-6 scale fix: ranking is the k-bounded TopKPairs
+    // aggregate, never a window sort over all N×Q scored candidates
+    assert(plan.toLowerCase.contains("topkpairs"), plan)
+    assert(!plan.contains("Window ["), plan)
   }
 
   test("d34: deletion-neighborhood fuzzy join is key-hashed — no " +
@@ -374,6 +378,12 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("HashAggregate"), s"$name:\n$plan")
       assert(winSpecs.size - rowLevelGroupOnly >= 1,
         s"$name: no tie-group window in\n${winSpecs.mkString("\n")}")
+      // and BOUND them: more than those 2 means a row-level per-group
+      // window sort crept back in — the exact regression this test
+      // exists to forbid
+      assert(rowLevelGroupOnly <= 2,
+        s"$name: ${rowLevelGroupOnly} group-only windows (max 2: " +
+          s"running sum + n_group)\n${winSpecs.mkString("\n")}")
     }
   }
 }

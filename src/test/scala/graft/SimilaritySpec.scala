@@ -378,6 +378,40 @@ class SimilaritySpec extends SparkSpec {
     assert(again == r)
   }
 
+  test("semanticCells bounds the self-join pair volume on a skewed " +
+      "corpus (per-cell pair budget) and stays partitioning-invariant") {
+    // 3 blobs sized 160/20/20: the dominant blob's cell blows past
+    // cellCap=20, so the backstop must subdivide it into ~8 hash-keyed
+    // sub-cells; without the guard that one cell alone contributes
+    // 160² = 25600 candidate pairs.
+    val rng = new scala.util.Random(13L)
+    def vec(blob: Int) = Array.tabulate(24)(d =>
+      (if (d / 8 == blob) 1.0 else 0.0) + 0.5 * rng.nextGaussian())
+    val docs = Seq(160, 20, 20).zipWithIndex.flatMap { case (n, b) =>
+      (0 until n).map(i => ((b * 1000 + i).toLong, vec(b).toSeq))
+    }
+    val df = docs.toDF("id", "v")
+    val cap = 20
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticCells(d, "id", "v", k = 3, trainIters = 8,
+        cellCap = cap)
+    val groups = cells(df).groupBy("cell", "sub").count()
+      .select("count").as[Long].collect()
+    assert(groups.sum == 200L)
+    // every (cell, sub) group bounded (2x slack for hash variance)...
+    assert(groups.max <= 2L * cap, s"max group ${groups.max} > ${2 * cap}")
+    // ...so pair volume is <= 2·N·cap — linear in N, never N²
+    val pairVol = groups.map(c => c * c).sum
+    assert(pairVol <= 2L * 200 * cap,
+      s"pair volume $pairVol exceeds budget ${2L * 200 * cap}")
+    // content-keyed sub assignment: partitioning-invariant end to end
+    val a1 = cells(df).select("id", "cell", "sub")
+      .as[(Long, Int, Int)].collect().toSet
+    val a2 = cells(df.orderBy(rand(7)).repartition(7))
+      .select("id", "cell", "sub").as[(Long, Int, Int)].collect().toSet
+    assert(a1 == a2)
+  }
+
   test("PQ/ADC is exact at the codebook-coverable config and codes are " +
     "partitioning-invariant") {
     // dim 8 = 4 subspaces x 2; per subspace, 4 distinct patterns on a
@@ -444,5 +478,62 @@ class SimilaritySpec extends SparkSpec {
       .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toMap
     (0 until 10).foreach(i =>
       assert(top1(i + 1000L) == i.toLong, s"query ${i + 1000}"))
+  }
+
+  test("IVFADC at nprobe=nlist equals pqTopK exactly; plan is a " +
+      "broadcast probe join + bounded top-k aggregate, no window") {
+    // both pipelines train on the same hash-ordered sample, so at
+    // nprobe=nlist (every cell probed -> candidate set == all pairs)
+    // the scored sets are identical and the top-k must match row-for-
+    // row including the raw ADC values
+    val rng = new scala.util.Random(23)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val df = (0 until 80).map(i =>
+      (i.toLong, unit(Array.fill(16)(rng.nextGaussian())).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+    def res(r: org.apache.spark.sql.DataFrame) =
+      r.select($"query_id", $"rank", $"nbr_id",
+          round($"adc", 6).as("adc"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Similarity.ivfadcTopK(df, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+      m = 4, kc = 8, sampleSize = 80)
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 5, m = 4, kc = 8, sampleSize = 80)
+    assert(res(full) == res(pq))
+    // scale shape: probe routing is a broadcast hash join (the corpus
+    // never shuffles) and ranking is the k-bounded aggregate — no
+    // per-query window sort of scored candidates anywhere
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.toLowerCase.contains("window exec") &&
+      !plan.contains("Window ["), plan)
+    assert(plan.toLowerCase.contains("topkpairs"), plan)
+  }
+
+  test("IVFADC nprobe=1 routes every query to its own blob's cell") {
+    // 3 axis blobs; with nprobe=1 a query can only be scored against
+    // its nearest cell — cross-blob neighbors prove routing is broken
+    val rng = new scala.util.Random(31)
+    val pts = (0 until 150).map { i =>
+      val v = Array.fill(12)(rng.nextGaussian() * 0.05)
+      v((i / 50) * 4) += 1.0
+      (i.toLong, v.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val queries = pts.grouped(50).flatMap(_.take(3)).toSeq
+      .map { case (i, v) => (i + 1000L, v) }.toDF("qid", "qv")
+    val r = Similarity.ivfadcTopK(df, "vec_id", "embedding",
+        queries, "qid", "qv", k = 3, nlist = 3, nprobe = 1,
+        m = 4, kc = 8, sampleSize = 150)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (q, nbr) =>
+      assert(nbr / 50 == (q - 1000) / 50,
+        s"query $q matched cross-blob neighbor $nbr")
+    }
   }
 }

@@ -45,6 +45,40 @@ class SurveySpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("weightedMeanCov: diagonal equals the closed-form Taylor " +
+      "variance, off-diagonals exactly zero, matrix is areas²") {
+    // two areas, hand-computable: area A has y=(1,0) w=(2,1),
+    // area B has y=(1,1,0) w=(1,1,2)
+    val df = Seq(
+      ("A", 1.0, 2.0), ("A", 0.0, 1.0),
+      ("B", 1.0, 1.0), ("B", 1.0, 1.0), ("B", 0.0, 2.0)
+    ).toDF("area", "y", "w")
+    // closed form, V = n/(n-1) * Σ w²(y-μ)² / (Σw)²  (μ = Σwy/Σw):
+    // A: μ=2/3, Σw²(y-μ)² = 4·(1/3)² + 1·(2/3)² = 8/9, V = 2·(8/9)/9
+    val vA = 2.0 * (8.0 / 9.0) / 9.0
+    // B: μ=0.5, Σw²(y-μ)² = 1·.25 + 1·.25 + 4·.25 = 1.5,
+    //    V = (3/2)·1.5/16
+    val vB = 1.5 * 1.5 / 16.0
+    val m = Survey.weightedMeanCov(df, "area", "y", "w")
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(m.size == 4)
+    assert(math.abs(m(("A", "A")) - vA) < 1e-12, s"${m(("A", "A"))}")
+    assert(math.abs(m(("B", "B")) - vB) < 1e-12, s"${m(("B", "B"))}")
+    // independent sampling across areas: disjoint samples ⇒ cov 0
+    assert(m(("A", "B")) == 0.0 && m(("B", "A")) == 0.0)
+    // diagonal ties back to weightedMeanSE: var = se²
+    val se = Survey.weightedMeanSE(df, "area", "y", "w")
+      .select($"area", $"se").as[(String, Double)].collect().toMap
+    assert(math.abs(m(("A", "A")) - se("A") * se("A")) < 1e-12)
+    assert(math.abs(m(("B", "B")) - se("B") * se("B")) < 1e-12)
+    // scale factor propagates as scale²
+    val s100 = Survey.weightedMeanCov(df, "area", "y", "w", scale = 100.0)
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(s100(("A", "A")) - 10000 * vA) < 1e-8)
+  }
+
   test("fayHerriot: shrinkage contract — gamma in (0,1), noisier areas " +
       "shrink harder, estimates move toward the GLS mean") {
     // 4 areas: two precise (small psi), two noisy (large psi)
