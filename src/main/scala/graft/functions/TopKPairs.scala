@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -29,55 +28,56 @@ import org.apache.spark.sql.types._
   * 6dp-ROUNDED score as `sortKey` (the float-portable ranking rule
   * used by every ANN ranking in [[graft.ops.Similarity]]) and the raw
   * score as `value`, so ranking stays cross-engine-stable while the
-  * emitted score keeps full precision. Ties at the k boundary resolve
+  * emitted score keeps full precision. `aux` is an opaque long payload
+  * carried per entry (e.g. the neighbor's label in hard-negative
+  * mining; pass 0 when unused). Ties at the k boundary resolve
   * exactly as the window formulation did (id tie-break), so the kept
-  * SET is identical. Output: array<struct<nbr_id, score>> best-first;
-  * null sortKey/id inputs are skipped; an empty group evals to null.
+  * SET is identical. Output: array<struct<nbr_id, score, aux>>
+  * best-first; null sortKey/id inputs are skipped; an empty group
+  * evals to null.
   */
 case class TopKPairs(sortKey: Expression, id: Expression,
-                     value: Expression, k: Int,
+                     value: Expression, aux: Expression, k: Int,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long, Double)]]
-    with TernaryLike[Expression] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long, Double, Long)]] {
 
   require(k > 0, s"graft_topk needs k > 0, got $k")
 
-  override def first: Expression = sortKey
-  override def second: Expression = id
-  override def third: Expression = value
+  override def children: Seq[Expression] = Seq(sortKey, id, value, aux)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("nbr_id", LongType, nullable = false),
-      StructField("score", DoubleType, nullable = false))),
+      StructField("score", DoubleType, nullable = false),
+      StructField("aux", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (sortKey.dataType, id.dataType, value.dataType) match {
-      case (DoubleType, LongType, DoubleType) =>
+    (sortKey.dataType, id.dataType, value.dataType, aux.dataType) match {
+      case (DoubleType, LongType, DoubleType, LongType) =>
         TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_topk requires (double, bigint, double), got $t")
+        s"graft_topk requires (double, bigint, double, bigint), got $t")
     }
 
   /** Worst entry dequeues first: lower sortKey is worse; on ties the
     * LARGER id is worse (ranking is id-ascending).
     */
-  private val worstFirst: Ordering[(Double, Long, Double)] =
-    new Ordering[(Double, Long, Double)] {
-      def compare(a: (Double, Long, Double),
-                  b: (Double, Long, Double)): Int = {
+  private val worstFirst: Ordering[(Double, Long, Double, Long)] =
+    new Ordering[(Double, Long, Double, Long)] {
+      def compare(a: (Double, Long, Double, Long),
+                  b: (Double, Long, Double, Long)): Int = {
         val c = java.lang.Double.compare(b._1, a._1)
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long, Double)] =
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long, Double, Long)] =
     mutable.PriorityQueue.empty(worstFirst)
 
-  private def push(buf: mutable.PriorityQueue[(Double, Long, Double)],
-                   item: (Double, Long, Double)): Unit = {
+  private def push(buf: mutable.PriorityQueue[(Double, Long, Double, Long)],
+                   item: (Double, Long, Double, Long)): Unit = {
     if (buf.size < k) buf.enqueue(item)
     else if (worstFirst.compare(item, buf.head) < 0) {
       // ranks strictly better than the current worst: swap it in
@@ -85,53 +85,55 @@ case class TopKPairs(sortKey: Expression, id: Expression,
     }
   }
 
-  override def update(buf: mutable.PriorityQueue[(Double, Long, Double)],
-                      input: InternalRow): mutable.PriorityQueue[(Double, Long, Double)] = {
+  override def update(buf: mutable.PriorityQueue[(Double, Long, Double, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Long, Double, Long)] = {
     val s = sortKey.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
       val v = value.eval(input)
       val raw = if (v == null) s.asInstanceOf[Double]
                 else v.asInstanceOf[Double]
-      push(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long], raw))
+      val a = aux.eval(input)
+      val al = if (a == null) 0L else a.asInstanceOf[Long]
+      push(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long], raw, al))
     }
     buf
   }
 
-  override def merge(b1: mutable.PriorityQueue[(Double, Long, Double)],
-                     b2: mutable.PriorityQueue[(Double, Long, Double)]): mutable.PriorityQueue[(Double, Long, Double)] = {
+  override def merge(b1: mutable.PriorityQueue[(Double, Long, Double, Long)],
+                     b2: mutable.PriorityQueue[(Double, Long, Double, Long)]): mutable.PriorityQueue[(Double, Long, Double, Long)] = {
     b2.foreach(push(b1, _))
     b1
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Double, Long, Double)]): Any =
+  override def eval(buf: mutable.PriorityQueue[(Double, Long, Double, Long)]): Any =
     if (buf.isEmpty) null
     else {
       // best-first: best entries rank SMALLEST under worstFirst
       // (ascending sort = best first)
       val sorted = buf.toArray.sorted(worstFirst)
-      new GenericArrayData(sorted.map { case (_, i, raw) =>
-        new GenericInternalRow(Array[Any](i, raw))
+      new GenericArrayData(sorted.map { case (_, i, raw, a) =>
+        new GenericInternalRow(Array[Any](i, raw, a))
       }.asInstanceOf[Array[Any]])
     }
 
-  override def serialize(buf: mutable.PriorityQueue[(Double, Long, Double)]): Array[Byte] = {
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long, Double, Long)]): Array[Byte] = {
     val items = buf.toArray
-    val bb = java.nio.ByteBuffer.allocate(4 + items.length * 24)
+    val bb = java.nio.ByteBuffer.allocate(4 + items.length * 32)
     bb.putInt(items.length)
-    items.foreach { case (s, i, v) =>
-      bb.putDouble(s); bb.putLong(i); bb.putDouble(v)
+    items.foreach { case (s, i, v, a) =>
+      bb.putDouble(s); bb.putLong(i); bb.putDouble(v); bb.putLong(a)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long, Double)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long, Double, Long)] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
     val buf = createAggregationBuffer()
     var j = 0
     while (j < n) {
-      buf.enqueue((bb.getDouble(), bb.getLong(), bb.getDouble()))
+      buf.enqueue((bb.getDouble(), bb.getLong(), bb.getDouble(), bb.getLong()))
       j += 1
     }
     buf
@@ -142,8 +144,9 @@ case class TopKPairs(sortKey: Expression, id: Expression,
   override def withNewInputAggBufferOffset(offset: Int): TopKPairs =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): TopKPairs =
-    copy(sortKey = f, id = s, value = t)
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(sortKey = newChildren(0), id = newChildren(1),
+      value = newChildren(2), aux = newChildren(3))
 }
 
 object TopKPairs {
@@ -151,12 +154,14 @@ object TopKPairs {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKPairs(exprs(0), exprs(1), exprs(2),
-        exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        exprs(3), exprs(4).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
 
-  /** array<struct<nbr_id, score>> of the k entries with the highest
-    * (sortKey, -id); pass the ROUNDED score as sortKey and the raw
-    * score as value.
+  /** array<struct<nbr_id, score, aux>> of the k entries with the
+    * highest (sortKey, -id); pass the ROUNDED score as sortKey, the
+    * raw score as value, and any per-entry long payload as aux.
     */
-  def topK(sortKey: Column, id: Column, value: Column, k: Int): Column =
-    call_function("graft_topk", sortKey, id, value, lit(k))
+  def topK(sortKey: Column, id: Column, value: Column, k: Int,
+           aux: Column = lit(0L)): Column =
+    call_function("graft_topk", sortKey, id, value, aux, lit(k))
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DotProduct, MatVecDots}
@@ -43,11 +42,13 @@ object Similarity {
     * dimension-sized (it is broadcast); `corpus` can be arbitrarily
     * large. Vectors are unit-normalized once up front, so each of the
     * |Q| x N candidate pairs costs exactly one dot product. Every
-    * ranking window here (and in the LSH/IVF/knn variants) orders by
-    * the cosine ROUNDED to 6dp with the corpus id as tie-break: the
-    * DuckDB oracle computes cosine through a different float path, and
-    * ranking on the raw value would let a last-ulp divergence flip
-    * neighbors at a rank boundary.
+    * ranking here (and in the LSH/IVF/knn variants) rides the
+    * k-bounded [[boundedTopK]] aggregate ordered by the score ROUNDED
+    * to 6dp with the corpus id as tie-break: the DuckDB oracle
+    * computes cosine through a different float path, and ranking on
+    * the raw value would let a last-ulp divergence flip neighbors at
+    * a rank boundary; the bounded aggregate keeps scored candidates
+    * off the shuffle entirely.
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -58,10 +59,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, col("cos"), k, as = "cos")
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
@@ -85,10 +83,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("ip", DotProduct.dotFast(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("ip"), 6).desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, col("ip"), k, as = "ip")
       .select("query_id", "rank", "nbr_id", "ip")
   }
 
@@ -277,23 +272,32 @@ object Similarity {
     aggregate(zip_with(codes, qtab,
       (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
 
-  /** Shared final ranking stage for the ANN paths: bounded per-query
+  /** Shared final ranking stage for EVERY ANN path: bounded per-query
     * top-k on (ROUND(score, 6) DESC, nbr_id ASC) via the
     * [[graft.functions.TopKPairs]] aggregate, emitting
-    * (query_id, rank, nbr_id, <score>) with the RAW score value.
-    * Identical kept-set and order to the row_number window it
-    * replaces, without shuffling the scored candidates.
+    * (groupCols..., rank, nbr_id, <score>[, aux]) with the RAW score
+    * value. Identical kept-set and order to the row_number window it
+    * replaces — same rounded sort key, same id tie-break — WITHOUT
+    * shuffling the scored candidates: each map task forwards at most
+    * k entries per query. Extra query-functional columns (e.g. the
+    * query's own label) ride along as grouping keys; a per-NEIGHBOR
+    * long payload rides `aux`.
     */
   private def boundedTopK(scored: DataFrame, score: Column, k: Int,
-                          as: String = "adc"): DataFrame = {
+                          as: String = "adc",
+                          groupCols: Seq[String] = Seq("query_id"),
+                          aux: Option[Column] = None): DataFrame = {
     graft.functions.TopKPairs.register(scored.sparkSession)
+    val gs = groupCols.map(col)
     scored.withColumn("__btk_score", score)
-      .groupBy("query_id")
+      .groupBy(gs: _*)
       .agg(graft.functions.TopKPairs.topK(round(col("__btk_score"), 6),
-        col("nbr_id").cast("long"), col("__btk_score"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("t.nbr_id").as("nbr_id"), col("t.score").as(as))
+        col("nbr_id").cast("long"), col("__btk_score"), k,
+        aux.getOrElse(lit(0L))).as("top"))
+      .select(gs :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
+      .select(gs ++ Seq((col("pos") + 1).cast("int").as("rank"),
+        col("t.nbr_id").as("nbr_id"), col("t.score").as(as),
+        col("t.aux").as("__btk_aux")): _*)
   }
 
   /** IVFADC (Jégou, Douze, Schmid, "Product Quantization for Nearest
@@ -422,12 +426,9 @@ object Similarity {
       .filter(col("nbr_id") =!= col("query_id"))
       .select("query_id", "query_id_v", "nbr_id", "nbr_id_v")
       .dropDuplicates("query_id", "nbr_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
-    cand.withColumn("cos",
-        DotProduct.dotFast(col("query_id_v"), col("nbr_id_v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val scored = cand.withColumn("cos",
+      DotProduct.dotFast(col("query_id_v"), col("nbr_id_v")))
+    boundedTopK(scored, col("cos"), k, as = "cos")
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
@@ -603,13 +604,10 @@ object Similarity {
           (d, i) => struct((-d).as("nd"), i.as("i")))), 1, nprobe))
       .select(col("query_id"), col("qv"),
         explode(col("probes").getField("i")).as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
-    q.join(c, Seq("cell"))
+    val scored = q.join(c, Seq("cell"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, col("cos"), k, as = "cos")
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
@@ -659,14 +657,11 @@ object Similarity {
           (d, i) => struct((-d).as("nd"), i.as("i")))), 1, nprobe))
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(col("probes").getField("i")).as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
-    q.join(c, Seq("cell"))
+    val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
       .select("query_id", "nbr_id", "cos")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, col("cos"), k, as = "cos")
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
@@ -707,14 +702,15 @@ object Similarity {
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("lbl").as("q_lbl"),
         explode(col("probes").getField("i")).as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("nbr_id"))
-    q.join(c, Seq("cell"))
+    val scored = q.join(c, Seq("cell"))
       .filter(col("q_lbl") =!= col("nbr_lbl"))
       .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
       .select("query_id", "q_lbl", "nbr_id", "nbr_lbl", "cos")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val lblType = scored.schema("nbr_lbl").dataType
+    boundedTopK(scored, col("cos"), k, as = "cos",
+        groupCols = Seq("query_id", "q_lbl"),
+        aux = Some(col("nbr_lbl").cast("long")))
+      .withColumn("nbr_lbl", col("__btk_aux").cast(lblType))
       .select("query_id", "q_lbl", "rank", "nbr_id", "nbr_lbl", "cos")
   }
 

@@ -514,6 +514,38 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.toLowerCase.contains("topkpairs"), plan)
   }
 
+  test("every ANN ranking rides the bounded top-k aggregate — no " +
+      "per-query window sort of scored candidates in any plan") {
+    val rng = new scala.util.Random(41)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val df = (0 until 60).map(i =>
+      (i.toLong, unit(Array.fill(16)(rng.nextGaussian())).toSeq, i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val q = df.filter($"vec_id" < 3)
+    val plans = Seq(
+      "cosineTopK" -> Similarity.cosineTopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3),
+      "ipTopK" -> Similarity.ipTopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3),
+      "lshTopK" -> Similarity.lshTopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, dim = 16),
+      "ivfTopK" -> Similarity.ivfTopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, dim = 16, nlist = 4,
+        nprobe = 2, sampleSize = 60),
+      "knnJoin" -> Similarity.knnJoin(df, "vec_id", "embedding",
+        k = 3, dim = 16, nlist = 4, nprobe = 2, sampleSize = 60),
+      "hardNegatives" -> Similarity.hardNegatives(df, "vec_id",
+        "embedding", "label", k = 3, dim = 16, nlist = 4, nprobe = 2,
+        sampleSize = 60))
+    plans.foreach { case (name, r) =>
+      val plan = r.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("topkpairs"), s"$name:\n$plan")
+      assert(!plan.contains("Window ["), s"$name:\n$plan")
+    }
+  }
+
   test("IVFADC nprobe=1 routes every query to its own blob's cell") {
     // 3 axis blobs; with nprobe=1 a query can only be scored against
     // its nearest cell — cross-blob neighbors prove routing is broken
