@@ -949,6 +949,70 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Zipf's-law fit per language (corpus-statistics audit): token
+    // frequencies ranked per language, OLS of ln(freq) on ln(rank)
+    // over the top 100 terms — slope ≈ -1 is the Zipf signature,
+    // r² flags degenerate/boilerplate corpora. The rank window runs
+    // over the per-language VOCABULARY (already aggregated — never
+    // token instances); the OLS is four sums per language. Integer
+    // counts + one ln per distinct term keep both engines' float
+    // paths aligned (output rounded 4dp).
+    "d41_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text")))
+          .as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("term"))
+      val top = tf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("lang"), log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      top.groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lang"), col("n").cast("long").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("zipf_slope"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("r2"))
+        .orderBy("lang")
+    }),
+
+    // Matryoshka-style dimension-truncation audit: how much of the
+    // exact top-3 neighborhood survives when embeddings are truncated
+    // to a prefix of 8/16/32 dims — the measurement behind serving a
+    // cheaper prefix index. Overlap counts are integers (rank rule
+    // shared with s01), so the oracle replay is exact; each truncated
+    // search is the same broadcast crossJoin + bounded top-k as s01.
+    "s16_dim_truncation" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val full = Similarity.cosineTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("nbr_id"), lit(1).as("hit"))
+      Seq(8, 16, 32).map { d =>
+        val ed = e.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("emb"))
+        val qd = q.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("emb"))
+        Similarity.cosineTopK(ed, "vec_id", "emb", qd, "vec_id", "emb",
+            k = 3)
+          .select(lit(d).as("dim"), col("query_id"), col("nbr_id"))
+      }.reduce(_.unionByName(_))
+        .join(full, Seq("query_id", "nbr_id"), "left")
+        .groupBy("dim", "query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+        .orderBy("dim", "query_id")
+    }),
+
     // IVFADC (Jégou et al. TPAMI 2011 §V): s03's coarse cell routing
     // composed with s12's ADC scoring — the configuration PQ actually
     // ships at corpus scale. A query scores only its ~nprobe/nlist
@@ -2264,6 +2328,74 @@ object OpsQueries {
       FROM em a JOIN em b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.99
       ORDER BY id_a, id_b""",
+
+    // token frequencies -> per-language rank -> the same four OLS
+    // sums; ln on integer counts keeps the float paths aligned
+    "d41_zipf_fit" -> """
+      WITH tk AS (
+        SELECT lang,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      tf AS (
+        SELECT lang, unnest(toks) AS term FROM tk),
+      cnts AS (
+        SELECT lang, term, COUNT(*) AS cnt FROM tf GROUP BY 1, 2),
+      top AS (
+        SELECT lang, LN(CAST(rank AS DOUBLE)) AS x,
+               LN(CAST(cnt AS DOUBLE)) AS y
+        FROM (SELECT lang, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY cnt DESC, term) AS rank
+              FROM cnts)
+        WHERE rank <= 100),
+      o AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM top GROUP BY lang)
+      SELECT lang, CAST(n AS BIGINT) AS n_terms,
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS zipf_slope,
+             ROUND(POWER(n * sxy - sx * sy, 2)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+      FROM o ORDER BY lang""",
+
+    // s01's brute-force rank replay at each prefix dim + the full-dim
+    // top-3; overlap = integer count of shared neighbors
+    "s16_dim_truncation" -> """
+      WITH fulltop AS (
+        SELECT query_id, nbr_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]),
+                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                   c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 3),
+      dims AS (SELECT unnest([8, 16, 32]) AS dim),
+      trunc AS (
+        SELECT dim, query_id, nbr_id FROM (
+          SELECT d.dim, q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 ROW_NUMBER() OVER (PARTITION BY d.dim, q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                     list_slice(CAST(q.embedding AS DOUBLE[]), 1, d.dim),
+                     list_slice(CAST(c.embedding AS DOUBLE[]), 1, d.dim)),
+                     6) DESC,
+                   c.vec_id) AS rank
+          FROM dims d, embeddings q JOIN embeddings c
+            ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 3)
+      SELECT t.dim, t.query_id,
+             CAST(SUM(CASE WHEN f.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap
+      FROM trunc t LEFT JOIN fulltop f
+        ON t.query_id = f.query_id AND t.nbr_id = f.nbr_id
+      GROUP BY t.dim, t.query_id
+      ORDER BY t.dim, t.query_id""",
 
     "s01_cosine_topk" -> """
       SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos

@@ -161,6 +161,34 @@ object StatQueries {
           round(col("se"), 6).as("se"))
         .orderBy("state")),
 
+    // delete-one-group (JK1) jackknife for the overall weighted mean
+    // — the survey-package replicate-variance companion to m04's
+    // Taylor linearization. PSUs = states; each replicate removes one
+    // state's (Σwy, Σw) from broadcast totals, so the whole estimator
+    // is one dimension-sized groupBy + two tiny aggregates, never a
+    // second data pass. w·y and w are small exact integers here, so
+    // every sum is order-invariant and the oracle replay is exact.
+    "m21_jackknife" -> ((s, dir) => {
+      val per = smallSurvey(s, dir).groupBy("state")
+        .agg(sum(col("y") * col("weight")).as("gwy"),
+          sum("weight").as("gw"))
+      val tot = per.agg(sum("gwy").as("twy"), sum("gw").as("tw"),
+        count(lit(1)).cast("double").as("g"))
+      val reps = per.crossJoin(broadcast(tot))
+        .select(col("g"), (lit(100.0) * col("twy") / col("tw")).as("theta"),
+          (lit(100.0) * (col("twy") - col("gwy"))
+            / (col("tw") - col("gw"))).as("theta_g"))
+      val rbar = reps.agg(avg("theta_g").as("rb")).head().getDouble(0)
+      reps.groupBy("g", "theta")
+        .agg(sum((col("theta_g") - lit(rbar))
+          * (col("theta_g") - lit(rbar))).as("ssq"))
+        .select(lit("overall").as("est"),
+          round(col("theta"), 6).as("mean"),
+          round(sqrt((col("g") - lit(1.0)) / col("g") * col("ssq")), 6)
+            .as("se_jk"),
+          col("g").cast("long").as("n_psu"))
+    }),
+
     // svyby covmat=TRUE (Method_code.Rmd:461): the full area×area
     // covariance of m04's direct estimates — diagonal = the Taylor
     // variance, off-diagonals exactly zero under the reference's
@@ -735,6 +763,34 @@ object StatQueries {
                    SUM(w * w) AS sww, COUNT(*) AS n
             FROM small GROUP BY state)
       ORDER BY state""",
+
+    // the same delete-one-state replicate arithmetic: exact integer
+    // sums, then JK1 (G-1)/G scaling around the replicate mean
+    "m21_jackknife" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      per AS (SELECT state, SUM(y * w) AS gwy, SUM(w) AS gw
+              FROM small GROUP BY state),
+      tot AS (SELECT SUM(gwy) AS twy, SUM(gw) AS tw,
+                     CAST(COUNT(*) AS DOUBLE) AS g
+              FROM per),
+      reps AS (SELECT g, 100.0 * twy / tw AS theta,
+                      100.0 * (twy - gwy) / (tw - gw) AS theta_g
+               FROM per CROSS JOIN tot),
+      rb AS (SELECT AVG(theta_g) AS rbar FROM reps)
+      SELECT 'overall' AS est, ROUND(theta, 6) AS mean,
+             ROUND(SQRT((g - 1.0) / g *
+               SUM((theta_g - rbar) * (theta_g - rbar))), 6) AS se_jk,
+             CAST(g AS BIGINT) AS n_psu
+      FROM reps CROSS JOIN rb
+      GROUP BY g, theta
+      ORDER BY est""",
 
     // m04's variance algebra on the diagonal, literal 0 elsewhere —
     // the independent-design covariance matrix replayed verbatim
