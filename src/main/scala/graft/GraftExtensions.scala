@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MatVecDots, SimHash64}
+import graft.functions.{DotProduct, MatVecDots, SimHash64, TopKPairs, VectorSum}
 
 /** Spark-native extension entry point: installs the engine's custom
   * Catalyst expressions into a session the way any Spark library
@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_matvec"),
       new ExpressionInfo(classOf[MatVecDots].getName, "graft_matvec"),
       (exprs: Seq[Expression]) => MatVecDots(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vecsum"),
+      (exprs: Seq[Expression]) => VectorSum(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKPairs(exprs(0), exprs(1), exprs(2),
+        exprs(3), exprs(4).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -43,5 +52,7 @@ object GraftExtensions {
     DotProduct.register(spark)
     SimHash64.register(spark)
     MatVecDots.register(spark)
+    VectorSum.register(spark)
+    TopKPairs.register(spark)
   }
 }

@@ -127,6 +127,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Banded MinHash signature table for one corpus side: (id, sig,
+    * band, bhash) — the PERSISTABLE representation behind
+    * [[minhashLshIncremental]] (32 longs + 8 band keys per doc, never
+    * text). Same signature/band arithmetic as [[minhashLsh]], so the
+    * DuckDB oracle replays it bit-for-bit.
+    */
+  def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
+          .as("sh"))
+      .withColumn("hs", transform(col("sh"), s => minhashBase(s)))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .withColumn("sigs", transform(col("sig"), x => x.cast("string")))
+    val bandArr = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        substring(md5(concat_ws(",",
+          slice(col("sigs"), b * rows + 1, rows)).cast("binary")), 1, 16)
+          .as("bhash"))): _*)
+    sig.select(col("id"), col("sig"), explode(bandArr).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  /** Incremental MinHash-LSH ingestion dedup: today's banded
+    * signatures probe yesterday's persisted signature STORE
+    * ([[minhashBanded]] output) with a banded NEW-vs-OLD join —
+    * old×old pair space is never generated and stored TEXT is never
+    * re-read (the store carries signatures only). Similarity is the
+    * unbiased MinHash estimator: matching signature components /
+    * numHashes (E[estimate] = Jaccard; k/numHashes is dyadic at
+    * numHashes=32, so the oracle replay is bit-exact). The d27 exact
+    * incremental pattern, lifted to near-duplicate granularity.
+    */
+  def minhashLshIncremental(newBanded: DataFrame, storeBanded: DataFrame,
+                            numHashes: Int = 32,
+                            threshold: Double = 0.5): DataFrame = {
+    val cand = newBanded.select(col("id").as("new_id"),
+        col("sig").as("nsig"), col("band"), col("bhash"))
+      .join(storeBanded.select(col("id").as("store_id"),
+        col("sig").as("ssig"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .dropDuplicates("new_id", "store_id")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("nsig"), col("ssig"),
+          (a, b) => a === b), x => x)).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "store_id", "est_jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures (custom Catalyst
     * expression), candidates from matching any of `tables` 16-bit
     * sub-bands (pigeonhole: <= `maxHamming` differing bits guarantees a

@@ -843,6 +843,33 @@ object OpsQueries {
         .orderBy("keep_id")
     }),
 
+    // incremental MinHash-LSH near-dup ingestion — the d27 store
+    // pattern lifted to NEAR-duplicate granularity: yesterday's batch
+    // persists only its banded signature table (32 longs + 8 band
+    // keys per doc, never text); today's feed computes its own
+    // signatures and probes the store with a banded NEW-vs-OLD join,
+    // so old×old pair space is never generated and stored text is
+    // never re-read. Similarity = matching components / 32 (the
+    // unbiased MinHash estimator, dyadic -> oracle replay exact).
+    "d42_incremental_lsh" -> ((s, dir) => {
+      val store = graft.TempDirs.createCleanedAtExit("graft-d42-store")
+      val d = docs(s, dir).select("doc_id", "text")
+      Dedup.minhashBanded(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(store)
+      // today's feed: odd docs (genuinely new) + near-dup mutants of
+      // stored evens (redelivery-with-edits, the d07 mutation)
+      val feed = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", filter(TextAnalysis.tokens(col("text")),
+              (t, i) => i =!= 1)).as("text")))
+      Dedup.minhashLshIncremental(
+          Dedup.minhashBanded(feed, "doc_id", "text"),
+          s.read.parquet(store), threshold = 0.5)
+        .orderBy("new_id", "store_id")
+    }),
+
     // PII scrub (emails / phones / IPv4 -> typed placeholder tokens):
     // the corpus has no organic PII, so every 7th doc gets a
     // deterministic injected contact line (same injection replayed in
@@ -1102,6 +1129,70 @@ object OpsQueries {
     * jaccard — so the hash gate covers the scale path, not just the
     * verified output.
     */
+  /** d42's oracle replays the WHOLE incremental pipeline: both sides'
+    * signatures (store = evens, feed = odds + mutated evens), the
+    * banded new-vs-old join, and the matching-components estimate.
+    */
+  private def incrementalLshOracle: String = {
+    val (as, bs) = graft.ops.Dedup.minhashCoeffs(32)
+    val aL = as.mkString("[", ",", "]")
+    val bL = bs.mkString("[", ",", "]")
+    s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      sides AS (
+        SELECT 0 AS side, doc_id, toks FROM toks0 WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 1, doc_id, toks FROM toks0 WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT 1, doc_id + 200000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0 WHERE doc_id % 2 = 0),
+      sh AS (
+        SELECT side, doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 END) AS sh
+        FROM sides),
+      hs AS (
+        SELECT side, doc_id,
+               list_transform(sh, s -> ${duckHex8("s")} % 2147483647) AS hs
+        FROM sh),
+      sig AS (
+        SELECT side, doc_id,
+               list_transform(range(0, 32), j ->
+                 list_min(list_transform(hs, h ->
+                   (($aL::BIGINT[])[CAST(j AS INT) + 1] * h
+                    + ($bL::BIGINT[])[CAST(j AS INT) + 1]) % 2147483647)))
+                 AS sig
+        FROM hs),
+      bb AS (
+        SELECT side, doc_id, sig, band,
+               substring(md5(array_to_string(list_transform(
+                 sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
+                 x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS bhash
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS store_id,
+               n.sig AS nsig, o.sig AS ssig
+        FROM bb n JOIN bb o
+          ON n.band = o.band AND n.bhash = o.bhash
+         WHERE n.side = 1 AND o.side = 0),
+      est AS (
+        SELECT new_id, store_id,
+               CAST(len(list_filter(range(0, 32), j ->
+                 nsig[CAST(j AS INT) + 1] = ssig[CAST(j AS INT) + 1]))
+                 AS DOUBLE) / 32.0 AS est_jaccard
+        FROM cand)
+      SELECT new_id, store_id, est_jaccard
+      FROM est WHERE est_jaccard >= 0.5
+      ORDER BY new_id, store_id"""
+  }
+
   private def minhashOracle: String = {
     val (as, bs) = graft.ops.Dedup.minhashCoeffs(32)
     val aL = as.mkString("[", ",", "]")
@@ -1331,6 +1422,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "d07_minhash_lsh" -> minhashOracle,
+    "d42_incremental_lsh" -> incrementalLshOracle,
     "d08_simhash" -> simhashOracle,
     "d16_decontaminate" -> decontaminateOracle,
     "d36_contam_fraction" -> contamFractionOracle,

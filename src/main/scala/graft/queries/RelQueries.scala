@@ -1055,6 +1055,30 @@ object RelQueries {
       graft.ops.Graph.triangleCountEstimate(e, p = 0.5).orderBy("node")
     }),
 
+    // grouped top-k as a RELATIONAL query through the native bounded
+    // top-k aggregate (functions.TopKPairs — the ANN ranking stage
+    // generalized): top-3 orders by total price per order priority.
+    // The classic formulation is a per-group row_number window, which
+    // shuffles and sorts EVERY order row; the aggregate forwards at
+    // most 3 entries per (priority, map task). Prices rank on the
+    // 2dp-rounded value with orderkey tie-break (cross-engine rank
+    // rule), and the oracle proves the aggregate against ROW_NUMBER.
+    "q67_grouped_topk" -> ((s, dir) => {
+      graft.functions.TopKPairs.register(s)
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopKPairs.topK(
+          round(col("o_totalprice"), 2), col("o_orderkey"),
+          col("o_totalprice"), 3).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos", "tk")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("tk.nbr_id").as("o_orderkey"),
+          round(col("tk.score"), 2).as("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     // event-time RANGE window frame (trailing 24h per user): the
     // VALUE-bounded sliding aggregate q38's ROWS frames can't express —
     // frame membership follows the timestamp value, however many rows
@@ -2046,6 +2070,18 @@ object RelQueries {
                UNION ALL SELECT z AS node FROM tri)
             GROUP BY node)
       SELECT node, n_tri FROM c ORDER BY node""",
+
+    // ROW_NUMBER proof of the native bounded top-k aggregate
+    "q67_grouped_topk" -> """
+      SELECT o_orderpriority, rank, o_orderkey,
+             ROUND(o_totalprice, 2) AS o_totalprice
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3
+      ORDER BY o_orderpriority, rank""",
 
     // q58's chain on the md5-sampled (p=0.5) edge list + 1/p³ scaling
     // — the DOULION draw replays hashUniform(a||'_'||b, 'doulion')

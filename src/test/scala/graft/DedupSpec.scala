@@ -32,6 +32,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashLshIncremental: feed-vs-store only, estimator finds " +
+      "planted near-dup and exact copy, unrelated docs stay clean") {
+    // store: docs 1 and 4; feed: 3 (near-dup of 1), an exact copy of
+    // 4, and unrelated 5
+    val store = Dedup.minhashBanded(corpus.filter($"id".isin(1L, 4L)),
+      "id", "text", shingleN = 2, numHashes = 32, bands = 16)
+    val copyOf4 = corpus.filter($"id" === 4L)
+      .select(lit(104L).as("id"), $"text")
+    val feed = Dedup.minhashBanded(
+      corpus.filter($"id".isin(3L, 5L)).unionByName(copyOf4),
+      "id", "text", shingleN = 2, numHashes = 32, bands = 16)
+    val r = Dedup.minhashLshIncremental(feed, store, numHashes = 32,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // exact copy: every signature component matches -> estimate 1.0
+    assert(r(104L -> 4L) == 1.0, s"$r")
+    // planted near-dup of a STORED doc is recovered
+    assert(r.contains(3L -> 1L), s"$r")
+    assert(r(3L -> 1L) >= 0.5 && r(3L -> 1L) < 1.0)
+    // unrelated feed doc pairs with nothing; store-vs-store pairs
+    // (1,4) can never appear — the join is new-vs-old by construction
+    assert(!r.keySet.exists(p => p._1 == 5L), s"$r")
+    assert(r.keySet.forall(p => Set(3L, 5L, 104L)(p._1)), s"$r")
+  }
+
   test("simhash expression is deterministic; near-dups within hamming") {
     SimHash64.register(spark)
     val sigs = corpus.select($"id",

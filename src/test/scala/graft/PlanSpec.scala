@@ -91,6 +91,17 @@ class PlanSpec extends SparkSpec {
       "SELECT simhash64(array('a', 'b')) = simhash64(array('b', 'a'))")
       .head().getBoolean(0)
     assert(sig) // bag semantics: order-invariant
+    // the native aggregates resolve from SQL too
+    val vs = spark.sql(
+      "SELECT graft_vecsum(v) FROM VALUES (array(1.0D, 2.0D)), " +
+        "(array(3.0D, 4.0D)) AS t(v)")
+      .head().getSeq[Double](0)
+    assert(vs == Seq(4.0, 6.0))
+    val tk = spark.sql(
+      "SELECT graft_topk(s, id, s, 0L, 2) FROM VALUES " +
+        "(1.0D, 10L), (3.0D, 11L), (2.0D, 12L) AS t(s, id)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(0)) == Seq(11L, 12L))
     // the SparkSessionExtensions hook installs without error
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
