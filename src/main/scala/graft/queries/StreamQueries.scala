@@ -135,6 +135,15 @@ object StreamQueries {
       Streams.hourlyApproxDistinctDrain(s, dir)
         .orderBy("hour")),
 
+    // per-hour top-3 events by value through the REAL streaming path,
+    // ranked by the native k-bounded TopKPairs aggregate inside the
+    // watermarked window aggregation — window state is the O(k) heap
+    // buffer in the state store, never the hour's event set. Oracle:
+    // batch ROW_NUMBER replay over the same hour windows.
+    "st11_stream_topk" -> ((s, dir) =>
+      Streams.topkStreamDrain(s, dir, k = 3)
+        .orderBy("hour", "rank")),
+
     // stream-stream LEFT OUTER join: st04's correlation with
     // null-extension for clicks that never convert — unmatched rows
     // can only be emitted once the watermark proves no future match,
@@ -171,6 +180,20 @@ object StreamQueries {
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    // the same hour windows, ranked by ROW_NUMBER on the identical
+    // (rounded value DESC, event_id) rule the heap aggregate applies
+    "st11_stream_topk" -> """
+      WITH r AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS hour,
+               event_id, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY date_trunc('hour', ts)
+                 ORDER BY ROUND(value, 4) DESC, event_id) AS rank
+        FROM events)
+      SELECT hour, rank, event_id, ROUND(value, 4) AS value
+      FROM r WHERE rank <= 3 ORDER BY hour, rank""",
 
     // gap-and-island sessionization: a session starts where the gap to
     // the previous event exceeds 30 min (epoch_ms matches the engine's

@@ -158,6 +158,61 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Streaming per-hour top-k: the native bounded top-k aggregate
+    * ([[graft.functions.TopKPairs]]) INSIDE a watermarked streaming
+    * window aggregation — the per-window state the store holds is the
+    * k-bounded heap buffer (a TypedImperativeAggregate serializes
+    * into the state store like any built-in), so window state is
+    * O(k) however many events the hour saw: the streaming counterpart
+    * of the ANN ranking stage. Same bounded-drain mechanics as
+    * [[hourlyAggStreamDrain]] (append mode, sentinel flush at
+    * max ts + 4h whose own window never emits); the heap array lands
+    * in the parquet sink and is exploded batch-side, which also keeps
+    * generators out of the streaming plan.
+    */
+  def topkStreamDrain(spark: SparkSession, sfDir: String,
+                      k: Int = 3): DataFrame = {
+    graft.functions.TopKPairs.register(spark)
+    val srcDir = Files.createTempDirectory("graft-st11-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st11-sink")
+    val ckpt = Files.createTempDirectory("graft-st11-ckpt").toString
+    locally {
+      val raw = eventsBatch(spark, sfDir)
+        .select("ts", "event_id", "value")
+      val sentinel = raw.agg(
+          timestamp_millis(max(unix_millis(col("ts"))) + 4 * 3600 * 1000L)
+            .as("ts"))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+      raw.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKPairs.topK(round(col("value"), 4),
+        col("event_id"), col("value"), k).as("top"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("top"))
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    spark.read.parquet(sinkDir)
+      .select(col("hour"), posexplode(col("top")).as(Seq("pos", "tk")))
+      .select(col("hour"), (col("pos") + 1).cast("int").as("rank"),
+        col("tk.nbr_id").as("event_id"),
+        round(col("tk.score"), 4).as("value"))
+  }
+
   /** Hourly APPROXIMATE distinct users through the real streaming
     * path — the sketch member of the drain family (st01 sums, st09
     * session windows): watermarked event-time windows whose aggregate
