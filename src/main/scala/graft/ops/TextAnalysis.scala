@@ -604,6 +604,64 @@ object TextAnalysis {
         round(col("llr"), 4).as("llr"))
   }
 
+  /** Multinomial Naive-Bayes document classification against the
+    * corpus's own label column — the model-based curation primitive
+    * behind domain/quality classifier filters (the fastText-classifier
+    * shape of GPT-3's WebText filter and DCLM/fineweb-style quality
+    * routing, reduced to the closed-form member of the family so the
+    * whole train-and-score pipeline is one SQL-replayable pass, no
+    * iterative optimizer).
+    *
+    * Model: add-one-smoothed multinomial NB over lowercase whitespace
+    * tokens. score(d,c) = ln(N_c/N) + Σ_t cnt_dt · ln((cc_tc+1)/(tok_c+V));
+    * prediction = argmax_c on the 4dp-ROUNDED score with class-name
+    * tie-break, so a last-ulp ln() divergence between engines cannot
+    * flip a prediction (the d17/d30 rank rule).
+    *
+    * Scale shape: tf and class counts are term-keyed groupBys; the
+    * scoring join fans each DISTINCT (doc, term) row out by
+    * |classes| (a bounded constant) and joins class counts by
+    * (term, class) — term-keyed shuffles only, the corpus text never
+    * moves after tokenization, and the class/prior/vocab tables are
+    * dimension-sized broadcasts. Docs with zero tokens produce no
+    * rows (no tf entry on either engine).
+    *
+    * Returns one row per nonempty doc: (idCol, labelCol, predicted,
+    * score) with score = the winning class's rounded log-posterior.
+    */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"), col(labelCol).as("lab"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "lab", "term").agg(count(lit(1)).as("cnt"))
+      .cache() // feeds the class model AND the scoring join
+    val cls = df.groupBy(col(labelCol).as("c"))
+      .agg(count(lit(1)).cast("double").as("nd"))
+    val nTot = df.agg(count(lit(1)).cast("double").as("nn"))
+    val cc = tf.groupBy(col("term"), col("lab").as("c"))
+      .agg(sum("cnt").as("ccnt"))
+    val tokc = cc.groupBy("c").agg(sum("ccnt").as("tok_c"))
+    val vocab = cc.select("term").distinct().agg(count(lit(1)).as("v"))
+    val prior = cls.crossJoin(broadcast(nTot))
+      .select(col("c"), log(col("nd") / col("nn")).as("lp"))
+    val cand = tf.crossJoin(broadcast(cls.select("c")))
+      .join(cc, Seq("term", "c"), "left")
+      .join(broadcast(tokc), Seq("c"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id", "lab", "c")
+      .agg(sum(col("cnt")
+        * log((coalesce(col("ccnt"), lit(0L)) + 1).cast("double")
+          / (col("tok_c") + col("v")))).as("ll"))
+    cand.join(broadcast(prior), Seq("c"))
+      .select(col("id"), col("lab"),
+        col("c"), round(col("ll") + col("lp"), 4).as("score"))
+      .groupBy("id", "lab")
+      .agg(min(struct((-col("score")).as("ns"), col("c"))).as("best"))
+      .select(col("id").as(idCol), col("lab").as(labelCol),
+        col("best.c").as("predicted"), (-col("best.ns")).as("score"))
+  }
+
   // --- Gopher-style repetition signals -----------------------------------
 
   /** Per-document repetition quality signals in the shape of the Gopher

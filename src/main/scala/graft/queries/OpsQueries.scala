@@ -984,6 +984,44 @@ object OpsQueries {
     // token instances); the OLS is four sums per language. Integer
     // counts + one ln per distinct term keep both engines' float
     // paths aligned (output rounded 4dp).
+    // RAG-style retrieval chunking: fixed 32-token windows at stride
+    // 24 (8-token overlap so a sentence straddling a cut survives in
+    // the next chunk) — the corpus→retrieval-index prep step between
+    // d23's training packing (no overlap, capacity-cut) and plain
+    // splitting. Pure narrow work: tokens → explode(sequence) starts →
+    // slice; ZERO shuffles at any corpus size (the orderBy is
+    // output-only), and chunk identity is the md5 of the joined
+    // window so downstream dedup/embedding stages key on 16 bytes,
+    // never re-carrying text. Empty docs chunk to nothing (start<n
+    // filter) on both engines.
+    "d40_rag_chunks" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      base.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+            lit(24))).as("start"))
+        .filter(col("start") < col("n"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("int").as("chunk_idx"),
+          col("start").as("start_tok"),
+          slice(col("toks"), col("start") + 1, lit(32)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("chunk")).as("n_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // model-based curation: train-and-score Naive Bayes against the
+    // source label in ONE SQL-replayable pass (the closed-form member
+    // of the fastText-quality-classifier family — see
+    // TextAnalysis.nbClassify for the scale shape). Per-doc predicted
+    // source + log-posterior; argmax on the 4dp-rounded score so both
+    // engines' ln() agree at the decision.
+    "d43_nb_source_classifier" -> ((s, dir) =>
+      TextAnalysis.nbClassify(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
     "d41_zipf_fit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
@@ -2062,6 +2100,66 @@ object OpsQueries {
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // the whole NB pipeline replayed: tf, class/token counts, joint
+    // vocabulary, add-one smoothing, log-posterior, 4dp-rounded argmax
+    // with class-name tie-break (ROW_NUMBER score DESC, c ASC)
+    "d43_nb_source_classifier" -> """
+      WITH base AS (
+        SELECT doc_id AS id, source AS lab,
+               CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END
+                 AS toks
+        FROM documents),
+      tf AS (
+        SELECT id, lab, term, COUNT(*) AS cnt
+        FROM (SELECT id, lab, unnest(toks) AS term FROM base)
+        GROUP BY 1, 2, 3),
+      cls AS (SELECT source AS c, CAST(COUNT(*) AS DOUBLE) AS nd
+              FROM documents GROUP BY 1),
+      nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+      cc AS (SELECT term, lab AS c, SUM(cnt) AS ccnt FROM tf GROUP BY 1, 2),
+      tokc AS (SELECT c, SUM(ccnt) AS tok_c FROM cc GROUP BY 1),
+      vocab AS (SELECT COUNT(DISTINCT term) AS v FROM cc),
+      cand AS (
+        SELECT tf.id, tf.lab, cls.c,
+               SUM(tf.cnt * ln(CAST(COALESCE(cc.ccnt, 0) + 1 AS DOUBLE)
+                 / (tokc.tok_c + vocab.v))) AS ll
+        FROM tf CROSS JOIN cls
+        LEFT JOIN cc ON cc.term = tf.term AND cc.c = cls.c
+        JOIN tokc ON tokc.c = cls.c
+        CROSS JOIN vocab
+        GROUP BY 1, 2, 3),
+      prior AS (SELECT c, ln(nd / nn) AS lp FROM cls CROSS JOIN nt),
+      scored AS (
+        SELECT id, lab, cand.c, ROUND(ll + lp, 4) AS score,
+               ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY ROUND(ll + lp, 4) DESC, cand.c) AS rn
+        FROM cand JOIN prior ON prior.c = cand.c)
+      SELECT id AS doc_id, lab AS source, c AS predicted, score
+      FROM scored WHERE rn = 1 ORDER BY doc_id""",
+
+    // same tokenization (trim + \s+ split, empty -> no tokens), same
+    // stride enumeration (range stops before n), 1-based inclusive
+    // list_slice == Spark's slice(start+1, len 32)
+    "d40_rag_chunks" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      st AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(0, CAST(len(toks) AS BIGINT), 24)) AS start
+        FROM tk)
+      SELECT doc_id,
+             CAST(start // 24 AS INT) AS chunk_idx,
+             CAST(start AS INT) AS start_tok,
+             CAST(len(list_slice(toks, CAST(start + 1 AS INT),
+               CAST(start + 32 AS INT))) AS INT) AS n_toks,
+             md5(array_to_string(list_slice(toks, CAST(start + 1 AS INT),
+               CAST(start + 32 AS INT)), ' ')) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_idx""",
 
     // identical md5-seeded uniform -> Laplace inverse CDF -> clamp
     "d39_dp_counts" -> """

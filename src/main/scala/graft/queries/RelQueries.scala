@@ -1260,6 +1260,40 @@ object RelQueries {
         .orderBy("o_year")
     }),
 
+    // runtime bloom-filter join pruning (beyond ref) — the scan-side
+    // ROW-pruning lever q36's DPP can't provide when the fact table
+    // isn't partitioned by the join key: a selective dim predicate
+    // (p_size) makes Catalyst's InjectRuntimeFilter build a bloom
+    // filter over the dim's surviving join keys during planning and
+    // AND a might_contain(xxhash64(l_partkey)) probe into the fact
+    // scan, so non-matching lineitem rows die at the scan instead of
+    // crossing the shuffle — at 100 TB that is the difference between
+    // shuffling the whole fact table and shuffling the ~1/40th that
+    // can possibly join. Confs are scoped to a cloned session
+    // (Compact's pattern): the application-side size threshold
+    // defaults to 10 GB (sized for real clusters — at harness SFs the
+    // rule would never fire), and broadcast is disabled because bloom
+    // injection targets shuffle joins (a broadcast join already
+    // prunes at the probe). PlanSpec asserts might_contain lands in
+    // the optimized plan. The result is a plain join — the oracle
+    // proves the filter is transparent.
+    "q68_runtime_filter" -> ((s, dir) => {
+      val rf = s.newSession()
+      rf.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      rf.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      rf.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = t(rf, dir, "lineitem")
+      val pt = t(rf, dir, "part").filter(col("p_size") === 1)
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
     // JSON-lines ingest round-trip: write customers as JSONL, read
     // back with an explicit schema (no inference pass), aggregate —
     // write→read must equal the parquet truth
@@ -2252,6 +2286,15 @@ object RelQueries {
              ROUND(SUM(o_totalprice), 2) AS revenue
       FROM orders JOIN odd
         ON CAST(year(o_orderdate) AS INT) = odd.d_year
+      GROUP BY 1 ORDER BY 1""",
+
+    // the bloom runtime filter must be semantically invisible: the
+    // oracle is the plain join it prunes for
+    "q68_runtime_filter" -> """
+      SELECT p_brand, COUNT(*) AS n_items,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 1
       GROUP BY 1 ORDER BY 1""",
 
     // compaction must be lossless: truth straight from parquet

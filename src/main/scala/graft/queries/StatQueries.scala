@@ -189,6 +189,125 @@ object StatQueries {
           col("g").cast("long").as("n_psu"))
     }),
 
+    // MRP — multilevel regression + post-stratification (Gelman &
+    // Little 1997), the modern small-area method joining this file's
+    // two halves: the m09 adaptive-GH multilevel fit predicts every
+    // population covariate cell, m14's post-stratification weights the
+    // predictions by cell counts. One groupBy over the frame, then
+    // dimension-sized arithmetic (see Glmm.mrp). Rows-only (the fit is
+    // iterative ML); the aggregation layer is spec-gated in GlmmSpec
+    // with a fixed-parameter closed-form check.
+    "m24_mrp" -> ((s, dir) => {
+      import s.implicits._
+      val fit = agqFit(s, dir)
+      val ranef = fit.ranef.map { case (a, u, _) => (a, u) }
+        .toDF("state", "u")
+      Glmm.mrp(bigSurvey(s, dir), fit.beta, featureCols, ranef,
+          "state", "weight")
+        .select(col("state"), round(col("mrp"), 4).as("mrp"))
+        .orderBy("state")
+    }),
+
+    // GREG / calibration estimator (survey::calibrate, the linear
+    // companion to m12's raking and m14's post-stratification): a
+    // 1-in-3 customer sample (design weight 3) estimates mean acctbal
+    // per segment, calibrated to the frame's KNOWN per-segment count
+    // and auxiliary total via the weighted least-squares fit
+    // y ~ 1 + x. GREG total = HT total + B'(t_pop − t̂_HT); the 2×2
+    // normal equations are solved in closed form from five grouped
+    // sums, so the whole estimator is two dimension-sized aggregates
+    // (sample sums + frame totals) joined on segment — the data never
+    // shuffles twice and nothing driver-side. Oracle replays the
+    // explicit determinant inverse verbatim.
+    "m22_greg_calibration" -> ((s, dir) => {
+      val full = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").cast("double").as("y"),
+          pmod(col("c_custkey"), lit(10)).cast("double").as("x"))
+      val pop = full.groupBy("seg")
+        .agg(count(lit(1)).cast("double").as("bigN"), sum("x").as("tx"))
+      val samp = full.filter(col("c_custkey") % 3 === 1)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_samp"),
+          sum(lit(3.0)).as("sw"), sum(lit(3.0) * col("x")).as("swx"),
+          sum(lit(3.0) * col("x") * col("x")).as("swx2"),
+          sum(lit(3.0) * col("y")).as("swy"),
+          sum(lit(3.0) * col("x") * col("y")).as("swxy"))
+      val d = samp.join(broadcast(pop), Seq("seg"))
+        .withColumn("det",
+          col("sw") * col("swx2") - col("swx") * col("swx"))
+        .withColumn("b1",
+          (col("sw") * col("swxy") - col("swx") * col("swy")) / col("det"))
+        .withColumn("b0",
+          (col("swy") * col("swx2") - col("swx") * col("swxy")) / col("det"))
+      d.select(col("seg"), col("n_samp"),
+          round(col("swy") / col("sw"), 6).as("ht_mean"),
+          round((col("swy") + col("b0") * (col("bigN") - col("sw"))
+            + col("b1") * (col("tx") - col("swx"))) / col("bigN"), 6)
+            .as("greg_mean"),
+          round(col("b1"), 6).as("b1"))
+        .orderBy("seg")
+    }),
+
+    // Fay's BRR replicate variance (the balanced-half-sample
+    // companion to m21's JK1): strata = the 5 segments, 2 PSU
+    // half-samples per stratum by custkey parity, 8 balanced
+    // replicates from the Sylvester H8 Hadamard matrix (columns 1-5 —
+    // the all-ones column is skipped so every half-sample appears in
+    // exactly half the replicates). Fay's rho = 0.5 perturbs weights
+    // by 1.5/0.5 instead of 2/0, so no half-sample is ever emptied.
+    // Everything is arithmetic on the 10 per-(stratum, psu) sums
+    // crossed with a 40-row literal sign table — one data pass, then
+    // dimension-sized joins. Oracle embeds the same Hadamard literal.
+    "m23_brr_fay" -> ((s, dir) => {
+      import s.implicits._
+      val rho = 0.5
+      // Sylvester H8 columns 1..5 (H[r][c] = (-1)^popcount(r AND c)),
+      // indexed by replicate r = 0..7: zero-sum, pairwise orthogonal
+      val hadCols = Seq(
+        Seq(1, -1, 1, -1, 1, -1, 1, -1),
+        Seq(1, 1, -1, -1, 1, 1, -1, -1),
+        Seq(1, -1, -1, 1, 1, -1, -1, 1),
+        Seq(1, 1, 1, 1, -1, -1, -1, -1),
+        Seq(1, -1, 1, -1, -1, 1, -1, 1))
+      val signs = (for { r <- 0 until 8; h <- 0 until 5 }
+        yield (r + 1, h + 1, hadCols(h)(r))).toDF("rep", "h", "sign")
+      val cells = smallSurvey(s, dir)
+        .groupBy(col("state"))
+        .agg(sum(col("y") * col("weight")).as("swy"),
+          sum("weight").as("sw"))
+      // per-stratum index via the dimension-sized rank (25 states ->
+      // strata by alphabetical position mod 5, 2 halves by position
+      // parity: a deterministic 5x2 design from the state dimension)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("state"))
+      val keyed = cells
+        .withColumn("pos", row_number().over(w) - 1)
+        .withColumn("h", (col("pos") % 5 + 1).cast("int"))
+        .withColumn("psu", expr("(pos div 5) % 2").cast("int"))
+        .groupBy("h", "psu")
+        .agg(sum("swy").as("swy"), sum("sw").as("sw"))
+      val reps = keyed.join(broadcast(signs), Seq("h"))
+        .withColumn("f",
+          when((col("psu") === 0) === (col("sign") === 1), lit(2.0 - rho))
+            .otherwise(lit(rho)))
+        .groupBy("rep")
+        .agg((sum(col("f") * col("swy")) / sum(col("f") * col("sw")) * 100.0)
+          .as("theta_r"))
+      val full0 = keyed.agg(
+        (sum("swy") / sum("sw") * 100.0).as("theta"))
+      reps.crossJoin(broadcast(full0))
+        .groupBy("theta")
+        .agg(count(lit(1)).cast("double").as("r"),
+          sum((col("theta_r") - col("theta"))
+            * (col("theta_r") - col("theta"))).as("ssq"))
+        .select(lit("overall").as("est"),
+          round(col("theta"), 6).as("mean"),
+          round(sqrt(col("ssq") / (col("r")
+            * (lit(1.0) - rho) * (lit(1.0) - rho))), 6).as("se_brr"),
+          col("r").cast("long").as("n_reps"))
+    }),
+
     // svyby covmat=TRUE (Method_code.Rmd:461): the full area×area
     // covariance of m04's direct estimates — diagonal = the Taylor
     // variance, off-diagonals exactly zero under the reference's
@@ -791,6 +910,85 @@ object StatQueries {
       FROM reps CROSS JOIN rb
       GROUP BY g, theta
       ORDER BY est""",
+
+    // the explicit 2x2 determinant inverse of the weighted normal
+    // equations, then HT + B'(t_pop - t_HT), replayed verbatim
+    "m22_greg_calibration" -> """
+      WITH frame AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               CAST(c_acctbal AS DOUBLE) AS y,
+               CAST(c_custkey % 10 AS DOUBLE) AS x
+        FROM customer),
+      pop AS (
+        SELECT seg, CAST(COUNT(*) AS DOUBLE) AS bigN, SUM(x) AS tx
+        FROM frame GROUP BY 1),
+      samp AS (
+        SELECT seg, COUNT(*) AS n_samp,
+               CAST(3.0 * COUNT(*) AS DOUBLE) AS sw,
+               SUM(3.0 * x) AS swx, SUM(3.0 * x * x) AS swx2,
+               SUM(3.0 * y) AS swy, SUM(3.0 * x * y) AS swxy
+        FROM frame WHERE c_custkey % 3 = 1 GROUP BY 1),
+      d AS (
+        SELECT s.*, p.bigN, p.tx,
+               s.sw * s.swx2 - s.swx * s.swx AS det
+        FROM samp s JOIN pop p USING (seg)),
+      b AS (
+        SELECT seg, n_samp, sw, swx, swy, bigN, tx,
+               (sw * swxy - swx * swy) / det AS b1,
+               (swy * swx2 - swx * swxy) / det AS b0
+        FROM d)
+      SELECT seg, n_samp, ROUND(swy / sw, 6) AS ht_mean,
+             ROUND((swy + b0 * (bigN - sw) + b1 * (tx - swx)) / bigN, 6)
+               AS greg_mean,
+             ROUND(b1, 6) AS b1
+      FROM b ORDER BY seg""",
+
+    // same 5x2 cell design, the same Sylvester H8 columns as a literal
+    // sign table, Fay factors 1.5/0.5, V = sum((theta_r-theta)^2) /
+    // (R (1-rho)^2)
+    "m23_brr_fay" -> """
+      WITH small AS (
+        SELECT n_name AS state,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS DOUBLE) AS y,
+               1.0 + (o_custkey % 3) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      per AS (SELECT state, SUM(y * w) AS swy, SUM(w) AS sw
+              FROM small GROUP BY state),
+      pos AS (SELECT swy, sw,
+                     ROW_NUMBER() OVER (ORDER BY state) - 1 AS pos
+              FROM per),
+      cells AS (SELECT CAST(pos % 5 + 1 AS INT) AS h,
+                       CAST((pos // 5) % 2 AS INT) AS psu,
+                       SUM(swy) AS swy, SUM(sw) AS sw
+                FROM pos GROUP BY 1, 2),
+      had AS (SELECT * FROM (VALUES
+        (1,1,1),(1,2,1),(1,3,1),(1,4,1),(1,5,1),
+        (2,1,-1),(2,2,1),(2,3,-1),(2,4,1),(2,5,-1),
+        (3,1,1),(3,2,-1),(3,3,-1),(3,4,1),(3,5,1),
+        (4,1,-1),(4,2,-1),(4,3,1),(4,4,1),(4,5,-1),
+        (5,1,1),(5,2,1),(5,3,1),(5,4,-1),(5,5,-1),
+        (6,1,-1),(6,2,1),(6,3,-1),(6,4,-1),(6,5,1),
+        (7,1,1),(7,2,-1),(7,3,-1),(7,4,-1),(7,5,-1),
+        (8,1,-1),(8,2,-1),(8,3,1),(8,4,-1),(8,5,1))
+        AS t(rep, h, sign)),
+      reps AS (
+        SELECT had.rep,
+               100.0 * SUM(CASE WHEN (c.psu = 0) = (had.sign = 1)
+                                THEN 1.5 ELSE 0.5 END * c.swy)
+                     / SUM(CASE WHEN (c.psu = 0) = (had.sign = 1)
+                                THEN 1.5 ELSE 0.5 END * c.sw) AS theta_r
+        FROM cells c JOIN had ON c.h = had.h
+        GROUP BY had.rep),
+      f0 AS (SELECT 100.0 * SUM(swy) / SUM(sw) AS theta FROM cells)
+      SELECT 'overall' AS est, ROUND(theta, 6) AS mean,
+             ROUND(SQRT(SUM((theta_r - theta) * (theta_r - theta))
+               / (COUNT(*) * 0.25)), 6) AS se_brr,
+             COUNT(*) AS n_reps
+      FROM reps CROSS JOIN f0
+      GROUP BY theta""",
 
     // m04's variance algebra on the diagonal, literal 0 elsewhere —
     // the independent-design covariance matrix replayed verbatim

@@ -181,4 +181,29 @@ object Glmm {
         Encodings.sigmoid(xBetaCol(beta, featureCols) +
           coalesce(col(uCol), lit(0.0))))
       .drop(uCol)
+
+  /** MRP — multilevel regression + post-stratification (Gelman &
+    * Little 1997; the modern small-area celebrity tying the multilevel
+    * fit (M1) to the post-stratification table (M14)): the fitted
+    * model predicts p for every POPULATION covariate cell, and the
+    * area estimate is the cell-count-weighted mean of those
+    * predictions. `big` is the unit-level population frame; it is
+    * first collapsed to (area × covariate-cell) weight totals — at
+    * 100 TB that single map-side-combining groupBy is the only pass
+    * over the frame, and everything after is dimension-sized (cells ×
+    * areas) with the random-effect table broadcast via
+    * [[scoreWithRanef]]. Areas absent from `ranef` predict at u = 0
+    * (the Q6 coalesce rule).
+    */
+  def mrp(big: DataFrame, beta: DenseVector[Double],
+          featureCols: Seq[String], ranef: DataFrame,
+          areaCol: String, weightCol: String,
+          scale: Double = 100.0): DataFrame = {
+    val cells = big.groupBy(areaCol, featureCols: _*)
+      .agg(sum(weightCol).as("n_cell"))
+    scoreWithRanef(cells, beta, featureCols, ranef, areaCol)
+      .groupBy(areaCol)
+      .agg((sum(col("n_cell") * col("p")) / sum("n_cell") * scale)
+        .as("mrp"))
+  }
 }

