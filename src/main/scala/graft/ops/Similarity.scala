@@ -87,6 +87,55 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "ip")
   }
 
+  /** SQ8 scalar-quantization ANN — the OTHER compressed corpus
+    * representation next to PQ/ADC (s12), and the simplest one real
+    * vector stacks deploy (FAISS `SQ8`): each dimension gets a
+    * corpus-trained [min,max] range, each component is stored as one
+    * byte `q = min(255, floor((x-mn)/(mx-mn)*256))`, and queries score
+    * ASYMMETRICALLY (full-precision query against the dequantized
+    * reconstruction x̂ = mn + (q+0.5)·span/256 — the same
+    * uncompressed-query/compressed-corpus asymmetry as ADC). 4× below
+    * float32 with near-exact recall.
+    *
+    * Scale shape: training is ONE narrow posexplode + a
+    * dimension-sized (d-row) aggregate; encoding is a narrow map; the
+    * only per-candidate state is (id, codes) — corpus float vectors
+    * are never carried past the encode projection — and ranking rides
+    * the k-bounded [[boundedTopK]] aggregate, so scored candidates
+    * never cross the shuffle. Every arithmetic step (min/max, floor,
+    * the /256 dyadic dequant) is bit-replayable in DuckDB, which makes
+    * this the oracle-gated member of the compressed-ANN family.
+    */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int): DataFrame = {
+    DotProduct.register(corpus.sparkSession)
+    val stats = corpus
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mn = stats.map(_.getDouble(1))
+    val span = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    val mnL = array(mn.toSeq.map(lit): _*)
+    val spanL = array(span.toSeq.map(lit): _*)
+    val codes = corpus.select(col(idCol).as("nbr_id"),
+      transform(col(vecCol).cast("array<double>"), (x, i) =>
+        when(get(spanL, i) === 0.0, lit(0.0))
+          .otherwise(least(lit(255.0),
+            floor((x - get(mnL, i)) / get(spanL, i) * 256)))
+          .cast("int")).as("codes"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("dq", transform(col("codes"), (c, i) =>
+        get(mnL, i) + (c.cast("double") + 0.5) * get(spanL, i) / 256.0))
+      .withColumn("sq", DotProduct.dotFast(col("qv"), col("dq")))
+    boundedTopK(scored, col("sq"), k, as = "sq")
+      .select("query_id", "rank", "nbr_id", "sq")
+  }
+
   /** MIPS at corpus scale by the norm-augmentation reduction
     * (Bachrach et al. 2014 / Shrivastava-Li asymmetric transform):
     * append sqrt(M^2 - |x|^2) to every item (M = max item norm, one

@@ -290,6 +290,21 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 scalar-quantization ANN (FAISS SQ8 shape): per-dim
+    // corpus-trained [min,max], 1 byte per component, asymmetric
+    // scoring against the dequantized mid-rise reconstruction — the
+    // ORACLE-GATED member of the compressed-ANN family (s12's PQ is
+    // rows-only): min/max, floor codes and the /256 dyadic dequant
+    // all replay bit-identically in DuckDB.
+    "s17_sq8_ann" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.sq8TopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("sq"), 4).as("sq"))
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN, the scale path (rows-only; recall vs brute
     // force is spec-tested)
     "s02_lsh_ann" -> ((s, dir) => {
@@ -2599,6 +2614,35 @@ object OpsQueries {
                    CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the full SQ8 chain replayed: per-dim MIN/MAX (order-exact), the
+    // floor/clamp code, the dyadic mid-rise dequant, the asymmetric
+    // dot, rank on the 6dp-rounded score with id tie-break
+    "s17_sq8_ann" -> """
+      WITH d AS (SELECT unnest(range(1, 65)) AS i),
+      stats AS (
+        SELECT d.i, MIN(CAST(embedding AS DOUBLE[])[d.i]) AS mn,
+               MAX(CAST(embedding AS DOUBLE[])[d.i]) AS mx
+        FROM embeddings CROSS JOIN d GROUP BY d.i),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               SUM(CAST(q.embedding AS DOUBLE[])[s.i]
+                 * (s.mn + (CASE WHEN s.mx = s.mn THEN 0.0
+                      ELSE LEAST(255.0, FLOOR(
+                        (CAST(c.embedding AS DOUBLE[])[s.i] - s.mn)
+                          / (s.mx - s.mn) * 256)) END + 0.5)
+                   * (s.mx - s.mn) / 256)) AS sq
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        CROSS JOIN stats s
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2)
+      SELECT query_id, rank, nbr_id, ROUND(sq, 4) AS sq
+      FROM (SELECT query_id, nbr_id, sq,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ROUND(sq, 6) DESC, nbr_id) AS rank
+            FROM sc)
       WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // brute-force inner-product top-k, rank on the rounded ip

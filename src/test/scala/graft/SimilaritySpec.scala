@@ -538,12 +538,46 @@ class SimilaritySpec extends SparkSpec {
         k = 3, dim = 16, nlist = 4, nprobe = 2, sampleSize = 60),
       "hardNegatives" -> Similarity.hardNegatives(df, "vec_id",
         "embedding", "label", k = 3, dim = 16, nlist = 4, nprobe = 2,
-        sampleSize = 60))
+        sampleSize = 60),
+      "sq8TopK" -> Similarity.sq8TopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3))
     plans.foreach { case (name, r) =>
       val plan = r.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("topkpairs"), s"$name:\n$plan")
       assert(!plan.contains("Window ["), s"$name:\n$plan")
     }
+  }
+
+  test("SQ8: asymmetric compressed scoring tracks exact MIPS (top-3 " +
+      "overlap) and dequantization error is bounded by span/256") {
+    val rng = new scala.util.Random(43)
+    val df = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+    def top3(r: org.apache.spark.sql.DataFrame) = r
+      .select($"query_id".cast("long"), $"nbr_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val exact = top3(Similarity.ipTopK(df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 3))
+    val sq = top3(Similarity.sq8TopK(df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 3))
+    exact.foreach { case (qid, ex) =>
+      assert((ex & sq(qid)).size >= 2,
+        s"query $qid: exact=$ex sq8=${sq(qid)}")
+    }
+    // 8-bit mid-rise reconstruction: |x - x̂| <= span/256 per dim
+    val rows = df.select($"embedding").as[Seq[Double]].collect()
+    val mins = (0 until 16).map(i => rows.map(_(i)).min)
+    val maxs = (0 until 16).map(i => rows.map(_(i)).max)
+    rows.foreach(v => (0 until 16).foreach { i =>
+      val span = maxs(i) - mins(i)
+      val code = math.min(255.0,
+        math.floor((v(i) - mins(i)) / span * 256))
+      val xhat = mins(i) + (code + 0.5) * span / 256
+      assert(math.abs(v(i) - xhat) <= span / 256 + 1e-12)
+    })
   }
 
   test("IVFADC nprobe=1 routes every query to its own blob's cell") {
