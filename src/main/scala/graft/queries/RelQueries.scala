@@ -489,6 +489,36 @@ object RelQueries {
       """)
     }),
 
+    // TPC-H Q21 shape — the correlated EXISTS + NOT EXISTS pair,
+    // written in its genuinely-correlated form: suppliers whose
+    // returned line sits in a multi-supplier order where NO other
+    // supplier had a return. Catalyst decorrelates BOTH subqueries
+    // (RewritePredicateSubquery) into one left-SEMI and one left-ANTI
+    // hash join on l_orderkey — at 100 TB each correlated probe is a
+    // key-partitioned join pass, never a per-row re-scan of lineitem
+    // (the O(n) vs O(n²) gap q39 demonstrates for scalar subqueries).
+    // PlanSpec asserts the semi+anti pair with no nested loop.
+    "q69_exists_pair" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q69")
+      s.sql("""
+        SELECT l1.l_suppkey,
+               COUNT(*) AS n_sole_fault,
+               ROUND(SUM(l1.l_extendedprice), 2) AS exposure
+        FROM li_q69 l1
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM li_q69 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li_q69 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey
+        HAVING COUNT(*) >= 3
+        ORDER BY l1.l_suppkey
+      """)
+    }),
+
     // time-spine gap fill + forward fill (resampling): per-user daily
     // purchase totals on a contiguous day spine from each user's first
     // to last active day, gaps carried forward with last(ignoreNulls).
@@ -2287,6 +2317,25 @@ object RelQueries {
       FROM orders JOIN odd
         ON CAST(year(o_orderdate) AS INT) = odd.d_year
       GROUP BY 1 ORDER BY 1""",
+
+    // the identical correlated pair — DuckDB plans its own semi/anti
+    // decorrelation, so matching values prove the rewrite is sound
+    "q69_exists_pair" -> """
+      SELECT l1.l_suppkey,
+             COUNT(*) AS n_sole_fault,
+             ROUND(SUM(l1.l_extendedprice), 2) AS exposure
+      FROM lineitem l1
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY l1.l_suppkey
+      HAVING COUNT(*) >= 3
+      ORDER BY l1.l_suppkey""",
 
     // the bloom runtime filter must be semantically invisible: the
     // oracle is the plain join it prunes for

@@ -298,6 +298,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("q69: EXISTS / NOT EXISTS decorrelate to one semi + one anti " +
+      "hash join (no nested loop, no per-row re-scan)") {
+    val plan = planOf("q69_exists_pair")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q68: bloom runtime filter is injected into the fact side") {
     // the selective dim predicate must produce a might_contain probe
     // on the lineitem side (InjectRuntimeFilter) — the row-level
