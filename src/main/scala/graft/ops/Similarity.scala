@@ -421,6 +421,27 @@ object Similarity {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(lit): _*)
 
+  /** md5-derived Rademacher (±1) hyperplanes — the sign-random-
+    * projection family made ORACLE-REPLAYABLE (the same move d07's
+    * MinHash and d08's SimHash made): component sign(t,j,d) = +1 iff
+    * the first hex digit of md5("salt:t:j:d") < '8'. DuckDB computes
+    * the identical planes with substr(md5(...)), and ±1 components
+    * keep every dot product a plain signed sum (no engine-specific
+    * Gaussian RNG anywhere). SRP with Rademacher entries preserves
+    * the sign-LSH collision-probability guarantee (Achlioptas 2003's
+    * database-friendly projections).
+    */
+  private def rademacherPlanes(tables: Int, planes: Int, dim: Int,
+      salt: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    def sign(t: Int, j: Int, d: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$t:$j:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    IndexedSeq.tabulate(tables)(t => IndexedSeq.tabulate(planes)(j =>
+      Array.tabulate(dim)(d => sign(t, j, d))))
+  }
+
   /** All `tables` sign-bucket ids from ONE flat hyperplane-matrix
     * literal: `dots` must be a materialized attribute holding
     * `graft_matvec(v, flat_planes)` (length tables*planes). Statically
@@ -448,12 +469,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, tables: Int = 4, planes: Int = 8,
-              seed: Long = 42L, dim: Int = -1): DataFrame = {
+              seed: Long = 42L, dim: Int = -1,
+              family: String = "gaussian"): DataFrame = {
     DotProduct.register(corpus.sparkSession)
     MatVecDots.register(corpus.sparkSession)
     val d = if (dim > 0) dim
             else corpus.select(size(col(vecCol))).first().getInt(0)
-    val hp = hyperplanes(tables, planes, d, seed)
+    val hp =
+      if (family == "rademacher") rademacherPlanes(tables, planes, d, "lsh")
+      else hyperplanes(tables, planes, d, seed)
     val flat = MatVecDots.matrixLit(hp.flatten)
 
     def withBuckets(df: DataFrame, id: String, vec: String, as: String) = {

@@ -305,13 +305,16 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN, the scale path (rows-only; recall vs brute
-    // force is spec-tested)
+    // LSH-bucketed ANN, the scale path — ORACLE-GATED since round 7:
+    // the hyperplanes are md5-derived Rademacher (±1) signs (the d07/
+    // d08 move), so DuckDB replays planes, sign buckets, the banded
+    // candidate join and the exact-cosine verify end to end; recall
+    // vs brute force additionally spec-tested for both families
     "s02_lsh_ann" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
-          tables = 6, planes = 6, dim = 64)
+          tables = 6, planes = 6, dim = 64, family = "rademacher")
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")
@@ -2614,6 +2617,52 @@ object OpsQueries {
                    CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the whole SRP-LSH pipeline replayed: md5-derived ±1 planes,
+    // unit-normalize, sequential signed dots, sign-bit buckets, the
+    // (table, bucket) candidate join, exact-cosine verify, rank on
+    // the 6dp-rounded cosine with id tie-break
+    "s02_lsh_ann" -> """
+      WITH par AS (
+        SELECT t.t, j.j
+        FROM (SELECT unnest(range(6)) AS t) t,
+             (SELECT unnest(range(6)) AS j) j),
+      planes AS (
+        SELECT t, j, list_transform(range(1, 65), d ->
+          CASE WHEN strpos('01234567',
+                 substr(md5(concat('lsh:', t, ':', j, ':', d - 1)), 1, 1))
+               > 0
+          THEN 1.0 ELSE -1.0 END) AS p
+        FROM par),
+      uv AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / n) AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> x * x))) AS n
+              FROM embeddings)),
+      bk AS (
+        SELECT u.vec_id, p.t,
+               CAST(SUM(CASE WHEN list_dot_product(u.v, p.p) >= 0
+                        THEN power(2, p.j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM uv u CROSS JOIN planes p
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+        FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      sc AS (
+        SELECT cand.query_id, cand.nbr_id,
+               list_dot_product(uq.v, uc.v) AS cos
+        FROM cand
+        JOIN uv uq ON uq.vec_id = cand.query_id
+        JOIN uv uc ON uc.vec_id = cand.nbr_id)
+      SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos
+      FROM (SELECT query_id, nbr_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ROUND(cos, 6) DESC, nbr_id) AS rank
+            FROM sc)
       WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // the full SQ8 chain replayed: per-dim MIN/MAX (order-exact), the
