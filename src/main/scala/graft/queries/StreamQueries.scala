@@ -144,6 +144,19 @@ object StreamQueries {
       Streams.topkStreamDrain(s, dir, k = 3)
         .orderBy("hour", "rank")),
 
+    // per-user lifetime totals through Spark 4's transformWithState
+    // (typed ValueState in a RocksDB store; update-mode re-emits per
+    // batch; 3 forced micro-batches so state provably persists across
+    // batches — the max-n row equals the batch groupBy iff it did).
+    // Oracle: the plain batch aggregation.
+    "st12_transform_with_state" -> ((s, dir) => {
+      val ev = RelQueries.events(s, dir).select("user_id", "value")
+      Streams.transformWithStateDrain(ev)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // stream-stream LEFT OUTER join: st04's correlation with
     // null-extension for clicks that never convert — unmatched rows
     // can only be emitted once the watermark proves no future match,
@@ -194,6 +207,13 @@ object StreamQueries {
         FROM events)
       SELECT hour, rank, event_id, ROUND(value, 4) AS value
       FROM r WHERE rank <= 3 ORDER BY hour, rank""",
+
+    // the lifetime totals the stateful processor accumulated across
+    // micro-batches must equal the one-shot batch aggregation
+    "st12_transform_with_state" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id""",
 
     // gap-and-island sessionization: a session starts where the gap to
     // the previous event exceeds 30 min (epoch_ms matches the engine's

@@ -696,6 +696,93 @@ object Streams {
       sys.error("upsert drain saw no batches")))
   }
 
+  case class UEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** The [[transformWithStateDrain]] processor: per-user lifetime
+    * (count, sum) in ONE ValueState row, re-emitted (update semantics)
+    * every micro-batch the user appears in. State is O(1) per key —
+    * the state store never holds events, only the running pair.
+    */
+  class RunningTotalsProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, UEvent, UserTotals] {
+    @transient private var tot:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tot = getHandle.getValueState[(Long, Double)]("tot",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var (n, s) = if (tot.exists()) tot.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; s += r.value }
+      tot.update((n, s))
+      Iterator(UserTotals(key, n, s))
+    }
+  }
+
+  /** Per-user running totals through `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor of st02's
+    * flatMapGroupsWithState: typed state handles, TTL, timers, and a
+    * mandatory RocksDB state store). The source is written as several
+    * files and drained with maxFilesPerTrigger=1, so users provably
+    * accumulate state ACROSS micro-batches; each batch re-emits the
+    * running pair (update semantics) into a foreachBatch parquet
+    * append, and the final answer per user is the max-n row — equal to
+    * the batch groupBy iff cross-batch state actually carried.
+    * The RocksDB provider conf is scoped: previous value restored
+    * after the drain so the HDFS-backed default of every other drain
+    * in this file is untouched.
+    */
+  def transformWithStateDrain(events: DataFrame,
+                              numBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-st12-src").toString
+    val sinkDir = tempDirCleanedAtExit("graft-st12-sink")
+    val ckpt = Files.createTempDirectory("graft-st12-ckpt").toString
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .repartition(numBatches).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir).as[UEvent]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(sinkDir); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      rmTree(srcDir); rmTree(ckpt)
+    }
+    // final totals = the max-n update per user (n strictly increases)
+    spark.read.parquet(sinkDir)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("t"))
+      .select(col("user_id"), col("t.n_events").as("n_events"),
+        col("t.sum_value").as("sum_value"))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table with
     * Trigger.AvailableNow and return it as a batch DataFrame (blocks
     * until the source is exhausted).

@@ -273,6 +273,25 @@ class StreamsSpec extends SparkSpec {
     TempDirs.rmTree(srcDir); TempDirs.rmTree(ckpt); TempDirs.rmTree(stateRoot)
   }
 
+  test("transformWithState totals equal the batch groupBy and are " +
+      "micro-batch-count invariant (state persists across batches)") {
+    val ev = RelQueries.events(spark, sf001).select("user_id", "value")
+    def run(n: Int) = Streams.transformWithStateDrain(ev, numBatches = n)
+      .select($"user_id", $"n_events",
+        org.apache.spark.sql.functions.round($"sum_value", 4))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 4).as("s"))
+      .select($"user_id", $"n", $"s")
+      .as[(Long, Long, Double)].collect().toSet
+    val three = run(3)
+    assert(three == batch)
+    assert(run(1) == three)
+  }
+
   test("upsertStreamDrain final state is batch-partitioning invariant") {
     val ev = RelQueries.events(spark, sf001)
       .select("user_id", "ts", "event_id", "event_type", "value")
