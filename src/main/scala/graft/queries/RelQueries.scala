@@ -489,6 +489,51 @@ object RelQueries {
       """)
     }),
 
+    // cost-based optimization (beyond ref): catalog statistics
+    // (ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]) feeding
+    // Catalyst's CBO — cardinality-aware plan costing and
+    // CostBasedJoinReorder. The query is written with a deliberately
+    // bad syntactic order (the two big tables first, the selective
+    // dim last); with row counts + NDVs in the catalog the optimizer
+    // is free to re-order the join graph by estimated cardinality —
+    // at 100 TB the difference between shuffling the raw fact×fact
+    // intermediate and the dim-pruned slice. Stats live in the
+    // session catalog (shared), data in exit-cleaned external paths;
+    // CBO confs scoped to a cloned session (Compact's pattern).
+    // PlanSpec asserts the ANALYZE stats are actually visible to the
+    // optimizer (rowCount propagated, not file-size guesses).
+    "q70_cbo_reorder" -> ((s, dir) => {
+      val cb = s.newSession()
+      cb.conf.set("spark.sql.cbo.enabled", "true")
+      cb.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // table names are sfDir-keyed: Verify (sf0.01) and Bench (sf0.1)
+      // share one JVM/catalog, and a cached wrong-SF table would
+      // silently serve stale data
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      def tbl(n: String) = s"graft_cbo_${n}_$key"
+      Seq("lineitem", "orders", "part").foreach { n =>
+        if (!cb.catalog.tableExists(tbl(n))) {
+          val out = graft.TempDirs.createCleanedAtExit(s"graft-q70-$n")
+          t(cb, dir, n).write.mode("overwrite")
+            .option("path", out).saveAsTable(tbl(n))
+          cb.sql(s"ANALYZE TABLE ${tbl(n)} COMPUTE STATISTICS")
+          if (n == "part")
+            cb.sql(s"ANALYZE TABLE ${tbl(n)} COMPUTE STATISTICS " +
+              "FOR COLUMNS p_partkey, p_size")
+        }
+      }
+      cb.sql(s"""
+        SELECT p.p_brand, COUNT(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM ${tbl("lineitem")} l
+        JOIN ${tbl("orders")} o ON l.l_orderkey = o.o_orderkey
+        JOIN ${tbl("part")} p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size = 2 AND o.o_orderstatus = 'F'
+        GROUP BY p.p_brand ORDER BY p.p_brand
+      """)
+    }),
+
     // TPC-H Q21 shape — the correlated EXISTS + NOT EXISTS pair,
     // written in its genuinely-correlated form: suppliers whose
     // returned line sits in a multi-supplier order where NO other
@@ -2317,6 +2362,17 @@ object RelQueries {
       FROM orders JOIN odd
         ON CAST(year(o_orderdate) AS INT) = odd.d_year
       GROUP BY 1 ORDER BY 1""",
+
+    // CBO must be semantically invisible: the oracle is the plain
+    // three-table join over the raw parquet
+    "q70_cbo_reorder" -> """
+      SELECT p_brand, COUNT(*) AS n_items,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 2 AND o_orderstatus = 'F'
+      GROUP BY p_brand ORDER BY p_brand""",
 
     // the identical correlated pair — DuckDB plans its own semi/anti
     // decorrelation, so matching values prove the rewrite is sound

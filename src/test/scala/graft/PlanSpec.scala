@@ -298,6 +298,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("q70: ANALYZE statistics reach the optimizer (exact rowCount, " +
+      "not file-size guesses) with CBO enabled") {
+    val df = SparkEntry.queries("q70_cbo_reorder")(spark, sf001)
+    // resolve the analyzed catalog relations and check the optimizer
+    // sees catalog row counts — the precondition for cost-based join
+    // reordering to do anything at all
+    val scans = df.queryExecution.optimizedPlan.collectLeaves()
+    val counts = scans.flatMap(_.stats.rowCount)
+    assert(counts.nonEmpty, s"no catalog rowCount visible:\n" +
+      df.queryExecution.optimizedPlan)
+    // lineitem at sf0.001 has ~6000 rows; a rowCount in that range
+    // proves these are ANALYZE numbers, not defaults
+    assert(counts.exists(c => c.toLong > 1000L && c.toLong < 100000L),
+      counts.toString)
+  }
+
   test("q69: EXISTS / NOT EXISTS decorrelate to one semi + one anti " +
       "hash join (no nested loop, no per-row re-scan)") {
     val plan = planOf("q69_exists_pair")
