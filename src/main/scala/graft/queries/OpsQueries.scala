@@ -1030,6 +1030,25 @@ object OpsQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // GROUP-leakage-safe splitting: the split key is the SOURCE, not
+    // the document (u = md5(source)), so near-duplicate documents
+    // from one crawl/domain can never straddle train/test — the
+    // contamination mode d16's n-gram sweep exists to catch is
+    // prevented at assignment time. The n_doc_level_splits column
+    // quantifies the hazard being avoided: how many distinct splits
+    // d14's DOC-keyed rule would scatter this source across (almost
+    // always > 1). Pure narrow + one grouped pass.
+    "d44_group_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("split",
+          when(TextAnalysis.hashUniform(col("source"), "gsplit") < 0.8,
+            "train").otherwise("test"))
+        .withColumn("doc_split", TextAnalysis.splitAssign(col("doc_id")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_split")).as("n_doc_level_splits"))
+        .orderBy("source")),
+
     // model-based curation: train-and-score Naive Bayes against the
     // source label in ONE SQL-replayable pass (the closed-form member
     // of the fastText-quality-classifier family — see
@@ -2118,6 +2137,36 @@ object OpsQueries {
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // both assignments replayed: the source-keyed md5 draw and the
+    // doc-keyed 0.8/0.1/0.1 split it protects against
+    "d44_group_split" -> """
+      WITH a AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(source || 'gsplit'),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0
+                    < 0.8
+                    THEN 'train' ELSE 'test' END AS split,
+               CASE WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0
+                    < 0.8 THEN 'train'
+                    WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+                      (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)),
+                           CAST(i AS INT), 1)) - 1)
+                      * power(16, 8 - i))) AS DOUBLE) / 4294967296.0
+                    < 0.9 THEN 'val'
+                    ELSE 'test' END AS doc_split
+        FROM documents)
+      SELECT source, split, COUNT(*) AS n_docs,
+             COUNT(DISTINCT doc_split) AS n_doc_level_splits
+      FROM a GROUP BY source, split ORDER BY source""",
 
     // the whole NB pipeline replayed: tf, class/token counts, joint
     // vocabulary, add-one smoothing, log-posterior, 4dp-rounded argmax
