@@ -489,6 +489,32 @@ object RelQueries {
       """)
     }),
 
+    // table diff / reconciliation (beyond ref): the migration-audit
+    // primitive — a synthetic next-day snapshot (every 97th key
+    // deleted, every 11th repriced, every 13th cloned under a new
+    // key) diffed against the current one by Relational.tableDiff's
+    // single full-outer key join, then rolled up per status. The
+    // changed/unchanged verdicts compare values WITHIN one engine, so
+    // round()-mode differences between engines can't leak into the
+    // classification; key_sum is an exact integer checksum.
+    "q71_table_diff" -> ((s, dir) => {
+      val cur = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val nxt = cur.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0,
+            round(col("o_totalprice") + 1.0, 2))
+            .otherwise(col("o_totalprice")))
+        .unionByName(cur.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      Relational.tableDiff(cur, nxt, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .orderBy("status")
+    }),
+
     // cost-based optimization (beyond ref): catalog statistics
     // (ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]) feeding
     // Catalyst's CBO — cardinality-aware plan costing and
@@ -2362,6 +2388,33 @@ object RelQueries {
       FROM orders JOIN odd
         ON CAST(year(o_orderdate) AS INT) = odd.d_year
       GROUP BY 1 ORDER BY 1""",
+
+    // identical snapshot synthesis + full-outer diff; key_sum cast
+    // (DuckDB SUM(BIGINT) -> HUGEINT)
+    "q71_table_diff" -> """
+      WITH cur AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      nxt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN ROUND(o_totalprice + 1.0, 2)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM cur WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        FROM cur WHERE o_orderkey % 13 = 0),
+      d AS (
+        SELECT COALESCE(c.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN c.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN c.o_totalprice IS DISTINCT FROM n.o_totalprice
+                      OR c.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM cur c FULL OUTER JOIN nxt n ON c.o_orderkey = n.o_orderkey)
+      SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+      FROM d GROUP BY 1 ORDER BY 1""",
 
     // CBO must be semantically invisible: the oracle is the plain
     // three-table join over the raw parquet

@@ -326,4 +326,43 @@ object Relational {
     frames.reduce(_.unionByName(_))
       .groupBy("stage_idx").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Table diff / reconciliation (beyond-reference operator): classify
+    * every key across two snapshots as added / removed / changed /
+    * unchanged — the migration-validation and CDC-audit primitive
+    * ("did the backfill change anything it shouldn't have").
+    *
+    * ONE full-outer shuffle join on the key (the mergeUpsert shape);
+    * value comparison is null-safe (`<=>` — a null is a value, not a
+    * wildcard), so schema-evolved nullable columns diff correctly. At
+    * 100 TB both sides shuffle once on the key and the row-level
+    * verdict streams out of the join — no collect, no second pass;
+    * callers aggregate the status column to whatever audit grain they
+    * need.
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val oPresent = col(s"__o_${compareCols.head}")
+    val nPresent = col(s"__n_${compareCols.head}")
+    val someDiff = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    // presence is tracked by a literal marker, not the compare columns
+    // (a compare column may be legitimately null on a present row)
+    val om = o.withColumn("__o_present", lit(1))
+    val nm = n.withColumn("__n_present", lit(1))
+    om.join(nm, keys, "full_outer")
+      .withColumn("status",
+        when(col("__o_present").isNull, "added")
+          .when(col("__n_present").isNull, "removed")
+          .when(someDiff, "changed")
+          .otherwise("unchanged"))
+      .select(keys.map(col) :+ col("status") :+
+        oPresent.as(s"old_${compareCols.head}") :+
+        nPresent.as(s"new_${compareCols.head}"): _*)
+  }
 }

@@ -322,6 +322,48 @@ class RelationalSpec extends SparkSpec {
     assert(solo == ((1L, 1L)))
   }
 
+  test("tableDiff classifies added/removed/changed/unchanged with " +
+      "null-safe value comparison") {
+    val old = Seq((1, Some("a"), 10.0), (2, None, 20.0),
+      (3, Some("c"), 30.0), (4, Some("d"), 40.0))
+      .toDF("k", "v", "x")
+    val nw = Seq((1, Some("a"), 10.0), (2, None, 20.0),
+      (3, None, 30.0), (5, Some("e"), 50.0))
+      .toDF("k", "v", "x")
+    val got = Relational.tableDiff(old, nw, Seq("k"), Seq("v", "x"))
+      .select($"k", $"status").as[(Int, String)].collect().toMap
+    // k=2 has null v on BOTH sides: null-safe compare -> unchanged;
+    // k=3 went c -> null: a VALUE change, not a wildcard match
+    assert(got == Map(1 -> "unchanged", 2 -> "unchanged",
+      3 -> "changed", 4 -> "removed", 5 -> "added"))
+  }
+
+  test("tableDiff metrics via the Observation API — no second pass " +
+      "over the diff") {
+    // the audit counters ride the SAME job that materializes the diff
+    // (observe() attaches aggregates to the plan); a separate count()
+    // per class would re-run the full-outer join once per metric
+    val old = (1 to 100).map(i => (i, i * 2)).toDF("k", "v")
+    val nw = (1 to 100).filter(_ % 10 != 0)
+      .map(i => (i, if (i % 7 == 0) i * 2 + 1 else i * 2)).toDF("k", "v")
+    val obs = new org.apache.spark.sql.Observation("diff_audit")
+    val diffed = Relational.tableDiff(old, nw, Seq("k"), Seq("v"))
+      .observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when($"status" === "changed", 1))
+          .as("n_changed"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when($"status" === "removed", 1))
+          .as("n_removed"))
+    val rows = diffed.collect() // one action drives both data + metrics
+    val m = obs.get
+    val expectedChanged = (1 to 100)
+      .count(i => i % 10 != 0 && i % 7 == 0)
+    assert(m("n_changed") == expectedChanged.toLong, m.toString)
+    assert(m("n_removed") == 10L, m.toString)
+    assert(rows.length == 100)
+  }
+
   test("incrementalJoin delta rule equals the full recompute, " +
       "including delta-delta matches and keys new on both sides") {
     // key 5 exists ONLY in the deltas — the ΔA⋈ΔB term must catch it
