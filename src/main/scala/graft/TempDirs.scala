@@ -44,4 +44,11 @@ object TempDirs {
     cleanupAtExit.add(p)
     p
   }
+
+  /** Register a caller-chosen path for exit-time removal (for stable,
+    * content-keyed scratch locations reused across calls in one JVM —
+    * e.g. a persisted index keyed by its corpus).
+    */
+  def registerCleanedAtExit(path: String): Unit =
+    cleanupAtExit.add(path)
 }

@@ -684,6 +684,75 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Persist an IVF index as two parquet tables under `path` —
+    * `centroids` (cell, vec; dimension-sized) and `codes` (nbr_id,
+    * cell, cv): the BUILD-ONCE / SERVE-MANY lifecycle production ANN
+    * actually runs. [[ivfTopK]] retrains the quantizer and re-assigns
+    * cells on every call — right for a one-shot query, wrong for an
+    * index serving query batches all day. Here the training sample,
+    * the Lloyd iterations and the one full corpus scan are paid at
+    * build time; [[ivfQueryIndex]] then reads the dimension-sized
+    * centroid table, routes, and joins only the probed cells' codes —
+    * the corpus is never re-scanned for quantization again. At 100 TB
+    * the codes table is what you'd additionally partition BY cell so
+    * probes prune at the directory level.
+    */
+  def ivfBuildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int = 16, trainIters: Int = 8,
+                    sampleSize: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    MatVecDots.register(spark)
+    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
+    val cents = trainCentroids(sample, nlist, trainIters)
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = MatVecDots.matrixLit(cents)
+    unitized(corpus, idCol, vecCol, "nbr_id", "cv")
+      .withColumn("dots", MatVecDots.matvec(col("cv"), cb))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1)
+          .cast("int"))
+      .drop("dots")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a persisted [[ivfBuildIndex]] index: same routing and
+    * scoring as [[ivfTopK]], but the quantizer comes from the
+    * `centroids` table (one dimension-sized read) and candidates from
+    * the persisted `codes` table. nprobe = nlist probes every cell
+    * and is provably exact whatever the trained codebook (the s04
+    * rule), which is what lets the persisted-index path be
+    * oracle-gated end to end.
+    */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, queries: DataFrame, qIdCol: String,
+                    qVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    DotProduct.register(spark)
+    MatVecDots.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .select("vec").collect()
+      .map(_.getSeq[Double](0).toArray).toIndexedSeq
+    val nlist = cents.length
+    val cb = MatVecDots.matrixLit(cents)
+    val c = spark.read.parquet(s"$path/codes")
+    val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
+      .withColumn("dots", MatVecDots.matvec(col("qv"), cb))
+      .withColumn("probes",
+        slice(sort_array(zip_with(col("dots"),
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("i")))), 1,
+          math.min(nprobe, nlist)))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes").getField("i")).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
+    boundedTopK(scored, col("cos"), k, as = "cos")
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
   /** k-NN self-join: every vector in `corpus` gets its `k` nearest
     * neighbors by cosine — the all-points variant of [[ivfTopK]], where
     * the query set IS the corpus and can never be broadcast. Both sides

@@ -362,6 +362,32 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // persisted-index ANN (build-once / serve-many): the IVF index
+    // lives as parquet tables (centroids + cell-assigned codes) built
+    // once per corpus; this query serves from the PERSISTED tables —
+    // no retraining, no corpus re-scan. Probing every cell makes the
+    // persisted path provably exact whatever the codebook (the s04
+    // rule), so the whole lifecycle is oracle-gated; production runs
+    // nprobe << nlist from the same index (spec-gated recall +
+    // equality with the in-memory s03 pipeline at equal params).
+    "s18_ivf_persisted" -> ((s, dir) => {
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-s18-idx-$key")
+      val path = idx.getAbsolutePath
+      if (!new java.io.File(s"$path/codes").exists()) {
+        graft.TempDirs.registerCleanedAtExit(path)
+        Similarity.ivfBuildIndex(embs(s, dir), "vec_id", "embedding",
+          path, nlist = 16)
+      }
+      Similarity.ivfQueryIndex(s, path,
+          embs(s, dir).filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // per-label embedding centroids through the native vector-sum
     // aggregate: one array per (group x task) crosses the shuffle
     // instead of posexplode's dim-times row amplification; the tiny
@@ -2836,6 +2862,22 @@ object OpsQueries {
 
     // exhaustive IVF == brute force, so s04 shares s01's exact oracle
     "s04_ivf_exhaustive" -> """
+      SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // nprobe = nlist through the PERSISTED index equals brute force
+    // regardless of the trained codebook (the s04 rule) — same oracle
+    "s18_ivf_persisted" -> """
       SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos
       FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,

@@ -460,6 +460,48 @@ object StatQueries {
         .orderBy("seg")
     }),
 
+    // Hájek mean under the SAME Poisson design as m15's HT total —
+    // the ratio form Σ(y/π)/Σ(1/π) that survey practice prefers when
+    // the population size is unknown (it self-normalizes the random
+    // sample size that makes plain HT means noisy). The linearized
+    // variance needs the residual (y-μ̂) inside the sum, but expanding
+    // the square makes every term a plain weighted power sum, so the
+    // WHOLE estimator (mean + SE, per segment + ALL) is ONE grouped
+    // pass — no second residual scan at any scale. Oracle replays the
+    // expansion verbatim.
+    "m25_hajek_mean" -> ((s, dir) => {
+      val full = graft.Tables(s, dir, "customer")
+      val withPi = full.select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          col("c_acctbal").cast("double").as("y"),
+          ((lit(1) + pmod(ascii(col("c_mktsegment")), lit(4)))
+            .cast("double") / 10.0).as("pi"))
+        .filter(graft.ops.TextAnalysis.hashUniform(col("c_custkey"),
+          "ht") < col("pi"))
+      val sums = withPi.groupBy("seg").agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("y") / col("pi")).as("sy"),
+        sum(lit(1.0) / col("pi")).as("sn"),
+        sum((lit(1.0) - col("pi")) * col("y") * col("y")
+          / (col("pi") * col("pi"))).as("vyy"),
+        sum((lit(1.0) - col("pi")) * col("y")
+          / (col("pi") * col("pi"))).as("vy"),
+        sum((lit(1.0) - col("pi"))
+          / (col("pi") * col("pi"))).as("v1"))
+      val all = sums.agg(lit("ALL").as("seg"),
+        sum("n_sampled").as("n_sampled"), sum("sy").as("sy"),
+        sum("sn").as("sn"), sum("vyy").as("vyy"), sum("vy").as("vy"),
+        sum("v1").as("v1"))
+      sums.unionByName(all)
+        .withColumn("mu", col("sy") / col("sn"))
+        .select(col("seg"), col("n_sampled"),
+          round(col("mu"), 6).as("hajek_mean"),
+          round(sqrt((col("vyy") - lit(2.0) * col("mu") * col("vy")
+            + col("mu") * col("mu") * col("v1"))
+            / (col("sn") * col("sn"))), 6).as("se"))
+        .orderBy("seg")
+    }),
+
     // survey raking / IPF (the survey::rake companion to m04's
     // svyby): a 1-in-3 customer subsample raked to the FULL table's
     // segment and nation margins, 3 cycles — per pass one dimension-
@@ -771,6 +813,37 @@ object StatQueries {
              ROUND(SUM(r.bal) / MAX(t.tot), 6) AS share
       FROM r JOIN t ON r.seg = t.seg
       GROUP BY r.seg, r.decile ORDER BY r.seg, r.decile""",
+
+    // same md5 Poisson draw as m15; the expanded linearized variance
+    // (vyy - 2 mu vy + mu^2 v1) / sn^2, ALL row = sums of group sums
+    "m25_hajek_mean" -> """
+      WITH samp AS (
+        SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS y,
+               CAST(1 + unicode(c_mktsegment) % 4 AS DOUBLE) / 10.0 AS pi
+        FROM customer
+        WHERE CAST(list_sum(list_transform(range(1, 9), i ->
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(c_custkey AS VARCHAR) || 'ht'),
+                     CAST(i AS INT), 1)) - 1)
+                * power(16, 8 - i))) AS DOUBLE) / 4294967296.0
+              < CAST(1 + unicode(c_mktsegment) % 4 AS DOUBLE) / 10.0),
+      per AS (
+        SELECT seg, COUNT(*) AS n_sampled,
+               SUM(y / pi) AS sy, SUM(1.0 / pi) AS sn,
+               SUM((1.0 - pi) * y * y / (pi * pi)) AS vyy,
+               SUM((1.0 - pi) * y / (pi * pi)) AS vy,
+               SUM((1.0 - pi) / (pi * pi)) AS v1
+        FROM samp GROUP BY 1),
+      u AS (
+        SELECT seg, n_sampled, sy, sn, vyy, vy, v1 FROM per
+        UNION ALL
+        SELECT 'ALL', CAST(SUM(n_sampled) AS BIGINT), SUM(sy), SUM(sn),
+               SUM(vyy), SUM(vy), SUM(v1)
+        FROM per)
+      SELECT seg, n_sampled, ROUND(sy / sn, 6) AS hajek_mean,
+             ROUND(SQRT((vyy - 2.0 * (sy / sn) * vy
+               + (sy / sn) * (sy / sn) * v1) / (sn * sn)), 6) AS se
+      FROM u ORDER BY seg""",
 
     // md5-draw inclusion + HT arithmetic replayed; the ALL row sums
     // the per-group sums (same float association as the engine)
