@@ -322,6 +322,82 @@ class RelationalSpec extends SparkSpec {
     assert(solo == ((1L, 1L)))
   }
 
+  test("fuzz: asofJoin equals the naive latest-at-or-before lookup on " +
+      "random data (ties on ts, duplicate right rows, missing keys)") {
+    import org.scalacheck.{Gen, rng}
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 3)
+      t <- Gen.chooseNum(0, 20)
+      v <- Gen.chooseNum(0, 9)
+    } yield (k, t, v)
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 25)
+      nr <- Gen.chooseNum(0, 25)
+      ls <- Gen.listOfN(nl, rowGen)
+      rs <- Gen.listOfN(nr, rowGen)
+    } yield (ls.map(r => (r._1, r._2)).distinct, rs.distinct)
+    var seed = rng.Seed(20260814L)
+    for (_ <- 1 to 10) {
+      val (ls, rs) = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val left = ls.toDF("k", "t")
+      val right = rs.toDF("k", "t", "v")
+      val got = Relational.asofJoin(left, right, "k", "t", $"v", "asof")
+        .select($"k", $"t", $"asof").as[(Int, Int, Option[Int])]
+        .collect().toSet
+      // naive: max (t', v) over right rows with same key, t' <= t —
+      // at equal t' the greatest v wins (the documented tie rule)
+      val naive = ls.map { case (k, t) =>
+        val cand = rs.filter(r => r._1 == k && r._2 <= t)
+        (k, t, if (cand.isEmpty) None
+               else Some(cand.maxBy(r => (r._2, r._3))._3))
+      }.toSet
+      assert(got == naive, s"left=$ls right=$rs\ngot=$got\nnaive=$naive")
+    }
+  }
+
+  test("fuzz: scd2 intervals tile each key's timeline and replay the " +
+      "feed value at every observation") {
+    import org.scalacheck.{Gen, rng}
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 20)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 2)
+        t <- Gen.chooseNum(0, 30)
+        a <- Gen.oneOf(Some("x"), Some("y"), Some("z"), None)
+      } yield (k, t, a))
+    } yield rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+    var seed = rng.Seed(20260814L)
+    for (_ <- 1 to 10) {
+      val rows = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val feed = rows.toDF("k", "ts", "a")
+      val hist = Relational.scd2(feed, "k", "ts", Seq("a"))
+        .select($"k", $"valid_from", $"valid_to", $"version",
+          $"is_current", $"a")
+        .as[(Int, Int, Option[Int], Int, Boolean, Option[String])]
+        .collect().toSeq
+      hist.groupBy(_._1).foreach { case (k, h) =>
+        val byV = h.sortBy(_._4)
+        // versions are 1..n, intervals chain exactly, one open tail
+        assert(byV.map(_._4) == (1 to byV.length))
+        byV.sliding(2).foreach {
+          case Seq(a, b) => assert(a._3.contains(b._2), s"$k: $a !-> $b")
+          case _ =>
+        }
+        assert(byV.last._3.isEmpty && byV.last._5)
+        assert(byV.init.forall(r => !r._5))
+        // every feed observation replays to its interval's value
+        rows.filter(_._1 == k).foreach { case (_, t, a) =>
+          val iv = byV.filter(r => r._2 <= t &&
+            r._3.forall(_ > t))
+          assert(iv.length == 1 && iv.head._6 == a,
+            s"k=$k t=$t a=$a hist=$byV")
+        }
+      }
+    }
+  }
+
   test("tableDiff classifies added/removed/changed/unchanged with " +
       "null-safe value comparison") {
     val old = Seq((1, Some("a"), 10.0), (2, None, 20.0),
