@@ -322,6 +322,72 @@ class RelationalSpec extends SparkSpec {
     assert(solo == ((1L, 1L)))
   }
 
+  test("fuzz: scalableRank equals row_number over (value, id) on " +
+      "random data including null values and heavy ties") {
+    import org.scalacheck.{Gen, rng}
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(0, 2)
+        id <- Gen.chooseNum(0L, 60L)
+        v <- Gen.oneOf(Gen.const(Option.empty[Double]),
+          Gen.chooseNum(0, 4).map(x => Some(x.toDouble)))
+      } yield (g, id, v))
+    } yield rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+    var seed = rng.Seed(20260814L)
+    for (_ <- 1 to 10) {
+      val rows = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val df = rows.toDF("g", "id", "v").repartition(4)
+      val got = Relational.scalableRank(df, "g", "v", "id")
+        .select($"g", $"id", $"rank", $"n_group")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").asc, col("id").asc)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val win = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n_group", count(lit(1)).over(wn))
+        .select($"g", $"id", $"rank", $"n_group")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(got == win, s"rows=$rows\ngot=$got\nwin=$win")
+    }
+  }
+
+  test("fuzz: mergeUpsert equals naive map application of the change " +
+      "feed (updates, deletes, unmatched inserts, no-op deletes)") {
+    import org.scalacheck.{Gen, rng}
+    val caseGen = for {
+      nt <- Gen.chooseNum(0, 20)
+      nc <- Gen.chooseNum(0, 20)
+      t <- Gen.listOfN(nt, Gen.zip(Gen.chooseNum(0L, 30L),
+        Gen.chooseNum(0, 9)))
+      c <- Gen.listOfN(nc, for {
+        k <- Gen.chooseNum(0L, 30L)
+        v <- Gen.chooseNum(10, 19)
+        op <- Gen.oneOf("U", "D")
+      } yield (k, v, op))
+    } yield (t.distinctBy(_._1), c.distinctBy(_._1))
+    var seed = rng.Seed(20260814L)
+    for (_ <- 1 to 10) {
+      val (t, c) = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val target = t.toDF("k", "v")
+      val changes = c.toDF("k", "v", "op")
+      val got = Relational.mergeUpsert(target, changes, "k", "op")
+        .as[(Long, Int)].collect().toSet
+      val naive = {
+        val m = scala.collection.mutable.Map(t.map(r => r._1 -> r._2): _*)
+        c.foreach {
+          case (k, _, "D") => m.remove(k)
+          case (k, v, _) => m(k) = v
+        }
+        m.toSet
+      }
+      assert(got == naive, s"t=$t c=$c\ngot=$got\nnaive=$naive")
+    }
+  }
+
   test("fuzz: asofJoin equals the naive latest-at-or-before lookup on " +
       "random data (ties on ts, duplicate right rows, missing keys)") {
     import org.scalacheck.{Gen, rng}
