@@ -489,6 +489,27 @@ object RelQueries {
       """)
     }),
 
+    // spatial point-in-polygon join (beyond ref): geo-tag a
+    // deterministic CONUS point grid (dyadic-safe: integer-keyed
+    // coordinates built double-for-double the same way in both
+    // engines) to the embedded UsGeo state polygons via the even-odd
+    // crossing test as a pure Column HOF over the BROADCAST polygon
+    // table — bbox prefilter, no UDF, no geometry library, points
+    // never shuffle until the final dimension-sized rollup (see
+    // ops.Spatial). Oracle replays the identical crossing arithmetic
+    // from the identical generated edge table.
+    "q72_spatial_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        (lit(-125.0) + pmod(col("c_custkey") * 7, lit(560))
+          .cast("double") / 10.0).as("lon"),
+        (lit(25.0) + pmod(col("c_custkey") * 13, lit(240))
+          .cast("double") / 10.0).as("lat"))
+      graft.ops.Spatial.pointInStateJoin(pts, "id", "lon", "lat")
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_points"), sum("id").as("id_sum"))
+        .orderBy("state")
+    }),
+
     // table diff / reconciliation (beyond ref): the migration-audit
     // primitive — a synthetic next-day snapshot (every 97th key
     // deleted, every 11th repriced, every 13th cloned under a new
@@ -2387,6 +2408,40 @@ object RelQueries {
              ROUND(SUM(o_totalprice), 2) AS revenue
       FROM orders JOIN odd
         ON CAST(year(o_orderdate) AS INT) = odd.d_year
+      GROUP BY 1 ORDER BY 1""",
+
+    // the identical crossing arithmetic over the identical edge table
+    // (generated from the same UsGeo data the engine broadcasts);
+    // coordinates forced to DOUBLE so every comparison is the same
+    // IEEE op; integer crossing sums make parity order-independent
+    "q72_spatial_join" -> s"""
+      WITH e0 AS (SELECT * FROM (VALUES
+        ${graft.ops.Spatial.conusEdgeValues})
+        t(st, ring, x1, y1, x2, y2)),
+      edges AS (
+        SELECT st, ring, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+               CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+        FROM e0),
+      pts AS (
+        SELECT c_custkey AS id,
+               -125.0 + CAST(c_custkey * 7 % 560 AS DOUBLE) / 10.0 AS px,
+               25.0 + CAST(c_custkey * 13 % 240 AS DOUBLE) / 10.0 AS py
+        FROM customer),
+      cr AS (
+        SELECT p.id, e.st, e.ring,
+               SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                         AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                             / (e.y2 - e.y1)
+                   THEN 1 ELSE 0 END) AS c
+        FROM pts p CROSS JOIN edges e
+        GROUP BY 1, 2, 3),
+      inst AS (
+        SELECT id, st FROM cr GROUP BY id, st
+        HAVING SUM(CASE WHEN c % 2 = 1 THEN 1 ELSE 0 END) > 0),
+      pick AS (SELECT id, MIN(st) AS state FROM inst GROUP BY 1)
+      SELECT state, COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS id_sum
+      FROM (SELECT p.id, COALESCE(k.state, 'NONE') AS state
+            FROM pts p LEFT JOIN pick k ON p.id = k.id)
       GROUP BY 1 ORDER BY 1""",
 
     // identical snapshot synthesis + full-outer diff; key_sum cast
