@@ -206,6 +206,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Attach REAL video: a deterministic synthetic GVID clip per row
+    * (scene A drifting into a hard cut to scene B at a row-keyed
+    * frame — see [[VideoCodec.synthesize]]) with metadata read back
+    * from the actual container. Completes the image/audio/VIDEO
+    * multimodal triple; production reads real binary columns with the
+    * same schema.
+    */
+  def withVideoMedia(df: DataFrame, textCol: String, idCol: String,
+                     nFrames: Int = 8): DataFrame = {
+    val outSchema = df.schema
+      .add("media", BinaryType)
+      .add("meta", metaSchema)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val tIdx = df.schema.fieldIndex(textCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val cutAt = 2 + (math.floorMod(r.getLong(iIdx), 5L)).toInt
+        val bytes = VideoCodec.synthesize(String.valueOf(r.get(tIdx)),
+          nFrames, cutAt)
+        val (frameMs, frames) = VideoCodec.decode(bytes)
+        val meta = Row("video/gvid", 0, 0, frameMs * frames.length,
+          frames.length)
+        Row.fromSeq(r.toSeq :+ bytes :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Decode + temporally sample a video column: one OUTPUT row per
+    * sampled frame (`every`-th), carrying (frame_idx, ts_ms, the
+    * frame's 64-bit dHash, mean luma) — partition-local, batched, no
+    * shuffle, and the container is parsed ONCE per row with only the
+    * sampled frames' pixels decoded. Downstream shot analytics
+    * (cut = consecutive sampled dHashes far apart) is then plain
+    * relational work over skinny rows — at 100 TB pixels never leave
+    * the decode task; only 8-byte hashes + scalars do.
+    */
+  def videoFrames(df: DataFrame, binaryCol: String, every: Int,
+                  batchSize: Int = 16): DataFrame = {
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("ts_ms", IntegerType)
+      .add("dhash", LongType)
+      .add("luma", DoubleType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          if (bytes == null) Iterator.empty
+          else {
+            val (frameMs, frames) = VideoCodec.decode(bytes)
+            frames.zipWithIndex
+              .filter { case (_, i) => i % every == 0 }
+              .map { case (f, i) =>
+                val (_, _, rgb) = BmpCodec.decode(f)
+                var s = 0L
+                var j = 0
+                while (j < rgb.length) { s += (rgb(j) & 0xff); j += 1 }
+                Row.fromSeq(r.toSeq :+ i :+ (i * frameMs) :+
+                  BmpCodec.dhash64(f) :+ s.toDouble / rgb.length)
+              }
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** 64-bit audio spectral fingerprint from REAL decoded samples
     * ([[WavCodec.fingerprint64]]: 2 frames × 32 geometric Goertzel
     * bands,

@@ -522,6 +522,34 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // VIDEO leg of the multimodal triple: real GVID containers
+    // (length-prefixed BMP frames) decoded and temporally sampled
+    // partition-locally — one skinny row per sampled frame (8-byte
+    // dHash + luma; pixels never leave the decode task) — then shot
+    // detection as PLAIN relational work: a cut is consecutive
+    // sampled dHashes > 12 bits apart (drift within a scene is +3
+    // gray levels/frame, inside dHash's brightness invariance).
+    // Rows-only (binary codec); codec round-trip, planted-cut
+    // recovery and stride are spec-gated in VideoSpec.
+    "mm06_video_shots" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vids = Multimodal.withVideoMedia(
+        docs(s, dir).select("doc_id", "text"), "text", "doc_id")
+      val frames = Multimodal.videoFrames(vids, "media", every = 2)
+        .select("doc_id", "frame_idx", "ts_ms", "dhash", "luma")
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      frames.withColumn("prev", lag(col("dhash"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNotNull &&
+            bit_count(col("dhash").bitwiseXOR(col("prev"))) > 12, 1)
+            .otherwise(0))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          (sum("cut") + 1).as("n_shots"),
+          round(avg("luma"), 4).as("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // web-scrape cleaning: strip markup, mask URLs/emails, collapse
     // whitespace (oracle-checked). The harness corpus is plain text, so
     // the query plants deterministic markup/PII derived from doc_id —
