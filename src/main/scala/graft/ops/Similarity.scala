@@ -127,10 +127,13 @@ object Similarity {
           .cast("int")).as("codes"))
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("qv"))
-    val scored = codes.crossJoin(broadcast(q))
-      .filter(col("nbr_id") =!= col("query_id"))
+    // dequantize ONCE per candidate, before the |Q|-way fan-out — the
+    // reconstruction is query-independent
+    val scored = codes
       .withColumn("dq", transform(col("codes"), (c, i) =>
         get(mnL, i) + (c.cast("double") + 0.5) * get(spanL, i) / 256.0))
+      .crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sq", DotProduct.dotFast(col("qv"), col("dq")))
     boundedTopK(scored, col("sq"), k, as = "sq")
       .select("query_id", "rank", "nbr_id", "sq")
