@@ -298,6 +298,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("q72: polygon table broadcasts; the points side never " +
+      "shuffles before the containment test") {
+    val plan = planOf("q72_spatial_join")
+    // the (point, ring) candidate join must be broadcast-driven with
+    // the bbox range conjunction as its condition (a nested-loop over
+    // a KB-sized broadcast, not a cartesian and not a shuffle join),
+    // and the points are never hash-partitioned by coordinates —
+    // the only exchanges are the dimension-sized state rollups
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("hashpartitioning(px") &&
+      !plan.contains("hashpartitioning(py"), plan)
+  }
+
   test("q70: ANALYZE statistics reach the optimizer (exact rowCount, " +
       "not file-size guesses) with CBO enabled") {
     val df = SparkEntry.queries("q70_cbo_reorder")(spark, sf001)
