@@ -1003,6 +1003,83 @@ object Similarity {
       .drop("__cn")
   }
 
+  /** EXACT ε-ball cosine range search: every corpus vector with
+    * `cos(q, x) >= minCos` for each query, pruned by IVF cells via the
+    * spherical triangle inequality — the range-query companion to the
+    * top-k family (FAISS `range_search`; the retrieval mode of
+    * threshold-based semantic filtering, where "everything at least
+    * this similar" is the contract and k is unknowable up front).
+    *
+    * Guarantee: for any member x of cell c, angle(q,x) >=
+    * angle(q,μ_c) − max_angle(c), so a cell whose centroid angle minus
+    * its angular RADIUS exceeds arccos(minCos) provably contains no
+    * result — pruning it loses nothing. Results are therefore EXACT
+    * for every clustering; how much prunes is data-dependent (tight
+    * clusters prune hard, isotropic noise prunes nothing — spec-gated
+    * both ways on a planted-blob fixture vs the sf embeddings).
+    *
+    * Plan shape at 100 TB: centroids are one literal codebook (same
+    * matvec assignment as [[ivfTopK]]); radii are an nlist-row
+    * broadcast; the probe table (query × surviving cell) broadcasts,
+    * so pruned corpus rows drop at a broadcast hash join with no
+    * corpus shuffle; survivors cost one codegen'd dot each. The
+    * threshold compares the 6dp-ROUNDED cosine so an oracle computing
+    * cosine through a different float path cannot flip a boundary row.
+    */
+  def rangeSearch(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  minCos: Double, nlist: Int = 16, trainIters: Int = 8,
+                  sampleSize: Int = 4096): DataFrame =
+    rangeSearchWithProbes(corpus, idCol, vecCol, queries, qIdCol,
+      qVecCol, minCos, nlist, trainIters, sampleSize)._1
+
+  /** [[rangeSearch]] plus its (query × surviving cell) probe table, so
+    * specs can assert the pruning actually engages on clustered data.
+    */
+  private[graft] def rangeSearchWithProbes(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      minCos: Double, nlist: Int, trainIters: Int,
+      sampleSize: Int): (DataFrame, DataFrame) = {
+    DotProduct.register(corpus.sparkSession)
+    MatVecDots.register(corpus.sparkSession)
+    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
+    val cents = trainCentroids(sample, math.min(nlist, sample.length),
+      trainIters)
+    val cb = MatVecDots.matrixLit(cents)
+    def clampAcos(c: Column): Column =
+      acos(least(lit(1.0), greatest(lit(-1.0), c)))
+    val assigned = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
+      .withColumn("dots", MatVecDots.matvec(col("cv"), cb))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1)
+          .cast("int"))
+      .withColumn("theta_c", clampAcos(array_max(col("dots"))))
+      .drop("dots")
+    // nlist-row angular radii; ONE partial-aggregated pass, broadcast
+    val radii = assigned.groupBy("cell")
+      .agg(max(col("theta_c")).as("radius"))
+    val psi = math.acos(minCos)
+    val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
+      .withColumn("dots", MatVecDots.matvec(col("qv"), cb))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("dots")).as(Seq("cell", "qdot")))
+      .withColumn("theta", clampAcos(col("qdot")))
+    // keep a cell iff it COULD hold a result: θ_qc − r_c <= ψ (+ float
+    // slack — widening the keep-side never loses a result)
+    val probes = q.join(broadcast(radii), Seq("cell"))
+      .filter(col("theta") - col("radius") <= lit(psi + 1e-9))
+      .select("cell", "query_id", "qv")
+    val result = broadcast(probes)
+      .join(assigned.drop("theta_c"), Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", DotProduct.dotFast(col("qv"), col("cv")))
+      .filter(round(col("cos"), 6) >= lit(minCos))
+      .select(col("query_id"), col("nbr_id"),
+        round(col("cos"), 4).as("cos"))
+    (result, probes)
+  }
+
   /** Brute-force embedding-cosine threshold join — recall oracle for
     * [[cosineNearDupLsh]] in the specs ONLY: the full-corpus broadcast
     * and O(N^2) dot-product volume make it a non-starter at scale.

@@ -772,4 +772,73 @@ object TextAnalysis {
 
   def langId(text: Column, minScore: Double = 0.05): Column =
     langIdOf(tokens(lower(text)), text, minScore)
+
+  // --- BPE merge induction -----------------------------------------------
+
+  /** First `steps` byte-pair-encoding merges over the corpus (Sennrich,
+    * Haddow & Birch, "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL 2016 — the tokenizer-induction primitive of
+    * every modern LM pipeline): per step, the most frequent adjacent
+    * symbol pair (ties broken lexicographically) is fused corpus-wide
+    * and counting repeats on the fused sequences.
+    *
+    * Scale shape: the corpus collapses to a (word, freq) VOCABULARY
+    * table in one map-side-combined groupBy — every subsequent pass
+    * (pair count, fuse) runs over vocab-sized data, never the corpus
+    * again (the original algorithm's core trick, here as cached
+    * DataFrame state). The per-step driver round-trip is ONE argmax
+    * row off a partial-aggregated count — bounded regardless of SF.
+    *
+    * Symbol sequences ride a TWO-space-joined, single-space-padded
+    * string (" h  i " for "hi"): each symbol owns
+    * an unshared flanking space on both sides, so one left-to-right
+    * non-overlapping `replace` of " u  v " fuses EVERY occurrence —
+    * including adjacent repeats ("a a a a" → "aa aa", the correct BPE
+    * greedy scan) — and can never match inside a multi-char symbol.
+    * The same replace semantics hold in DuckDB, which is what makes
+    * the whole iteration SQL-replayable for the oracle.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // split(word, "") keeps a trailing "" (limit -1); drop empties so
+      // no phantom symbol enters the sequence
+      .select(concat(lit(" "),
+          concat_ws("  ",
+            filter(split(col("word"), ""), x => x =!= lit(""))),
+          lit(" ")).as("sym"),
+        col("freq"))
+    var s = wf.cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    try {
+      var step = 1
+      while (step <= steps) {
+        val pairs = s
+          .select(split(trim(col("sym")), "  ").as("a"), col("freq"))
+          .select(explode(zip_with(
+            slice(col("a"), lit(1), size(col("a")) - 1),
+            slice(col("a"), lit(2), size(col("a")) - 1),
+            (u, v) => struct(u.as("u"), v.as("v")))).as("p"), col("freq"))
+          .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+          .agg(sum("freq").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("u"), col("v"))
+          .limit(1).as[(String, String, Long)].collect()
+        if (top.isEmpty) { step = steps + 1 }
+        else {
+          val (u, v, cnt): (String, String, Long) = top.head
+          out += ((step, s"$u+$v", cnt))
+          val next = s.select(
+            replace(col("sym"), lit(s" $u  $v "), lit(s" $u$v "))
+              .as("sym"), col("freq")).cache()
+          s.unpersist(blocking = false)
+          s = next
+          step += 1
+        }
+      }
+    } finally s.unpersist(blocking = false)
+    out.toSeq.toDF("step", "pair", "cnt")
+  }
 }

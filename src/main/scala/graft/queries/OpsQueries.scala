@@ -388,6 +388,20 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // exact ε-ball range search (FAISS range_search mode): EVERY
+    // neighbor with cos >= 0.3, not a fixed k — IVF cells pruned by
+    // the spherical triangle inequality (θ_q,cell − cell radius > ψ
+    // provably holds no result), so results are exact for any
+    // clustering and the oracle is plain brute force; pruning power
+    // on clustered data is SimilaritySpec-gated
+    "s19_range_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.rangeSearch(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          minCos = 0.3, nlist = 16)
+        .orderBy("query_id", "nbr_id")
+    }),
+
     // per-label embedding centroids through the native vector-sum
     // aggregate: one array per (group x task) crosses the shuffle
     // instead of posexplode's dim-times row amplification; the tiny
@@ -1112,6 +1126,41 @@ object OpsQueries {
     "d43_nb_source_classifier" -> ((s, dir) =>
       TextAnalysis.nbClassify(docs(s, dir), "doc_id", "text", "source")
         .orderBy("doc_id")),
+
+    // corpus-coverage audit: Chao1 species-richness estimate of the
+    // TRUE vocabulary size and the Good-Turing unseen-probability
+    // mass, both closed forms over the singleton/doubleton counts of
+    // one map-side-combined term-frequency pass — "how much vocabulary
+    // has this crawl NOT seen yet" is the question a curation loop
+    // asks before buying more data. Bias-corrected Chao1
+    // (f1*(f1-1)/(2*(f2+1))) so f2=0 never divides by zero.
+    "d45_vocab_richness" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("f1"), col("f2"),
+          round(col("n_types")
+            + col("f1") * (col("f1") - 1)
+              / (lit(2.0) * (col("f2") + 1)), 4).as("chao1"),
+          round(col("f1") / col("n_tokens").cast("double"), 6)
+            .as("gt_unseen"))
+        .orderBy("source")
+    }),
+
+    // tokenizer induction: the first 3 corpus-wide BPE merges
+    // (Sennrich ACL 2016) — see TextAnalysis.bpeMerges for the
+    // vocabulary-collapse scale shape and the two-space symbol
+    // encoding that makes the greedy fuse replayable in DuckDB
+    "d46_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(docs(s, dir), "text", steps = 3)
+        .orderBy("step")),
 
     "d41_zipf_fit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2642,6 +2691,85 @@ object OpsQueries {
 
     // token frequencies -> per-language rank -> the same four OLS
     // sums; ln on integer counts keeps the float paths aligned
+    "d45_vocab_richness" -> """
+      WITH tk AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      cnts AS (
+        SELECT source, term, COUNT(*) AS cnt
+        FROM (SELECT source, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+      o AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f1,
+               CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f2
+        FROM cnts GROUP BY 1)
+      SELECT source, n_tokens, n_types, f1, f2,
+             ROUND(n_types + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 4)
+               AS chao1,
+             ROUND(f1 / CAST(n_tokens AS DOUBLE), 6) AS gt_unseen
+      FROM o ORDER BY source""",
+
+    // the greedy BPE scan replayed: same two-space symbol encoding,
+    // same left-to-right non-overlapping replace, same (cnt DESC,
+    // pair ASC) argmax — three unrolled merge rounds
+    "d46_bpe_merges" -> """
+      WITH wf AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents WHERE trim(text) <> '')
+        WHERE word <> '' GROUP BY 1),
+      s0 AS (
+        SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+                 || ' ' AS sym, freq
+        FROM wf),
+      pr0 AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                 i -> {'u': a[i], 'v': a[i + 1]})) AS p, freq
+        FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM s0)),
+      p0 AS (SELECT p.u AS u, p.v AS v, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pr0 GROUP BY 1, 2),
+      t0 AS (SELECT u, v, cnt FROM p0 ORDER BY cnt DESC, u, v LIMIT 1),
+      s1 AS (
+        SELECT replace(sym,
+                 ' ' || (SELECT u FROM t0) || '  ' || (SELECT v FROM t0)
+                   || ' ',
+                 ' ' || (SELECT u FROM t0) || (SELECT v FROM t0) || ' ')
+                 AS sym, freq
+        FROM s0),
+      pr1 AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                 i -> {'u': a[i], 'v': a[i + 1]})) AS p, freq
+        FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM s1)),
+      p1 AS (SELECT p.u AS u, p.v AS v, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pr1 GROUP BY 1, 2),
+      t1 AS (SELECT u, v, cnt FROM p1 ORDER BY cnt DESC, u, v LIMIT 1),
+      s2 AS (
+        SELECT replace(sym,
+                 ' ' || (SELECT u FROM t1) || '  ' || (SELECT v FROM t1)
+                   || ' ',
+                 ' ' || (SELECT u FROM t1) || (SELECT v FROM t1) || ' ')
+                 AS sym, freq
+        FROM s1),
+      pr2 AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                 i -> {'u': a[i], 'v': a[i + 1]})) AS p, freq
+        FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM s2)),
+      p2 AS (SELECT p.u AS u, p.v AS v, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pr2 GROUP BY 1, 2),
+      t2 AS (SELECT u, v, cnt FROM p2 ORDER BY cnt DESC, u, v LIMIT 1)
+      SELECT 1 AS step, u || '+' || v AS pair, cnt FROM t0
+      UNION ALL
+      SELECT 2, u || '+' || v, cnt FROM t1
+      UNION ALL
+      SELECT 3, u || '+' || v, cnt FROM t2
+      ORDER BY step""",
+
     "d41_zipf_fit" -> """
       WITH tk AS (
         SELECT lang,
@@ -2721,6 +2849,20 @@ object OpsQueries {
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
       WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // brute force IS the oracle: cell pruning is provably lossless
+    // (spherical triangle inequality), so the result set cannot
+    // depend on the clustering; threshold on the 6dp-rounded cosine
+    // mirrors the engine's float-portability guard
+    "s19_range_search" -> """
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+        AND ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])), 6) >= 0.3
+      ORDER BY query_id, nbr_id""",
 
     // the whole SRP-LSH pipeline replayed: md5-derived ±1 planes,
     // unit-normalize, sequential signed dots, sign-bit buckets, the

@@ -242,6 +242,63 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
   }
 
+  test("rangeSearch is exact vs brute force on real embeddings, any nlist") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val qs = e.filter($"vec_id" < 8)
+    def brute(minCos: Double): Set[(Long, Long)] = {
+      import graft.functions.DotProduct
+      DotProduct.register(spark)
+      val c = Similarity.unitized(e, "vec_id", "embedding", "nbr_id", "cv")
+      val q = Similarity.unitized(qs, "vec_id", "embedding", "query_id", "qv")
+      c.crossJoin(broadcast(q)).filter($"nbr_id" =!= $"query_id")
+        .withColumn("cos", DotProduct.dotFast($"qv", $"cv"))
+        .filter(round($"cos", 6) >= minCos)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    }
+    // clustering choice must never change the RESULT (only the work)
+    for (minCos <- Seq(0.25, 0.35); nlist <- Seq(4, 16)) {
+      val got = Similarity.rangeSearch(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", minCos = minCos, nlist = nlist)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+      val want = brute(minCos)
+      assert(want.nonEmpty, s"degenerate fixture at $minCos")
+      assert(got == want,
+        s"minCos=$minCos nlist=$nlist missed=${want -- got} " +
+          s"extra=${got -- want}")
+    }
+  }
+
+  test("rangeSearch cell pruning engages on clustered data and stays " +
+    "exact") {
+    // three tight orthogonal blobs: a query in blob 0 at threshold
+    // 0.5 can only match blob-0 vectors, and with nlist=6 the
+    // triangle-inequality bound must discard most (query, cell) pairs
+    val rng = new scala.util.Random(11)
+    val axes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 0.0, 1.0))
+    val pts = (0 until 300).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => x + rng.nextGaussian() * 0.05))
+    }
+    val df = pts.toDF("id", "v")
+    val qs = df.filter($"id" < 6)
+    val (res, probes) = Similarity.rangeSearchWithProbes(df, "id", "v",
+      qs, "id", "v", minCos = 0.5, nlist = 6, trainIters = 8,
+      sampleSize = 4096)
+    val got = res.select("query_id", "nbr_id").as[(Long, Long)]
+      .collect().toSet
+    // exactness on the blob fixture
+    val want = (for {
+      q <- 0L until 6L; n <- 0L until 300L
+      if n != q && n % 3 == q % 3
+    } yield (q, n)).toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // pruning: of the 6 x 6 (query, cell) pairs, cross-blob cells are
+    // provably empty of results — at most half may survive
+    val probed = probes.count()
+    assert(probed <= 18, s"pruning inert: $probed of 36 pairs probed")
+  }
+
   test("DotProduct/MatVecDots codegen compiles (no silent fallback)") {
     import graft.functions.{DotProduct, MatVecDots, SimHash64}
     DotProduct.register(spark)

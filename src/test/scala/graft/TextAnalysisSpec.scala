@@ -405,4 +405,23 @@ class TextAnalysisSpec extends SparkSpec {
       assert(cs.max - cs.min <= 1, s"$lang buckets unbalanced: $cs")
     }
   }
+
+  test("bpeMerges: hand-computed greedy merges, adjacent repeats fuse " +
+    "non-overlapping") {
+    // words: "aaaa" x2, "ab" x2
+    //   step 1: (a,a) appears 3x per "aaaa" -> cnt 6; fuse must yield
+    //           "aa aa" (greedy left-to-right scan), NOT "aa a a"
+    //   step 2: (aa,aa) and (a,b) tie at 2 -> lexicographic pick (a,b)
+    //   step 3: (aa,aa) remains -> cnt 2
+    val df = Seq("aaaa aaaa", "ab ab").toDF("text")
+    val got = bpeMerges(df, "text", steps = 3)
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a+a", 6L), (2, "a+b", 2L), (3, "aa+aa", 2L)),
+      s"got $got")
+    // fewer pairs than steps: stops early instead of emitting junk
+    val tiny = Seq("xy").toDF("text")
+    val g2 = bpeMerges(tiny, "text", steps = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(g2 == Seq((1, "x+y", 1L)), s"got $g2")
+  }
 }
