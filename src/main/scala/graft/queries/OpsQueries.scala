@@ -564,6 +564,47 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // file-per-asset multimodal INGESTION through Spark's binaryFile
+    // source — the on-disk half of the media pipeline (mm01-mm06 carry
+    // media as columns; a real crawl lands as millions of image FILES
+    // first). A bounded fixture of real .bmp files is laid down once;
+    // the query then reads them with binaryFile (pathGlobFilter prunes
+    // non-images at the listing, content arrives as the same binary
+    // column the rest of the pipeline consumes), parses ids from
+    // paths, and feature-extracts the decoded pixels. Rows-only
+    // (DuckDB cannot list the dir); byte-level parity with the
+    // in-memory pipeline is MultimodalSpec-gated.
+    "mm07_binary_ingest" -> ((s, dir) => {
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val mdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-mm07-$key")
+      if (!mdir.exists()) {
+        graft.TempDirs.registerCleanedAtExit(mdir.getAbsolutePath)
+        mdir.mkdirs()
+        docs(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") < 40).collect().foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(mdir, s"doc_${r.get(0)}.bmp").toPath,
+              graft.ops.BmpCodec.synthesize(r.getString(1)))
+          }
+        // a non-image straggler the glob must prune
+        java.nio.file.Files.write(
+          new java.io.File(mdir, "manifest.txt").toPath,
+          "not an image".getBytes("UTF-8"))
+      }
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(mdir.getAbsolutePath)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.bmp$", 1)
+          .cast("long").as("doc_id"),
+          col("length"), col("content").as("media"))
+      Multimodal.extractFeatures(bin, "media", dim = 8)
+        .select(col("doc_id"), col("length"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
+        .orderBy("doc_id")
+    }),
+
     // web-scrape cleaning: strip markup, mask URLs/emails, collapse
     // whitespace (oracle-checked). The harness corpus is plain text, so
     // the query plants deterministic markup/PII derived from doc_id —

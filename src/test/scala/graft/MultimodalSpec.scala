@@ -281,4 +281,36 @@ class MultimodalSpec extends SparkSpec {
       .groupBy("fp").count().filter($"count" > 1).count()
     assert(fps == 0, "gain copies should be byte-distinct")
   }
+
+  test("binaryFile ingestion is byte-identical to the in-memory media " +
+    "pipeline; glob prunes non-images") {
+    val texts = Seq((0L, "alpha doc"), (1L, "beta doc"), (2L, "gamma doc"))
+    val dir = new java.io.File(
+      TempDirs.createCleanedAtExit("graft-mm07-spec"))
+    dir.mkdirs()
+    texts.foreach { case (id, tx) =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"doc_$id.bmp").toPath,
+        BmpCodec.synthesize(tx))
+    }
+    java.nio.file.Files.write(
+      new java.io.File(dir, "notes.txt").toPath, "junk".getBytes)
+    val ingested = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(dir.getAbsolutePath)
+      .select(regexp_extract($"path", "doc_(\\d+)\\.bmp$", 1)
+        .cast("long").as("doc_id"), $"content".as("media"))
+    // the straggler .txt never enters the scan
+    assert(ingested.count() == 3)
+    val viaFiles = Multimodal.extractFeatures(ingested, "media", dim = 8)
+      .select($"doc_id", $"features").as[(Long, Seq[Float])]
+      .collect().toMap
+    val inMemory = Multimodal.extractFeatures(
+        Multimodal.withBmpMedia(texts.toDF("doc_id", "text"), "text"),
+        "media", dim = 8)
+      .select($"doc_id", $"features").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(viaFiles == inMemory,
+      "file-ingested features must equal the column-borne pipeline")
+  }
 }
