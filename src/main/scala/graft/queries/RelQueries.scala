@@ -20,6 +20,42 @@ import graft.stats.Survey
   */
 object RelQueries {
 
+  /** Build-once Versioned table fixture shared by q73/q74: v1 = the
+    * orders snapshot range-split into 8 immutable files, v2 = a MERGE
+    * commit (updates %31 -> status 'X' +10% price, deletes %37,
+    * inserts %41 into net-new key space) that rewrites only the files
+    * whose key range the batch touches.
+    */
+  private[queries] def timeTravelRoot(s: SparkSession,
+                                      dir: String): String = {
+    import graft.sources.Versioned
+    val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-q73-$key")
+      .getAbsolutePath
+    val base = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if (!Versioned.hasVersion(root, 2)) {
+      graft.TempDirs.registerCleanedAtExit(root)
+      Versioned.write(base, root, "o_orderkey", version = 1, nFiles = 8)
+      val changes = base
+        .filter(col("o_orderkey") % 31 === 0
+          || col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
+            .as("o_totalprice"),
+          when(col("o_orderkey") % 37 === 0, "D").otherwise("U")
+            .as("op"))
+        .unionByName(base.filter(col("o_orderkey") % 41 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+            lit("U").as("op")))
+      Versioned.merge(s, root, "o_orderkey", "op", changes,
+        fromVersion = 1, toVersion = 2)
+    }
+    root
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
@@ -519,7 +555,8 @@ object RelQueries {
     // round()-mode differences between engines can't leak into the
     // classification; key_sum is an exact integer checksum.
     // versioned copy-on-write time travel (Versioned: the miniature
-    // Delta/Iceberg commit model over mergeUpsert): v1 = the orders
+    // Delta/Iceberg commit model over mergeUpsert) — shared fixture
+    // for q73/q74/st13: v1 = the orders
     // snapshot range-split into 8 immutable files, v2 = a MERGE commit
     // (updates %31 -> status 'X' +10% price, deletes %37, inserts
     // %41 into net-new key space) that rewrites ONLY the files whose
@@ -529,37 +566,30 @@ object RelQueries {
     // VersionedSpec-gated.
     "q73_time_travel" -> ((s, dir) => {
       import graft.sources.Versioned
-      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-q73-$key")
-        .getAbsolutePath
-      val base = t(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      if (!Versioned.hasVersion(root, 2)) {
-        graft.TempDirs.registerCleanedAtExit(root)
-        Versioned.write(base, root, "o_orderkey", version = 1,
-          nFiles = 8)
-        val changes = base
-          .filter(col("o_orderkey") % 31 === 0
-            || col("o_orderkey") % 37 === 0)
-          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
-            (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
-              .as("o_totalprice"),
-            when(col("o_orderkey") % 37 === 0, "D").otherwise("U")
-              .as("op"))
-          .unionByName(base.filter(col("o_orderkey") % 41 === 0)
-            .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
-              lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
-              lit("U").as("op")))
-        Versioned.merge(s, root, "o_orderkey", "op", changes,
-          fromVersion = 1, toVersion = 2)
-      }
+      val root = timeTravelRoot(s, dir)
       def snap(v: Int) =
         Versioned.readAsOf(s, root, v)
           .agg(count(lit(1)).as("n_rows"),
             round(sum("o_totalprice"), 2).as("total"))
           .select(lit(v).as("version"), col("n_rows"), col("total"))
       snap(1).unionByName(snap(2)).orderBy("version")
+    }),
+
+    // manifest-level data skipping on the same versioned table: a
+    // key-range read of v2 consults the file-count-sized manifest
+    // FIRST (files whose [min_key, max_key] miss the range are never
+    // opened — the key-range analog of partition pruning), then the
+    // residual predicate pushes to the surviving parquet scans.
+    // Pruning mechanics are VersionedSpec-gated; the oracle replays
+    // the v2 content with the same WHERE.
+    "q74_snapshot_prune" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = timeTravelRoot(s, dir)
+      Versioned.readAsOfWhere(s, root, version = 2, "o_orderkey",
+          lo = 1000L, hi = 3000L)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("total"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
     }),
 
     "q71_table_diff" -> ((s, dir) => {
@@ -2516,6 +2546,30 @@ object RelQueries {
       SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
       FROM v2
       ORDER BY version""",
+
+    // v2 replay restricted to the pruned key range
+    "q74_snapshot_prune" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 41 = 0),
+      v2 AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U')
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(o_totalprice), 2) AS total,
+             MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+      FROM v2 WHERE o_orderkey BETWEEN 1000 AND 3000""",
 
     "q71_table_diff" -> """
       WITH cur AS (

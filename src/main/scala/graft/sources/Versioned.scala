@@ -94,6 +94,68 @@ object Versioned {
     s.read.parquet(paths: _*)
   }
 
+  /** Paths of `version`'s files whose [min_key, max_key] range
+    * intersects [lo, hi] — manifest-level data skipping, the
+    * key-range analog of partition pruning. File-count-sized driver
+    * work; the pruned files are never listed, opened, or footer-read.
+    */
+  private[graft] def prunedPaths(s: SparkSession, root: String,
+                                 version: Int, lo: Long,
+                                 hi: Long): Seq[String] =
+    manifest(s, root, version)
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("path").collect().map(_.getString(0)).toSeq
+
+  /** Snapshot read restricted to key range [lo, hi]: the manifest
+    * prunes whole files BEFORE the scan plan exists, then the residual
+    * predicate (still pushed to the parquet reader) finishes the job —
+    * at 100 TB a point-ish lookup touches one file group, not the
+    * table. Returns an empty (schema-correct) frame when every file
+    * prunes.
+    */
+  def readAsOfWhere(s: SparkSession, root: String, version: Int,
+                    keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val paths = prunedPaths(s, root, version, lo, hi)
+    val all =
+      if (paths.nonEmpty) s.read.parquet(paths: _*)
+      else s.read.parquet(manifest(s, root, version)
+          .select("path").first().getString(0))
+        .filter(lit(false))
+    all.filter(col(keyCol).cast("long") >= lo
+      && col(keyCol).cast("long") <= hi)
+  }
+
+  /** Expire old snapshots: drop every manifest older than the newest
+    * `keepVersions`, then delete data files no surviving manifest
+    * references (never a file a live version can still read). Returns
+    * the deleted data-file count. Driver work is manifest-sized.
+    */
+  def expire(s: SparkSession, root: String, keepVersions: Int): Int = {
+    val manRoot = new java.io.File(s"$root/_graft_manifest")
+    val versions = Option(manRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt).sorted
+    val keep = versions.takeRight(keepVersions).toSet
+    val dead = versions.filterNot(keep)
+    val live = keep.toSeq.flatMap(v =>
+      manifest(s, root, v).select("path").collect().map(_.getString(0)))
+      .toSet
+    val deadRefs = dead.flatMap(v =>
+      manifest(s, root, v).select("path").collect().map(_.getString(0)))
+      .toSet
+    val toDelete = deadRefs -- live
+    toDelete.foreach { p =>
+      val f = new java.io.File(new java.net.URI(p).getPath)
+      f.delete()
+    }
+    dead.foreach { v =>
+      val d = new java.io.File(manifestDir(root, v))
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+    toDelete.size
+  }
+
   /** Commit `toVersion` = `fromVersion` + `changes` (columns of the
     * table plus `opCol`: 'U' upsert / 'D' delete, at most one row per
     * key — the [[Relational.mergeUpsert]] contract).

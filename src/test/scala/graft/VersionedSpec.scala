@@ -78,4 +78,46 @@ class VersionedSpec extends SparkSpec {
     assert(man3 == man2, "delete-miss commit must carry every file")
     assert(Versioned.readAsOf(spark, root, 3).count() == 12)
   }
+
+  test("readAsOfWhere prunes files by manifest key bounds and matches " +
+    "the full read + filter") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec3") + "/t"
+    Versioned.write(table(40), root, "k", version = 1, nFiles = 4)
+    val all = Versioned.manifest(spark, root, 1)
+      .select("path").as[String].collect().toSet
+    // a range inside one file's bounds opens strictly fewer files
+    val pruned = Versioned.prunedPaths(spark, root, 1, 2L, 3L)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"pruning inert: ${pruned.size} of ${all.size}")
+    val got = Versioned.readAsOfWhere(spark, root, 1, "k", 2L, 3L)
+      .as[(Long, String, Double)].collect().toSet
+    val want = Versioned.readAsOf(spark, root, 1)
+      .filter($"k" >= 2 && $"k" <= 3)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want && got.size == 2)
+    // fully-out-of-range read: zero files opened, schema intact
+    val empty = Versioned.readAsOfWhere(spark, root, 1, "k", 900L, 999L)
+    assert(empty.count() == 0
+      && empty.columns.toSeq == Seq("k", "status", "price"))
+  }
+
+  test("expire deletes only files no surviving snapshot references") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec4") + "/t"
+    Versioned.write(table(20), root, "k", version = 1, nFiles = 4)
+    val changes = Seq((1L, "u", 1.0, "U")).toDF("k", "status", "price", "op")
+    Versioned.merge(spark, root, "k", "op", changes, 1, 2)
+    val man1 = Versioned.manifest(spark, root, 1)
+      .select("path").as[String].collect().toSet
+    val man2 = Versioned.manifest(spark, root, 2)
+      .select("path").as[String].collect().toSet
+    val deleted = Versioned.expire(spark, root, keepVersions = 1)
+    // exactly the v1-only files (the rewritten first file's ancestor)
+    assert(deleted == (man1 -- man2).size && deleted >= 1)
+    assert(!Versioned.hasVersion(root, 1))
+    // v2 still reads completely
+    assert(Versioned.readAsOf(spark, root, 2).count() == 20)
+    man2.foreach { p =>
+      assert(new java.io.File(new java.net.URI(p).getPath).exists(), p)
+    }
+  }
 }
