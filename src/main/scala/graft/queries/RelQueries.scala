@@ -38,23 +38,28 @@ object RelQueries {
     if (!Versioned.hasVersion(root, 2)) {
       graft.TempDirs.registerCleanedAtExit(root)
       Versioned.write(base, root, "o_orderkey", version = 1, nFiles = 8)
-      val changes = base
-        .filter(col("o_orderkey") % 31 === 0
-          || col("o_orderkey") % 37 === 0)
-        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
-          (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
-            .as("o_totalprice"),
-          when(col("o_orderkey") % 37 === 0, "D").otherwise("U")
-            .as("op"))
-        .unionByName(base.filter(col("o_orderkey") % 41 === 0)
-          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
-            lit("U").as("op")))
-      Versioned.merge(s, root, "o_orderkey", "op", changes,
-        fromVersion = 1, toVersion = 2)
+      Versioned.merge(s, root, "o_orderkey", "op",
+        timeTravelChanges(base), fromVersion = 1, toVersion = 2)
     }
     root
   }
+
+  /** The q73/q74/st13 change batch over the orders snapshot (keys
+    * unique across the batch — the mergeUpsert contract).
+    */
+  private[queries] def timeTravelChanges(base: DataFrame): DataFrame =
+    base
+      .filter(col("o_orderkey") % 31 === 0
+        || col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
+          .as("o_totalprice"),
+        when(col("o_orderkey") % 37 === 0, "D").otherwise("U")
+          .as("op"))
+      .unionByName(base.filter(col("o_orderkey") % 41 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+          lit("U").as("op")))
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)

@@ -149,6 +149,34 @@ object StreamQueries {
     // batch; 3 forced micro-batches so state provably persists across
     // batches — the max-n row equals the batch groupBy iff it did).
     // Oracle: the plain batch aggregation.
+    // streaming CDC into the Versioned copy-on-write table: the change
+    // batch streams in 4 micro-batches, each committed as one COW
+    // MERGE version (time travel across batch boundaries; only
+    // key-range-affected files rewrite per batch). Final content must
+    // equal the single-shot merge — batching is invisible (the oracle
+    // replays the one-shot merge grouped by status); commit-chain
+    // idempotence and per-version readability are StreamsSpec-gated.
+    "st13_stream_versioned_sink" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-st13-$key")
+        .getAbsolutePath
+      val base = graft.Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      if (!Versioned.hasVersion(root, 2)) {
+        graft.TempDirs.registerCleanedAtExit(root)
+        Streams.versionedSinkDrain(base,
+          RelQueries.timeTravelChanges(base), "o_orderkey", "op", root,
+          numBatches = 4)
+      }
+      Versioned.readAsOf(s, root, Versioned.latestVersion(root))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "st12_transform_with_state" -> ((s, dir) => {
       val ev = RelQueries.events(s, dir).select("user_id", "value")
       Streams.transformWithStateDrain(ev)
@@ -210,6 +238,32 @@ object StreamQueries {
 
     // the lifetime totals the stateful processor accumulated across
     // micro-batches must equal the one-shot batch aggregation
+    // the one-shot merge replay grouped by status: batch boundaries
+    // must be invisible in the final table
+    "st13_stream_versioned_sink" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 41 = 0),
+      v2 AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U')
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM v2 GROUP BY 1 ORDER BY 1""",
+
     "st12_transform_with_state" -> """
       SELECT user_id, COUNT(*) AS n_events,
              ROUND(SUM(value), 4) AS sum_value

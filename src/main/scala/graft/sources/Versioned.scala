@@ -49,6 +49,15 @@ object Versioned {
   def hasVersion(root: String, version: Int): Boolean =
     new java.io.File(manifestDir(root, version)).exists()
 
+  /** Highest committed version under `root`. */
+  def latestVersion(root: String): Int = {
+    val manRoot = new java.io.File(s"$root/_graft_manifest")
+    Option(manRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .maxOption.getOrElse(sys.error(s"no versions at $root"))
+  }
+
   /** Per-file (path, min_key, max_key, rows) for freshly written
     * files — one column-pruned scan grouped by file.
     */

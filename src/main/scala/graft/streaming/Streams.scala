@@ -696,6 +696,51 @@ object Streams {
       sys.error("upsert drain saw no batches")))
   }
 
+  /** foreachBatch CDC sink into a [[graft.sources.Versioned]]
+    * copy-on-write table — the MERGE-capable-table-format half that
+    * [[upsertStreamDrain]]'s doc points to: each micro-batch becomes
+    * ONE versioned COW commit (only key-range-affected files rewrite),
+    * so the table is time-travelable across batch boundaries and the
+    * per-batch write cost tracks the batch's key footprint, not
+    * O(|keys|).
+    *
+    * Exactly-once state under at-least-once batch execution: the
+    * commit chain is keyed by batchId (batch b merges fromVersion
+    * b+1 → b+2, v1 being the base load), so a re-run of a failed
+    * batch re-reads the SAME predecessor manifest and overwrites its
+    * own manifest — idempotent, like the state_v<id> scheme above but
+    * with file-level reuse. Requires change keys unique across the
+    * feed (the mergeUpsert contract per batch; disjoint batches then
+    * commute, so the final table is partitioning-independent).
+    */
+  def versionedSinkDrain(base: DataFrame, changes: DataFrame,
+                         keyCol: String, opCol: String, root: String,
+                         numBatches: Int = 4): DataFrame = {
+    import graft.sources.Versioned
+    val spark = base.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st13-src").toString
+    val ckpt = Files.createTempDirectory("graft-st13-ckpt").toString
+    Versioned.write(base, root, keyCol, version = 1, nFiles = 8)
+    changes.repartition(numBatches).write.mode("overwrite")
+      .parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val from = (batchId + 1).toInt
+        Versioned.merge(batch.sparkSession, root, keyCol, opCol,
+          batch, fromVersion = from, toVersion = from + 1)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(srcDir); rmTree(ckpt)
+    Versioned.readAsOf(spark, root, Versioned.latestVersion(root))
+  }
+
   case class UEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

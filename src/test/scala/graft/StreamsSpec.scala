@@ -301,4 +301,33 @@ class StreamsSpec extends SparkSpec {
     // the merge is commutative: 1 batch (pure batch argmax) == 5
     assert(run(1) == run(5))
   }
+
+  test("versionedSinkDrain: batched COW commits equal the one-shot " +
+    "merge; every intermediate version stays readable") {
+    import graft.sources.Versioned
+    val base = (0L until 50L).map(i => (i, s"s$i", i * 2.0))
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (3L, "u3", 300.0, "U"), (17L, "u17", 1700.0, "U"),
+      (26L, "x", 0.0, "D"), (44L, "u44", 4400.0, "U"),
+      (90L, "new", 900.0, "U")).toDF("k", "status", "price", "op")
+    val root = TempDirs.createCleanedAtExit("graft-st13-spec") + "/t"
+    val got = Streams.versionedSinkDrain(base, changes, "k", "op",
+        root, numBatches = 3)
+      .as[(Long, String, Double)].collect().toSet
+    val want = graft.rel.Relational
+      .mergeUpsert(base, changes, "k", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // commit chain: v1 (base) .. v(1+batches), each snapshot readable
+    val latest = Versioned.latestVersion(root)
+    assert(latest == 4, s"expected 4 versions, got $latest")
+    assert(Versioned.readAsOf(spark, root, 1)
+      .as[(Long, String, Double)].collect().toSet
+      == base.as[(Long, String, Double)].collect().toSet)
+    (2 to latest).foreach { v =>
+      val n = Versioned.readAsOf(spark, root, v).count()
+      assert(n >= 49 && n <= 50, s"v$v rows=$n")
+    }
+  }
 }
