@@ -597,6 +597,35 @@ object RelQueries {
           min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
     }),
 
+    // pipeline observability: Dataset.observe attaches data-quality
+    // metrics (row count, null count, running mean) to the SAME pass
+    // as the real aggregation — zero extra scans, the Spark-native
+    // replacement for a separate profiling job. At 100 TB a second
+    // "count the nulls" pass over the fact table is the difference
+    // between one scan and two; observe rides the existing one as an
+    // AggregatingAccumulator. The oracle recomputes the metrics
+    // declaratively.
+    "q75_observed_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.Observation
+      val li = t(s, dir, "lineitem")
+      val obs = Observation()
+      val observed = li.observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("null_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"))
+      // the real work: per-flag pricing aggregate; its action is what
+      // populates the observation
+      val nGroups = observed.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q")).count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows_seen").asInstanceOf[Long],
+        m("null_qty").asInstanceOf[Long],
+        m("avg_price").asInstanceOf[Double], nGroups))
+        .toDF("rows_seen", "null_qty", "avg_price", "n_groups")
+    }),
+
     "q71_table_diff" -> ((s, dir) => {
       val cur = t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -2575,6 +2604,16 @@ object RelQueries {
              ROUND(SUM(o_totalprice), 2) AS total,
              MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
       FROM v2 WHERE o_orderkey BETWEEN 1000 AND 3000""",
+
+    // the observed metrics recomputed declaratively
+    "q75_observed_metrics" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_qty,
+             ROUND(AVG(l_extendedprice), 2) AS avg_price,
+             (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+              FROM lineitem) AS n_groups
+      FROM lineitem""",
 
     "q71_table_diff" -> """
       WITH cur AS (
