@@ -1025,6 +1025,56 @@ object RelQueries {
         .orderBy("event_type")
     }),
 
+    // semi-structured VARIANT path (Spark 4's schema-on-read binary
+    // JSON encoding — the engine-native alternative to q50's
+    // declared-schema from_json): parse once into VariantType, then
+    // typed path extraction with variant_get; a missing path is null,
+    // not an error, so ragged payloads survive. At 100 TB variant
+    // columns shred/prune like any other binary column and the parse
+    // is a narrow codegen'd map over the scan.
+    "q76_variant_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.missing", "string").as("miss"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          max("k").as("max_k"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L))
+            .as("n_missing"))
+        .orderBy("event_type")),
+
+    // point-in-time dimension join (temporal correctness — the
+    // feature-store / portfolio "what did the dimension say AT event
+    // time" join): probes land on the q48 SCD2 history through the
+    // as-of machinery — contiguous validity intervals mean "latest
+    // valid_from <= ts" IS the interval containing ts, so the range
+    // join collapses to one keyed union + one windowed carry-forward
+    // (no interval explosion, no BNLJ). Probes before a user's first
+    // version drop, matching the oracle's inner interval join.
+    "q77_pit_join" -> ((s, dir) => {
+      val feed = events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min("event_type").as("event_type"))
+      val dim = Relational.scd2(feed, "user_id", "ts",
+        Seq("event_type"))
+      val probes = events(s, dir)
+        .filter(col("event_id") % 7 === 0)
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts"),
+          col("event_id"))
+      val dimR = dim.select(col("user_id"),
+        col("valid_from").as("ts"), col("event_type"))
+      Relational.asofJoin(probes, dimR, "user_id", "ts",
+          col("event_type"), as = "status_at")
+        .filter(col("status_at").isNotNull)
+        .groupBy("status_at")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        .orderBy("status_at")
+    }),
+
     // incremental aggregate maintenance: per-user running aggregates
     // over all history EXCEPT the newest day live in a persisted state
     // table; the new day folds in as an algebraic merge (count/sum/max
@@ -2086,6 +2136,50 @@ object RelQueries {
              strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
              (valid_to IS NULL) AS is_current
       FROM v ORDER BY user_id, version""",
+
+    // JSON path semantics replayed: k extracted as BIGINT, the
+    // missing path is NULL everywhere
+    "q76_variant_extract" -> """
+      WITH e AS (
+        SELECT event_type, CAST(props->>'k' AS BIGINT) AS k,
+               props->>'missing' AS miss
+        FROM events)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+             CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_missing
+      FROM e GROUP BY 1 ORDER BY 1""",
+
+    // the SCD2 build + the textbook interval join (valid_from <= pts
+    // < valid_to, open tail) — the as-of carry-forward must equal it
+    "q77_pit_join" -> """
+      WITH f AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               MIN(event_type) AS event_type
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev
+        FROM f),
+      v AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS valid_to
+        FROM c WHERE prev IS NULL OR prev <> event_type),
+      p AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS pts,
+               event_id
+        FROM events WHERE event_id % 7 = 0),
+      j AS (
+        SELECT p.event_id, v.event_type AS status_at
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND v.valid_from <= p.pts
+          AND (v.valid_to IS NULL OR p.pts < v.valid_to))
+      SELECT status_at, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM j GROUP BY 1 ORDER BY 1""",
 
     "q49_unpivot" -> """
       WITH w AS (
