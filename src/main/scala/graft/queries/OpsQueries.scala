@@ -1203,6 +1203,33 @@ object OpsQueries {
       TextAnalysis.bpeMerges(docs(s, dir), "text", steps = 3)
         .orderBy("step")),
 
+    // corpus drift monitor: KL(P_source || P_corpus) over unigram
+    // distributions — "which crawl slice stopped looking like the
+    // corpus" is the alarm a curation loop watches. Two grouped
+    // passes over the vocab-sized term-frequency table (never the
+    // corpus twice); KL is exact because every source term occurs
+    // globally (P > 0 wherever P_s > 0).
+    "d47_source_drift" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val src = tf.groupBy("source").agg(sum("cnt").as("src_total"))
+      val glob = tf.groupBy("term").agg(sum("cnt").as("gcnt"))
+      val gtotal = glob.agg(sum("gcnt")).first().getLong(0)
+      tf.join(broadcast(src), Seq("source"))
+        .join(broadcast(glob), Seq("term"))
+        .select(col("source"), col("src_total"),
+          (col("cnt") / col("src_total")
+            * log(col("cnt") / col("src_total")
+              / (col("gcnt") / lit(gtotal.toDouble)))).as("klterm"))
+        .groupBy("source")
+        .agg(max("src_total").as("n_tokens"),
+          round(sum("klterm"), 6).as("kl"))
+        .orderBy("source")
+    }),
+
     "d41_zipf_fit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
@@ -2810,6 +2837,29 @@ object OpsQueries {
       UNION ALL
       SELECT 3, u || '+' || v, cnt FROM t2
       ORDER BY step""",
+
+    "d47_source_drift" -> """
+      WITH tk AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      tf AS (
+        SELECT source, term, COUNT(*) AS cnt
+        FROM (SELECT source, unnest(toks) AS term FROM tk)
+        GROUP BY 1, 2),
+      st AS (SELECT source, SUM(cnt) AS src_total FROM tf GROUP BY 1),
+      g AS (SELECT term, SUM(cnt) AS gcnt FROM tf GROUP BY 1),
+      gt AS (SELECT SUM(gcnt) AS gtotal FROM g)
+      SELECT tf.source, CAST(MAX(st.src_total) AS BIGINT) AS n_tokens,
+             ROUND(SUM((tf.cnt * 1.0 / st.src_total)
+               * LN((tf.cnt * 1.0 / st.src_total)
+                 / (g.gcnt * 1.0 / gt.gtotal))), 6) AS kl
+      FROM tf
+      JOIN st USING (source)
+      JOIN g USING (term)
+      CROSS JOIN gt
+      GROUP BY 1 ORDER BY 1""",
 
     "d41_zipf_fit" -> """
       WITH tk AS (

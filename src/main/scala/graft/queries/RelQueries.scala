@@ -1075,6 +1075,25 @@ object RelQueries {
         .orderBy("status_at")
     }),
 
+    // exact money arithmetic through DecimalType: doubles cast to
+    // decimal at the scan, every product/sum EXACT from there (no
+    // float association-order anywhere — the result is the same
+    // number on any partitioning, any engine), cast back to double
+    // only at the edge. The 100-TB relevance: financial aggregates
+    // must not drift with shuffle topology, and decimal sums are the
+    // Spark-native way to guarantee it.
+    "q78_decimal_totals" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"),
+          col("l_discount").cast("decimal(18,4)").as("d"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("p").cast("double").as("sum_price"),
+          sum(col("p") * (lit(1).cast("decimal(18,2)") - col("d")))
+            .cast("double").as("sum_disc_price"))
+        .orderBy("l_returnflag")),
+
     // incremental aggregate maintenance: per-user running aggregates
     // over all history EXCEPT the newest day live in a persisted state
     // table; the new day folds in as an algebraic merge (count/sum/max
@@ -2180,6 +2199,20 @@ object RelQueries {
       SELECT status_at, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(event_id) AS BIGINT) AS id_sum
       FROM j GROUP BY 1 ORDER BY 1""",
+
+    // identical exact-decimal pipeline; the cast back to double is
+    // correctly-rounded from the same exact decimal on both engines
+    "q78_decimal_totals" -> """
+      WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+               CAST(l_discount AS DECIMAL(18,4)) AS dd
+        FROM lineitem)
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS DOUBLE) AS sum_price,
+             CAST(SUM(p * (CAST(1 AS DECIMAL(18,2)) - dd)) AS DOUBLE)
+               AS sum_disc_price
+      FROM d GROUP BY 1 ORDER BY 1""",
 
     "q49_unpivot" -> """
       WITH w AS (
