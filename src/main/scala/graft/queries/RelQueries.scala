@@ -1094,6 +1094,42 @@ object RelQueries {
             .cast("double").as("sum_disc_price"))
         .orderBy("l_returnflag")),
 
+    // recursive CTE (Spark 4's WITH RECURSIVE — iteration INSIDE one
+    // SQL statement, no driver loop): every customer walks the
+    // implicit binary-tree hierarchy k -> k/2 to the root; output is
+    // the depth histogram. The engine plans each recursion step as a
+    // distributed join/union round — the declarative counterpart of
+    // ops/Graph's hand-rolled BFS (q55), here left entirely to the
+    // engine. DuckDB replays the identical recursion.
+    "q79_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_q79")
+      s.sql("""
+        WITH RECURSIVE anc(k, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM cust_q79
+          WHERE c_custkey <= 200
+          UNION ALL
+          SELECT k, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+        SELECT depth, COUNT(*) AS n FROM anc WHERE cur = 1
+        GROUP BY depth ORDER BY depth""")
+    }),
+
+    // correlated LATERAL subquery (Spark 4 lateral join): per-nation
+    // top-2 suppliers written as the SQL-standard LATERAL ... LIMIT —
+    // Catalyst decorrelates it into the same per-group-top-k plan
+    // family as q67's window/aggregate forms; the point is the SQL
+    // surface, checked against DuckDB's native LATERAL.
+    "q80_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_q80")
+      t(s, dir, "supplier").createOrReplaceTempView("supp_q80")
+      s.sql("""
+        SELECT n.n_name, s.s_suppkey, s.bal
+        FROM nation_q80 n, LATERAL (
+          SELECT s_suppkey, ROUND(s_acctbal, 2) AS bal FROM supp_q80
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY ROUND(s_acctbal, 2) DESC, s_suppkey LIMIT 2) s
+        ORDER BY n.n_name, bal DESC, s_suppkey""")
+    }),
+
     // incremental aggregate maintenance: per-user running aggregates
     // over all history EXCEPT the newest day live in a persisted state
     // table; the new day folds in as an algebraic merge (count/sum/max
@@ -2213,6 +2249,24 @@ object RelQueries {
              CAST(SUM(p * (CAST(1 AS DECIMAL(18,2)) - dd)) AS DOUBLE)
                AS sum_disc_price
       FROM d GROUP BY 1 ORDER BY 1""",
+
+    // the identical recursion, DuckDB's // integer division
+    "q79_recursive_cte" -> """
+      WITH RECURSIVE anc(k, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        WHERE c_custkey <= 200
+        UNION ALL
+        SELECT k, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+      SELECT depth, CAST(COUNT(*) AS BIGINT) AS n FROM anc
+      WHERE cur = 1 GROUP BY depth ORDER BY depth""",
+
+    "q80_lateral_topk" -> """
+      SELECT n.n_name, s.s_suppkey, s.bal
+      FROM nation n, LATERAL (
+        SELECT s_suppkey, ROUND(s_acctbal, 2) AS bal FROM supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY ROUND(s_acctbal, 2) DESC, s_suppkey LIMIT 2) s
+      ORDER BY n.n_name, bal DESC, s_suppkey""",
 
     "q49_unpivot" -> """
       WITH w AS (

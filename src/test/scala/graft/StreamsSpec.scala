@@ -325,9 +325,13 @@ class StreamsSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, root, 1)
       .as[(Long, String, Double)].collect().toSet
       == base.as[(Long, String, Double)].collect().toSet)
+    // intermediate counts depend on which batch carried the insert vs
+    // the delete: base 50, so anywhere in [49, 51] mid-chain; the
+    // FINAL version must land exactly on base - 1 delete + 1 insert
     (2 to latest).foreach { v =>
       val n = Versioned.readAsOf(spark, root, v).count()
-      assert(n >= 49 && n <= 50, s"v$v rows=$n")
+      assert(n >= 49 && n <= 51, s"v$v rows=$n")
     }
+    assert(Versioned.readAsOf(spark, root, latest).count() == 50)
   }
 }
