@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads share one heap in local[32]; 8g left the
+  // graph/array-heavy queries GC-bound on the 128 GiB bench host
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

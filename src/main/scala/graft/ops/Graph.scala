@@ -71,28 +71,48 @@ object Graph {
     * Scale shape: the classic degree-ordered orientation (each edge
     * directed from its lower-(degree, id) endpoint to the higher one)
     * caps every node's OUT-degree at O(sqrt(m)) regardless of its real
-    * degree, so the wedge self-join — the quadratic step — fans out
-    * per-node as out-deg^2 <= O(m) TOTAL instead of deg^2 (a celebrity
-    * hub with 10^6 neighbors contributes ~0 wedges instead of 10^12).
-    * Cost: one degree count (map-side combining groupBy), one wedge
-    * self-join keyed on the shared lower endpoint, one semi-join of
-    * wedges against the oriented closing edge, one final per-corner
-    * count. Every join is key-hashed; nothing is ever all-pairs.
+    * degree, composed with the ADJACENCY-INTERSECTION edge iterator:
+    * the orientation is a total order, so every triangle {p<q<r} has
+    * exactly one source p (edges p→q, p→r) and is discovered exactly
+    * ONCE, at edge (p, q), as r ∈ N+(p) ∩ N+(q). The quadratic work
+    * therefore happens INSIDE one codegen'd array_intersect per edge
+    * (out-neighbor arrays are O(sqrt m) by the cap) — no wedge rows
+    * ever exist, which is what retires the previous formulation's
+    * O(Σ out-deg²)-ROW wedge self-join + closing semi-join shuffle
+    * (~1.2e8 shuffled rows and spill-driven variance on the sf0.1
+    * near-complete co-supply graph; this shape shuffles edges + the
+    * node-count-sized adjacency table only). Per-node credits (p and
+    * q get |I|, each sink r gets 1) ride ONE explode straight into a
+    * partially-aggregated count, so at most #nodes rows per task
+    * cross the final shuffle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = orient(edges)
-      .cache() // feeds the wedge join twice + the closing semi-join
-    // wedges (y, z) sharing lower endpoint x, canonicalized y < z so
-    // each candidate triangle is generated exactly once
-    val e2 = e.select(col("lo").as("lo2"), col("hi").as("hi2"))
-    val wedges = e.join(e2, col("lo") === col("lo2") &&
-        col("hi") < col("hi2"))
-      .select(col("lo").as("x"), col("hi").as("y"), col("hi2").as("z"))
-    // a wedge closes iff the (y, z) edge exists in EITHER orientation
-    val closing = e.select(col("lo").as("y"), col("hi").as("z"))
-      .unionAll(e.select(col("hi").as("y"), col("lo").as("z")))
-    val tris = wedges.join(closing, Seq("y", "z"), "left_semi")
-    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    // EAGER localCheckpoint (the q53/q55 pattern), not lazy cache: the
+    // adjacency build and the two probe-side scans otherwise launch
+    // concurrent stages against a cold cache (duplicate partition
+    // computes + lock contention), and AQE plans the adj joins blind —
+    // measured 56s -> ~13s on the sf0.1 near-complete co-supply graph
+    val e = orient(edges).localCheckpoint()
+    val adj = e.groupBy(col("lo").as("p"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    // inner joins: an edge whose endpoint has no out-neighbors has an
+    // empty intersection and can contribute nothing
+    val inter = e
+      .join(adj, col("lo") === col("p")).drop("p")
+      .withColumnRenamed("nbrs", "np")
+      .join(adj, col("hi") === col("p")).drop("p")
+      .withColumnRenamed("nbrs", "nq")
+      .select(col("lo"), col("hi"),
+        array_intersect(col("np"), col("nq")).as("sinks"))
+      .withColumn("k", size(col("sinks")).cast("long"))
+      .filter(col("k") > 0)
+    // credit all three corners with ZERO higher-order functions (a
+    // transform-built struct array here would drop the 1e8-element
+    // stream out of whole-stage codegen — measured 80s vs seconds):
+    // explode sinks keeping (lo, hi), then explode the 3-corner array;
+    // both are Generate nodes, fully codegen'd into the partial agg
+    inter.select(explode(col("sinks")).as("s"), col("lo"), col("hi"))
+      .select(explode(array(col("s"), col("lo"), col("hi"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
