@@ -1080,6 +1080,79 @@ object Similarity {
     (result, probes)
   }
 
+  /** Maximal-Marginal-Relevance diversity re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998) — the selection step of diversity-aware
+    * retrieval / training-data sampling: from each query's top-`poolK`
+    * relevance pool, greedily pick `select` items maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected`, so near-duplicate
+    * hits can't crowd the slate.
+    *
+    * Scale shape: the pool comes from the bounded top-k aggregate
+    * ([[cosineTopK]]), vectors re-attach by ONE keyed join, and the
+    * greedy loop runs in `mapGroups` over ≤ poolK rows per query —
+    * the bounded-group precedent (Em's per-area mapGroups), sequential
+    * by nature, never more than poolK·dim doubles of state. Engine/
+    * oracle determinism: rel and every candidate-candidate similarity
+    * round at 6dp BEFORE entering the score, the score re-rounds at
+    * 6dp before the argmax, ties break on id — and λ = 0.5 keeps
+    * 1−λ exactly representable so both engines compute bit-identical
+    * scores from identical inputs.
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                poolK: Int, select: Int,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val top = cosineTopK(corpus, idCol, vecCol, queries, qIdCol,
+      qVecCol, poolK)
+    val cu = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
+    val pool = top.join(cu, "nbr_id")
+      .select(col("query_id").cast("long"), col("nbr_id").cast("long"),
+        round(col("cos"), 6).as("rel"), col("cv"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val mu = 1.0 - lambda
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    pool.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cands = it.map(c => (c._2, c._3, c._4.toArray)).toArray
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Array[Double])]
+      val used = scala.collection.mutable.Set.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Double)]
+      var rank = 1
+      while (rank <= select && used.size < cands.length) {
+        var best: (Long, Double, Array[Double]) = null
+        var bestScore = Double.NegativeInfinity
+        cands.foreach { case (id, rel, v) =>
+          if (!used.contains(id)) {
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map { s =>
+                var d = 0.0; var i = 0
+                while (i < v.length) { d += v(i) * s._3(i); i += 1 }
+                r6(d)
+              }.max
+            val score = r6(lambda * rel - mu * maxSim)
+            if (score > bestScore
+              || (score == bestScore && best != null && id < best._1)) {
+              bestScore = score; best = (id, rel, v)
+            }
+          }
+        }
+        used += best._1
+        selected += best
+        out += ((q, rank, best._1, bestScore))
+        rank += 1
+      }
+      out.iterator
+    }.toDF("query_id", "rank", "nbr_id", "score")
+      .select(col("query_id"), col("rank"), col("nbr_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Brute-force embedding-cosine threshold join — recall oracle for
     * [[cosineNearDupLsh]] in the specs ONLY: the full-corpus broadcast
     * and O(N^2) dot-product volume make it a non-starter at scale.

@@ -402,6 +402,19 @@ object OpsQueries {
         .orderBy("query_id", "nbr_id")
     }),
 
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim selection of 3 from each query's top-8
+    // pool — near-duplicate hits can't crowd the slate. λ = 0.5 keeps
+    // 1−λ exact so the oracle's unrolled three steps compute
+    // bit-identical scores (see Similarity.mmrRerank)
+    "s20_mmr_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.mmrRerank(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          poolK = 8, select = 3, lambda = 0.5)
+        .orderBy("query_id", "rank")
+    }),
+
     // per-label embedding centroids through the native vector-sum
     // aggregate: one array per (group x task) crosses the shuffle
     // instead of posexplode's dim-times row amplification; the tiny
@@ -2954,6 +2967,63 @@ object OpsQueries {
         AND ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               CAST(c.embedding AS DOUBLE[])), 6) >= 0.3
       ORDER BY query_id, nbr_id""",
+
+    // the greedy MMR selection unrolled: the top-8 relevance pool,
+    // then three argmax steps — step scores round at 6dp from
+    // 6dp-rounded rel/similarities with id tie-break, exactly the
+    // engine's arithmetic (λ = 0.5 so 1−λ is exact in both engines)
+    "s20_mmr_rerank" -> """
+      WITH qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 5),
+      cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+      pool AS (
+        SELECT query_id, nbr_id, rel, v FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS rel,
+                 c.v AS v,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6)
+                     DESC, c.vec_id) AS rk
+          FROM qv q JOIN cv c ON q.vec_id <> c.vec_id)
+        WHERE rk <= 8),
+      sc1 AS (SELECT query_id, nbr_id, v, rel,
+                     ROUND(0.5 * rel, 6) AS score FROM pool),
+      s1 AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, nbr_id) rk FROM sc1)
+             WHERE rk = 1),
+      sc2 AS (
+        SELECT p.query_id, p.nbr_id, p.v, p.rel,
+               ROUND(0.5 * p.rel - 0.5
+                 * ROUND(list_cosine_similarity(p.v, s1.v), 6), 6)
+                 AS score
+        FROM pool p
+        JOIN s1 ON p.query_id = s1.query_id
+          AND p.nbr_id <> s1.nbr_id),
+      s2 AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, nbr_id) rk FROM sc2)
+             WHERE rk = 1),
+      sc3 AS (
+        SELECT p.query_id, p.nbr_id,
+               ROUND(0.5 * p.rel - 0.5 * GREATEST(
+                 ROUND(list_cosine_similarity(p.v, s1.v), 6),
+                 ROUND(list_cosine_similarity(p.v, s2.v), 6)), 6)
+                 AS score
+        FROM pool p
+        JOIN s1 ON p.query_id = s1.query_id
+        JOIN s2 ON p.query_id = s2.query_id
+        WHERE p.nbr_id <> s1.nbr_id AND p.nbr_id <> s2.nbr_id),
+      s3 AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, nbr_id) rk FROM sc3)
+             WHERE rk = 1)
+      SELECT query_id, 1 AS rank, nbr_id, ROUND(score, 4) AS score
+      FROM s1
+      UNION ALL SELECT query_id, 2, nbr_id, ROUND(score, 4) FROM s2
+      UNION ALL SELECT query_id, 3, nbr_id, ROUND(score, 4) FROM s3
+      ORDER BY query_id, rank""",
 
     // the whole SRP-LSH pipeline replayed: md5-derived ±1 planes,
     // unit-normalize, sequential signed dots, sign-bit buckets, the

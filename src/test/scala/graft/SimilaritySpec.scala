@@ -299,6 +299,25 @@ class SimilaritySpec extends SparkSpec {
     assert(probed <= 18, s"pruning inert: $probed of 36 pairs probed")
   }
 
+  test("mmrRerank: diversity beats raw relevance, deterministic ids") {
+    // two clones of the query direction + one dissimilar-but-relevant
+    // vector: raw top-3 = (1, 2, 3); MMR must demote the second clone
+    // behind the diverse pick (clone score .5*.99 - .5*1.0 < 0 at
+    // step 2, diverse .5*.7 - .5*.592 > 0)
+    val corpus = Seq(
+      (1L, Seq(0.99, 0.141, 0.0)),
+      (2L, Seq(0.99, 0.141, 0.0)),
+      (3L, Seq(0.7, -0.714, 0.0))).toDF("id", "v")
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("id", "v")
+    val raw = Similarity.cosineTopK(corpus, "id", "v", q, "id", "v", 3)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    assert(raw == Seq(1L, 2L, 3L))
+    val got = Similarity.mmrRerank(corpus, "id", "v", q, "id", "v",
+        poolK = 3, select = 3)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L), s"got $got")
+  }
+
   test("DotProduct/MatVecDots codegen compiles (no silent fallback)") {
     import graft.functions.{DotProduct, MatVecDots, SimHash64}
     DotProduct.register(spark)
