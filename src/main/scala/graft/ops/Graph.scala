@@ -92,18 +92,26 @@ object Graph {
     // concurrent stages against a cold cache (duplicate partition
     // computes + lock contention), and AQE plans the adj joins blind —
     // measured 56s -> ~13s on the sf0.1 near-complete co-supply graph
-    val e = orient(edges).localCheckpoint()
+    graft.functions.SortedIntersect.register(edges.sparkSession)
+    val e = orient(edges)
+      .select(col("lo").cast("long").as("lo"),
+        col("hi").cast("long").as("hi"))
+      .localCheckpoint()
     val adj = e.groupBy(col("lo").as("p"))
       .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
     // inner joins: an edge whose endpoint has no out-neighbors has an
-    // empty intersection and can contribute nothing
+    // empty intersection and can contribute nothing. The intersection
+    // is the native sorted-merge kernel (SortedIntersect): the inputs
+    // are sorted, duplicate-free neighbor lists, and array_intersect's
+    // per-row hash set was the remaining hot spot
     val inter = e
       .join(adj, col("lo") === col("p")).drop("p")
       .withColumnRenamed("nbrs", "np")
       .join(adj, col("hi") === col("p")).drop("p")
       .withColumnRenamed("nbrs", "nq")
       .select(col("lo"), col("hi"),
-        array_intersect(col("np"), col("nq")).as("sinks"))
+        graft.functions.SortedIntersect
+          .intersectFast(col("np"), col("nq")).as("sinks"))
       .withColumn("k", size(col("sinks")).cast("long"))
       .filter(col("k") > 0)
     // credit all three corners with ZERO higher-order functions (a

@@ -1130,6 +1130,31 @@ object RelQueries {
         ORDER BY n.n_name, bal DESC, s_suppkey""")
     }),
 
+    // null-key skew split (the q25 salting pattern's sibling): in a
+    // LEFT join, null keys can never match but a naive plan still
+    // shuffles them — and they all hash to ONE reducer, the classic
+    // silent straggler when an optional foreign key is mostly null.
+    // Split nulls out BEFORE the exchange (they pass through with
+    // null dim columns), join only real keys, union after — same
+    // result as the plain left join (the oracle), none of the hot
+    // partition. PlanSpec asserts the join input is null-filtered.
+    "q81_null_skew_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("value"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("k"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val matched = ev.filter(col("k").isNotNull)
+        .join(dim, col("k") === col("c_custkey"), "left")
+        .drop("c_custkey")
+      val nulls = ev.filter(col("k").isNull)
+        .withColumn("segment", lit(null).cast("string"))
+      matched.unionByName(nulls)
+        .groupBy(coalesce(col("segment"), lit("NONE")).as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("segment")
+    }),
+
     // incremental aggregate maintenance: per-user running aggregates
     // over all history EXCEPT the newest day live in a persisted state
     // table; the new day folds in as an algebraic merge (count/sum/max
@@ -2267,6 +2292,21 @@ object RelQueries {
         WHERE s_nationkey = n.n_nationkey
         ORDER BY ROUND(s_acctbal, 2) DESC, s_suppkey LIMIT 2) s
       ORDER BY n.n_name, bal DESC, s_suppkey""",
+
+    // the plain left join IS the oracle: the null-split is plan
+    // surgery, not semantics
+    "q81_null_skew_join" -> """
+      WITH e AS (
+        SELECT event_id, value,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE user_id END AS k
+        FROM events),
+      j AS (
+        SELECT COALESCE(c.c_mktsegment, 'NONE') AS segment, e.value
+        FROM e LEFT JOIN customer c ON e.k = c.c_custkey)
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM j GROUP BY 1 ORDER BY 1""",
 
     "q49_unpivot" -> """
       WITH w AS (

@@ -48,6 +48,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(n_name"), plan)
   }
 
+  test("q77: point-in-time SCD2 join never plans an interval BNLJ — " +
+    "the as-of carry-forward keeps it one keyed union + window") {
+    val plan = planOf("q77_pit_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("s19: range-search probes broadcast — pruned corpus rows drop " +
+    "at a broadcast hash join, never a corpus shuffle") {
+    val plan = planOf("s19_range_search")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q81: null keys split out before the join exchange (no hot " +
+    "null partition) and rejoin via union") {
+    val plan = planOf("q81_null_skew_join")
+    assert(plan.contains("Union"), plan)
+    // Catalyst rewrites isnotnull(CASE ...) THROUGH the case into the
+    // scan-side filter — the join's stream input is null-free before
+    // the exchange, which is the whole point
+    assert(plan.contains("ELSE isnotnull(user_id"), plan)
+  }
+
   test("q27: interval join plans as an equi-join (no BNLJ/cartesian)") {
     val plan = planOf("q27_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

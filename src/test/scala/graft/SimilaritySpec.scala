@@ -351,6 +351,18 @@ class SimilaritySpec extends SparkSpec {
         .select(array($"id".cast("string"), lit("tok")).as("toks"))
         .select(SimHash64.simhash64($"toks")).as[Long].collect()
       assert(sh.distinct.length == 4) // id-dependent -> distinct sigs
+      graft.functions.SortedIntersect.register(spark)
+      // id=0: [0,2,4,6] ∩ [0,3,6,9] = [0,6]
+      val si = spark.range(0, 2)
+        .select(
+          transform(sequence(lit(0L), lit(3L)), i => i * 2 + $"id")
+            .as("a"),
+          transform(sequence(lit(0L), lit(3L)), i => i * 3 + $"id")
+            .as("b"))
+        .filter($"id" === 0)
+        .select(graft.functions.SortedIntersect
+          .intersectFast($"a", $"b")).as[Seq[Long]].head()
+      assert(si == Seq(0L, 6L), si.toString)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
