@@ -798,7 +798,64 @@ object TextAnalysis {
     * The same replace semantics hold in DuckDB, which is what makes
     * the whole iteration SQL-replayable for the oracle.
     */
+  /** Apply [[bpeMerges]]' learned merge table to the corpus and
+    * measure the segmentation: per `groupCol`, words, raw symbols
+    * (characters), post-merge symbols, and the compression ratio —
+    * "how much does this tokenizer shrink this slice" is the
+    * acceptance metric of tokenizer induction.
+    *
+    * Scale shape: merges apply at the VOCABULARY grain (distinct word
+    * → post-merge symbol count, the same collapse as training), then
+    * one broadcast join puts per-word counts back on the exploded
+    * corpus stream — the corpus is scanned once and never carries
+    * symbol strings.
+    */
+  def bpeSegmentStats(df: DataFrame, textCol: String, groupCol: String,
+                      steps: Int): DataFrame = {
+    val merges = bpeMergeTable(df, textCol, steps)
+      .sortBy(_._1).map(m => (m._2, m._3))
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("sym", concat(lit(" "),
+        concat_ws("  ",
+          filter(split(col("word"), ""), x => x =!= lit(""))),
+        lit(" ")))
+    val merged = merges.foldLeft(vocab) { case (acc, (u, v)) =>
+      acc.withColumn("sym",
+        replace(col("sym"), lit(s" $u  $v "), lit(s" $u$v ")))
+    }
+    val counts = merged.select(col("word"),
+      length(col("word")).cast("long").as("n_chars"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_syms"))
+    df.select(col(groupCol),
+        explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(counts), "word")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_syms").as("n_syms"))
+      .select(col(groupCol), col("n_words"), col("n_chars"),
+        col("n_syms"),
+        round(col("n_chars") / col("n_syms").cast("double"), 4)
+          .as("compression"))
+      .orderBy(groupCol)
+  }
+
   def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeMergeTable(df, textCol, steps)
+      .map { case (step, u, v, cnt) => (step, s"$u+$v", cnt) }
+      .toDF("step", "pair", "cnt")
+  }
+
+  /** [[bpeMerges]]' driver-side merge list with the pair kept split —
+    * for appliers that must not re-parse the joined label.
+    */
+  def bpeMergeTable(df: DataFrame, textCol: String,
+                    steps: Int): Seq[(Int, String, String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     val wf = df.select(explode(tokens(col(textCol))).as("word"))
@@ -812,7 +869,8 @@ object TextAnalysis {
           lit(" ")).as("sym"),
         col("freq"))
     var s = wf.cache()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var step = 1
       while (step <= steps) {
@@ -829,7 +887,7 @@ object TextAnalysis {
         if (top.isEmpty) { step = steps + 1 }
         else {
           val (u, v, cnt): (String, String, Long) = top.head
-          out += ((step, s"$u+$v", cnt))
+          out += ((step, u, v, cnt))
           val next = s.select(
             replace(col("sym"), lit(s" $u  $v "), lit(s" $u$v "))
               .as("sym"), col("freq")).cache()
@@ -839,6 +897,6 @@ object TextAnalysis {
         }
       }
     } finally s.unpersist(blocking = false)
-    out.toSeq.toDF("step", "pair", "cnt")
+    out.toSeq
   }
 }

@@ -1243,6 +1243,15 @@ object OpsQueries {
         .orderBy("source")
     }),
 
+    // the induced tokenizer APPLIED: d46's merge table segments the
+    // corpus (at the vocabulary grain, broadcast back over one corpus
+    // scan) and the per-source compression ratio is the acceptance
+    // metric — induce (d46) then measure (d48) is the full tokenizer
+    // loop
+    "d48_bpe_segment" -> ((s, dir) =>
+      TextAnalysis.bpeSegmentStats(docs(s, dir), "text", "source",
+        steps = 3)),
+
     "d41_zipf_fit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
@@ -2850,6 +2859,81 @@ object OpsQueries {
       UNION ALL
       SELECT 3, u || '+' || v, cnt FROM t2
       ORDER BY step""",
+
+    // d46's merge chain with the word carried through, the learned
+    // merges applied to the vocabulary, and per-source segmentation
+    // stats off one corpus-token join
+    "d48_bpe_segment" -> """
+      WITH wfc AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents WHERE trim(text) <> '')
+        WHERE word <> '' GROUP BY 1),
+      s0 AS (
+        SELECT word,
+               ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+                 || ' ' AS sym, freq
+        FROM wfc),
+      pr0 AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                 i -> {'u': a[i], 'v': a[i + 1]})) AS p, freq
+        FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM s0)),
+      p0 AS (SELECT p.u AS u, p.v AS v, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pr0 GROUP BY 1, 2),
+      t0 AS (SELECT u, v FROM p0 ORDER BY cnt DESC, u, v LIMIT 1),
+      s1 AS (
+        SELECT word, replace(sym,
+                 ' ' || (SELECT u FROM t0) || '  ' || (SELECT v FROM t0)
+                   || ' ',
+                 ' ' || (SELECT u FROM t0) || (SELECT v FROM t0) || ' ')
+                 AS sym, freq
+        FROM s0),
+      pr1 AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                 i -> {'u': a[i], 'v': a[i + 1]})) AS p, freq
+        FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM s1)),
+      p1 AS (SELECT p.u AS u, p.v AS v, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pr1 GROUP BY 1, 2),
+      t1 AS (SELECT u, v FROM p1 ORDER BY cnt DESC, u, v LIMIT 1),
+      s2 AS (
+        SELECT word, replace(sym,
+                 ' ' || (SELECT u FROM t1) || '  ' || (SELECT v FROM t1)
+                   || ' ',
+                 ' ' || (SELECT u FROM t1) || (SELECT v FROM t1) || ' ')
+                 AS sym, freq
+        FROM s1),
+      pr2 AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                 i -> {'u': a[i], 'v': a[i + 1]})) AS p, freq
+        FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM s2)),
+      p2 AS (SELECT p.u AS u, p.v AS v, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pr2 GROUP BY 1, 2),
+      t2 AS (SELECT u, v FROM p2 ORDER BY cnt DESC, u, v LIMIT 1),
+      s3 AS (
+        SELECT word, replace(sym,
+                 ' ' || (SELECT u FROM t2) || '  ' || (SELECT v FROM t2)
+                   || ' ',
+                 ' ' || (SELECT u FROM t2) || (SELECT v FROM t2) || ' ')
+                 AS sym
+        FROM s2),
+      seg AS (
+        SELECT word, CAST(LENGTH(word) AS BIGINT) AS n_chars,
+               CAST(len(string_split(trim(sym), '  ')) AS BIGINT)
+                 AS n_syms
+        FROM s3),
+      tok AS (
+        SELECT source, word FROM (
+          SELECT source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE trim(text) <> '')
+        WHERE word <> ''),
+      j AS (SELECT source, n_chars, n_syms
+            FROM tok JOIN seg USING (word))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(n_syms) AS BIGINT) AS n_syms,
+             ROUND(SUM(n_chars) * 1.0 / SUM(n_syms), 4) AS compression
+      FROM j GROUP BY 1 ORDER BY 1""",
 
     "d47_source_drift" -> """
       WITH tk AS (
