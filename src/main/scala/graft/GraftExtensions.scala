@@ -2,9 +2,39 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, SortArray}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
-import graft.functions.{DotProduct, MatVecDots, SimHash64, TopKPairs, VectorSum}
+import graft.functions.{DotProduct, MatVecDots, SimHash64, SortedIntersect, TopKPairs, VectorSum}
+
+/** Optimizer rule: `array_intersect(sort_array(x), sort_array(y))`
+  * over null-free array<long> → the [[SortedIntersect]] merge kernel.
+  *
+  * `array_intersect` builds a hash set per row; when both inputs are
+  * syntactically sorted (`sort_array(_, asc)`) the kernel computes the
+  * identical result (ordered, deduped) in one branch-predictable
+  * two-pointer scan — the q58 triangle-count hot loop, here made
+  * available to ANY query written declaratively. Guards: ascending
+  * sort on both children and non-nullable long elements (the kernel
+  * reads primitives; sort_array puts nulls first, which would be
+  * misread). A user query that hits the guard keeps the builtin.
+  */
+object RewriteSortedIntersect extends Rule[LogicalPlan] {
+  private def longsNoNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, containsNull) => !containsNull
+    case _ => false
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayIntersect(l @ SortArray(_, asc1), r @ SortArray(_, asc2))
+          if asc1.foldable && asc2.foldable
+            && asc1.eval() == true && asc2.eval() == true
+            && longsNoNull(l) && longsNoNull(r) =>
+        SortedIntersect(l, r)
+    }
+}
 
 /** Spark-native extension entry point: installs the engine's custom
   * Catalyst expressions into a session the way any Spark library
@@ -19,6 +49,7 @@ import graft.functions.{DotProduct, MatVecDots, SimHash64, TopKPairs, VectorSum}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteSortedIntersect)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

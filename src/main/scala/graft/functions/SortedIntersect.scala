@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ([[doGenCode]] emits the loop inline) so the surrounding projection
   * stays inside WholeStageCodegen.
   *
-  * Caller contract: both arrays sorted ascending, no duplicates (the
-  * adjacency build guarantees both). Unsorted input silently returns
-  * garbage — this is a kernel, not a general function.
+  * Caller contract: both arrays sorted ascending and null-free.
+  * Duplicates are deduped exactly like `array_intersect` (each common
+  * value appears once), so for sorted null-free inputs this expression
+  * is a drop-in replacement — which is what makes
+  * [[graft.RewriteSortedIntersect]] a semantics-preserving optimizer
+  * rule. Unsorted input silently returns garbage — the rule only
+  * fires on syntactic `sort_array(_, asc)` children.
   */
 case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,7 +52,11 @@ case class SortedIntersect(left: Expression, right: Expression)
       val x = a.getLong(i); val y = b.getLong(j)
       if (x < y) i += 1
       else if (x > y) j += 1
-      else { buf(k) = x; k += 1; i += 1; j += 1 }
+      else {
+        buf(k) = x; k += 1
+        while (i < n && a.getLong(i) == x) i += 1
+        while (j < m && b.getLong(j) == x) j += 1
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(buf, k))
   }
@@ -71,7 +79,11 @@ case class SortedIntersect(left: Expression, right: Expression)
          |  long $y = $b.getLong($j);
          |  if ($x < $y) { $i++; }
          |  else if ($x > $y) { $j++; }
-         |  else { $buf[$k++] = $x; $i++; $j++; }
+         |  else {
+         |    $buf[$k++] = $x;
+         |    while ($i < $n && $a.getLong($i) == $x) { $i++; }
+         |    while ($j < $m && $b.getLong($j) == $x) { $j++; }
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  java.util.Arrays.copyOf($buf, $k));

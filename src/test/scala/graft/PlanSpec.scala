@@ -131,6 +131,40 @@ class PlanSpec extends SparkSpec {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("RewriteSortedIntersect swaps the builtin for the merge kernel " +
+    "on sorted null-free longs, and only there") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(0, 50).select($"id",
+      // overlapping, duplicate-carrying long arrays
+      array($"id", $"id" + 2, $"id" + 2, $"id" + 4).as("a"),
+      array($"id" + 4, $"id", $"id" + 7).as("b"))
+    val q = df.select($"id",
+      array_intersect(sort_array($"a"), sort_array($"b")).as("i"))
+    val want = q.as[(Long, Seq[Long])].collect().toMap
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.RewriteSortedIntersect
+    try {
+      val got = df.select($"id",
+        array_intersect(sort_array($"a"), sort_array($"b")).as("i"))
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("sortedintersect"), plan)
+      assert(!plan.contains("array_intersect"), plan)
+      assert(got.as[(Long, Seq[Long])].collect().toMap == want)
+      // guard: nullable elements keep the builtin
+      val nullable = df.select(
+        array_intersect(
+          sort_array(array(when($"id" > 100, $"id"))),
+          sort_array(array($"id".cast("long")))).as("i"))
+      val nplan = nullable.queryExecution.executedPlan.toString
+      assert(!nplan.toLowerCase.contains("sortedintersect"), nplan)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.RewriteSortedIntersect)
+    }
+  }
+
   test("q19: as-of join plans as union + window, not a range join") {
     val plan = planOf("q19_asof_join")
     // no join operator at all: the as-of semantics ride a running
