@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayIntersect, EqualTo, Expression, ExpressionInfo, If, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, SortArray, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.functions.{DotProduct, MatVecDots, SimHash64, SortedIntersect, TopKPairs, VectorSum}
 
@@ -47,9 +47,54 @@ object RewriteSortedIntersect extends Rule[LogicalPlan] {
   * both the Column API ([[DotProduct.dotFast]], [[SimHash64.simhash64]])
   * and plain SQL (`SELECT graft_dot(a, b)`) resolve them.
   */
+/** Optimizer rule: the composable HOF dot product
+  * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, x) => acc + x)`
+  * → the [[DotProduct]] kernel, guarded by a runtime length-equality
+  * check so the rewrite is STRICTLY semantics-preserving: with equal
+  * lengths and non-nullable double elements the kernel folds in the
+  * identical left-to-right order (bit-identical result); with ragged
+  * lengths the builtin is PROVABLY null (zip_with null-pads, the
+  * first null poisons the fold), so the guard's else branch is a null
+  * literal — never the original expression, which transformDown would
+  * re-match forever. A null input array nulls the size comparison and
+  * lands in the same branch, again matching the builtin.
+  *
+  * This is the "functions, not UDFs" ladder closing its loop: users
+  * write the declarative HOF; the session plans the same tight loop
+  * [[graft.ops.Similarity]] calls explicitly.
+  */
+object RewriteHofDot extends Rule[LogicalPlan] {
+  private def doublesNoNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(
+                x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                Seq(x2: NamedLambdaVariable, y2: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(
+              acc1: NamedLambdaVariable, el1: NamedLambdaVariable, _),
+              Seq(acc2: NamedLambdaVariable, el2: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(fin2: NamedLambdaVariable), _))
+          if zero == 0.0
+            && x1.exprId == x2.exprId && y1.exprId == y2.exprId
+            && acc1.exprId == acc2.exprId && el1.exprId == el2.exprId
+            && fin.exprId == fin2.exprId
+            && doublesNoNull(a) && doublesNoNull(b) =>
+        If(EqualTo(Size(a), Size(b)),
+          graft.functions.DotProduct(a, b), Literal(null, DoubleType))
+    }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteSortedIntersect)
+    ext.injectOptimizerRule(_ => RewriteHofDot)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -165,6 +165,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("RewriteHofDot plans the declarative HOF dot as the kernel, " +
+    "with the length guard preserving ragged-input null semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val df = spark.range(0, 20).select($"id",
+      transform(sequence(lit(1), lit(4)),
+        i => i.cast("double") + $"id").as("a"),
+      transform(sequence(lit(1), lit(4)),
+        i => i.cast("double") * 2).as("b"),
+      transform(sequence(lit(1), lit(3)),
+        i => i.cast("double")).as("short"))
+    def hofDot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0),
+        (acc, e) => acc + e)
+    val want = df.select($"id", hofDot($"a", $"b").as("d"))
+      .as[(Long, Double)].collect().toMap
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.RewriteHofDot
+    try {
+      val got = df.select($"id", hofDot($"a", $"b").as("d"))
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dotproduct"), plan)
+      assert(got.as[(Long, Double)].collect().toMap == want)
+      // ragged lengths: the guard routes to the builtin, whose
+      // zip_with null-padding makes the whole fold null
+      val ragged = df.filter($"id" === 0)
+        .select(hofDot($"a", $"short").as("d"))
+        .collect().head
+      assert(ragged.isNullAt(0), ragged.toString)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.RewriteHofDot)
+    }
+  }
+
   test("q19: as-of join plans as union + window, not a range join") {
     val plan = planOf("q19_asof_join")
     // no join operator at all: the as-of semantics ride a running
