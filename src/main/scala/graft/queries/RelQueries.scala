@@ -1723,6 +1723,33 @@ object RelQueries {
     // selective on EITHER key. The oracle replays the interleave as
     // pure div/mod arithmetic. File-extent behavior (range boundaries
     // are sampled) is LayoutSpec territory, not the oracle's.
+    // row-group bloom filters — the fourth rung of the data-skipping
+    // ladder (q28 partition prune, q56 z-order clustering, q74
+    // manifest ranges, q82 THIS): point/IN predicates on a
+    // high-cardinality key skip whole row groups whose bloom proves
+    // the key absent, the case min/max stats can't help (uniformly
+    // spread keys span every row group's range). Written via the
+    // parquet-mr per-column option; the footer actually carrying the
+    // filter is LayoutSpec-gated, content oracle-replayed from the
+    // raw table.
+    "q82_bloom_skip" -> ((s, dir) => {
+      val out = graft.TempDirs.createCleanedAtExit("graft-q82-bloom")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey",
+          "200000")
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_orderkey").isin(1L, 7L, 4711L, 29383L, 999983L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
     "q56_zorder" -> ((s, dir) => {
       val out = graft.TempDirs.createCleanedAtExit("graft-q56-zorder")
       val li = t(s, dir, "lineitem")
@@ -2910,6 +2937,13 @@ object RelQueries {
     // the Morton interleave replayed as pure div/mod arithmetic
     // (identical integer math to the engine's shift/mask form on
     // non-negative inputs); bucket = top 5 bits of the 20-bit z
+    "q82_bloom_skip" -> """
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey IN (1, 7, 4711, 29383, 999983)
+      GROUP BY 1 ORDER BY 1""",
+
     "q56_zorder" -> {
       val zExpr = (0 until 10).map(i =>
         s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +

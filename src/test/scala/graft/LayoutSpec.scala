@@ -59,4 +59,45 @@ class LayoutSpec extends SparkSpec {
     assert(zyAvg < lyAvg / 2,
       s"z-order y-span $zyAvg not better than linear $lyAvg")
   }
+
+  test("bloom-enabled parquet write carries the filter in the footer " +
+    "for the enrolled column only, and it answers membership") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val out = TempDirs.createCleanedAtExit("graft-bloom-spec") + "/t"
+    spark.range(0, 5000)
+      .select(($"id" * 7919).as("k"), ($"id" % 13).as("v"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "5000")
+      .parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      import scala.jdk.CollectionConverters._
+      val byName = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("k").getBloomFilterOffset >= 0,
+        "enrolled column k lost its bloom filter")
+      assert(byName("v").getBloomFilterOffset < 0,
+        "non-enrolled column v grew a bloom filter")
+      val bloom = reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(byName("k"))
+      assert(bloom != null)
+      // a present key hashes to a hit; blooms have no false negatives
+      assert(bloom.findHash(bloom.hash(7919L * 42)),
+        "present key missing from bloom")
+      // and SOME absent key must miss (filter is not saturated)
+      val anyMiss = (1L to 50L)
+        .exists(i => !bloom.findHash(bloom.hash(7919L * i + 3)))
+      assert(anyMiss, "bloom saturated: every absent key hit")
+    } finally reader.close()
+  }
 }
