@@ -773,6 +773,40 @@ object TextAnalysis {
   def langId(text: Column, minScore: Double = 0.05): Column =
     langIdOf(tokens(lower(text)), text, minScore)
 
+  // --- winnowing fingerprints --------------------------------------------
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS scheme): hash every k-token shingle, then
+    * keep the MINIMUM hash of each w-window of consecutive shingle
+    * hashes. Guarantees: any shared run of >= w+k-1 tokens yields a
+    * shared fingerprint (no false negatives for long matches), and
+    * ~2/(w+1) of positions are selected — a tunable, edit-robust
+    * sample, unlike [[fingerprint]]'s all-or-nothing whole-doc hash.
+    *
+    * Returns one (id, print) row per DISTINCT selected hash. Pure
+    * column machinery: the window minima ride the same
+    * zip_with-over-shifted-slices chain as [[shinglesOf]] (O(w) array
+    * scans per row, no per-element slice copies), and the md5-derived
+    * hash is the d06 idiom — every step replays in DuckDB, so joins
+    * built on these prints stay oracle-gated.
+    */
+  def winnowedPrints(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), shinglesOf(col("toks"), k).as("sh"))
+      .select(col(idCol), transform(col("sh"), s =>
+        conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("h"))
+    val len = size(col("h"))
+    val m = len - lit(w - 1)
+    val shifted = (0 until w).map(j => slice(col("h"), lit(j + 1), m))
+    val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    hashed.select(col(idCol),
+        explode(when(len <= w, array(array_min(col("h"))))
+          .otherwise(array_distinct(mins))).as("print"))
+  }
+
   // --- BPE merge induction -----------------------------------------------
 
   /** First `steps` byte-pair-encoding merges over the corpus (Sennrich,

@@ -1216,6 +1216,28 @@ object OpsQueries {
       TextAnalysis.bpeMerges(docs(s, dir), "text", steps = 3)
         .orderBy("step")),
 
+    // winnowing near-dup detection (MOSS, SIGMOD 2003): base docs vs
+    // their dropped-token mutants matched on shared winnowed
+    // fingerprints — the guarantee is structural (any shared run of
+    // >= w+k-1 tokens shares a print), so every planted pair clears
+    // the threshold while unrelated docs share almost nothing. Hot
+    // prints (appearing in > 50 docs) drop before the join — the
+    // standard stop-print guard that caps fan-out at corpus scale.
+    "d49_winnow_neardup" -> ((s, dir) => {
+      val p = TextAnalysis.winnowedPrints(docsWithMutants(s, dir),
+        "doc_id", "text", k = 4, w = 4)
+      val freq = p.groupBy("print").agg(count(lit(1)).as("pf"))
+      val kept = p.join(broadcast(freq.filter(col("pf") <= 50)), "print")
+      val a = kept.filter(col("doc_id") < 100000)
+        .select(col("print"), col("doc_id").as("id_a"))
+      val b = kept.filter(col("doc_id") >= 100000)
+        .select(col("print"), col("doc_id").as("id_b"))
+      a.join(b, "print")
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // corpus drift monitor: KL(P_source || P_corpus) over unigram
     // distributions — "which crawl slice stopped looking like the
     // corpus" is the alarm a curation loop watches. Two grouped
@@ -1694,6 +1716,49 @@ object OpsQueries {
     "d08_simhash" -> simhashOracle,
     "d16_decontaminate" -> decontaminateOracle,
     "d36_contam_fraction" -> contamFractionOracle,
+
+    // the whole winnowing pipeline replayed: 4-token shingles, the
+    // d06 md5 hash, 4-hash window minima, stop-print cap, pair join
+    "d49_winnow_neardup" -> s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 2), i ->
+                           array_to_string(
+                             toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' '))
+               END AS sh
+        FROM docs2),
+      hs AS (
+        SELECT doc_id,
+               list_transform(sh, s -> ${duckHex8("s")}) AS h
+        FROM sh),
+      wm AS (
+        SELECT doc_id,
+               CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                    ELSE list_distinct(list_transform(range(1, len(h) - 2),
+                           i -> list_min(
+                             h[CAST(i AS INT):CAST(i + 3 AS INT)])))
+               END AS prints
+        FROM hs),
+      inv AS (SELECT doc_id, unnest(prints) AS print FROM wm),
+      pf AS (SELECT print FROM inv GROUP BY 1 HAVING COUNT(*) <= 50),
+      kept AS (SELECT doc_id, print FROM inv JOIN pf USING (print)),
+      j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.print = b.print
+          AND a.doc_id < 100000 AND b.doc_id >= 100000)
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM j GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""",
 
     // the clean-side anti-join the bloom prefilter must exactly equal
     "d24_bloom_clean" -> s"""

@@ -406,6 +406,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnowedPrints: shared long runs guarantee a shared print; " +
+    "unrelated docs share none; selection is sparse") {
+    val run = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"aaa bbb $run ccc"),
+      (2L, s"xxx yyy zzz $run qqq www"),       // shares the 30-token run
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")   // unrelated
+    ).toDF("doc_id", "text")
+    val p = winnowedPrints(df, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long)].collect()
+    val byDoc = p.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // Schleimer guarantee: a shared run of >= w+k-1 tokens yields at
+    // least one shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run missed")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "false positive vs unrelated")
+    // density: ~2/(w+1) of the ~29 windows -> far fewer prints than
+    // shingles (the whole point vs hashing every shingle)
+    assert(byDoc(1L).size < 20, s"selection not sparse: ${byDoc(1L).size}")
+  }
+
   test("bpeMerges: hand-computed greedy merges, adjacent repeats fuse " +
     "non-overlapping") {
     // words: "aaaa" x2, "ab" x2
