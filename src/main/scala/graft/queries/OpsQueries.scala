@@ -402,6 +402,32 @@ object OpsQueries {
         .orderBy("query_id", "nbr_id")
     }),
 
+    // embedding hygiene audit — the pre-indexing gate every vector
+    // pipeline needs: per label, dimension conformity, zero-norm /
+    // non-finite vectors, and the norm distribution (mean + extremes).
+    // A zero-norm vector silently poisons cosine math (0/0), a NaN
+    // component poisons every dot it touches; counting them is one
+    // narrow pass over the scan.
+    "s21_embedding_audit" -> ((s, dir) =>
+      embs(s, dir)
+        .select(col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("label"), size(col("v")).as("dim"),
+          Similarity.norm(col("v")).as("nrm"),
+          aggregate(col("v"), lit(0L), (acc, x) =>
+            acc + when(isnan(x) || x === Double.PositiveInfinity
+              || x === Double.NegativeInfinity, 1L).otherwise(0L))
+            .as("n_nonfinite"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum("n_nonfinite").as("n_nonfinite"),
+          round(avg("nrm"), 4).as("norm_mean"),
+          round(min("nrm"), 4).as("norm_min"),
+          round(max("nrm"), 4).as("norm_max"))
+        .orderBy("label")),
+
     // MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy
     // λ·rel − (1−λ)·max-sim selection of 3 from each query's top-8
     // pool — near-duplicate hits can't crowd the slate. λ = 0.5 keeps
@@ -3116,6 +3142,26 @@ object OpsQueries {
         AND ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
               CAST(c.embedding AS DOUBLE[])), 6) >= 0.3
       ORDER BY query_id, nbr_id""",
+
+    "s21_embedding_audit" -> """
+      WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      m AS (
+        SELECT label, len(v) AS dim,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               CAST(len(list_filter(v, x ->
+                 isnan(x) OR isinf(x))) AS BIGINT) AS n_nonfinite
+        FROM e)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_dim,
+             CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(SUM(n_nonfinite) AS BIGINT) AS n_nonfinite,
+             ROUND(AVG(nrm), 4) AS norm_mean,
+             ROUND(MIN(nrm), 4) AS norm_min,
+             ROUND(MAX(nrm), 4) AS norm_max
+      FROM m GROUP BY 1 ORDER BY 1""",
 
     // the greedy MMR selection unrolled: the top-8 relevance pool,
     // then three argmax steps — step scores round at 6dp from
