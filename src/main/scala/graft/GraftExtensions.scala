@@ -112,6 +112,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vecsum"),
       (exprs: Seq[Expression]) => VectorSum(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName,
+        "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => SortedIntersect(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKPairs(exprs(0), exprs(1), exprs(2),
@@ -130,5 +135,6 @@ object GraftExtensions {
     MatVecDots.register(spark)
     VectorSum.register(spark)
     TopKPairs.register(spark)
+    SortedIntersect.register(spark)
   }
 }
