@@ -73,6 +73,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ELSE isnotnull(user_id"), plan)
   }
 
+  test("q74: manifest pruning reaches the PLAN — the snapshot scan " +
+    "lists a strict subset of the table's 8 files, residual pushed") {
+    val plan = planOf("q74_snapshot_prune")
+    val paths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+    assert(paths.nonEmpty && paths.forall(n => n >= 1 && n < 8),
+      s"manifest pruning inert: $paths of 8 files\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderkey,1000)"), plan)
+  }
+
   test("q27: interval join plans as an equi-join (no BNLJ/cartesian)") {
     val plan = planOf("q27_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
