@@ -445,6 +445,37 @@ object StatQueries {
     // md5 draw (deterministic, replayable), pi = (1 + ascii(seg) mod
     // 4)/10. Oracle replays draw, pi, and the sum-of-group-sums ALL
     // row verbatim.
+    // survey weight trimming (the Potter/Kish practice the reference's
+    // design-based pipeline would apply before estimation): weights
+    // above 1.5x the segment mean are capped and the loss is restored
+    // by a per-segment renormalization factor, preserving the weighted
+    // total while bounding any single unit's influence. Float-safe by
+    // construction: weights are integer-valued doubles (exact sums up
+    // to 2^53), the cap is round(avg, 6) * 1.5 — identical bits in
+    // both engines — and integer weights never EQUAL the fractional
+    // cap, so the trim decision has no boundary to flip.
+    "m26_weight_trim" -> ((s, dir) => {
+      val c = graft.Tables(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal"),
+          (lit(1.0) + pmod(col("c_custkey") * 13, lit(40))
+            .cast("double")).as("w"))
+      val cap = c.groupBy("seg")
+        .agg((round(avg("w"), 6) * 1.5).as("cap"))
+      c.join(broadcast(cap), "seg")
+        .withColumn("wt", least(col("w"), col("cap")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("w") > col("cap"), 1L).otherwise(0L))
+            .as("n_trimmed"),
+          round(sum("w"), 2).as("sum_w"),
+          round(sum("w") / sum("wt"), 6).as("renorm"),
+          round(sum(col("w") * col("c_acctbal")) / sum("w"), 4)
+            .as("mean_raw"),
+          round(sum(col("wt") * col("c_acctbal")) / sum("wt"), 4)
+            .as("mean_trimmed"))
+        .orderBy("seg")
+    }),
+
     "m15_ht_total" -> ((s, dir) => {
       val full = graft.Tables(s, dir, "customer")
       val withPi = full.select(col("c_custkey"),
@@ -847,6 +878,24 @@ object StatQueries {
 
     // md5-draw inclusion + HT arithmetic replayed; the ALL row sums
     // the per-group sums (same float association as the engine)
+    "m26_weight_trim" -> """
+      WITH c AS (
+        SELECT c_mktsegment AS seg, c_acctbal,
+               1.0 + CAST((c_custkey * 13) % 40 AS DOUBLE) AS w
+        FROM customer),
+      cap AS (SELECT seg, ROUND(AVG(w), 6) * 1.5 AS cap
+              FROM c GROUP BY 1),
+      t AS (SELECT c.seg, c_acctbal, w, LEAST(w, cap) AS wt, cap
+            FROM c JOIN cap USING (seg))
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN w > cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_trimmed,
+             ROUND(SUM(w), 2) AS sum_w,
+             ROUND(SUM(w) / SUM(wt), 6) AS renorm,
+             ROUND(SUM(w * c_acctbal) / SUM(w), 4) AS mean_raw,
+             ROUND(SUM(wt * c_acctbal) / SUM(wt), 4) AS mean_trimmed
+      FROM t GROUP BY 1 ORDER BY 1""",
+
     "m15_ht_total" -> """
       WITH samp AS (
         SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS y,
