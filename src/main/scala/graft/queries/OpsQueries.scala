@@ -1264,6 +1264,35 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup-quality evaluation — the harness a curation team runs
+    // before trusting a detector: d49's winnowing pairs scored
+    // against the planted ground truth (every base doc's mutant is
+    // its one true near-dup), yielding corpus-level precision/recall.
+    // Pure composition of the d49 pipeline + one aggregate; the
+    // oracle replays both.
+    "d50_dedup_eval" -> ((s, dir) => {
+      val d = docsWithMutants(s, dir)
+      val p = TextAnalysis.winnowedPrints(d, "doc_id", "text",
+        k = 4, w = 4)
+      val freq = p.groupBy("print").agg(count(lit(1)).as("pf"))
+      val kept = p.join(broadcast(freq.filter(col("pf") <= 50)), "print")
+      val a = kept.filter(col("doc_id") < 100000)
+        .select(col("print"), col("doc_id").as("id_a"))
+      val b = kept.filter(col("doc_id") >= 100000)
+        .select(col("print"), col("doc_id").as("id_b"))
+      val pred = a.join(b, "print")
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+      val nTruth = docs(s, dir).count()
+      pred.agg(count(lit(1)).as("n_pred"),
+          sum(when(col("id_b") - col("id_a") === 100000L, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_pred"), col("tp"),
+          round(col("tp") / col("n_pred").cast("double"), 4)
+            .as("precision"),
+          round(col("tp") / lit(nTruth.toDouble), 4).as("recall"))
+    }),
+
     // corpus drift monitor: KL(P_source || P_corpus) over unigram
     // distributions — "which crawl slice stopped looking like the
     // corpus" is the alarm a curation loop watches. Two grouped
@@ -1438,6 +1467,49 @@ object OpsQueries {
     * integer hash shared with d06/d14.
     */
   private def duckHex8(expr: String): String = duckHexAt(expr, 1)
+
+  /** Shared winnowing CTE chain (d49/d50): base + mutant corpora,
+    * 4-token shingles, the d06 md5 hash, 4-hash window minima,
+    * stop-print cap, and the base-vs-mutant print join `j`.
+    */
+  private def winnowCte: String = s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, toks FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
+        FROM toks0),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 2), i ->
+                           array_to_string(
+                             toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' '))
+               END AS sh
+        FROM docs2),
+      hs AS (
+        SELECT doc_id,
+               list_transform(sh, s -> ${duckHex8("s")}) AS h
+        FROM sh),
+      wm AS (
+        SELECT doc_id,
+               CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                    ELSE list_distinct(list_transform(range(1, len(h) - 2),
+                           i -> list_min(
+                             h[CAST(i AS INT):CAST(i + 3 AS INT)])))
+               END AS prints
+        FROM hs),
+      inv AS (SELECT doc_id, unnest(prints) AS print FROM wm),
+      pf AS (SELECT print FROM inv GROUP BY 1 HAVING COUNT(*) <= 50),
+      kept AS (SELECT doc_id, print FROM inv JOIN pf USING (print)),
+      j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.print = b.print
+          AND a.doc_id < 100000 AND b.doc_id >= 100000)"""
 
   /** d07's oracle replays the FULL LSH pipeline — base hashes, the
     * universal-hash signatures (the same (a_j, b_j) literals the engine
@@ -1746,45 +1818,24 @@ object OpsQueries {
     // the whole winnowing pipeline replayed: 4-token shingles, the
     // d06 md5 hash, 4-hash window minima, stop-print cap, pair join
     "d49_winnow_neardup" -> s"""
-      WITH toks0 AS (
-        SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
-        FROM documents),
-      docs2 AS (
-        SELECT doc_id, toks FROM toks0
-        UNION ALL
-        SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
-        FROM toks0),
-      sh AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks) - 2), i ->
-                           array_to_string(
-                             toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' '))
-               END AS sh
-        FROM docs2),
-      hs AS (
-        SELECT doc_id,
-               list_transform(sh, s -> ${duckHex8("s")}) AS h
-        FROM sh),
-      wm AS (
-        SELECT doc_id,
-               CASE WHEN len(h) <= 4 THEN [list_min(h)]
-                    ELSE list_distinct(list_transform(range(1, len(h) - 2),
-                           i -> list_min(
-                             h[CAST(i AS INT):CAST(i + 3 AS INT)])))
-               END AS prints
-        FROM hs),
-      inv AS (SELECT doc_id, unnest(prints) AS print FROM wm),
-      pf AS (SELECT print FROM inv GROUP BY 1 HAVING COUNT(*) <= 50),
-      kept AS (SELECT doc_id, print FROM inv JOIN pf USING (print)),
-      j AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM kept a JOIN kept b ON a.print = b.print
-          AND a.doc_id < 100000 AND b.doc_id >= 100000)
+      $winnowCte
       SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS shared
       FROM j GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""",
+
+    // the same chain scored against the planted truth (each base
+    // doc's one true near-dup is its +100000 mutant)
+    "d50_dedup_eval" -> s"""
+      $winnowCte,
+      pairs AS (
+        SELECT id_a, id_b FROM j GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pred,
+             CAST(SUM(CASE WHEN id_b - id_a = 100000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             ROUND(SUM(CASE WHEN id_b - id_a = 100000 THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 4) AS precision,
+             ROUND(SUM(CASE WHEN id_b - id_a = 100000 THEN 1 ELSE 0 END)
+               * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS recall
+      FROM pairs""",
 
     // the clean-side anti-join the bloom prefilter must exactly equal
     "d24_bloom_clean" -> s"""
