@@ -1155,6 +1155,31 @@ object RelQueries {
         .orderBy("segment")
     }),
 
+    // table profiler — the first query every pipeline runs against an
+    // unknown table: per-column row/null/distinct counts and min/max,
+    // all in ONE scan (a single wide aggregate reshaped to long form
+    // executor-side; four separate per-column scans is the naive
+    // profiler that reads a 100-TB table four times).
+    "q83_table_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def m(c: String) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag",
+        "l_shipdate")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(m)
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col("n"),
+            col(s"${c}_nulls").as("n_null"),
+            col(s"${c}_nd").as("n_distinct"),
+            col(s"${c}_min").as("min_s"),
+            col(s"${c}_max").as("max_s"))): _*)).as("p"))
+        .select("p.*").orderBy("col_name")
+    }),
+
     // incremental aggregate maintenance: per-user running aggregates
     // over all history EXCEPT the newest day live in a persisted state
     // table; the new day folds in as an algebraic merge (count/sum/max
@@ -2334,6 +2359,40 @@ object RelQueries {
       SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS sum_value
       FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q83_table_profile" -> """
+      WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS a1,
+               COUNT(DISTINCT l_orderkey) AS a2,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS a3,
+               CAST(MAX(l_orderkey) AS VARCHAR) AS a4,
+               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS b1,
+               COUNT(DISTINCT l_quantity) AS b2,
+               CAST(MIN(l_quantity) AS VARCHAR) AS b3,
+               CAST(MAX(l_quantity) AS VARCHAR) AS b4,
+               SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS c1,
+               COUNT(DISTINCT l_returnflag) AS c2,
+               CAST(MIN(l_returnflag) AS VARCHAR) AS c3,
+               CAST(MAX(l_returnflag) AS VARCHAR) AS c4,
+               SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS d1,
+               COUNT(DISTINCT l_shipdate) AS d2,
+               CAST(MIN(l_shipdate) AS VARCHAR) AS d3,
+               CAST(MAX(l_shipdate) AS VARCHAR) AS d4
+        FROM lineitem)
+      SELECT 'l_orderkey' AS col_name, CAST(n AS BIGINT) AS n,
+             CAST(a1 AS BIGINT) AS n_null, CAST(a2 AS BIGINT)
+               AS n_distinct, a3 AS min_s, a4 AS max_s FROM m
+      UNION ALL
+      SELECT 'l_quantity', CAST(n AS BIGINT), CAST(b1 AS BIGINT),
+             CAST(b2 AS BIGINT), b3, b4 FROM m
+      UNION ALL
+      SELECT 'l_returnflag', CAST(n AS BIGINT), CAST(c1 AS BIGINT),
+             CAST(c2 AS BIGINT), c3, c4 FROM m
+      UNION ALL
+      SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(d1 AS BIGINT),
+             CAST(d2 AS BIGINT), d3, d4 FROM m
+      ORDER BY col_name""",
 
     "q49_unpivot" -> """
       WITH w AS (
