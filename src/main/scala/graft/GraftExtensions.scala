@@ -36,17 +36,6 @@ object RewriteSortedIntersect extends Rule[LogicalPlan] {
     }
 }
 
-/** Spark-native extension entry point: installs the engine's custom
-  * Catalyst expressions into a session the way any Spark library
-  * should —
-  *
-  *   spark.sql.extensions=graft.GraftExtensions            (config)
-  *   SparkSession.builder.withExtensions(new GraftExtensions)  (code)
-  *
-  * `injectFunction` registers them as permanent session functions, so
-  * both the Column API ([[DotProduct.dotFast]], [[SimHash64.simhash64]])
-  * and plain SQL (`SELECT graft_dot(a, b)`) resolve them.
-  */
 /** Optimizer rule: the composable HOF dot product
   * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, x) => acc + x)`
   * → the [[DotProduct]] kernel, guarded by a runtime length-equality
@@ -85,12 +74,28 @@ object RewriteHofDot extends Rule[LogicalPlan] {
             && x1.exprId == x2.exprId && y1.exprId == y2.exprId
             && acc1.exprId == acc2.exprId && el1.exprId == el2.exprId
             && fin.exprId == fin2.exprId
-            && doublesNoNull(a) && doublesNoNull(b) =>
+            && doublesNoNull(a) && doublesNoNull(b)
+            // The rewrite duplicates a and b (Size(a), Size(b), kernel);
+            // the builtin evaluates each array once. Catalyst convention
+            // for subexpression-duplicating rules: nondeterministic
+            // children keep the original form.
+            && a.deterministic && b.deterministic =>
         If(EqualTo(Size(a), Size(b)),
           graft.functions.DotProduct(a, b), Literal(null, DoubleType))
     }
 }
 
+/** Spark-native extension entry point: installs the engine's custom
+  * Catalyst expressions into a session the way any Spark library
+  * should —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions            (config)
+  *   SparkSession.builder.withExtensions(new GraftExtensions)  (code)
+  *
+  * `injectFunction` registers them as permanent session functions, so
+  * both the Column API ([[DotProduct.dotFast]], [[SimHash64.simhash64]])
+  * and plain SQL (`SELECT graft_dot(a, b)`) resolve them.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteSortedIntersect)

@@ -1059,7 +1059,13 @@ object Similarity {
     // nlist-row angular radii; ONE partial-aggregated pass, broadcast
     val radii = assigned.groupBy("cell")
       .agg(max(col("theta_c")).as("radius"))
-    val psi = math.acos(minCos)
+    // Prune radius must cover the ACCEPTANCE predicate, which is
+    // round(cos, 6) >= minCos — i.e. exact cos down to minCos − 5e-7
+    // is still accepted. Widen ψ to that bound so the keep-side
+    // guarantee matches the final filter exactly (a borderline vector
+    // whose exact cosine sits just under minCos can otherwise live in
+    // a pruned cell and be missed).
+    val psi = math.acos(math.max(-1.0, minCos - 5e-7))
     val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")
       .withColumn("dots", MatVecDots.matvec(col("qv"), cb))
       .select(col("query_id"), col("qv"),

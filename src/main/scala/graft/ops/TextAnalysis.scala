@@ -809,29 +809,6 @@ object TextAnalysis {
 
   // --- BPE merge induction -----------------------------------------------
 
-  /** First `steps` byte-pair-encoding merges over the corpus (Sennrich,
-    * Haddow & Birch, "Neural Machine Translation of Rare Words with
-    * Subword Units", ACL 2016 — the tokenizer-induction primitive of
-    * every modern LM pipeline): per step, the most frequent adjacent
-    * symbol pair (ties broken lexicographically) is fused corpus-wide
-    * and counting repeats on the fused sequences.
-    *
-    * Scale shape: the corpus collapses to a (word, freq) VOCABULARY
-    * table in one map-side-combined groupBy — every subsequent pass
-    * (pair count, fuse) runs over vocab-sized data, never the corpus
-    * again (the original algorithm's core trick, here as cached
-    * DataFrame state). The per-step driver round-trip is ONE argmax
-    * row off a partial-aggregated count — bounded regardless of SF.
-    *
-    * Symbol sequences ride a TWO-space-joined, single-space-padded
-    * string (" h  i " for "hi"): each symbol owns
-    * an unshared flanking space on both sides, so one left-to-right
-    * non-overlapping `replace` of " u  v " fuses EVERY occurrence —
-    * including adjacent repeats ("a a a a" → "aa aa", the correct BPE
-    * greedy scan) — and can never match inside a multi-char symbol.
-    * The same replace semantics hold in DuckDB, which is what makes
-    * the whole iteration SQL-replayable for the oracle.
-    */
   /** Apply [[bpeMerges]]' learned merge table to the corpus and
     * measure the segmentation: per `groupCol`, words, raw symbols
     * (characters), post-merge symbols, and the compression ratio —
@@ -877,6 +854,29 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** First `steps` byte-pair-encoding merges over the corpus (Sennrich,
+    * Haddow & Birch, "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL 2016 — the tokenizer-induction primitive of
+    * every modern LM pipeline): per step, the most frequent adjacent
+    * symbol pair (ties broken lexicographically) is fused corpus-wide
+    * and counting repeats on the fused sequences.
+    *
+    * Scale shape: the corpus collapses to a (word, freq) VOCABULARY
+    * table in one map-side-combined groupBy — every subsequent pass
+    * (pair count, fuse) runs over vocab-sized data, never the corpus
+    * again (the original algorithm's core trick, here as cached
+    * DataFrame state). The per-step driver round-trip is ONE argmax
+    * row off a partial-aggregated count — bounded regardless of SF.
+    *
+    * Symbol sequences ride a TWO-space-joined, single-space-padded
+    * string (" h  i " for "hi"): each symbol owns
+    * an unshared flanking space on both sides, so one left-to-right
+    * non-overlapping `replace` of " u  v " fuses EVERY occurrence —
+    * including adjacent repeats ("a a a a" → "aa aa", the correct BPE
+    * greedy scan) — and can never match inside a multi-char symbol.
+    * The same replace semantics hold in DuckDB, which is what makes
+    * the whole iteration SQL-replayable for the oracle.
+    */
   def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -449,11 +449,13 @@ object StatQueries {
     // design-based pipeline would apply before estimation): weights
     // above 1.5x the segment mean are capped and the loss is restored
     // by a per-segment renormalization factor, preserving the weighted
-    // total while bounding any single unit's influence. Float-safe by
-    // construction: weights are integer-valued doubles (exact sums up
-    // to 2^53), the cap is round(avg, 6) * 1.5 — identical bits in
-    // both engines — and integer weights never EQUAL the fractional
-    // cap, so the trim decision has no boundary to flip.
+    // total while bounding any single unit's influence. Engine-portable
+    // by construction: weights are integer-valued doubles (exact sums
+    // up to 2^53) and the cap is round(avg, 6) * 1.5, so both engines
+    // compute bit-identical w and cap and evaluate the identical
+    // w > cap comparison — the trim decision cannot diverge (boundary
+    // hits, e.g. an even-integer mean giving cap = 30.0 = a weight,
+    // resolve the same way on both sides).
     "m26_weight_trim" -> ((s, dir) => {
       val c = graft.Tables(s, dir, "customer")
         .select(col("c_mktsegment").as("seg"), col("c_acctbal"),

@@ -35,12 +35,41 @@ import graft.rel.Relational
   * footers; the numbers are identical). Snapshot reads list the
   * manifest, not the directory — no eventually-consistent listing, and
   * a reader never sees a half-committed version because the manifest
-  * write is the atomic last step.
+  * is written to a temp directory and RENAMED into `v=N` as the commit
+  * point ([[commitManifest]]) — `hasVersion`/`latestVersion` key on
+  * the directory name, which only exists post-rename.
+  *
+  * Scope note: this layer addresses local/HDFS-style filesystems where
+  * directory rename is atomic (`java.io.File`); an object-store port
+  * would swap the rename for a conditional PUT of a single manifest
+  * object (the Delta commit-log pattern) — the manifest schema and
+  * pruning logic are storage-agnostic.
   */
 object Versioned {
 
   private def manifestDir(root: String, version: Int): String =
     s"$root/_graft_manifest/v=$version"
+
+  /** Atomic manifest commit: write the manifest parquet into a temp
+    * directory, then RENAME it to `v=N`. The version directory —
+    * which [[hasVersion]]/[[latestVersion]] key on — appears only
+    * after every byte of the manifest is on disk, so a concurrent
+    * reader can never observe a half-written manifest (directory
+    * rename is atomic on local/HDFS-style filesystems).
+    */
+  private def commitManifest(stats: DataFrame, root: String,
+                             version: Int): Unit = {
+    val tmp = s"$root/_graft_manifest/_tmp_v${version}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(manifestDir(root, version))
+    if (target.exists()) { // replace semantics (test re-runs)
+      Option(target.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      target.delete()
+    }
+    if (!new java.io.File(tmp).renameTo(target))
+      sys.error(s"manifest commit failed: rename $tmp -> $target")
+  }
 
   /** One row per data file of `version`. */
   def manifest(s: SparkSession, root: String, version: Int): DataFrame =
@@ -92,8 +121,7 @@ object Versioned {
   def write(df: DataFrame, root: String, keyCol: String, version: Int,
             nFiles: Int): Unit = {
     val stats = writeFileGroup(df, root, keyCol, nFiles)
-    stats.coalesce(1).write.mode("overwrite")
-      .parquet(manifestDir(root, version))
+    commitManifest(stats, root, version)
   }
 
   /** Snapshot read of `version`: exactly its manifest's files. */
@@ -204,8 +232,7 @@ object Versioned {
         val merged = Relational.mergeUpsert(base, changes, keyCol, opCol)
         writeFileGroup(merged, root, keyCol, math.max(1, affected.size))
       }
-    untouched.unionByName(newStats).coalesce(1).write.mode("overwrite")
-      .parquet(manifestDir(root, toVersion))
+    commitManifest(untouched.unionByName(newStats), root, toVersion)
     man.unpersist(blocking = false)
   }
 }
