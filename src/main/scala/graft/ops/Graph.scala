@@ -286,4 +286,115 @@ object Graph {
     }
     visited
   }
+
+  /** Connected components over an undirected edge list `(aCol, bCol)`
+    * of long node ids — labels every node with its component's minimum
+    * id. THE shared implementation for both the graph family (q84)
+    * and the dedup cluster closure ([[Dedup.connectedComponents]]
+    * delegates here), so one audited kernel serves both.
+    *
+    * Algorithm: alternating large-star/small-star contraction (the
+    * MapReduce-CC scheme from the public literature — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *   large-star: per node u over its full neighborhood Γ(u), attach
+    *     every neighbor v > u to m = min(Γ(u) ∪ {u});
+    *   small-star: per node u over its SMALLER neighbors, attach them
+    *     (and u) to their minimum.
+    * Each phase is one shuffle; the pair converges to a star forest
+    * (every node pointing at its component minimum) in O(log n)
+    * rounds — unlike min-label propagation's O(diameter), long chains
+    * can't starve the iteration cap (DedupSpec proves a 200-node path
+    * converges in ≤ a dozen rounds).
+    *
+    * Hygiene at scale: the incoming pair pipeline is materialized
+    * exactly ONCE (eager `localCheckpoint` — the old symmetrize-then-
+    * cache shape evaluated the un-cached pair plan once per union
+    * branch); every round is `localCheckpoint`ed too, which TRUNCATES
+    * the logical plan — with plain `.cache()` each round's plan embeds
+    * two copies of the previous round's (caching doesn't cut lineage),
+    * so planning cost doubles per round and a 15-round run spends
+    * forever in Catalyst before touching data. Checkpoint blocks are
+    * freed by the ContextCleaner when unreferenced, so nothing leaks
+    * into the session's cache registry and callers get a lineage-free
+    * result. Convergence is a cheap (count, hash-sum) fingerprint per
+    * round; hitting `maxIter` without a fixpoint warns loudly on
+    * stderr instead of silently returning partial clusters.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val eIn = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // one (count, order-invariant hash-sum) pass over a cached round =
+    // the convergence check; a star forest is a fixpoint of both
+    // phases, so equality of the edge multiset means convergence (the
+    // sum is over 64-bit hashes — a false "equal" needs a colliding
+    // multiset, ~2^-64, and would only stop one round early on a
+    // nearly-converged forest)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // hashes reduced mod a prime before summing: a raw 64-bit sum
+      // overflows LongType under ANSI; residues < 1e9 keep the sum in
+      // range up to ~9e9 edges
+      val r = e.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // Per-node minima are computed with groupBy+join, NOT a window over
+    // partitionBy(node): a window sorts and buffers each node's ENTIRE
+    // neighborhood in one task — at scale the component root's
+    // neighborhood is the whole component (single-task sort of 10M+
+    // rows), whereas groupBy partial-aggregates the min map-side and
+    // the join streams the neighborhood through a hash probe.
+    // large-star: symmetrize, attach strictly-larger neighbors to
+    // m = min(Γ⁺(u)). Emitted (v, m) always has v > m, so the output
+    // is canonically oriented big→small.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star: orient big→small, attach each big endpoint's smaller
+    // neighbors AND itself to their minimum. Both emitted edges per
+    // row come from one explode — no self-union, so the input plan is
+    // evaluated once.
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = o.groupBy("a").agg(min("b").as("m"))
+      o.join(mins, Seq("a"))
+        .select(explode(array(col("a"), col("b"))).as("a"),
+          col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // eager checkpoint = the (expensive) upstream pair pipeline runs
+    // exactly once, and each round starts from a flat LogicalRDD
+    var edges = eIn.distinct().localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextFp = fingerprint(next)
+      converged = nextFp == fp
+      edges = next
+      fp = nextFp
+      it += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft.Graph] connectedComponents: no fixpoint after $maxIter " +
+          "large-star/small-star rounds — returning possibly " +
+          "under-merged clusters (raise maxIter)")
+    // star forest -> labels: non-roots point at their root; roots (and
+    // only roots) never appear on the big side, so they label
+    // themselves via the union's distinct.
+    edges.select(col("a").as("id"), col("b").as("comp"))
+      .unionByName(edges.select(col("b").as("id"), col("b").as("comp")))
+      .distinct()
+  }
 }

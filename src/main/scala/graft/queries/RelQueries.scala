@@ -1277,6 +1277,27 @@ object RelQueries {
       graft.ops.Graph.labelPropagation(tradeEdges(s, dir), iters = 3)
         .orderBy("node")),
 
+    // connected components over the high-value trade slice (quantity
+    // >= 49, extendedprice > 90k keeps the graph sparse enough to
+    // carry dozens of real components at sf0.01 instead of one giant
+    // blob) — the shared large-star/small-star kernel that also closes
+    // d15/d25's dup clusters, here as a public graph-family entry.
+    // Node ids: customer c -> 2c, supplier s -> 2s+1 (disjoint longs).
+    // Labels = component minimum, which the oracle replays as
+    // MIN(reachable id) via a recursive set-semantics CTE.
+    "q84_connected_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49 && col("l_extendedprice") > 90000)
+        .select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("a"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+        .distinct()
+      graft.ops.Graph.connectedComponents(e, "a", "b")
+        .orderBy("id")
+    }),
+
     "q55_bfs_hops" -> ((s, dir) => {
       val seeds = t(s, dir, "supplier")
         .filter(col("s_nationkey") === 0)
@@ -2481,6 +2502,26 @@ object RelQueries {
                     (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.m, 0.0) AS pr
              FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.src)
       SELECT node, ROUND(pr, 6) AS pr FROM r3 ORDER BY node""",
+
+    // component label = MIN over the reachability closure, computed by
+    // a set-semantics recursive CTE (UNION dedups states, so the walk
+    // terminates); the engine's star-forest fixpoint labels every node
+    // with the same component minimum
+    "q84_connected_components" -> """
+      WITH RECURSIVE e0 AS (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+               CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 49 AND l_extendedprice > 90000),
+      edges AS (SELECT a, b FROM e0
+                UNION ALL SELECT b AS a, a AS b FROM e0),
+      reach(node, r) AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.a AS node, reach.r
+        FROM edges e JOIN reach ON e.b = reach.node)
+      SELECT node AS id, CAST(MIN(r) AS BIGINT) AS comp
+      FROM reach GROUP BY node ORDER BY id""",
 
     // three LPA rounds unrolled; per round the engine's single-agg
     // argmax (min over (-count, label) structs) appears as the

@@ -171,4 +171,37 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(r("c") == "l1" && r("l1") == "c" && r("l2") == "c")
   }
+
+  test("connectedComponents labels a multi-component graph with each " +
+    "component's minimum, any partitioning") {
+    // components: {1,2,3,9} (1-2, 2-3, 3-9), {4,5} (5-4), {7,8} (7-8);
+    // node 6 never appears — isolated nodes are absent from pair input
+    // and therefore from the labeling (the dedup-closure contract)
+    val pairs =
+      Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 4L), (7L, 8L), (2L, 1L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L)
+    for (parts <- Seq(1, 7)) {
+      val got = Graph
+        .connectedComponents(
+          pairs.toDF("a", "b").repartition(parts), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts: $got")
+    }
+  }
+
+  test("connectedComponents merges star components and agrees with " +
+    "the Dedup delegation") {
+    // two stars sharing a bridge: hub 10 - {11..20}, hub 30 - {31..40},
+    // bridge 20-31 merges them into one component with min 10
+    val pairs = ((11L to 20L).map(v => (10L, v)) ++
+      (31L to 40L).map(v => (30L, v)) :+ ((20L, 31L))).toDF("a", "b")
+    val viaGraph = Graph.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val viaDedup = graft.ops.Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaGraph.values.toSet == Set(10L))
+    assert(viaGraph.keySet == ((10L to 20L) ++ (30L to 40L)).toSet)
+    assert(viaGraph == viaDedup)
+  }
 }
