@@ -61,6 +61,74 @@ object RelQueries {
           lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
           lit("U").as("op")))
 
+  /** Build-once fixture for q85 (add-column schema evolution): v1 =
+    * the orders snapshot in 8 files; v2 = a merge whose change batch
+    * carries a NEW column `o_tier` (updates %23 -> status 'E' +2%
+    * price + tier hi/lo, deletes %29, inserts %41 into net-new key
+    * space tagged 'new'). Only range-affected files are rewritten —
+    * untouched files keep the old on-disk schema and read as nulls
+    * through mergeSchema.
+    */
+  private[queries] def schemaEvoRoot(s: SparkSession,
+                                     dir: String): String = {
+    import graft.sources.Versioned
+    val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-q85-$key")
+      .getAbsolutePath
+    if (!Versioned.hasVersion(root, 2)) {
+      graft.TempDirs.registerCleanedAtExit(root)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Versioned.write(base, root, "o_orderkey", version = 1, nFiles = 8)
+      val changes = base
+        .filter(col("o_orderkey") % 23 === 0
+          || col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey"), lit("E").as("o_orderstatus"),
+          (floor(col("o_totalprice") * 1.02 * 100 + 0.5) / 100)
+            .as("o_totalprice"),
+          when(col("o_totalprice") > 150000, "hi").otherwise("lo")
+            .as("o_tier"),
+          when(col("o_orderkey") % 29 === 0, "D").otherwise("U")
+            .as("op"))
+        .unionByName(base.filter(col("o_orderkey") % 41 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(5.0).as("o_totalprice"),
+            lit("new").as("o_tier"), lit("U").as("op")))
+      Versioned.merge(s, root, "o_orderkey", "op", changes,
+        fromVersion = 1, toVersion = 2)
+    }
+    root
+  }
+
+  /** Build-once fixture for q86 (merge-on-read deletes): v1 = the
+    * orders snapshot in 8 files; v2/v3 = stacked tombstone-only
+    * commits (%13 then %17 — zero data files rewritten); v4 =
+    * compaction folding both tombstone sets into rewritten data files.
+    */
+  private[queries] def morRoot(s: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-q86-$key")
+      .getAbsolutePath
+    if (!Versioned.hasVersion(root, 4)) {
+      graft.TempDirs.registerCleanedAtExit(root)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      Versioned.write(base, root, "o_orderkey", version = 1, nFiles = 8)
+      Versioned.deleteMor(s, root, "o_orderkey",
+        base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        fromVersion = 1, toVersion = 2)
+      Versioned.deleteMor(s, root, "o_orderkey",
+        base.filter(col("o_orderkey") % 17 === 0).select("o_orderkey"),
+        fromVersion = 2, toVersion = 3)
+      Versioned.compact(s, root, "o_orderkey",
+        fromVersion = 3, toVersion = 4)
+    }
+    root
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
@@ -595,6 +663,45 @@ object RelQueries {
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("total"),
           min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+    }),
+
+    // add-column schema evolution through the versioned lakehouse
+    // path: v2's change batch introduced `o_tier`; reading v2 merges
+    // post-evolution files (tier populated) with untouched
+    // pre-evolution files (tier = null) — grouped here by tier label.
+    // Sums ride EXACT integer cents (floor(p*100+0.5)), so no float
+    // combine-order can flip a digit. The oracle replays v2's CONTENT
+    // from the raw table; the file-reuse/old-schema mechanics are
+    // VersionedSpec-gated.
+    "q85_schema_evolution" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = schemaEvoRoot(s, dir)
+      Versioned.readAsOf(s, root, 2)
+        .groupBy(coalesce(col("o_tier"), lit("none")).as("tier"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+        .orderBy("tier")
+    }),
+
+    // merge-on-read deletes: v2/v3 are tombstone-only commits (zero
+    // data files rewritten — the write-cheap half of COW/MOR), v4 is
+    // the compaction that folds them in. All four snapshots read back
+    // identically cheap for the caller; v3 == v4 content is the
+    // compaction-preserves-content property, visible here as equal
+    // rows. Oracle replays each version's content from the raw table.
+    "q86_mor_deletes" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = morRoot(s, dir)
+      def snap(v: Int) =
+        Versioned.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("cents"))
+      snap(1).unionByName(snap(2)).unionByName(snap(3))
+        .unionByName(snap(4)).orderBy("version")
     }),
 
     // pipeline observability: Dataset.observe attaches data-quality
@@ -2927,6 +3034,51 @@ object RelQueries {
       UNION ALL
       SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
       FROM v2
+      ORDER BY version""",
+
+    // v2 content replay with the evolved column: survivors carry a
+    // NULL tier, updated rows compute it from the ORIGINAL price,
+    // inserts are tagged 'new'
+    "q85_schema_evolution" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders),
+      v2 AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_tier
+        FROM base WHERE o_orderkey % 23 <> 0 AND o_orderkey % 29 <> 0
+        UNION ALL
+        SELECT o_orderkey,
+               FLOOR(o_totalprice * 1.02 * 100 + 0.5) / 100,
+               CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+        FROM base WHERE o_orderkey % 23 = 0 AND o_orderkey % 29 <> 0
+        UNION ALL
+        SELECT o_orderkey + 30000000, 5.0, 'new'
+        FROM base WHERE o_orderkey % 41 = 0)
+      SELECT COALESCE(o_tier, 'none') AS tier,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents,
+             MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+      FROM v2 GROUP BY 1 ORDER BY tier""",
+
+    // four snapshot contents replayed from the raw table: v2 minus
+    // %13 keys, v3 additionally minus %17, v4 identical to v3
+    // (compaction preserves content)
+    "q86_mor_deletes" -> """
+      WITH base AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders)
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(c) AS BIGINT) AS cents FROM base
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+      FROM base WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+      FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+      FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
       ORDER BY version""",
 
     // v2 replay restricted to the pruned key range

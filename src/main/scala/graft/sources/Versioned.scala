@@ -71,9 +71,16 @@ object Versioned {
       sys.error(s"manifest commit failed: rename $tmp -> $target")
   }
 
-  /** One row per data file of `version`. */
-  def manifest(s: SparkSession, root: String, version: Int): DataFrame =
-    s.read.parquet(manifestDir(root, version))
+  /** One row per file of `version`: (path, min_key, max_key, rows,
+    * kind) with kind = 'data' | 'delete'. Manifests written before the
+    * merge-on-read feature lack `kind`; it defaults to 'data' so old
+    * snapshots stay readable (manifest-schema evolution).
+    */
+  def manifest(s: SparkSession, root: String, version: Int): DataFrame = {
+    val m = s.read.parquet(manifestDir(root, version))
+    if (m.columns.contains("kind")) m
+    else m.withColumn("kind", lit("data"))
+  }
 
   def hasVersion(root: String, version: Int): Boolean =
     new java.io.File(manifestDir(root, version)).exists()
@@ -107,14 +114,20 @@ object Versioned {
       .map(_.getAbsolutePath).toSeq.sorted
   }
 
-  /** Write a new immutable file group; returns its stats rows. */
+  /** Write a new immutable file group; returns its stats rows tagged
+    * with `kind` ('data' for row files, 'delete' for tombstone key
+    * files — same layout, same per-file key stats, so range pruning
+    * applies to both).
+    */
   private def writeFileGroup(df: DataFrame, root: String, keyCol: String,
-                             nFiles: Int): DataFrame = {
+                             nFiles: Int,
+                             kind: String = "data"): DataFrame = {
     val dir = s"$root/files/" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.repartitionByRange(math.max(1, nFiles), col(keyCol))
       .write.mode("overwrite").parquet(dir)
     fileStats(df.sparkSession, listParquet(dir), keyCol)
+      .withColumn("kind", lit(kind))
   }
 
   /** Commit `df` as `version` (a full snapshot — the initial load). */
@@ -124,42 +137,147 @@ object Versioned {
     commitManifest(stats, root, version)
   }
 
-  /** Snapshot read of `version`: exactly its manifest's files. */
-  def readAsOf(s: SparkSession, root: String, version: Int): DataFrame = {
-    val paths = manifest(s, root, version)
-      .select("path").collect().map(_.getString(0)).toSeq
-    s.read.parquet(paths: _*)
+  /** (data paths, tombstone paths) of `version`. */
+  private def pathsByKind(s: SparkSession, root: String,
+                          version: Int): (Seq[String], Seq[String]) = {
+    val rows = manifest(s, root, version)
+      .select("path", "kind").collect()
+    (rows.filter(_.getString(1) == "data").map(_.getString(0)).toSeq,
+      rows.filter(_.getString(1) == "delete").map(_.getString(0)).toSeq)
   }
 
-  /** Paths of `version`'s files whose [min_key, max_key] range
-    * intersects [lo, hi] — manifest-level data skipping, the
+  /** Merge-on-read: anti-join the data stream against the tombstone
+    * key files. The delete side is key-column-only (8 bytes per
+    * deleted row) and in practice tiny relative to the table, so AQE
+    * broadcasts it; false sharing is impossible because tombstones
+    * store the key under its original column name.
+    */
+  private def applyTombstones(s: SparkSession, data: DataFrame,
+                              delPaths: Seq[String]): DataFrame =
+    if (delPaths.isEmpty) data
+    else {
+      val del = s.read.parquet(delPaths: _*)
+      val k = del.columns.head
+      data.join(del.select(k).distinct(), Seq(k), "left_anti")
+    }
+
+  /** Snapshot read of `version`: exactly its manifest's data files,
+    * minus its tombstones (merge-on-read). `mergeSchema` because a
+    * snapshot may mix pre- and post-evolution files — an add-column
+    * commit rewrites only the files it touches, and old files read
+    * with nulls in the new column (the q35 mergeSchema semantics
+    * through the versioned path).
+    */
+  def readAsOf(s: SparkSession, root: String, version: Int): DataFrame = {
+    val (dataPaths, delPaths) = pathsByKind(s, root, version)
+    applyTombstones(s,
+      s.read.option("mergeSchema", "true").parquet(dataPaths: _*),
+      delPaths)
+  }
+
+  /** Paths of `version`'s files of `kind` whose [min_key, max_key]
+    * range intersects [lo, hi] — manifest-level data skipping, the
     * key-range analog of partition pruning. File-count-sized driver
     * work; the pruned files are never listed, opened, or footer-read.
     */
   private[graft] def prunedPaths(s: SparkSession, root: String,
-                                 version: Int, lo: Long,
-                                 hi: Long): Seq[String] =
+                                 version: Int, lo: Long, hi: Long,
+                                 kind: String = "data"): Seq[String] =
     manifest(s, root, version)
-      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .filter(col("kind") === kind
+        && col("max_key") >= lo && col("min_key") <= hi)
       .select("path").collect().map(_.getString(0)).toSeq
 
   /** Snapshot read restricted to key range [lo, hi]: the manifest
     * prunes whole files BEFORE the scan plan exists, then the residual
     * predicate (still pushed to the parquet reader) finishes the job —
     * at 100 TB a point-ish lookup touches one file group, not the
-    * table. Returns an empty (schema-correct) frame when every file
-    * prunes.
+    * table. Tombstone files prune by the SAME per-file key stats (a
+    * delete outside the range cannot affect a row inside it). Returns
+    * an empty (schema-correct) frame when every file prunes.
     */
   def readAsOfWhere(s: SparkSession, root: String, version: Int,
                     keyCol: String, lo: Long, hi: Long): DataFrame = {
     val paths = prunedPaths(s, root, version, lo, hi)
     val all =
-      if (paths.nonEmpty) s.read.parquet(paths: _*)
+      if (paths.nonEmpty)
+        s.read.option("mergeSchema", "true").parquet(paths: _*)
       else s.read.parquet(manifest(s, root, version)
+          .filter(col("kind") === "data")
           .select("path").first().getString(0))
         .filter(lit(false))
-    all.filter(col(keyCol).cast("long") >= lo
+    val live = applyTombstones(s, all,
+      prunedPaths(s, root, version, lo, hi, kind = "delete"))
+    live.filter(col(keyCol).cast("long") >= lo
       && col(keyCol).cast("long") <= hi)
+  }
+
+  /** Commit `toVersion` = `fromVersion` minus `deleteKeys` — a
+    * MERGE-ON-READ delete: no data file is opened, read, or rewritten.
+    * The commit writes one key-column-only tombstone file group plus a
+    * manifest; readers ([[readAsOf]]/[[readAsOfWhere]]) subtract
+    * tombstones at scan time. Delete commits stack (v3 can tombstone
+    * more keys on top of v2's); [[compact]] folds them back into pure
+    * data files.
+    *
+    * This is the write-cheap half of the COW/MOR trade: a COW delete
+    * of 0.1% of keys spread across many files rewrites all of them;
+    * the MOR commit writes ~8 bytes per deleted key, full stop — the
+    * Iceberg v2 equality-delete shape. The read-side cost (an
+    * anti-join against the tombstone set) is what [[compact]] is for.
+    */
+  def deleteMor(s: SparkSession, root: String, keyCol: String,
+                deleteKeys: DataFrame, fromVersion: Int,
+                toVersion: Int): Unit = {
+    val carried = manifest(s, root, fromVersion)
+    val tombStats = writeFileGroup(
+      deleteKeys.select(col(keyCol)).distinct(), root, keyCol,
+      nFiles = 1, kind = "delete")
+    commitManifest(carried.unionByName(tombStats), root, toVersion)
+  }
+
+  /** Commit `toVersion` = `fromVersion` with every tombstone folded
+    * in: data files whose key range intersects a tombstone's range are
+    * rewritten minus the deleted keys; every other data file entry
+    * carries over verbatim; no tombstone entries remain. The
+    * maintenance half of merge-on-read — runs with file-level pruning,
+    * so compaction cost scales with the AFFECTED fraction of the
+    * table, not its size.
+    */
+  def compact(s: SparkSession, root: String, keyCol: String,
+              fromVersion: Int, toVersion: Int): Unit = {
+    val man = manifest(s, root, fromVersion).cache()
+    val (_, delPaths) = pathsByKind(s, root, fromVersion)
+    if (delPaths.isEmpty) {
+      commitManifest(man.filter(col("kind") === "data"), root, toVersion)
+      man.unpersist(blocking = false)
+      return
+    }
+    val tombs = s.read.parquet(delPaths: _*)
+    val k = tombs.columns.head
+    val keys = tombs.select(col(k).cast("long").as("__dk")).distinct()
+    // file-count-sized broadcast join: which data files hold a deleted
+    // key (by range — a superset of the truly-affected set, which is
+    // exactly the COW rewrite granularity)
+    val affected = keys.join(
+        broadcast(man.filter(col("kind") === "data")),
+        col("__dk") >= col("min_key") && col("__dk") <= col("max_key"))
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    val untouched = man.filter(col("kind") === "data"
+      && !col("path").isin(affected.toSeq: _*))
+    val newStats =
+      if (affected.isEmpty)
+        man.filter(lit(false)).select("path", "min_key", "max_key",
+          "rows", "kind")
+      else {
+        val rewritten = applyTombstones(s,
+          s.read.option("mergeSchema", "true")
+            .parquet(affected.toSeq: _*), delPaths)
+        writeFileGroup(rewritten, root, keyCol,
+          math.max(1, affected.size))
+      }
+    commitManifest(untouched.unionByName(newStats), root, toVersion)
+    man.unpersist(blocking = false)
   }
 
   /** Expire old snapshots: drop every manifest older than the newest
@@ -201,10 +319,23 @@ object Versioned {
     * its [min_key, max_key]; change keys outside every range (pure
     * inserts) form a new file. Untouched manifest entries carry over
     * byte-identical.
+    *
+    * Schema evolution: `changes` may carry columns the table does not
+    * have yet (add-column). Rewritten/new files get the new columns;
+    * rows carried from old files get nulls; untouched files keep the
+    * old schema on disk and read with nulls via the readers'
+    * mergeSchema — exactly the Delta/Iceberg add-column contract.
+    *
+    * Requires a tombstone-free `fromVersion` (run [[compact]] first):
+    * interleaving COW rewrites with standing equality-deletes needs
+    * per-file sequence numbers to order them, which this miniature
+    * deliberately omits.
     */
   def merge(s: SparkSession, root: String, keyCol: String, opCol: String,
             changes: DataFrame, fromVersion: Int, toVersion: Int): Unit = {
     val man = manifest(s, root, fromVersion).cache()
+    require(man.filter(col("kind") === "delete").isEmpty,
+      s"merge requires a tombstone-free from-version; run compact($fromVersion) first")
     // file-count-sized broadcast range join routes each change row to
     // the file whose key range holds it (null = net-new key space)
     val routed = changes.withColumn("__k", col(keyCol).cast("long"))
@@ -219,17 +350,28 @@ object Versioned {
     val newStats =
       if (affected.isEmpty && !hasInserts) {
         // deletes into untouched key space: nothing to rewrite
-        Seq.empty[(String, Long, Long, Long)]
-          .toDF("path", "min_key", "max_key", "rows")
+        Seq.empty[(String, Long, Long, Long, String)]
+          .toDF("path", "min_key", "max_key", "rows", "kind")
       } else {
         val base =
           if (affected.isEmpty) {
             // insert-only commit into net-new key space: empty base
             // with the table's schema
-            s.read.parquet(man.select("path").first().getString(0))
+            s.read.option("mergeSchema", "true")
+              .parquet(man.select("path").first().getString(0))
               .filter(lit(false))
-          } else s.read.parquet(affected.toSeq: _*)
-        val merged = Relational.mergeUpsert(base, changes, keyCol, opCol)
+          } else s.read.option("mergeSchema", "true")
+            .parquet(affected.toSeq: _*)
+        // add-column schema evolution: columns the change batch has
+        // but the base files lack read as typed nulls in the base, so
+        // mergeUpsert aligns on the UNION schema and rewritten files
+        // land with the new schema
+        val newCols = changes.columns
+          .filterNot(c => c == opCol || base.columns.contains(c))
+        val aligned = newCols.foldLeft(base)((b, c) =>
+          b.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
+        val merged = Relational.mergeUpsert(aligned, changes, keyCol,
+          opCol)
         writeFileGroup(merged, root, keyCol, math.max(1, affected.size))
       }
     commitManifest(untouched.unionByName(newStats), root, toVersion)

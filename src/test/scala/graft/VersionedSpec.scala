@@ -16,6 +16,7 @@ class VersionedSpec extends SparkSpec {
     val root = TempDirs.createCleanedAtExit("graft-versioned-spec") + "/t"
     Versioned.write(table(20), root, "k", version = 1, nFiles = 4)
     val man1 = Versioned.manifest(spark, root, 1)
+      .select("path", "min_key", "max_key", "rows")
       .as[(String, Long, Long, Long)].collect().sortBy(_._2)
     assert(man1.length == 4, s"expected 4 files, got ${man1.length}")
     assert(man1.map(_._4).sum == 20)
@@ -31,6 +32,7 @@ class VersionedSpec extends SparkSpec {
       (100L, "new", 1000.0, "U")).toDF("k", "status", "price", "op")
     Versioned.merge(spark, root, "k", "op", changes, 1, 2)
     val man2 = Versioned.manifest(spark, root, 2)
+      .select("path", "min_key", "max_key", "rows")
       .as[(String, Long, Long, Long)].collect()
     // files whose ranges the batch does NOT touch carry over verbatim
     // (identical path = no rewrite); touched ones must be rewritten
@@ -119,5 +121,80 @@ class VersionedSpec extends SparkSpec {
     man2.foreach { p =>
       assert(new java.io.File(new java.net.URI(p).getPath).exists(), p)
     }
+  }
+
+  test("merge-on-read deletes: tombstone commits reuse every data " +
+    "file, stack, and compact folds them back") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec5") + "/t"
+    Versioned.write(table(20), root, "k", version = 1, nFiles = 4)
+    val dataFiles1 = Versioned.manifest(spark, root, 1)
+      .select("path").as[String].collect().toSet
+    // v2: MOR-delete keys 3,7 — zero data files rewritten
+    Versioned.deleteMor(spark, root, "k",
+      Seq(3L, 7L).toDF("k"), 1, 2)
+    val man2 = Versioned.manifest(spark, root, 2)
+    assert(man2.filter($"kind" === "data")
+      .select("path").as[String].collect().toSet == dataFiles1,
+      "a MOR delete must carry every data file verbatim")
+    assert(man2.filter($"kind" === "delete").count() == 1)
+    val v2 = Versioned.readAsOf(spark, root, 2)
+      .select("k").as[Long].collect().toSet
+    assert(v2 == (0L until 20L).toSet -- Set(3L, 7L))
+    // v3: second tombstone commit stacks on the first
+    Versioned.deleteMor(spark, root, "k", Seq(11L).toDF("k"), 2, 3)
+    val v3 = Versioned.readAsOf(spark, root, 3)
+      .select("k").as[Long].collect().toSet
+    assert(v3 == (0L until 20L).toSet -- Set(3L, 7L, 11L))
+    // range read under tombstones: pruned AND delete-corrected
+    val got = Versioned.readAsOfWhere(spark, root, 3, "k", 2L, 8L)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(2L, 4L, 5L, 6L, 8L))
+    // v4 = compact: same content, pure data files, no tombstones
+    Versioned.compact(spark, root, "k", 3, 4)
+    val man4 = Versioned.manifest(spark, root, 4)
+    assert(man4.filter($"kind" === "delete").isEmpty)
+    val v4 = Versioned.readAsOf(spark, root, 4)
+      .select("k").as[Long].collect().toSet
+    assert(v4 == v3)
+    assert(man4.agg(sum("rows")).head().getLong(0) == 17)
+    // COW merge refuses a tombstoned from-version (compact-first
+    // contract), accepts the compacted one
+    val up = Seq((0L, "z", 9.0, "U")).toDF("k", "status", "price", "op")
+    intercept[IllegalArgumentException] {
+      Versioned.merge(spark, root, "k", "op", up, 3, 5)
+    }
+    Versioned.merge(spark, root, "k", "op", up, 4, 5)
+    assert(Versioned.readAsOf(spark, root, 5).filter($"k" === 0)
+      .select("status").as[String].head() == "z")
+  }
+
+  test("add-column schema evolution: rewritten files carry the new " +
+    "column, old files read as nulls, old snapshots keep the old " +
+    "schema") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec6") + "/t"
+    Versioned.write(table(20), root, "k", version = 1, nFiles = 4)
+    // change batch carries a NEW column `tier`: update k=1, insert
+    // k=100; every other row survives with tier = null
+    val changes = Seq(
+      (1L, "upd", 111.0, "gold", "U"),
+      (100L, "new", 1000.0, "silver", "U"))
+      .toDF("k", "status", "price", "tier", "op")
+    Versioned.merge(spark, root, "k", "op", changes, 1, 2)
+    val v2 = Versioned.readAsOf(spark, root, 2)
+    assert(v2.columns.toSet == Set("k", "status", "price", "tier"))
+    val tiers = v2.select("k", "tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(tiers(1L).contains("gold") && tiers(100L).contains("silver"))
+    assert(tiers(7L).isEmpty && tiers.size == 21)
+    // carried rows in the REWRITTEN file also get null (they predate
+    // the column): k=0 shares the first file with k=1
+    assert(tiers(0L).isEmpty)
+    // the old snapshot is untouched by the evolution
+    assert(Versioned.readAsOf(spark, root, 1).columns.toSet ==
+      Set("k", "status", "price"))
+    // range reads see the evolved schema too
+    val w = Versioned.readAsOfWhere(spark, root, 2, "k", 1L, 1L)
+    assert(w.columns.contains("tier")
+      && w.select("tier").as[String].head() == "gold")
   }
 }
