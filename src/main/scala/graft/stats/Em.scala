@@ -2,7 +2,7 @@ package graft.stats
 
 import breeze.linalg.DenseVector
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import scala.util.hashing.MurmurHash3
@@ -645,6 +645,63 @@ object Em {
         aggregate(col("draws"), lit(0.0),
           (acc, v) => acc + Encodings.sigmoid(xb + v)) / size(col("draws")))
     val scored = big.join(broadcast(drawsDf), Seq(areaCol), "left")
+      .withColumn("p", p)
+    Relational.weightedMean(scored, Seq(areaCol), col("p"),
+      col(wCol).cast("double"), scale, "ebp")
+  }
+
+  /** Hash-keyed standard-normal draw z(area, r): Box–Muller over two
+    * md5-derived uniforms, fully deterministic in (area, r, seed) —
+    * the M9 keyed-RNG machinery as a pure Column expression.
+    * 13 hex digits = 52 bits; (h + 0.5) / 2^52 lands strictly inside
+    * (0, 1), so the log can never see zero.
+    */
+  private[graft] def hashGauss(area: Column, r: Column,
+                               seed: Long): Column = {
+    def u(tag: String): Column = {
+      val key = concat(area.cast("string"), lit(":"), r.cast("string"),
+        lit(s":$seed:$tag"))
+      (conv(substring(md5(key.cast("binary")), 1, 13), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    }
+    sqrt(lit(-2.0) * log(u("a"))) *
+      cos(lit(2.0 * math.Pi) * u("b"))
+  }
+
+  /** EBP with ON-THE-FLY keyed-RNG draws — the same estimator as
+    * [[ebp]] behind the same shape of API, with the draw table's
+    * REPRESENTATION pivoted for true scale (SURVEY §7 hard-parts 2):
+    * instead of materializing `numDraws x |areas|` doubles on the
+    * driver and broadcasting the arrays, only the dimension-sized
+    * (area, vhat, tau) mode table travels, and each draw
+    * `v_r = vhat + tau * z(area, r)` is generated INSIDE the per-unit
+    * aggregate by the deterministic hash-keyed Box–Muller
+    * [[hashGauss]] — all codegen'd builtins, no UDF, nothing
+    * collected. When `numDraws x |areas|` outgrows memory (fine-
+    * grained area systems), this path's cost is arithmetic per row
+    * instead of broadcast bytes; the join is left to the planner, so
+    * a huge area dimension degrades gracefully to a shuffle join
+    * instead of failing to broadcast.
+    *
+    * Draws differ from [[ebp]]'s java.util.Random stream (engine-
+    * keyed RNG either way); EmSpec gates exact equality at tau = 0,
+    * MC agreement at tau > 0, determinism, and z's moments.
+    */
+  def ebpKeyedDraws(big: DataFrame, params: Params,
+                    featureCols: Seq[String], areaCol: String,
+                    wCol: String, modes: DataFrame,
+                    ebpDraws: Int = 100, seed: Long = 42L,
+                    scale: Double = 100.0): DataFrame = {
+    val drawsDf = modes.select(col(areaCol),
+      transform(sequence(lit(0), lit(ebpDraws - 1)),
+        r => col("vhat") + col("tau") * hashGauss(col(areaCol), r, seed))
+        .as("draws"))
+    val xb = Glmm.xBetaCol(params.beta, featureCols)
+    val p = when(col("draws").isNull, Encodings.sigmoid(xb))
+      .otherwise(
+        aggregate(col("draws"), lit(0.0),
+          (acc, v) => acc + Encodings.sigmoid(xb + v)) / size(col("draws")))
+    val scored = big.join(drawsDf, Seq(areaCol), "left")
       .withColumn("p", p)
     Relational.weightedMean(scored, Seq(areaCol), col("p"),
       col(wCol).cast("double"), scale, "ebp")
