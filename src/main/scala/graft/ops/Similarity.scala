@@ -652,11 +652,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
-              trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
+              trainIters: Int = 8, sampleSize: Int = 4096,
+              centroids: Option[IndexedSeq[Array[Double]]] = None): DataFrame = {
     DotProduct.register(corpus.sparkSession)
     MatVecDots.register(corpus.sparkSession)
-    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
-    val cents = trainCentroids(sample, nlist, trainIters)
+    // an externally fixed codebook (unit rows, `nlist` of them) skips
+    // the seeded training entirely — with literal centroids the WHOLE
+    // query path (assignment, probe routing, in-cell scoring, top-k)
+    // is deterministic and SQL-replayable (s22's oracle), leaving the
+    // sampled Lloyd training as the only spec-gated piece
+    val cents = centroids.getOrElse {
+      val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
+      trainCentroids(sample, nlist, trainIters)
+    }
     // the whole centroid codebook is ONE literal plan node; per-row
     // work is a single matvec (tight primitive loop) + tiny array ops.
     // The per-centroid-literal formulation put nlist×dim literal nodes

@@ -394,6 +394,25 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // fixed-codebook IVF routing: the COMPLETE approximate query path
+    // (unitize, cell-assign by argmax dot, probe the top-nprobe cells,
+    // score candidates exactly, bounded top-k) under literal
+    // basis-vector centroids — nprobe < nlist, so this is s03's
+    // approximate routing made fully DuckDB-replayable. With the
+    // codebook fixed, the ONLY un-oracled piece of the IVF family
+    // left is s03's seeded Lloyd training (spec-gated recall).
+    "s22_ivf_routing" -> ((s, dir) => {
+      val cents = IndexedSeq.tabulate(8)(c =>
+        Array.tabulate(64)(j => if (j == c) 1.0 else 0.0))
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+          dim = 64, nlist = 8, nprobe = 3, centroids = Some(cents))
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF at nprobe = nlist probes every cell, so the result is exactly
     // the brute-force top-k whatever the trained codebook — the one
     // configuration where the full IVF pipeline (quantizer, cell
@@ -3474,6 +3493,44 @@ object OpsQueries {
       FROM x JOIN n USING (label)
       GROUP BY x.label, n.n, x.i
       ORDER BY x.label, i""",
+
+    // full replay of the fixed-codebook IVF path: with basis-vector
+    // centroids, dot(unit(v), e_c) is just unit(v)[c], so cell
+    // assignment is argmax over the first 8 unitized components
+    // (first-position tie-break = the engine's array_position), probes
+    // are the top-3 cells by (dot DESC, cell ASC), and candidates
+    // score exactly like s01
+    "s22_ivf_routing" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      a AS (
+        SELECT vec_id,
+               [x / sqrt(list_dot_product(v, v)) FOR x IN v[1:8]] AS d8
+        FROM e),
+      cells AS (
+        SELECT vec_id, list_position(d8, list_max(d8)) - 1 AS cell
+        FROM a),
+      probes AS (
+        SELECT query_id, cell FROM (
+          SELECT a.vec_id AS query_id, gs.c - 1 AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_extract(a.d8, gs.c) DESC, gs.c) AS rn
+          FROM a, (SELECT UNNEST(generate_series(1, 8)) AS c) gs
+          WHERE a.vec_id < 5)
+        WHERE rn <= 3),
+      scored AS (
+        SELECT p.query_id, ce.vec_id AS nbr_id,
+               list_cosine_similarity(q.v, n.v) AS cos
+        FROM probes p
+        JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e n ON n.vec_id = ce.vec_id)
+      SELECT query_id, rank, nbr_id, ROUND(cos, 4) AS cos FROM (
+        SELECT query_id, nbr_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(cos, 6) DESC, nbr_id) AS rank
+        FROM scored)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // exhaustive IVF == brute force, so s04 shares s01's exact oracle
     "s04_ivf_exhaustive" -> """
