@@ -127,16 +127,22 @@ object Choropleth {
                width: Int = 400, bins: Int = 9,
                low: (Int, Int, Int) = (239, 243, 255),
                high: (Int, Int, Int) = (8, 48, 107),
-               background: (Int, Int, Int) = (255, 255, 255)): Array[Byte] = {
+               background: (Int, Int, Int) = (255, 255, 255),
+               limits: Option[(Double, Double)] = None): Array[Byte] = {
     val rows = df.select(col(keyCol).cast("string"),
       col(valueCol).cast("double")).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
     val vs = rows.map(_._2)
-    val (vMin, vMax) = if (vs.isEmpty) (0.0, 0.0) else (vs.min, vs.max)
+    // `limits` = the reference's fixed scale (`scale_fill_gradientn(...,
+    // limits = c(0, 96))`, Method_code.Rmd:516,527): a PAIR of maps
+    // (direct | EBP) must shade equal values equally, which per-map
+    // min/max normalization cannot guarantee
+    val (vMin, vMax) = limits.getOrElse(
+      if (vs.isEmpty) (0.0, 0.0) else (vs.min, vs.max))
     def shade(v: Double): Int =
       if (vMax == vMin) 0
-      else math.min(bins - 1,
-        math.floor((v - vMin) / (vMax - vMin) * bins).toInt)
+      else math.max(0, math.min(bins - 1,
+        math.floor((v - vMin) / (vMax - vMin) * bins).toInt))
 
     def proj(rings: Seq[Seq[(Double, Double)]]) =
       rings.map(_.map { case (lo, la) => UsGeo.albers(lo, la) })
@@ -225,6 +231,27 @@ object Choropleth {
       }
       y += 1
     }
+  }
+
+  /** Horizontal composition of two equal-height BMPs — the
+    * `ggarrange(plot_direct, plot_EBP, ncol = 2)` figure of the
+    * reference (`Method_code.Rmd:540-543`): the direct-estimate and
+    * EBP maps side by side in ONE image. Pure pixel concatenation;
+    * deterministic given deterministic inputs.
+    */
+  def sideBySide(left: Array[Byte], right: Array[Byte]): Array[Byte] = {
+    val (wl, hl, pl) = BmpCodec.decode(left)
+    val (wr, hr, pr) = BmpCodec.decode(right)
+    require(hl == hr, s"panel heights differ: $hl vs $hr")
+    val w = wl + wr
+    val px = new Array[Byte](w * hl * 3)
+    var y = 0
+    while (y < hl) {
+      System.arraycopy(pl, y * wl * 3, px, y * w * 3, wl * 3)
+      System.arraycopy(pr, y * wr * 3, px, y * w * 3 + wl * 3, wr * 3)
+      y += 1
+    }
+    BmpCodec.encode(w, hl, px)
   }
 
   /** A compact alphabetical grid for arbitrary key sets (the TPC-H

@@ -692,6 +692,25 @@ object StatQueries {
       val poly = Choropleth.renderUs(usKeyed, "state", "est")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "map_poly.bmp"), poly)
+      // the reference's SECOND map + the paired figure
+      // (Method_code.Rmd:525-543): EBP estimates rendered next to the
+      // direct estimates, both on ONE fixed percent scale (the
+      // `limits = c(0, 96)` analog — per-map min/max would shade equal
+      // values differently across the pair)
+      val fit = emFit(s, dir)
+      val ebpEst = Em.ebp(bigSurvey(s, dir), fit.params, featureCols,
+          "state", "weight", fit.draws, ebpDraws = 50)
+        .na.replace("state", toUs)
+      val lims = Some((0.0, 100.0))
+      val polyDirect = Choropleth.renderUs(usKeyed, "state", "est",
+        limits = lims)
+      val polyEbp = Choropleth.renderUs(ebpEst, "state", "ebp",
+        limits = lims)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "map_poly_ebp.bmp"), polyEbp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "figure.bmp"),
+        Choropleth.sideBySide(polyDirect, polyEbp))
       Choropleth.shaded(est, "state", "est", bins = 9)
         .select(col("state"), round(col("est"), 6).as("est"), col("shade"))
         .orderBy("state")

@@ -86,4 +86,55 @@ class ChoroplethSpec extends SparkSpec {
     assert(Choropleth.usTileGrid.size == 51)
     assert(Choropleth.usTileGrid.values.toSet.size == 51)
   }
+
+  test("paired maps on shared limits shade equal values equally; " +
+    "sideBySide composes the two panels pixel-exactly (the ggarrange " +
+    "figure); both renders deterministic") {
+    // two estimate sets over the same states; TX carries the SAME
+    // value in both — with shared limits its color must match across
+    // the pair, which per-map min/max normalization would break
+    // (direct's extent [20,80] vs EBP's [20,50])
+    val direct = Seq(("TX", 20.0), ("CA", 50.0), ("MT", 80.0))
+      .toDF("k", "v")
+    val ebp = Seq(("TX", 20.0), ("CA", 35.0), ("MT", 50.0))
+      .toDF("k", "v")
+    val lims = Some((0.0, 100.0))
+    val l = Choropleth.renderUs(direct, "k", "v", bins = 9, limits = lims)
+    val r = Choropleth.renderUs(ebp, "k", "v", bins = 9, limits = lims)
+    val (wl, hl, pl) = BmpCodec.decode(l)
+    val (wr, hr, pr) = BmpCodec.decode(r)
+    assert(hl == hr && wl == wr)
+    def count(px: Array[Byte], rgb: (Int, Int, Int)): Int = {
+      var n = 0; var i = 0
+      while (i < px.length) {
+        if ((px(i) & 0xff) == rgb._1 && (px(i + 1) & 0xff) == rgb._2 &&
+          (px(i + 2) & 0xff) == rgb._3) n += 1
+        i += 3
+      }
+      n
+    }
+    // TX = 20.0 on limits (0,100) with 9 bins -> shade floor(0.2*9)=1
+    // in BOTH panels; on per-map extents it would be shade 0 in both
+    // but CA/MT would collide across panels
+    val cTx = Choropleth.shadeColor(1, 9)
+    assert(count(pl, cTx) > 300 && count(pr, cTx) > 300,
+      s"TX color area: ${count(pl, cTx)} / ${count(pr, cTx)}")
+    // MT differs across panels: shade 7 (80%) vs shade 4 (50%)
+    assert(count(pl, Choropleth.shadeColor(7, 9)) > 300)
+    assert(count(pr, Choropleth.shadeColor(4, 9)) > 300)
+    val fig = Choropleth.sideBySide(l, r)
+    val (wf, hf, pf) = BmpCodec.decode(fig)
+    assert(wf == wl + wr && hf == hl)
+    // panel pixels land verbatim: spot-check full rows
+    for (y <- Seq(0, hl / 2, hl - 1)) {
+      val row = pf.slice(y * wf * 3, (y * wf + wl) * 3).toSeq
+      assert(row == pl.slice(y * wl * 3, (y + 1) * wl * 3).toSeq,
+        s"left panel row $y")
+      val rrow = pf.slice((y * wf + wl) * 3, (y + 1) * wf * 3).toSeq
+      assert(rrow == pr.slice(y * wr * 3, (y + 1) * wr * 3).toSeq,
+        s"right panel row $y")
+    }
+    // deterministic composition
+    assert(java.util.Arrays.equals(fig, Choropleth.sideBySide(l, r)))
+  }
 }
