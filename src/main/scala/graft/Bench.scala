@@ -99,14 +99,33 @@ object Bench {
     // the output, so the per-query timings map goes LAST (round 5 lost
     // its timings when the load map crowded them out of the tail)
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","load_max":$loadMax,"reruns_sec_load":$rr,"errors":$errs,"load_1m_at_start":$loads,"queries":$qs}"""
+    // at 200+ queries the full line (~6 KB) no longer fits any ~2 KB
+    // capture window, so BENCH_r07 carried parsed:null. Emit a COMPACT
+    // headline line first — total + the slowest 25 queries + a pointer
+    // to the full map — sized to survive truncation whole; the full
+    // line still follows for captures that keep everything.
+    val slow = results.filter(_._3).sortBy(-_._2).take(25)
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"full_map":"BENCH_LOCAL.json","slowest25":$slow}"""
+    println(compact)
     println(line)
     // truncation-proof sibling: the full line also lands in-repo so
     // per-query numbers stay machine-readable regardless of capture
-    // limits (the driver commits it with round-end state)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "BENCH_LOCAL.json")),
-      (line + "\n").getBytes("UTF-8"))
+    // limits (the driver commits it with round-end state), plus a
+    // per-run-id copy so successive runs never overwrite each other's
+    // record within a round
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "BENCH_LOCAL.json")),
+        (line + "\n").getBytes("UTF-8"))
+      val runsDir = java.nio.file.Paths.get("target/bench_runs")
+      java.nio.file.Files.createDirectories(runsDir)
+      java.nio.file.Files.write(
+        runsDir.resolve(s"bench_${System.currentTimeMillis()}.json"),
+        (line + "\n").getBytes("UTF-8"))
+    }
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL write failed: $e") }
     spark.stop()
