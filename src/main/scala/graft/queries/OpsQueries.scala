@@ -529,24 +529,38 @@ object OpsQueries {
     // provably exact (the oracle replays it as an all-pairs window) —
     // production at corpus scale sets nprobe << nlist and trades
     // recall, measured in SimilaritySpec against this exact setting
-    "s06_knn_join" -> ((s, dir) =>
-      Similarity.knnJoin(embs(s, dir), "vec_id", "embedding",
-          k = 3, dim = 64, nlist = 16, nprobe = 16)
+    // k-NN self-join behind the size guard (the q58→q66 pattern): at
+    // gate scale (≤ 4096 vectors — sf0.01 has 200, sf0.1 has 2000)
+    // the exhaustive nprobe = nlist config runs and the DuckDB
+    // brute-force oracle is exact; past it, nlist scales with N and
+    // nprobe stays a small fraction so candidate volume is O(N)
+    // (round-8 sf1 run: the fixed config went 5.7s → 140s at 10×).
+    "s06_knn_join" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val (nlist, nprobe) = Similarity.autoIvfSelfJoinParams(e.count())
+      Similarity.knnJoin(e, "vec_id", "embedding",
+          k = 3, dim = 64, nlist = nlist, nprobe = nprobe)
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("cos"), 4).as("cos"))
-        .orderBy("query_id", "rank")),
+        .orderBy("query_id", "rank")
+    }),
 
     // hard-negative mining (triplet/InfoNCE training): each labeled
     // vector's top-3 nearest DIFFERENT-label neighbors, via the s06
     // IVF-cell self-join with the label filter at candidate time.
     // nprobe = nlist -> exhaustive -> exact, so the oracle is the
     // brute-force label-aware ranking.
-    "s13_hard_negatives" -> ((s, dir) =>
-      Similarity.hardNegatives(embs(s, dir), "vec_id", "embedding",
-          "label", k = 3, dim = 64, nlist = 16, nprobe = 16)
+    // same size guard as s06: exhaustive (== the brute-force oracle)
+    // at gate scale, O(N) candidate volume beyond it
+    "s13_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val (nlist, nprobe) = Similarity.autoIvfSelfJoinParams(e.count())
+      Similarity.hardNegatives(e, "vec_id", "embedding",
+          "label", k = 3, dim = 64, nlist = nlist, nprobe = nprobe)
         .select(col("query_id"), col("q_lbl"), col("rank"),
           col("nbr_id"), col("nbr_lbl"), round(col("cos"), 4).as("cos"))
-        .orderBy("query_id", "rank")),
+        .orderBy("query_id", "rank")
+    }),
 
     // cluster-quality eval: simplified (centroid) silhouette per label
     // — a_i = distance to own centroid, b_i = distance to the nearest

@@ -153,6 +153,25 @@ object StatQueries {
         .orderBy("state")
     }),
 
+    // M5 at the true-scale representation: the SAME EBP estimator as
+    // m03 through Em.ebpKeyedDraws — draws generated inside the
+    // aggregate by hash-keyed Box-Muller from the (area, vhat, tau)
+    // mode table instead of driver-materialized arrays (the SURVEY §7
+    // hard-parts-2 pivot). Rows-only like m03 (seeded numerics);
+    // EmSpec gates tau=0 exactness and tau>0 MC agreement vs m03's
+    // broadcast path.
+    "m28_ebp_keyed" -> ((s, dir) => {
+      val fit = emFit(s, dir)
+      val modes = {
+        import s.implicits._
+        fit.modes.map(m => (m.area, m.vhat, m.tau)).toDF("state", "vhat", "tau")
+      }
+      Em.ebpKeyedDraws(bigSurvey(s, dir), fit.params, featureCols,
+          "state", "weight", modes, ebpDraws = 100, seed = 42L)
+        .select(col("state"), round(col("ebp"), 4).as("ebp"))
+        .orderBy("state")
+    }),
+
     // M6/A3 — design-based direct estimate + SE (oracle-checked)
     "m04_direct_est" -> ((s, dir) =>
       Survey.weightedMeanSE(smallSurvey(s, dir), "state", "y", "weight",

@@ -726,4 +726,25 @@ class SimilaritySpec extends SparkSpec {
         s"query $q matched cross-blob neighbor $nbr")
     }
   }
+
+  test("autoIvfSelfJoinParams: exact at gate scale, O(N) candidate " +
+    "volume beyond it, nlist capped by the training sample") {
+    // at or under exactMax: the exhaustive oracle configuration
+    assert(Similarity.autoIvfSelfJoinParams(200) == ((16, 16)))
+    assert(Similarity.autoIvfSelfJoinParams(4096) == ((16, 16)))
+    // beyond: nlist ~ N/256, nprobe = nlist/8 (>= 4), so per-query
+    // candidates ~ 256 * nprobe stay flat as N grows
+    val (n20k, p20k) = Similarity.autoIvfSelfJoinParams(20000)
+    assert(n20k == 78 && p20k == math.max(4, 78 / 8))
+    val (n1m, p1m) = Similarity.autoIvfSelfJoinParams(1000000)
+    assert(n1m == 3906 && p1m == 488)
+    // candidate volume per query ~ N/nlist * nprobe — bounded by a
+    // constant multiple of 256 * nprobe/nlist growth
+    assert(1000000L / n1m * p1m < 256L * 512)
+    // the quantizer sample caps nlist (training needs sample >= nlist)
+    val (nHuge, _) = Similarity.autoIvfSelfJoinParams(100000000L)
+    assert(nHuge == 4096)
+    // floor for just-over-the-gate sizes
+    assert(Similarity.autoIvfSelfJoinParams(5000)._1 == 32)
+  }
 }
