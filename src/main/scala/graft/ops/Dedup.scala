@@ -270,7 +270,13 @@ object Dedup {
       .select(col("id"),
         array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
           .as("shs"))
-      .select(col("id"), transform(col("shs"), s => xxhash64(s)).as("sh"))
+      // hashed shingle sets are stored SORTED: the exact-verify stage
+      // can then intersect via the SortedIntersect merge kernel (one
+      // branch-predictable scan per pair) instead of array_intersect's
+      // per-row hash set — the q58 kernel reused on the dedup verify.
+      // Sorting costs n log n once per doc on the cached table.
+      .select(col("id"),
+        sort_array(transform(col("shs"), s => xxhash64(s))).as("sh"))
       .withColumn("setSize", size(col("sh")))
       .cache()
     val inv = sh.select(col("id"), col("setSize"),
@@ -309,11 +315,13 @@ object Dedup {
           + 1 >= (col("a.setSize") + col("b.setSize")) * overlapFrac - eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    graft.functions.SortedIntersect.register(df.sparkSession)
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+        size(graft.functions.SortedIntersect
+          .intersectFast(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -348,7 +356,10 @@ object Dedup {
       .select(col("id"),
         array_distinct(TextAnalysis.shinglesOf(col("toks"), shingleN))
           .as("shs"))
-      .select(col("id"), transform(col("shs"), s => xxhash64(s)).as("sh"))
+      // sorted hashed sets, same reason as [[ngramJaccardJoin]]: the
+      // verify intersect runs on the SortedIntersect merge kernel
+      .select(col("id"),
+        sort_array(transform(col("shs"), s => xxhash64(s))).as("sh"))
       .withColumn("setSize", size(col("sh")))
       .cache()
     val inv = sh.select(col("id"), col("setSize"),
@@ -374,13 +385,15 @@ object Dedup {
           + 1 >= col("a.setSize") * threshold - eps)
       .select(col("a.id").as("id_in"), col("b.id").as("id_of"))
       .dropDuplicates("id_in", "id_of")
+    graft.functions.SortedIntersect.register(df.sparkSession)
     cand
       .join(sh.select(col("id").as("id_in"), col("sh").as("sh_in")),
         Seq("id_in"))
       .join(sh.select(col("id").as("id_of"), col("sh").as("sh_of")),
         Seq("id_of"))
       .withColumn("inter",
-        size(array_intersect(col("sh_in"), col("sh_of"))))
+        size(graft.functions.SortedIntersect
+          .intersectFast(col("sh_in"), col("sh_of"))))
       .withColumn("containment",
         col("inter").cast("double") / size(col("sh_in")))
       .filter(col("containment") >= threshold)
