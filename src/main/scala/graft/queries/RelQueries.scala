@@ -47,6 +47,16 @@ object RelQueries {
   /** The q73/q74/st13 change batch over the orders snapshot (keys
     * unique across the batch — the mergeUpsert contract).
     */
+  /** Next 10M-multiple key-space offset above the table's max key —
+    * the SF-proof "net-new insert" region (a fixed constant is
+    * net-new at sf0.01 but collides with occupied key space at larger
+    * SFs; the oracles compute the identical integer arithmetic).
+    */
+  private[queries] def insertOffset(base: DataFrame,
+                                    keyCol: String): Long =
+    (base.agg(max(col(keyCol))).head().getLong(0)
+      / 10000000L + 1L) * 10000000L
+
   private[queries] def timeTravelChanges(base: DataFrame): DataFrame =
     base
       .filter(col("o_orderkey") % 31 === 0
@@ -57,7 +67,8 @@ object RelQueries {
         when(col("o_orderkey") % 37 === 0, "D").otherwise("U")
           .as("op"))
       .unionByName(base.filter(col("o_orderkey") % 41 === 0)
-        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + insertOffset(base, "o_orderkey"))
+            .as("o_orderkey"),
           lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
           lit("U").as("op")))
 
@@ -81,6 +92,16 @@ object RelQueries {
       val base = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       Versioned.write(base, root, "o_orderkey", version = 1, nFiles = 8)
+      // insert offset DERIVED from the table's max key (next 10M
+      // multiple above it), not a fixed constant: a fixed +30M is
+      // net-new at sf0.01 but lands inside occupied key space at
+      // larger SFs (caught by the round-8 sf1 oracle check), where a
+      // colliding "insert" both upserts existing rows and can put the
+      // same key twice into the change batch — breaking mergeUpsert's
+      // one-row-per-key contract. The oracle computes the identical
+      // offset with integer arithmetic.
+      val off = (base.agg(max(col("o_orderkey"))).head().getLong(0)
+        / 10000000L + 1L) * 10000000L
       val changes = base
         .filter(col("o_orderkey") % 23 === 0
           || col("o_orderkey") % 29 === 0)
@@ -92,7 +113,7 @@ object RelQueries {
           when(col("o_orderkey") % 29 === 0, "D").otherwise("U")
             .as("op"))
         .unionByName(base.filter(col("o_orderkey") % 41 === 0)
-          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + off).as("o_orderkey"),
             lit("N").as("o_orderstatus"), lit(5.0).as("o_totalprice"),
             lit("new").as("o_tier"), lit("U").as("op")))
       Versioned.merge(s, root, "o_orderkey", "op", changes,
@@ -3021,7 +3042,8 @@ object RelQueries {
                CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
         FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
         UNION ALL
-        SELECT o_orderkey + 20000000, 'N', 1.0, 'U'
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
         FROM base WHERE o_orderkey % 41 = 0),
       v2 AS (
         SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
@@ -3042,6 +3064,9 @@ object RelQueries {
     "q85_schema_evolution" -> """
       WITH base AS (
         SELECT o_orderkey, o_totalprice FROM orders),
+      off AS (
+        SELECT (MAX(o_orderkey) // 10000000 + 1) * 10000000 AS v
+        FROM base),
       v2 AS (
         SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_tier
         FROM base WHERE o_orderkey % 23 <> 0 AND o_orderkey % 29 <> 0
@@ -3051,8 +3076,8 @@ object RelQueries {
                CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
         FROM base WHERE o_orderkey % 23 = 0 AND o_orderkey % 29 <> 0
         UNION ALL
-        SELECT o_orderkey + 30000000, 5.0, 'new'
-        FROM base WHERE o_orderkey % 41 = 0)
+        SELECT o_orderkey + off.v, 5.0, 'new'
+        FROM base, off WHERE o_orderkey % 41 = 0)
       SELECT COALESCE(o_tier, 'none') AS tier,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
@@ -3092,7 +3117,8 @@ object RelQueries {
                CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
         FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
         UNION ALL
-        SELECT o_orderkey + 20000000, 'N', 1.0, 'U'
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
         FROM base WHERE o_orderkey % 41 = 0),
       v2 AS (
         SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,

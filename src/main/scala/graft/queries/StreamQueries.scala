@@ -250,7 +250,8 @@ object StreamQueries {
                CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
         FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
         UNION ALL
-        SELECT o_orderkey + 20000000, 'N', 1.0, 'U'
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
         FROM base WHERE o_orderkey % 41 = 0),
       v2 AS (
         SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,

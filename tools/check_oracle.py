@@ -12,7 +12,9 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # harness tables are single files; GenScale tables are directories
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # optional extra args = query-name substrings for targeted re-checks
