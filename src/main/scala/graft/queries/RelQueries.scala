@@ -127,7 +127,7 @@ object RelQueries {
     * commits (%13 then %17 — zero data files rewritten); v4 =
     * compaction folding both tombstone sets into rewritten data files.
     */
-  private[queries] def morRoot(s: SparkSession, dir: String): String = {
+  private[graft] def morRoot(s: SparkSession, dir: String): String = {
     import graft.sources.Versioned
     val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
     val root = new java.io.File(

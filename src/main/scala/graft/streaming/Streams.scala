@@ -43,8 +43,13 @@ object Streams {
     * session conf untouched.
     */
   private def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    def read() = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // single-file harness layout vs directory-shaped generated layout
+    // (GenScale) — same dual handling as [[eventsStream]]
+    def read() =
+      if (new java.io.File(s"$sfDir/events.parquet").isDirectory)
+        spark.read.parquet(s"$sfDir/events.parquet")
+      else spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     // retry under the conf on ANY failure: if the error wasn't the
     // nanos one the retry rethrows it unchanged
     try read() catch {
@@ -78,11 +83,18 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val rawSchema = rawEvents(spark, sfDir).schema
-    // the file source needs a directory; glob-filter to the events table
-    val src = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    // the file source needs a directory. The harness ships events as a
+    // single FILE ($sfDir/events.parquet — stream the parent dir with
+    // a glob filter); generated scale-up data (GenScale) ships it as a
+    // parquet DIRECTORY of part files — stream that directory itself.
+    val tablePath = s"$sfDir/events.parquet"
+    val src =
+      if (new java.io.File(tablePath).isDirectory)
+        spark.readStream.schema(rawSchema).parquet(tablePath)
+      else spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
     rawSchema("ts").dataType match {
       case LongType =>
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -556,4 +556,20 @@ class PlanSpec extends SparkSpec {
           s"running sum + n_group)\n${winSpecs.mkString("\n")}")
     }
   }
+
+  test("q86: the merge-on-read snapshot plans the tombstone subtraction " +
+    "as a BROADCAST anti-join — the table never shuffles for a delete") {
+    import graft.sources.Versioned
+    val root = RelQueries.morRoot(spark, sf001)
+    val plan = Versioned.readAsOf(spark, root, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone anti-join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"MOR read shuffled the data side:\n$plan")
+    // compacted snapshot: no join at all — tombstones are gone
+    val plan4 = Versioned.readAsOf(spark, root, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan4.contains("Join"), s"compacted read still joins:\n$plan4")
+  }
 }
