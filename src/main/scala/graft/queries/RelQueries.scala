@@ -725,6 +725,41 @@ object RelQueries {
         .unionByName(snap(4)).orderBy("version")
     }),
 
+    // change data feed over the COW merge commit, computed after the
+    // fact from the two manifests (no change log stored): updates emit
+    // a pre/post image pair, rewritten-but-carried rows vanish via the
+    // null-safe struct diff, carried-verbatim files are never scanned
+    // (PlanSpec-gated). The oracle replays the change batch's effect
+    // per change type from the raw table.
+    "q87_change_feed" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = timeTravelRoot(s, dir)
+      Versioned.changeFeed(s, root, "o_orderkey", 1, 2)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+        .orderBy("_change_type")
+    }),
+
+    // change data feed across the MOR lifecycle (tombstone commits +
+    // compaction), per commit: v2/v3 emit pure deletes — the second
+    // tombstone commit's feed EXCLUDES keys already dead at v2 — and
+    // the compaction commit v4 diffs to ZERO rows (content-preserving
+    // by construction), so no _commit_version=4 group exists.
+    "q88_cdf_mor" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = morRoot(s, dir)
+      Versioned.changeFeed(s, root, "o_orderkey", 1, 4)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+        .orderBy("_commit_version", "_change_type")
+    }),
+
     // pipeline observability: Dataset.observe attaches data-quality
     // metrics (row count, null count, running mean) to the SAME pass
     // as the real aggregation — zero extra scans, the Spark-native
@@ -3105,6 +3140,55 @@ object RelQueries {
       SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
       FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
       ORDER BY version""",
+
+    // the COW commit's row-level feed replayed per change type:
+    // %37 keys delete (pre-image), %31-not-%37 keys update (pre/post
+    // image pair, post price = the same floor chain the engine stores),
+    // %41 keys insert at the derived net-new offset
+    "q87_change_feed" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders),
+      off AS (
+        SELECT (MAX(o_orderkey) // 10000000 + 1) * 10000000 AS v
+        FROM base),
+      feed AS (
+        SELECT 'delete' AS _change_type, o_orderkey AS k,
+               o_totalprice AS p
+        FROM base WHERE o_orderkey % 37 = 0
+        UNION ALL
+        SELECT 'update_preimage', o_orderkey, o_totalprice
+        FROM base WHERE o_orderkey % 31 = 0 AND o_orderkey % 37 <> 0
+        UNION ALL
+        SELECT 'update_postimage', o_orderkey,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+        FROM base WHERE o_orderkey % 31 = 0 AND o_orderkey % 37 <> 0
+        UNION ALL
+        SELECT 'insert', o_orderkey + off.v, 1.0
+        FROM base, off WHERE o_orderkey % 41 = 0)
+      SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM feed GROUP BY 1 ORDER BY _change_type""",
+
+    // per-commit MOR feed: v2 deletes %13, v3 deletes %17 minus the
+    // keys already dead at v2, v4 (compaction) emits NO group at all
+    "q88_cdf_mor" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders),
+      feed AS (
+        SELECT 2 AS _commit_version, o_orderkey AS k,
+               o_totalprice AS p
+        FROM base WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT 3, o_orderkey, o_totalprice
+        FROM base WHERE o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0)
+      SELECT _commit_version, 'delete' AS _change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM feed GROUP BY 1, 2 ORDER BY _commit_version""",
 
     // v2 replay restricted to the pruned key range
     "q74_snapshot_prune" -> """

@@ -197,4 +197,60 @@ class VersionedSpec extends SparkSpec {
     assert(w.columns.contains("tier")
       && w.select("tier").as[String].head() == "gold")
   }
+
+  test("change feed: per-commit row-level diff with pre/post images, " +
+    "carried-verbatim files never scanned, compaction diffs to zero") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec7") + "/t"
+    Versioned.write(table(20), root, "k", version = 1, nFiles = 4)
+    // v2: COW merge with an evolved column — update k=1, delete k=2,
+    // insert k=100 (net-new key space)
+    val changes = Seq(
+      (1L, "upd", 111.0, "gold", "U"),
+      (2L, "del", 0.0, null.asInstanceOf[String], "D"),
+      (100L, "new", 1000.0, "silver", "U"))
+      .toDF("k", "status", "price", "tier", "op")
+    Versioned.merge(spark, root, "k", "op", changes, 1, 2)
+    val feed2 = Versioned.changeFeed(spark, root, "k", 1, 2)
+      .select("_change_type", "k", "status", "price", "tier")
+      .as[(String, Long, String, Double, Option[String])]
+      .collect().toSet
+    assert(feed2 == Set(
+      ("delete", 2L, "s2", 20.0, None),
+      ("update_preimage", 1L, "s1", 10.0, None),
+      ("update_postimage", 1L, "upd", 111.0, Some("gold")),
+      ("insert", 100L, "new", 1000.0, Some("silver"))),
+      s"unexpected feed: $feed2")
+    // rewritten-but-carried rows (k=0, k=3 share the first file with
+    // k=1/k=2) must NOT appear — the null-safe struct diff drops them
+    assert(!feed2.exists(r => r._2 == 0L || r._2 == 3L))
+    // carried-verbatim files are never scanned: the CDF path set is
+    // disjoint from the files both manifests share
+    val common = Versioned.manifest(spark, root, 1)
+      .select("path").as[String].collect().toSet
+      .intersect(Versioned.manifest(spark, root, 2)
+        .select("path").as[String].collect().toSet)
+    val scanned = Versioned.cdfScanPaths(spark, root, 1, 2).toSet
+    assert(common.nonEmpty && scanned.intersect(common).isEmpty,
+      s"CDF scanned a carried file: ${scanned.intersect(common)}")
+    // v3: MOR tombstone commit — pure deletes in the feed, and the
+    // brute-force snapshot diff agrees with the manifest-diff feed
+    Versioned.deleteMor(spark, root, "k", Seq(5L, 7L).toDF("k"), 2, 3)
+    val feed3 = Versioned.changeFeed(spark, root, "k", 2, 3)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(feed3 == Set(("delete", 5L), ("delete", 7L)))
+    // a second tombstone commit re-deleting k=5 plus k=9: the feed
+    // excludes the already-dead key
+    Versioned.deleteMor(spark, root, "k", Seq(5L, 9L).toDF("k"), 3, 4)
+    val feed4 = Versioned.changeFeed(spark, root, "k", 3, 4)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(feed4 == Set(("delete", 9L)))
+    // v5 = compaction: content-preserving, so its diff is EMPTY and a
+    // multi-commit range attributes every change to its true commit
+    Versioned.compact(spark, root, "k", 4, 5)
+    assert(Versioned.changeFeed(spark, root, "k", 4, 5).isEmpty)
+    val byCommit = Versioned.changeFeed(spark, root, "k", 2, 5)
+      .groupBy("_commit_version").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byCommit == Map(3 -> 2L, 4 -> 1L), s"got $byCommit")
+  }
 }
