@@ -12,6 +12,28 @@ import graft.streaming.Streams
   */
 object StreamQueries {
 
+  /** Build-once fixture shared by st13/st14: the orders snapshot
+    * streamed into a Versioned COW table — v1 = base load, v2..v5 =
+    * the timeTravelChanges batch drained as 4 micro-batch MERGE
+    * commits (streaming CDC in; st14 reads the same commits back out).
+    */
+  private def streamSinkRoot(s: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-st13-$key")
+      .getAbsolutePath
+    if (!Versioned.hasVersion(root, 2)) {
+      graft.TempDirs.registerCleanedAtExit(root)
+      val base = graft.Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Streams.versionedSinkDrain(base,
+        RelQueries.timeTravelChanges(base), "o_orderkey", "op", root,
+        numBatches = 4)
+    }
+    root
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // watermarked event-time hourly window through the scale path:
     // append-mode parquet sink with sentinel-advanced watermark (each
@@ -158,23 +180,30 @@ object StreamQueries {
     // idempotence and per-version readability are StreamsSpec-gated.
     "st13_stream_versioned_sink" -> ((s, dir) => {
       import graft.sources.Versioned
-      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-st13-$key")
-        .getAbsolutePath
-      val base = graft.Tables(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      if (!Versioned.hasVersion(root, 2)) {
-        graft.TempDirs.registerCleanedAtExit(root)
-        Streams.versionedSinkDrain(base,
-          RelQueries.timeTravelChanges(base), "o_orderkey", "op", root,
-          numBatches = 4)
-      }
+      val root = streamSinkRoot(s, dir)
       Versioned.readAsOf(s, root, Versioned.latestVersion(root))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // streaming CDC-OUT of the stream-built table: tail its manifest
+    // directory (the commit log) as a file stream — one micro-batch
+    // per COW commit — and emit each commit's change feed. The 4
+    // commits' batches are key-disjoint, so the union of per-commit
+    // feeds equals the net v1→v5 diff, which is exactly q87's feed
+    // shape replayed by the oracle; per-commit attribution and
+    // drained==one-shot equivalence are StreamsSpec-gated.
+    "st14_cdc_read" -> ((s, dir) => {
+      val root = streamSinkRoot(s, dir)
+      Streams.changeFeedStreamDrain(s, root, "o_orderkey")
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+        .orderBy("_change_type")
     }),
 
     "st12_transform_with_state" -> ((s, dir) => {
@@ -264,6 +293,36 @@ object StreamQueries {
       SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(o_totalprice), 2) AS total
       FROM v2 GROUP BY 1 ORDER BY 1""",
+
+    // the streamed-out feed aggregated by change type: key-disjoint
+    // micro-batches make the union of per-commit feeds equal the net
+    // diff — the q87 feed replay (delete %37 pre-image, update
+    // pre/post pair for %31-not-%37, insert %41 at the derived offset)
+    "st14_cdc_read" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders),
+      off AS (
+        SELECT (MAX(o_orderkey) // 10000000 + 1) * 10000000 AS v
+        FROM base),
+      feed AS (
+        SELECT 'delete' AS _change_type, o_orderkey AS k,
+               o_totalprice AS p
+        FROM base WHERE o_orderkey % 37 = 0
+        UNION ALL
+        SELECT 'update_preimage', o_orderkey, o_totalprice
+        FROM base WHERE o_orderkey % 31 = 0 AND o_orderkey % 37 <> 0
+        UNION ALL
+        SELECT 'update_postimage', o_orderkey,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+        FROM base WHERE o_orderkey % 31 = 0 AND o_orderkey % 37 <> 0
+        UNION ALL
+        SELECT 'insert', o_orderkey + off.v, 1.0
+        FROM base, off WHERE o_orderkey % 41 = 0)
+      SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM feed GROUP BY 1 ORDER BY _change_type""",
 
     "st12_transform_with_state" -> """
       SELECT user_id, COUNT(*) AS n_events,

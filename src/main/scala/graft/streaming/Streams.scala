@@ -753,6 +753,60 @@ object Streams {
     Versioned.readAsOf(spark, root, Versioned.latestVersion(root))
   }
 
+  /** Streaming CDC-OUT over a [[graft.sources.Versioned]] table — the
+    * read half of [[versionedSinkDrain]]'s write half: tail the
+    * table's manifest directory (its commit log — the Delta streaming
+    * source tails `_delta_log` the same way) as a file stream with one
+    * micro-batch per committed manifest, and emit each commit's
+    * [[graft.sources.Versioned.changeFeed]] rows into a
+    * version-keyed sink.
+    *
+    * Scale + semantics: per-batch work is COMMIT-sized (the CDF scans
+    * only the commit's file diff, never the table); the streamed
+    * "rows" are file-count-sized manifest entries, so source state is
+    * negligible; and the sink write is `overwrite` into `cdc_v<N>`,
+    * so a re-run of a failed batch rewrites the SAME directory —
+    * exactly-once output under at-least-once batch execution, the
+    * st05/st13 idempotence scheme keyed by commit version instead of
+    * batch id (correct whatever order the file source discovers
+    * manifests in, since each version's feed depends only on its own
+    * manifest pair). The base-load manifest v=1 emits nothing, like
+    * Delta CDC's initial snapshot.
+    */
+  def changeFeedStreamDrain(spark: SparkSession, root: String,
+                            keyCol: String): DataFrame = {
+    import graft.sources.Versioned
+    val ckpt = Files.createTempDirectory("graft-st14-ckpt").toString
+    val sinkRoot = tempDirCleanedAtExit("graft-st14-sink")
+    val manRoot = s"$root/_graft_manifest"
+    // partition discovery turns v=N into a `v` column on the stream
+    val schema = spark.read.parquet(manRoot).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(manRoot)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val vs = batch.select("v").distinct().collect()
+          .map(_.getInt(0)).sorted
+        vs.filter(_ > 1).foreach { v =>
+          Versioned.changeFeed(batch.sparkSession, root, keyCol,
+              v - 1, v)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$sinkRoot/cdc_v$v")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(ckpt)
+    val dirs = Option(new java.io.File(sinkRoot).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("cdc_v"))
+      .map(_.getAbsolutePath).sorted
+    spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
+  }
+
   case class UEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -334,4 +334,41 @@ class StreamsSpec extends SparkSpec {
     }
     assert(Versioned.readAsOf(spark, root, latest).count() == 50)
   }
+
+  test("changeFeedStreamDrain: the streamed CDC-out equals the one-shot " +
+    "change feed, with per-commit attribution intact") {
+    import graft.sources.Versioned
+    val base = (0L until 50L).map(i => (i, s"s$i", i * 2.0))
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (3L, "u3", 300.0, "U"), (17L, "u17", 1700.0, "U"),
+      (26L, "x", 0.0, "D"), (44L, "u44", 4400.0, "U"),
+      (90L, "new", 900.0, "U")).toDF("k", "status", "price", "op")
+    val root = TempDirs.createCleanedAtExit("graft-st14-spec") + "/t"
+    Streams.versionedSinkDrain(base, changes, "k", "op", root,
+      numBatches = 3)
+    val drained = Streams.changeFeedStreamDrain(spark, root, "k")
+    val latest = Versioned.latestVersion(root)
+    // key-disjoint commits: the union of per-commit feeds equals the
+    // net v1 -> latest diff, row for row
+    val got = drained
+      .select("_change_type", "k", "status", "price")
+      .as[(String, Long, String, Double)].collect().toSet
+    val want = Versioned.changeFeed(spark, root, "k", 1, latest)
+      .select("_change_type", "k", "status", "price")
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    assert(got.map(_._1) == Set("delete", "insert",
+      "update_preimage", "update_postimage"))
+    // per-commit attribution: every change carries the version of the
+    // micro-batch commit that produced it, none attributed to the base
+    val vs = drained.select("_commit_version").distinct()
+      .as[Int].collect().toSet
+    assert(vs.subsetOf((2 to latest).toSet) && vs.nonEmpty, s"got $vs")
+    // each key appears in exactly one commit (its batch's)
+    val perKey = drained.groupBy("k")
+      .agg(countDistinct("_commit_version").as("nv"))
+      .as[(Long, Long)].collect()
+    assert(perKey.forall(_._2 == 1L), perKey.mkString(","))
+  }
 }
