@@ -760,6 +760,36 @@ object RelQueries {
         .orderBy("_commit_version", "_change_type")
     }),
 
+    // incremental materialized-view maintenance off the change feed —
+    // the reason CDF exists at 100 TB: the status-grouped aggregate at
+    // v1 is refreshed to v2 by applying SIGNED deltas from the
+    // commit-sized feed (insert/update_postimage +1, delete/
+    // update_preimage -1; updates move rows between groups naturally
+    // as a -1 in the old group and +1 in the new), never re-scanning
+    // the table. The oracle recomputes v2's aggregate DIRECTLY from
+    // the replayed content — equality proves the delta algebra.
+    "q89_incremental_mv" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = timeTravelRoot(s, dir)
+      def cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val mv1 = Versioned.readAsOf(s, root, 1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n0"), sum(cents).as("c0"))
+      val sign = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val delta = Versioned.changeFeed(s, root, "o_orderkey", 1, 2)
+        .groupBy("o_orderstatus")
+        .agg(sum(sign).as("dn"), sum(sign * cents).as("dc"))
+      mv1.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("cents"))
+        .filter(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
+    }),
+
     // pipeline observability: Dataset.observe attaches data-quality
     // metrics (row count, null count, running mean) to the SAME pass
     // as the real aggregation — zero extra scans, the Spark-native
@@ -3189,6 +3219,33 @@ object RelQueries {
                AS cents,
              MIN(k) AS min_k, MAX(k) AS max_k
       FROM feed GROUP BY 1, 2 ORDER BY _commit_version""",
+
+    // the DIRECT v2 aggregate — the incremental path must land on it
+    "q89_incremental_mv" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 41 = 0),
+      v2 AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U')
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM v2 GROUP BY 1 ORDER BY o_orderstatus""",
 
     // v2 replay restricted to the pruned key range
     "q74_snapshot_prune" -> """

@@ -47,6 +47,20 @@ import graft.rel.Relational
   */
 object Versioned {
 
+  /** An optimistic commit (`overwrite = false`) lost the race: some
+    * other writer committed this version first. The losing writer's
+    * data files are orphaned (never referenced by any manifest — a
+    * later [[expire]] sweep reclaims them, the Delta/Iceberg cleanup
+    * contract) and its recovery is the optimistic-concurrency retry
+    * loop: re-read the now-latest snapshot, re-derive the change
+    * batch against it, and commit onto the next version number.
+    */
+  final class ConcurrentCommitException(root: String, version: Int)
+    extends RuntimeException(
+      s"version $version already committed at $root: a concurrent " +
+        "writer won the race; re-read the latest snapshot and retry " +
+        "on top of it")
+
   private def manifestDir(root: String, version: Int): String =
     s"$root/_graft_manifest/v=$version"
 
@@ -56,19 +70,35 @@ object Versioned {
     * after every byte of the manifest is on disk, so a concurrent
     * reader can never observe a half-written manifest (directory
     * rename is atomic on local/HDFS-style filesystems).
+    *
+    * The rename doubles as the MULTI-WRITER conflict detector: with
+    * `overwrite = false`, rename(2) into an existing non-empty `v=N`
+    * fails atomically — no check-then-act window — and surfaces as
+    * [[ConcurrentCommitException]], the put-if-absent that table
+    * formats build on a conditional PUT. `overwrite = true` keeps
+    * replace semantics for single-writer re-runs (the st05/st13
+    * idempotent-retry scheme overwrites its own failed commit).
     */
   private def commitManifest(stats: DataFrame, root: String,
-                             version: Int): Unit = {
+                             version: Int,
+                             overwrite: Boolean = true): Unit = {
     val tmp = s"$root/_graft_manifest/_tmp_v${version}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
     val target = new java.io.File(manifestDir(root, version))
-    if (target.exists()) { // replace semantics (test re-runs)
+    if (target.exists()) {
+      if (!overwrite)
+        throw new ConcurrentCommitException(root, version)
       Option(target.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       target.delete()
     }
-    if (!new java.io.File(tmp).renameTo(target))
+    if (!new java.io.File(tmp).renameTo(target)) {
+      // two optimistic writers can both pass the exists() probe; the
+      // kernel serializes the renames, so the loser lands here
+      if (!overwrite && target.exists())
+        throw new ConcurrentCommitException(root, version)
       sys.error(s"manifest commit failed: rename $tmp -> $target")
+    }
   }
 
   /** One row per file of `version`: (path, min_key, max_key, rows,
@@ -132,9 +162,9 @@ object Versioned {
 
   /** Commit `df` as `version` (a full snapshot — the initial load). */
   def write(df: DataFrame, root: String, keyCol: String, version: Int,
-            nFiles: Int): Unit = {
+            nFiles: Int, overwrite: Boolean = true): Unit = {
     val stats = writeFileGroup(df, root, keyCol, nFiles)
-    commitManifest(stats, root, version)
+    commitManifest(stats, root, version, overwrite)
   }
 
   /** (data paths, tombstone paths) of `version`. */
@@ -228,12 +258,13 @@ object Versioned {
     */
   def deleteMor(s: SparkSession, root: String, keyCol: String,
                 deleteKeys: DataFrame, fromVersion: Int,
-                toVersion: Int): Unit = {
+                toVersion: Int, overwrite: Boolean = true): Unit = {
     val carried = manifest(s, root, fromVersion)
     val tombStats = writeFileGroup(
       deleteKeys.select(col(keyCol)).distinct(), root, keyCol,
       nFiles = 1, kind = "delete")
-    commitManifest(carried.unionByName(tombStats), root, toVersion)
+    commitManifest(carried.unionByName(tombStats), root, toVersion,
+      overwrite)
   }
 
   /** Commit `toVersion` = `fromVersion` with every tombstone folded
@@ -245,11 +276,13 @@ object Versioned {
     * table, not its size.
     */
   def compact(s: SparkSession, root: String, keyCol: String,
-              fromVersion: Int, toVersion: Int): Unit = {
+              fromVersion: Int, toVersion: Int,
+              overwrite: Boolean = true): Unit = {
     val man = manifest(s, root, fromVersion).cache()
     val (_, delPaths) = pathsByKind(s, root, fromVersion)
     if (delPaths.isEmpty) {
-      commitManifest(man.filter(col("kind") === "data"), root, toVersion)
+      commitManifest(man.filter(col("kind") === "data"), root,
+        toVersion, overwrite)
       man.unpersist(blocking = false)
       return
     }
@@ -276,7 +309,8 @@ object Versioned {
         writeFileGroup(rewritten, root, keyCol,
           math.max(1, affected.size))
       }
-    commitManifest(untouched.unionByName(newStats), root, toVersion)
+    commitManifest(untouched.unionByName(newStats), root, toVersion,
+      overwrite)
     man.unpersist(blocking = false)
   }
 
@@ -479,7 +513,8 @@ object Versioned {
     * deliberately omits.
     */
   def merge(s: SparkSession, root: String, keyCol: String, opCol: String,
-            changes: DataFrame, fromVersion: Int, toVersion: Int): Unit = {
+            changes: DataFrame, fromVersion: Int, toVersion: Int,
+            overwrite: Boolean = true): Unit = {
     val man = manifest(s, root, fromVersion).cache()
     require(man.filter(col("kind") === "delete").isEmpty,
       s"merge requires a tombstone-free from-version; run compact($fromVersion) first")
@@ -521,7 +556,8 @@ object Versioned {
           opCol)
         writeFileGroup(merged, root, keyCol, math.max(1, affected.size))
       }
-    commitManifest(untouched.unionByName(newStats), root, toVersion)
+    commitManifest(untouched.unionByName(newStats), root, toVersion,
+      overwrite)
     man.unpersist(blocking = false)
   }
 }

@@ -253,4 +253,41 @@ class VersionedSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(byCommit == Map(3 -> 2L, 4 -> 1L), s"got $byCommit")
   }
+
+  test("optimistic concurrency: the second writer committing the same " +
+    "version loses atomically and succeeds on retry against the new " +
+    "latest") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec8") + "/t"
+    Versioned.write(table(20), root, "k", version = 1, nFiles = 4)
+    // writer A wins the race to v2
+    val a = Seq((1L, "a", 1.0, "U")).toDF("k", "status", "price", "op")
+    Versioned.merge(spark, root, "k", "op", a, 1, 2, overwrite = false)
+    // writer B derived its batch from v1 too; its v2 commit must fail
+    // without touching A's committed manifest
+    val b = Seq((2L, "b", 2.0, "U")).toDF("k", "status", "price", "op")
+    intercept[Versioned.ConcurrentCommitException] {
+      Versioned.merge(spark, root, "k", "op", b, 1, 2, overwrite = false)
+    }
+    assert(Versioned.latestVersion(root) == 2)
+    assert(Versioned.readAsOf(spark, root, 2).filter($"k" === 1)
+      .select("status").as[String].head() == "a", "loser clobbered A")
+    // the retry loop: B re-reads the latest and commits on top
+    Versioned.merge(spark, root, "k", "op", b, 2, 3, overwrite = false)
+    val v3 = Versioned.readAsOf(spark, root, 3)
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(v3(1L) == "a" && v3(2L) == "b")
+    // B's orphaned first-attempt file group is unreferenced; expire
+    // keeps every live file and the snapshots stay readable
+    Versioned.expire(spark, root, keepVersions = 2)
+    assert(Versioned.readAsOf(spark, root, 3).count() == 20)
+    // the same conflict guards the tombstone and compaction commits
+    intercept[Versioned.ConcurrentCommitException] {
+      Versioned.deleteMor(spark, root, "k", Seq(5L).toDF("k"), 2, 3,
+        overwrite = false)
+    }
+    intercept[Versioned.ConcurrentCommitException] {
+      Versioned.write(table(5), root, "k", version = 3, nFiles = 1,
+        overwrite = false)
+    }
+  }
 }
