@@ -486,6 +486,12 @@ object Versioned {
                  fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"changeFeed needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    // every manifest in the range must still exist — a feed across an
+    // expired snapshot has lost its per-commit attribution ground truth
+    val missing = (fromVersion to toVersion).filterNot(hasVersion(root, _))
+    require(missing.isEmpty,
+      s"changeFeed range [$fromVersion, $toVersion] crosses expired/" +
+        s"uncommitted versions $missing at $root")
     ((fromVersion + 1) to toVersion).map(v =>
         diffSnapshots(s, root, keyCol, v - 1, v)
           .withColumn("_commit_version", lit(v)))
