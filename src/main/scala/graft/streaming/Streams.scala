@@ -23,6 +23,37 @@ object Streams {
   /** Recursive delete for drain scratch dirs (shared impl). */
   private def rmTree(dir: String): Unit = graft.TempDirs.rmTree(dir)
 
+  /** State partitions for the drain queries. A stateful streaming
+    * operator creates one state store per shuffle partition (a
+    * stream-stream join keeps FOUR per partition), and every
+    * micro-batch pays a per-store commit — snapshot/delta file writes
+    * plus maintenance — whether or not the store holds data. At the
+    * drains' micro-batch volumes that fixed cost dominates wall time:
+    * st04/st08 measured ~2x faster at 8 state partitions than at the
+    * session's 32. Results are partitioning-invariant (spec- and
+    * oracle-gated at both widths), so the drains pin a micro-batch-
+    * sized width; at production throughput you would size this to key
+    * cardinality x ingest rate instead, exactly like sizing
+    * shuffle.partitions for a batch job.
+    */
+  private val DrainStatePartitions = 8
+
+  /** Scope `spark.sql.shuffle.partitions` to [[DrainStatePartitions]]
+    * for one drain query (the value is captured when the streaming
+    * query STARTS and pinned into its checkpoint); returns the
+    * previous setting for the caller's finally-restore.
+    */
+  private def scopedStatePartitions(spark: SparkSession): String = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, DrainStatePartitions.toString)
+    prev
+  }
+
+  private def restoreStatePartitions(spark: SparkSession,
+                                     prev: String): Unit =
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
   /** Temp dir removed at JVM exit — for drain SINKS, whose parquet the
     * returned DataFrame still reads lazily (an eager delete would pull
     * the files out from under the caller). Sources and checkpoints are
@@ -157,6 +188,7 @@ object Streams {
       StructField("ts", TimestampType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = hourlyAgg(stream, slide)
       .writeStream.format("parquet")
       .option("path", sinkDir)
@@ -164,7 +196,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     // the drain is done: the event copy and checkpoint are scratch
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
@@ -203,6 +236,7 @@ object Streams {
       StructField("ts", TimestampType), StructField("event_id", LongType),
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
@@ -216,7 +250,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
       .select(col("hour"), posexplode(col("top")).as(Seq("pos", "tk")))
@@ -258,6 +293,7 @@ object Streams {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("user_id", LongType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
@@ -271,7 +307,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -317,6 +354,7 @@ object Streams {
     // before it advances the watermark (trailing sessions then never
     // finalize). The sentinel's own session never closes, so it never
     // reaches the sink; the batch-side filter below is belt-and-braces.
+    val prevParts = scopedStatePartitions(spark)
     val q = stream
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
@@ -334,7 +372,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
@@ -445,6 +484,7 @@ object Streams {
       StructField("user_id", LongType), StructField("ts", TimestampType),
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir).as[Event]
+    val prevParts = scopedStatePartitions(spark)
     val q = sessionize(stream, gapMs, useTimeout = false).toDF()
       .writeStream.format("parquet")
       .option("path", sinkDir)
@@ -452,7 +492,8 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -480,6 +521,7 @@ object Streams {
     events.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
@@ -489,7 +531,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -521,6 +564,7 @@ object Streams {
     val joined = side("click", "c").join(side("purchase", "p"),
       expr(s"c_user = p_user AND c_ts >= p_ts AND " +
         s"c_ts <= p_ts + INTERVAL ${windowMs / 1000} SECONDS"))
+    val prevParts = scopedStatePartitions(spark)
     val q = joined
       .writeStream.format("parquet")
       .option("path", sinkDir)
@@ -528,7 +572,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -579,6 +624,7 @@ object Streams {
       expr(s"c_user = p_user AND c_ts >= p_ts AND " +
         s"c_ts <= p_ts + INTERVAL ${windowMs / 1000} SECONDS"),
       "left_outer")
+    val prevParts = scopedStatePartitions(spark)
     val q = joined
       .writeStream.format("parquet")
       .option("path", sinkDir)
@@ -586,7 +632,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir).filter(col("c_user") >= 0)
   }
@@ -611,6 +658,7 @@ object Streams {
     events.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream
       .join(broadcast(dim), col(eventKey) === col(dimKey))
       .drop(dimKey)
@@ -620,7 +668,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -688,6 +737,7 @@ object Streams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val merged = latestVersion(batchId) match {
@@ -703,7 +753,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     spark.read.parquet(latestVersion(Long.MaxValue).getOrElse(
       sys.error("upsert drain saw no batches")))
   }
@@ -738,6 +789,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val from = (batchId + 1).toInt
@@ -748,7 +800,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     Versioned.readAsOf(spark, root, Versioned.latestVersion(root))
   }
@@ -783,6 +836,7 @@ object Streams {
     val schema = spark.read.parquet(manRoot).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(manRoot)
+    val prevParts = scopedStatePartitions(spark)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val vs = batch.select("v").distinct().collect()
@@ -798,7 +852,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(ckpt)
     val dirs = Option(new java.io.File(sinkRoot).listFiles())
       .getOrElse(Array.empty)
@@ -865,6 +920,7 @@ object Streams {
     try {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir).as[UEvent]
+      val prevParts = scopedStatePartitions(spark)
       val q = stream.groupByKey(_.user_id)
         .transformWithState(new RunningTotalsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
@@ -878,7 +934,8 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      try q.awaitTermination()
+      finally restoreStatePartitions(spark, prevParts)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
@@ -902,6 +959,7 @@ object Streams {
                       outputMode: String = "complete"): DataFrame = {
     val spark = stream.sparkSession
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$tableName").toString
+    val prevParts = scopedStatePartitions(spark)
     val q = stream.writeStream
       .format("memory")
       .queryName(tableName)
@@ -909,7 +967,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally restoreStatePartitions(spark, prevParts)
     rmTree(ckpt)
     spark.table(tableName)
   }
