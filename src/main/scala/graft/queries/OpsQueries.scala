@@ -24,15 +24,29 @@ object OpsQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Corpus + near-dup mutants: drop the 2nd token of each text. */
-  def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
+  /** Corpus + near-dup mutants with provenance: keeps `source` and
+    * tags mutants with an EXPLICIT `is_mutant` flag — the single
+    * source of truth for the mutant recipe (drop the 2nd token,
+    * id + 100000). Consumers must test the flag, never the id
+    * arithmetic: generated scale-up data (GenScale) strides real doc
+    * ids by 1M per copy, so an `id < 100000` mutant test silently
+    * drops every real doc beyond the first copy at sf1.
+    */
+  def docsWithMutantsTagged(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("text"), lit(false).as("is_mutant"))
     val mutated = d.select((col("doc_id") + 100000).as("doc_id"),
+      col("source"),
       concat_ws(" ",
         filter(TextAnalysis.tokens(col("text")),
-          (t, i) => i =!= 1)).as("text"))
+          (t, i) => i =!= 1)).as("text"),
+      lit(true).as("is_mutant"))
     d.unionByName(mutated)
   }
+
+  /** Corpus + near-dup mutants: drop the 2nd token of each text. */
+  def docsWithMutants(s: SparkSession, dir: String): DataFrame =
+    docsWithMutantsTagged(s, dir).select("doc_id", "text")
 
   /** Build-once store for the decontamination fingerprint tables: one
     * parquet scratch path per dataset dir, built on first use in the
@@ -46,24 +60,18 @@ object OpsQueries {
   private def contamPaths(s: SparkSession, dir: String): (String, String) =
     contamCache.getOrElseUpdate(dir, {
       val root = graft.TempDirs.createCleanedAtExit("graft-contam-base")
-      val d = docs(s, dir).select(col("doc_id"), col("source"),
-        col("text"))
-      val mutated = d.select((col("doc_id") + 100000).as("doc_id"),
-        col("source"),
-        concat_ws(" ",
-          filter(TextAnalysis.tokens(col("text")),
-            (t, i) => i =!= 1)).as("text"))
-      d.unionByName(mutated)
-        .select(col("doc_id"), col("source"),
+      docsWithMutantsTagged(s, dir)
+        .select(col("doc_id"), col("source"), col("is_mutant"),
           TextAnalysis.splitAssign(col("doc_id")).as("split"),
           TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("source"), col("split"),
+        .select(col("doc_id"), col("source"), col("is_mutant"),
+          col("split"),
           array_distinct(TextAnalysis.shinglesOf(col("toks"), 3))
             .as("sh"))
-        .select(col("doc_id"), col("source"), col("split"),
-          explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("source"), col("split"),
-          Dedup.minhashBase(col("shingle")).as("h"))
+        .select(col("doc_id"), col("source"), col("is_mutant"),
+          col("split"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("source"), col("is_mutant"),
+          col("split"), Dedup.minhashBase(col("shingle")).as("h"))
         .write.mode("overwrite").parquet(s"$root/base")
       s.read.parquet(s"$root/base")
         .filter(col("split") === "train").select("h").distinct()
@@ -76,8 +84,10 @@ object OpsQueries {
     * portable md5 base hash (8-byte shuffles; the oracle computes the
     * identical hash, so any collision is mirrored), split = the
     * deterministic md5 assignment (d14), source carried through from
-    * the original doc (mutants inherit it; consumers that compare real
-    * docs only, like d24, filter `doc_id < 100000`).
+    * the original doc (mutants inherit it and carry the explicit
+    * `is_mutant` flag — consumers that compare real docs only, like
+    * d24, filter on the flag; id arithmetic breaks at generated
+    * scale).
     *
     * Built ONCE per (JVM, dataset) and written to parquet — the d27
     * build-once/serve-many pattern. The shingle + md5 pipeline is the
@@ -860,8 +870,9 @@ object OpsQueries {
       // the build-once persisted fingerprint base (shared with d16/
       // d36) serves the bloom build, the candidate semi-join, the
       // clean-id anti-join, AND the per-doc counts. d24 compares real
-      // docs only, so mutants (id >= 100000) are filtered out.
-      val base = contamBase(s, dir).filter(col("doc_id") < 100000)
+      // docs only — by the explicit mutant flag, NOT id arithmetic
+      // (real ids exceed the mutant offset at generated scale)
+      val base = contamBase(s, dir).filter(!col("is_mutant"))
       val bench = base.filter(col("source") === "src0").select("h")
       val corpus = base.filter(col("source") =!= "src0")
       val clean = Dedup.bloomClean(corpus, "doc_id", "h", bench, "h",

@@ -44,9 +44,6 @@ object RelQueries {
     root
   }
 
-  /** The q73/q74/st13 change batch over the orders snapshot (keys
-    * unique across the batch — the mergeUpsert contract).
-    */
   /** Next 10M-multiple key-space offset above the table's max key —
     * the SF-proof "net-new insert" region (a fixed constant is
     * net-new at sf0.01 but collides with occupied key space at larger
@@ -57,6 +54,9 @@ object RelQueries {
     (base.agg(max(col(keyCol))).head().getLong(0)
       / 10000000L + 1L) * 10000000L
 
+  /** The q73/q74/st13 change batch over the orders snapshot (keys
+    * unique across the batch — the mergeUpsert contract).
+    */
   private[queries] def timeTravelChanges(base: DataFrame): DataFrame =
     base
       .filter(col("o_orderkey") % 31 === 0
@@ -92,16 +92,14 @@ object RelQueries {
       val base = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       Versioned.write(base, root, "o_orderkey", version = 1, nFiles = 8)
-      // insert offset DERIVED from the table's max key (next 10M
-      // multiple above it), not a fixed constant: a fixed +30M is
-      // net-new at sf0.01 but lands inside occupied key space at
-      // larger SFs (caught by the round-8 sf1 oracle check), where a
-      // colliding "insert" both upserts existing rows and can put the
-      // same key twice into the change batch — breaking mergeUpsert's
-      // one-row-per-key contract. The oracle computes the identical
-      // offset with integer arithmetic.
-      val off = (base.agg(max(col("o_orderkey"))).head().getLong(0)
-        / 10000000L + 1L) * 10000000L
+      // derived offset, not a fixed constant: a fixed +30M is net-new
+      // at sf0.01 but lands inside occupied key space at larger SFs
+      // (caught by the round-8 sf1 oracle check), where a colliding
+      // "insert" both upserts existing rows and can put the same key
+      // twice into the change batch — breaking mergeUpsert's
+      // one-row-per-key contract. The oracles replay the identical
+      // integer arithmetic.
+      val off = insertOffset(base, "o_orderkey")
       val changes = base
         .filter(col("o_orderkey") % 23 === 0
           || col("o_orderkey") % 29 === 0)

@@ -124,6 +124,18 @@ object Versioned {
       .maxOption.getOrElse(sys.error(s"no versions at $root"))
   }
 
+  /** Lowest committed version under `root` — after [[expire]] this is
+    * the oldest surviving snapshot, i.e. the change-feed base (its own
+    * predecessor diff is gone with the expired manifests).
+    */
+  def oldestVersion(root: String): Int = {
+    val manRoot = new java.io.File(s"$root/_graft_manifest")
+    Option(manRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .minOption.getOrElse(sys.error(s"no versions at $root"))
+  }
+
   /** Per-file (path, min_key, max_key, rows) for freshly written
     * files — one column-pruned scan grouped by file.
     */
@@ -229,13 +241,22 @@ object Versioned {
   def readAsOfWhere(s: SparkSession, root: String, version: Int,
                     keyCol: String, lo: Long, hi: Long): DataFrame = {
     val paths = prunedPaths(s, root, version, lo, hi)
+    // the result schema must be the SNAPSHOT's schema, not whatever the
+    // surviving file subset happens to carry: under add-column
+    // evolution a range whose files all predate the column (or a
+    // fully-pruned range) would otherwise drop it, making the schema
+    // depend on the query range. Footer-merged once per call —
+    // file-count-sized driver work; production formats keep the table
+    // schema in commit metadata to skip exactly this step.
+    val snapSchema = readAsOf(s, root, version).schema
     val all =
-      if (paths.nonEmpty)
-        s.read.option("mergeSchema", "true").parquet(paths: _*)
-      else s.read.parquet(manifest(s, root, version)
-          .filter(col("kind") === "data")
-          .select("path").first().getString(0))
-        .filter(lit(false))
+      if (paths.nonEmpty) {
+        val read = s.read.option("mergeSchema", "true").parquet(paths: _*)
+        val cols = snapSchema.map(f =>
+          if (read.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name))
+        read.select(cols.toSeq: _*)
+      } else readAsOf(s, root, version).filter(lit(false))
     val live = applyTombstones(s, all,
       prunedPaths(s, root, version, lo, hi, kind = "delete"))
     live.filter(col(keyCol).cast("long") >= lo
@@ -345,17 +366,27 @@ object Versioned {
     toDelete.size
   }
 
-  /** Paths the adjacent-pair snapshot diff [[changeFeed]] will scan:
-    * data files present in exactly one of the two manifests, plus the
-    * common files whose key range a NEW tombstone file's range
-    * touches. Exposed for the PlanSpec gate that the CDF never reads
-    * a carried-verbatim file.
+  /** The adjacent-pair diff's scan scope: data files present in
+    * exactly one of the two manifests, the new tombstone files, the
+    * from-side tombstones, and the common files whose key range a NEW
+    * tombstone file's range touches. Computed with ONE manifest
+    * read + collect per side (shared by [[diffSnapshots]] and the
+    * spec-facing [[cdfScanPaths]]).
     */
-  private[graft] def cdfScanPaths(s: SparkSession, root: String,
-                                  fromVersion: Int,
-                                  toVersion: Int): Seq[String] = {
+  private case class CdfScope(removed: Seq[String], added: Seq[String],
+                              newTomb: Seq[String],
+                              touchedCommon: Seq[String],
+                              delF: Seq[String], delT: Seq[String])
+
+  private def cdfScope(s: SparkSession, root: String,
+                       fromVersion: Int, toVersion: Int): CdfScope = {
     val (dataF, delF) = pathsByKind(s, root, fromVersion)
-    val (dataT, delT) = pathsByKind(s, root, toVersion)
+    // ONE read of the to-manifest serves kind routing AND the range
+    // intersection below
+    val manT = manifest(s, root, toVersion)
+      .select("path", "kind", "min_key", "max_key").collect()
+    val dataT = manT.filter(_.getString(1) == "data").map(_.getString(0)).toSeq
+    val delT = manT.filter(_.getString(1) == "delete").map(_.getString(0)).toSeq
     val removed = dataF.filterNot(dataT.toSet)
     val added = dataT.filterNot(dataF.toSet)
     val newTomb = delT.filterNot(delF.toSet)
@@ -364,20 +395,28 @@ object Versioned {
       else {
         // file-count-sized driver work: common data files whose
         // [min_key, max_key] intersects some new tombstone file's range
-        val tombRanges = manifest(s, root, toVersion)
-          .filter(col("path").isin(newTomb: _*))
-          .select("min_key", "max_key").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+        val newTombSet = newTomb.toSet
+        val tombRanges = manT.filter(r => newTombSet(r.getString(0)))
+          .map(r => (r.getLong(2), r.getLong(3)))
         val commonSet = dataF.toSet.intersect(dataT.toSet)
-        manifest(s, root, toVersion)
-          .filter(col("kind") === "data"
-            && col("path").isin(commonSet.toSeq: _*))
-          .select("path", "min_key", "max_key").collect()
+        manT.filter(r => r.getString(1) == "data"
+            && commonSet(r.getString(0)))
           .filter(r => tombRanges.exists(t =>
-            r.getLong(2) >= t._1 && r.getLong(1) <= t._2))
+            r.getLong(3) >= t._1 && r.getLong(2) <= t._2))
           .map(_.getString(0)).toSeq
       }
-    removed ++ added ++ touchedCommon ++ newTomb
+    CdfScope(removed, added, newTomb, touchedCommon, delF, delT)
+  }
+
+  /** Paths the adjacent-pair snapshot diff [[changeFeed]] will scan —
+    * exposed for the spec gate that the CDF never reads a
+    * carried-verbatim file.
+    */
+  private[graft] def cdfScanPaths(s: SparkSession, root: String,
+                                  fromVersion: Int,
+                                  toVersion: Int): Seq[String] = {
+    val sc = cdfScope(s, root, fromVersion, toVersion)
+    sc.removed ++ sc.added ++ sc.touchedCommon ++ sc.newTomb
   }
 
   /** Row-level diff of two ADJACENT committed snapshots, derived
@@ -397,13 +436,8 @@ object Versioned {
   private def diffSnapshots(s: SparkSession, root: String, keyCol: String,
                             fromVersion: Int,
                             toVersion: Int): DataFrame = {
-    val (dataF, delF) = pathsByKind(s, root, fromVersion)
-    val (dataT, delT) = pathsByKind(s, root, toVersion)
-    val removed = dataF.filterNot(dataT.toSet)
-    val added = dataT.filterNot(dataF.toSet)
-    val newTomb = delT.filterNot(delF.toSet)
-    val touchedCommon = cdfScanPaths(s, root, fromVersion, toVersion)
-      .filterNot((removed ++ added ++ newTomb).toSet)
+    val CdfScope(removed, added, newTomb, touchedCommon, delF, delT) =
+      cdfScope(s, root, fromVersion, toVersion)
 
     def read(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None

@@ -189,15 +189,16 @@ object Streams {
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = hourlyAgg(stream, slide)
+    try {
+      val q = hourlyAgg(stream, slide)
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     // the drain is done: the event copy and checkpoint are scratch
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
@@ -237,7 +238,8 @@ object Streams {
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = stream
+    try {
+      val q = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(graft.functions.TopKPairs.topK(round(col("value"), 4),
@@ -250,8 +252,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
       .select(col("hour"), posexplode(col("top")).as(Seq("pos", "tk")))
@@ -294,7 +296,8 @@ object Streams {
       StructField("ts", TimestampType), StructField("user_id", LongType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = stream
+    try {
+      val q = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("est_users"))
@@ -307,8 +310,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -355,7 +358,8 @@ object Streams {
     // finalize). The sentinel's own session never closes, so it never
     // reaches the sink; the batch-side filter below is belt-and-braces.
     val prevParts = scopedStatePartitions(spark)
-    val q = stream
+    try {
+      val q = stream
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
         col("user_id"))
@@ -372,8 +376,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
@@ -485,15 +489,16 @@ object Streams {
       StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema).parquet(srcDir).as[Event]
     val prevParts = scopedStatePartitions(spark)
-    val q = sessionize(stream, gapMs, useTimeout = false).toDF()
+    try {
+      val q = sessionize(stream, gapMs, useTimeout = false).toDF()
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -522,7 +527,8 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = stream
+    try {
+      val q = stream
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
       .writeStream.format("parquet")
@@ -531,8 +537,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -565,15 +571,16 @@ object Streams {
       expr(s"c_user = p_user AND c_ts >= p_ts AND " +
         s"c_ts <= p_ts + INTERVAL ${windowMs / 1000} SECONDS"))
     val prevParts = scopedStatePartitions(spark)
-    val q = joined
+    try {
+      val q = joined
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -625,15 +632,16 @@ object Streams {
         s"c_ts <= p_ts + INTERVAL ${windowMs / 1000} SECONDS"),
       "left_outer")
     val prevParts = scopedStatePartitions(spark)
-    val q = joined
+    try {
+      val q = joined
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir).filter(col("c_user") >= 0)
   }
@@ -659,7 +667,8 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = stream
+    try {
+      val q = stream
       .join(broadcast(dim), col(eventKey) === col(dimKey))
       .drop(dimKey)
       .writeStream.format("parquet")
@@ -668,8 +677,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     spark.read.parquet(sinkDir)
   }
@@ -738,7 +747,8 @@ object Streams {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = stream.writeStream
+    try {
+      val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val merged = latestVersion(batchId) match {
           case Some(p) => batch.sparkSession.read.parquet(p).unionByName(batch)
@@ -753,8 +763,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     spark.read.parquet(latestVersion(Long.MaxValue).getOrElse(
       sys.error("upsert drain saw no batches")))
   }
@@ -790,7 +800,8 @@ object Streams {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prevParts = scopedStatePartitions(spark)
-    val q = stream.writeStream
+    try {
+      val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val from = (batchId + 1).toInt
         Versioned.merge(batch.sparkSession, root, keyCol, opCol,
@@ -800,8 +811,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(srcDir); rmTree(ckpt)
     Versioned.readAsOf(spark, root, Versioned.latestVersion(root))
   }
@@ -837,11 +848,16 @@ object Streams {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(manRoot)
     val prevParts = scopedStatePartitions(spark)
+    try {
+      // the oldest SURVIVING snapshot is the emit-nothing initial load —
+    // after expire() that need not be v=1, and diffing it against its
+    // expired predecessor would fail
+    val baseV = Versioned.oldestVersion(root)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val vs = batch.select("v").distinct().collect()
           .map(_.getInt(0)).sorted
-        vs.filter(_ > 1).foreach { v =>
+        vs.filter(_ > baseV).foreach { v =>
           Versioned.changeFeed(batch.sparkSession, root, keyCol,
               v - 1, v)
             .coalesce(1).write.mode("overwrite")
@@ -852,8 +868,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(ckpt)
     val dirs = Option(new java.io.File(sinkRoot).listFiles())
       .getOrElse(Array.empty)
@@ -921,7 +937,8 @@ object Streams {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir).as[UEvent]
       val prevParts = scopedStatePartitions(spark)
-      val q = stream.groupByKey(_.user_id)
+      try {
+        val q = stream.groupByKey(_.user_id)
         .transformWithState(new RunningTotalsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
@@ -934,8 +951,8 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally restoreStatePartitions(spark, prevParts)
+        q.awaitTermination()
+      } finally restoreStatePartitions(spark, prevParts)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
@@ -960,15 +977,16 @@ object Streams {
     val spark = stream.sparkSession
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$tableName").toString
     val prevParts = scopedStatePartitions(spark)
-    val q = stream.writeStream
+    try {
+      val q = stream.writeStream
       .format("memory")
       .queryName(tableName)
       .outputMode(outputMode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally restoreStatePartitions(spark, prevParts)
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
     rmTree(ckpt)
     spark.table(tableName)
   }
