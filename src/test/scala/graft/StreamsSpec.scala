@@ -370,5 +370,16 @@ class StreamsSpec extends SparkSpec {
       .agg(countDistinct("_commit_version").as("nv"))
       .as[(Long, Long)].collect()
     assert(perKey.forall(_._2 == 1L), perKey.mkString(","))
+    // expired history: drop all but the last two snapshots — the
+    // oldest SURVIVOR becomes the emit-nothing base (not v=1, whose
+    // manifest is gone), and the drain still feeds the last commit
+    Versioned.expire(spark, root, keepVersions = 2)
+    val afterExpire = Streams.changeFeedStreamDrain(spark, root, "k")
+    val want2 = Versioned.changeFeed(spark, root, "k",
+        latest - 1, latest)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(afterExpire.select("_change_type", "k")
+      .as[(String, Long)].collect().toSet == want2,
+      "post-expire drain diverged from the surviving-range feed")
   }
 }

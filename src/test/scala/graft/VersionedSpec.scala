@@ -196,6 +196,18 @@ class VersionedSpec extends SparkSpec {
     val w = Versioned.readAsOfWhere(spark, root, 2, "k", 1L, 1L)
     assert(w.columns.contains("tier")
       && w.select("tier").as[String].head() == "gold")
+    // schema STABILITY: a range whose surviving files all predate the
+    // evolution must still carry the column (as nulls), and so must a
+    // fully-pruned range — the snapshot's schema never depends on
+    // which files the manifest prunes
+    val oldOnly = Versioned.readAsOfWhere(spark, root, 2, "k", 15L, 16L)
+    assert(oldOnly.columns.contains("tier"),
+      s"pre-evolution range dropped the evolved column: ${oldOnly.columns.toSeq}")
+    assert(oldOnly.select("k", "tier").as[(Long, Option[String])]
+      .collect().toSet == Set((15L, None), (16L, None)))
+    val none = Versioned.readAsOfWhere(spark, root, 2, "k", 900L, 999L)
+    assert(none.count() == 0 && none.columns.contains("tier"),
+      s"fully-pruned range lost the schema: ${none.columns.toSeq}")
   }
 
   test("change feed: per-commit row-level diff with pre/post images, " +
