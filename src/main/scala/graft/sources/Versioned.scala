@@ -584,16 +584,25 @@ object Versioned {
               .filter(lit(false))
           } else s.read.option("mergeSchema", "true")
             .parquet(affected.toSeq: _*)
-        // add-column schema evolution: columns the change batch has
-        // but the base files lack read as typed nulls in the base, so
-        // mergeUpsert aligns on the UNION schema and rewritten files
-        // land with the new schema
+        // add-column schema evolution, BOTH directions: columns the
+        // change batch has but the base files lack read as typed
+        // nulls in the base (rewritten files land with the new
+        // schema), and columns the TABLE evolved earlier that this
+        // batch omits become typed nulls on the change side — an
+        // upserted row IS the change row in full, so an absent column
+        // is null, and later commits need not know about every past
+        // evolution (fuzz-caught: a post-evolution batch without the
+        // evolved column failed to resolve it).
         val newCols = changes.columns
           .filterNot(c => c == opCol || base.columns.contains(c))
         val aligned = newCols.foldLeft(base)((b, c) =>
           b.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
-        val merged = Relational.mergeUpsert(aligned, changes, keyCol,
-          opCol)
+        val missingInChanges = aligned.columns
+          .filterNot(changes.columns.contains)
+        val changesAligned = missingInChanges.foldLeft(changes)((c, cn) =>
+          c.withColumn(cn, lit(null).cast(aligned.schema(cn).dataType)))
+        val merged = Relational.mergeUpsert(aligned, changesAligned,
+          keyCol, opCol)
         writeFileGroup(merged, root, keyCol, math.max(1, affected.size))
       }
     commitManifest(untouched.unionByName(newStats), root, toVersion,
