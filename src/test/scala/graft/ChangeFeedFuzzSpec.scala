@@ -114,6 +114,16 @@ class ChangeFeedFuzzSpec extends SparkSpec {
         val want = bruteDiff(root, ver)
         assert(got == want,
           s"trial $trial v$ver: missed=${want -- got} extra=${got -- want}")
+        // and a random pruned range read must equal full-read + filter
+        // (same history, so evolution/tombstone states get exercised)
+        val lo = rnd.nextInt(n).toLong
+        val hi = lo + rnd.nextInt(10)
+        val gotR = Versioned.readAsOfWhere(spark, root, ver, "k", lo, hi)
+          .select("k").as[Long].collect().sorted.toSeq
+        val wantR = Versioned.readAsOf(spark, root, ver)
+          .filter(col("k") >= lo && col("k") <= hi)
+          .select("k").as[Long].collect().sorted.toSeq
+        assert(gotR == wantR, s"trial $trial v$ver range [$lo,$hi]")
       }
       // and within one commit a key appears at most once per image side
       val full = Versioned.changeFeed(spark, root, "k", 1, v)

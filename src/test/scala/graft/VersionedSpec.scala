@@ -302,4 +302,44 @@ class VersionedSpec extends SparkSpec {
         overwrite = false)
     }
   }
+
+  test("optimistic concurrency under TRUE concurrency: racing writers " +
+    "produce exactly one winner per version, every time") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-spec9") + "/t"
+    Versioned.write(table(10), root, "k", version = 1, nFiles = 2)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      (2 to 4).foreach { v =>
+        // four writers race the same commit; the kernel's rename
+        // serializes them — exactly one must win, the rest must get
+        // the typed conflict (never a raw rename error or two winners)
+        val start = new CountDownLatch(1)
+        val results = (0 until 4).map { i =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = {
+              val b = Seq((i.toLong, s"w$i-v$v", i * 1.0, "U"))
+                .toDF("k", "status", "price", "op")
+              start.await()
+              try { Versioned.merge(spark, root, "k", "op", b,
+                v - 1, v, overwrite = false); "won" }
+              catch {
+                case _: Versioned.ConcurrentCommitException => "lost"
+              }
+            }
+          })
+        }
+        start.countDown()
+        val outcomes = results.map(_.get())
+        assert(outcomes.count(_ == "won") == 1,
+          s"v$v outcomes: $outcomes")
+        // the committed snapshot carries exactly the winner's row for
+        // THIS version (earlier rounds' winners persist on their keys)
+        val winner = Versioned.readAsOf(spark, root, v)
+          .filter($"status".endsWith(s"-v$v"))
+          .select("status").as[String].collect()
+        assert(winner.length == 1, s"v$v rows: ${winner.mkString(",")}")
+      }
+    } finally pool.shutdown()
+  }
 }
