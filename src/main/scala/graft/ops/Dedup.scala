@@ -445,10 +445,22 @@ object Dedup {
     */
   def editDistance1Join(df: DataFrame, idCol: String,
                         strCol: String): DataFrame = {
-    val keyed = df
+    val rows = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-      .select(col("id"), col("s"),
+      .cache()
+    // FastSS runs on DISTINCT strings, not rows: duplicated strings
+    // (10 copies of a corpus ⇒ every name 10x) would otherwise deepen
+    // every deletion-variant bucket by the duplication factor d and
+    // blow the candidate join up d^2-fold for pairs the verify stage
+    // re-proves d^2 times. On distinct strings the bucket work is
+    // duplication-invariant; the d^2 growth moves entirely into the
+    // two cheap id-expansion hash joins below, whose output is the
+    // legitimately-quadratic part of the ANSWER (caught by the sf1
+    // full-suite run: 10x data with shared names was 19x wall).
+    val strs = rows.select("s").distinct()
+    val keyed = strs
+      .select(col("s"),
         explode(array_distinct(concat(
           array(col("s")),
           when(length(col("s")) > 0,
@@ -456,20 +468,35 @@ object Dedup {
               concat(col("s").substr(lit(1), i),
                 col("s").substr(i + 2, length(col("s"))))))
             .otherwise(array().cast("array<string>"))))).as("v"))
-      .select(col("id"), col("s"), xxhash64(col("v")).as("k"))
+      .select(col("s"), xxhash64(col("v")).as("k"))
       .cache() // feeds BOTH join sides — halves the variant generation
-    val a = keyed.select(col("k"), col("id").as("a_id"), col("s").as("a_s"))
-    val b = keyed.select(col("k"), col("id").as("b_id"), col("s").as("b_s"))
+    val a = keyed.select(col("k"), col("s").as("a_s"))
+    val b = keyed.select(col("k"), col("s").as("b_s"))
     // verify BEFORE distinct, with the THRESHOLDED levenshtein (banded
     // O(len * k) DP, -1 past the bound — ~10x the full-matrix form on
     // long-ish strings), so the distinct shuffle carries only the
-    // surviving (a_id, b_id, dist) triples — never the strings, and
-    // never the unverified candidate multiset
-    a.join(b, Seq("k"))
-      .filter(col("a_id") < col("b_id"))
+    // surviving (a_s, b_s, dist) string pairs — never the unverified
+    // candidate multiset. Distinct strings differ, so dist here is
+    // exactly 1; dist-0 pairs are the identical-string groups below.
+    val strPairs = a.join(b, Seq("k"))
+      .filter(col("a_s") < col("b_s"))
       .withColumn("dist", levenshtein(col("a_s"), col("b_s"), 1))
       .filter(col("dist") >= 0)
-      .select(col("a_id"), col("b_id"), col("dist")).distinct()
+      .select("a_s", "b_s", "dist").distinct()
+    // expansion to id pairs: dist-1 string pairs fan out to their id
+    // groups (disjoint groups — normalize by id order), and identical
+    // strings pair all their ids at dist 0
+    val inter = strPairs
+      .join(rows.select(col("s").as("a_s"), col("id").as("x")), Seq("a_s"))
+      .join(rows.select(col("s").as("b_s"), col("id").as("y")), Seq("b_s"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("dist"))
+    val intra = rows.select(col("s"), col("id").as("x"))
+      .join(rows.select(col("s"), col("id").as("y")), Seq("s"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a_id"), col("y").as("b_id"),
+        lit(0).as("dist"))
+    inter.unionByName(intra)
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
