@@ -49,10 +49,11 @@ object Versioned {
 
   /** An optimistic commit (`overwrite = false`) lost the race: some
     * other writer committed this version first. The losing writer's
-    * data files are orphaned (never referenced by any manifest — a
-    * later [[expire]] sweep reclaims them, the Delta/Iceberg cleanup
-    * contract) and its recovery is the optimistic-concurrency retry
-    * loop: re-read the now-latest snapshot, re-derive the change
+    * data files are orphaned — never referenced by any manifest, so
+    * invisible to every reader — and [[vacuumOrphans]] reclaims them
+    * (the Delta VACUUM contract; [[expire]] only reclaims files dead
+    * manifests referenced). Recovery is the optimistic-concurrency
+    * retry loop: re-read the now-latest snapshot, re-derive the change
     * batch against it, and commit onto the next version number.
     */
   final class ConcurrentCommitException(root: String, version: Int)
@@ -364,6 +365,40 @@ object Versioned {
       d.delete()
     }
     toDelete.size
+  }
+
+  /** Delete data-file groups NO committed manifest references — the
+    * VACUUM twin of [[expire]] (which only reclaims files that dead
+    * manifests referenced). Orphans come from writers that lost an
+    * optimistic-commit race AFTER writing their file group, and from
+    * crashes between file-group write and manifest commit; both are
+    * invisible to every reader, so deleting them can never break a
+    * snapshot. This is the one maintenance op that must LIST the
+    * files/ directory (the commit protocol never does) — directory-
+    * listing-sized driver work, the Delta VACUUM contract. Returns the
+    * number of orphaned file GROUPS removed.
+    */
+  def vacuumOrphans(s: SparkSession, root: String): Int = {
+    val manRoot = new java.io.File(s"$root/_graft_manifest")
+    val versions = Option(manRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+    val referenced = versions.flatMap(v =>
+      manifest(s, root, v).select("path").collect().map(r =>
+        // manifests store absolute file:// URIs; compare on the
+        // file-group DIRECTORY (files/<uuid>), the unit of both the
+        // write and the vacuum
+        new java.io.File(new java.net.URI(r.getString(0)).getPath)
+          .getParentFile.getCanonicalPath)).toSet
+    val groups = Option(new java.io.File(s"$root/files").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    val orphans = groups.filterNot(g =>
+      referenced(g.getCanonicalPath))
+    orphans.foreach { g =>
+      Option(g.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      g.delete()
+    }
+    orphans.length
   }
 
   /** The adjacent-pair diff's scan scope: data files present in

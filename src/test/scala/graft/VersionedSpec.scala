@@ -340,6 +340,16 @@ class VersionedSpec extends SparkSpec {
           .select("status").as[String].collect()
         assert(winner.length == 1, s"v$v rows: ${winner.mkString(",")}")
       }
+      // the nine losers each orphaned a file group no manifest
+      // references; vacuum reclaims EXACTLY those, and every snapshot
+      // still reads in full afterwards
+      val removed = Versioned.vacuumOrphans(spark, root)
+      assert(removed == 9, s"expected 9 orphaned groups, got $removed")
+      assert(Versioned.vacuumOrphans(spark, root) == 0)
+      (1 to 4).foreach { v =>
+        assert(Versioned.readAsOf(spark, root, v).count() >= 10,
+          s"v$v unreadable after vacuum")
+      }
     } finally pool.shutdown()
   }
 }
