@@ -81,6 +81,44 @@ object Dedup {
     * boilerplate clusters are the skew risk, bounded by verifying only
     * distinct pairs.
     */
+  /** Attach each candidate pair's two sorted hashed shingle sets for
+    * exact verification WITHOUT shuffling an array per pair when
+    * avoidable. The naive verify join's intermediate — (pair, sh_a)
+    * rows repartitioned by id_b — is the one structure in a
+    * similarity join whose bytes scale as |candidates| × |set|:
+    * under g-fold corpus duplication candidate pairs grow ~g² (the
+    * true-pair output itself is g², so no candidate scheme escapes
+    * it), and the sf3 stress (30× sf0.1: 150k docs, 107.6M PPJoin
+    * candidates) measured that intermediate at ~90 GB — it exhausted
+    * local disk before any result row emerged. The sets TABLE, by
+    * contrast, stays linear in the corpus (~65 MB at sf3): when its
+    * measured size (one cheap agg on the already-cached table) fits
+    * under `maxBroadcastBytes`, it is broadcast into BOTH lookups,
+    * the arrays never cross a shuffle, and candidates stream through
+    * map-side hash joins where the exact filter drops them in place.
+    * Beyond the cap (a truly huge corpus) the plain shuffle joins
+    * return — per-executor volume a real cluster absorbs — so the
+    * cap marks the honest boundary between the two regimes rather
+    * than hiding it.
+    *
+    * `sets` must be (id, sh: sorted array<long>); output carries the
+    * candidate columns plus sh_a (for `aCol`) and sh_b (for `bCol`).
+    */
+  private[graft] def attachSets(cand: DataFrame, sets: DataFrame,
+                                aCol: String, bCol: String,
+                                maxBroadcastBytes: Long = 256L << 20)
+      : DataFrame = {
+    val st = sets
+      .agg(count(lit(1)).as("n"), avg(size(col("sh"))).as("s")).first
+    val avgSz = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    val bytes = st.getLong(0) * (8.0 * avgSz + 24.0)
+    val side = if (bytes <= maxBroadcastBytes.toDouble) broadcast(sets)
+               else sets
+    cand
+      .join(side.select(col("id").as(aCol), col("sh").as("sh_a")), Seq(aCol))
+      .join(side.select(col("id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
@@ -106,20 +144,39 @@ object Dedup {
         substring(md5(concat_ws(",",
           slice(col("sigs"), b * rows + 1, rows)).cast("binary")), 1, 16)
           .as("bhash"))): _*)
-    val banded = sig.select(col("id"), col("sh"), explode(bandArr).as("bb"))
-      .select(col("id"), col("sh"),
+    // the banded self-join shuffles (id, band, bhash) ONLY — 8 slim
+    // rows per doc. Carrying the shingle array through the band
+    // explode and the join (the old shape) duplicated every doc's
+    // full set 8x into the shuffle and g x per bucket neighbor; on a
+    // corpus with g-sized duplication clusters (boilerplate — the
+    // common case at scale) that multiplied the candidate shuffle by
+    // g * |sh| and made d07 super-linear (caught by the sf3 sweep:
+    // 30x data was ~110x wall). Sets are fetched per SURVIVING
+    // deduped candidate from the cached signature table, the d09
+    // pattern.
+    val slim = sig.select(col("id"), explode(bandArr).as("bb"))
+      .select(col("id"),
         col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    val cand = slim.as("a")
+      .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // union size by arithmetic (sets are distinct), mirroring the
-    // oracle's len(a)+len(b)-inter formulation exactly
-    cand.withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+    // exact verify on 64-bit-hashed SORTED sets through the
+    // SortedIntersect merge kernel (the d09 verify shape — one
+    // branch-predictable scan per pair instead of a per-row string
+    // hash set). Jaccard on hashed sets equals Jaccard on the string
+    // sets unless two distinct shingles of the same pair collide in
+    // 64 bits (~1e-16/pair) — the oracle computes on raw strings, so
+    // the gate would catch it.
+    graft.functions.SortedIntersect.register(df.sparkSession)
+    val sets = sig.select(col("id"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    attachSets(cand, sets, "id_a", "id_b")
+      .withColumn("inter",
+        size(graft.functions.SortedIntersect
+          .intersectFast(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -306,6 +363,22 @@ object Dedup {
     // candidates without losing completeness. (bound+1 is an integer,
     // so int >= ceil(x) <=> int >= x; comparing against x - eps
     // directly skips the ceil and its rounding hazard.)
+    //
+    // Duplication note, measured at the sf3 stress (30x sf0.1): under
+    // g-fold near-duplication the prefix shingles of a g-sized
+    // cluster all carry dfreq ~ g, so the prefix join emits ~g²
+    // candidates per base pair — 107.6M candidates at 150k docs. That
+    // is IRREDUCIBLE for an exact join (the true-pair output itself
+    // is g²-sized); what must not happen is each of those candidates
+    // dragging its two shingle arrays through a shuffle, which is why
+    // the verify below goes through [[attachSets]] (slim 16-byte
+    // pairs shuffle; arrays ride a broadcast while the corpus-linear
+    // sets table fits, shuffle joins beyond). A prefix-GROUP collapse
+    // (dedupe docs by identical prefix set before the join) was tried
+    // here and measured a no-op: each generated near-dup carries a
+    // few globally-unique mutated shingles that sort to the FRONT of
+    // its df-ascending prefix, so 149,760 of 150,000 prefix sets were
+    // distinct — real mutation-style duplication defeats it.
     val overlapFrac = threshold / (1 + threshold)
     val cand = pre.as("a")
       .join(pre.as("b"),
@@ -316,9 +389,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     graft.functions.SortedIntersect.register(df.sparkSession)
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    attachSets(cand, sh.select(col("id"), col("sh")), "id_a", "id_b")
       .withColumn("inter",
         size(graft.functions.SortedIntersect
           .intersectFast(col("sh_a"), col("sh_b"))))
@@ -386,16 +457,12 @@ object Dedup {
       .select(col("a.id").as("id_in"), col("b.id").as("id_of"))
       .dropDuplicates("id_in", "id_of")
     graft.functions.SortedIntersect.register(df.sparkSession)
-    cand
-      .join(sh.select(col("id").as("id_in"), col("sh").as("sh_in")),
-        Seq("id_in"))
-      .join(sh.select(col("id").as("id_of"), col("sh").as("sh_of")),
-        Seq("id_of"))
+    attachSets(cand, sh.select(col("id"), col("sh")), "id_in", "id_of")
       .withColumn("inter",
         size(graft.functions.SortedIntersect
-          .intersectFast(col("sh_in"), col("sh_of"))))
+          .intersectFast(col("sh_a"), col("sh_b"))))
       .withColumn("containment",
-        col("inter").cast("double") / size(col("sh_in")))
+        col("inter").cast("double") / size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select("id_in", "id_of", "containment")
   }
