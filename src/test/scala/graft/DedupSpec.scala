@@ -405,4 +405,37 @@ class DedupSpec extends SparkSpec {
     assert(got == naive,
       s"missing ${naive -- got}, extra ${got -- naive}")
   }
+
+  test("attachSets: broadcast and shuffle regimes agree, and the " +
+      "plan actually switches") {
+    // sets: sorted hashed "shingle" arrays; cand: a few id pairs
+    val sets = Seq(
+      (1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 20L, 40L)),
+      (3L, Seq(50L, 60L, 70L)), (4L, Seq(10L, 60L, 80L, 90L)))
+      .toDF("id", "sh")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    // disable the planner's own auto-broadcast so the regime switch
+    // under test is attachSets' explicit hint, not the tiny fixture
+    // sneaking under autoBroadcastJoinThreshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (bc, sh) = try {
+      val bc = Dedup.attachSets(cand, sets, "id_a", "id_b")
+      val sh = Dedup.attachSets(cand, sets, "id_a", "id_b",
+        maxBroadcastBytes = 0L)
+      // tiny sets table => broadcast regime; cap 0 => shuffle regime
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!sh.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      (bc.localCheckpoint(), sh.localCheckpoint())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"),
+          col("sh_a").cast("string"), col("sh_b").cast("string"))
+        .collect().map(_.toSeq).toSet
+    assert(norm(bc) == norm(sh))
+    assert(norm(bc).size == 4)
+  }
 }
