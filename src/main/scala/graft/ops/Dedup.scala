@@ -103,6 +103,22 @@ object Dedup {
     *
     * `sets` must be (id, sh: sorted array<long>); output carries the
     * candidate columns plus sh_a (for `aCol`) and sh_b (for `bCol`).
+    *
+    * Candidate-pair DEDUP placement is regime-dependent, so this
+    * helper owns it: callers pass candidates RAW (band/prefix joins
+    * emit each pair multiple times) and run their own
+    * `dropDuplicates` only AFTER the verify filter, where survivors
+    * are answer-sized. In the broadcast regime the attach joins are
+    * map-side, so raw candidates never shuffle AT ALL and the only
+    * cost of a duplicate is one extra codegen'd array intersect —
+    * dropping the pre-verify dedup (a 148M-row exchange+sort at the
+    * sf3 stress) took d09's verify phase 150.8 → ~26s. In the
+    * shuffle regime the attach joins DO exchange every candidate
+    * row, so deduping first is what keeps g×-duplicated pairs from
+    * multiplying that exchange — the helper dedups before joining
+    * there. Both orders give identical results (identical pairs
+    * verify to identical rows; the caller's post-filter dedup
+    * collapses them).
     */
   private[graft] def attachSets(cand: DataFrame, sets: DataFrame,
                                 aCol: String, bCol: String,
@@ -112,9 +128,10 @@ object Dedup {
       .agg(count(lit(1)).as("n"), avg(size(col("sh"))).as("s")).first
     val avgSz = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
     val bytes = st.getLong(0) * (8.0 * avgSz + 24.0)
-    val side = if (bytes <= maxBroadcastBytes.toDouble) broadcast(sets)
-               else sets
-    cand
+    val bcast = bytes <= maxBroadcastBytes.toDouble
+    val side = if (bcast) broadcast(sets) else sets
+    val c = if (bcast) cand else cand.dropDuplicates(aCol, bCol)
+    c
       .join(side.select(col("id").as(aCol), col("sh").as("sh_a")), Seq(aCol))
       .join(side.select(col("id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
   }
@@ -157,6 +174,11 @@ object Dedup {
     val slim = sig.select(col("id"), explode(bandArr).as("bb"))
       .select(col("id"),
         col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    // pre-dedup here, unlike the PPJoin callers: LSH banding already
+    // did the similarity filtering, so candidates are answer-sized
+    // (~8 band-dups per true pair, not the prefix join's ~45x
+    // redundancy) — the slim dedup shuffle is cheaper than 8 extra
+    // verifies per pair (measured at sf3: 20.4s vs 31.7s dedup-late)
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
@@ -182,6 +204,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Banded MinHash signature table for one corpus side: (id, sig,
@@ -387,7 +410,6 @@ object Dedup {
         least(col("a.setSize") - col("a.rn"), col("b.setSize") - col("b.rn"))
           + 1 >= (col("a.setSize") + col("b.setSize")) * overlapFrac - eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     graft.functions.SortedIntersect.register(df.sparkSession)
     attachSets(cand, sh.select(col("id"), col("sh")), "id_a", "id_b")
       .withColumn("inter",
@@ -398,6 +420,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Asymmetric CONTAINMENT join: pairs (a, b) where at least
@@ -455,7 +478,6 @@ object Dedup {
         least(col("a.setSize") - col("a.rn"), col("b.setSize") - col("b.rn"))
           + 1 >= col("a.setSize") * threshold - eps)
       .select(col("a.id").as("id_in"), col("b.id").as("id_of"))
-      .dropDuplicates("id_in", "id_of")
     graft.functions.SortedIntersect.register(df.sparkSession)
     attachSets(cand, sh.select(col("id"), col("sh")), "id_in", "id_of")
       .withColumn("inter",
@@ -465,6 +487,7 @@ object Dedup {
         col("inter").cast("double") / size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select("id_in", "id_of", "containment")
+      .dropDuplicates("id_in", "id_of")
   }
 
   /** C4-style span-level dedup (Raffel et al. 2020, arXiv:1910.10683
