@@ -116,21 +116,38 @@ object Dedup {
     * shuffle regime the attach joins DO exchange every candidate
     * row, so deduping first is what keeps g×-duplicated pairs from
     * multiplying that exchange — the helper dedups before joining
-    * there. Both orders give identical results (identical pairs
-    * verify to identical rows; the caller's post-filter dedup
-    * collapses them).
+    * there. Both orders give identical DISTINCT results (identical
+    * pairs verify to identical rows), but output MULTIPLICITY is
+    * regime-dependent: a caller must either pass already-distinct
+    * candidates with `preDeduped = true`, or dedup after its verify
+    * filter — never neither, never count raw output rows.
+    *
+    * The cap compares a RAW-bytes estimate; the true peak cost of
+    * broadcasting is ~2-4× that (driver collect + an in-memory
+    * HashedRelation per join side, two sides live at once), so the
+    * default cap is 128 MB — ~0.5-1 GB peak, safe on stock 4 GB
+    * executors. `preStats` supplies (rowCount, avgSetLen) measured on
+    * an already-cached upstream table, for callers whose `sets`
+    * projection would otherwise recompute (e.g. a hash+sort transform
+    * over the corpus) just to answer the size probe; without it the
+    * helper runs one cheap agg on `sets` itself.
     */
   private[graft] def attachSets(cand: DataFrame, sets: DataFrame,
                                 aCol: String, bCol: String,
-                                maxBroadcastBytes: Long = 256L << 20)
+                                maxBroadcastBytes: Long = 128L << 20,
+                                preDeduped: Boolean = false,
+                                preStats: Option[(Long, Double)] = None)
       : DataFrame = {
-    val st = sets
-      .agg(count(lit(1)).as("n"), avg(size(col("sh"))).as("s")).first
-    val avgSz = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
-    val bytes = st.getLong(0) * (8.0 * avgSz + 24.0)
+    val (n, avgSz) = preStats.getOrElse {
+      val st = sets
+        .agg(count(lit(1)).as("n"), avg(size(col("sh"))).as("s")).first
+      (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+    }
+    val bytes = n * (8.0 * avgSz + 24.0)
     val bcast = bytes <= maxBroadcastBytes.toDouble
     val side = if (bcast) broadcast(sets) else sets
-    val c = if (bcast) cand else cand.dropDuplicates(aCol, bCol)
+    val c = if (bcast || preDeduped) cand
+            else cand.dropDuplicates(aCol, bCol)
     c
       .join(side.select(col("id").as(aCol), col("sh").as("sh_a")), Seq(aCol))
       .join(side.select(col("id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
@@ -178,7 +195,7 @@ object Dedup {
     // did the similarity filtering, so candidates are answer-sized
     // (~8 band-dups per true pair, not the prefix join's ~45x
     // redundancy) — the slim dedup shuffle is cheaper than 8 extra
-    // verifies per pair (measured at sf3: 20.4s vs 31.7s dedup-late)
+    // verifies per pair (sf3: ~21s here vs 31.7s dedup-late)
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
@@ -195,7 +212,16 @@ object Dedup {
     graft.functions.SortedIntersect.register(df.sparkSession)
     val sets = sig.select(col("id"),
       sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
-    attachSets(cand, sets, "id_a", "id_b")
+    // size probe answered from the CACHED sig (set length is the same
+    // before and after hashing) so the hash+sort projection above
+    // isn't recomputed just to decide the regime; cand is distinct,
+    // so attachSets skips its shuffle-regime dedup and no trailing
+    // dedup is needed (1:1 joins can't re-duplicate a distinct pair)
+    val st = sig.agg(count(lit(1)).as("n"), avg(size(col("sh"))).as("s"))
+      .first
+    attachSets(cand, sets, "id_a", "id_b", preDeduped = true,
+        preStats = Some((st.getLong(0),
+          if (st.isNullAt(1)) 0.0 else st.getDouble(1))))
       .withColumn("inter",
         size(graft.functions.SortedIntersect
           .intersectFast(col("sh_a"), col("sh_b"))))
@@ -204,7 +230,6 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Banded MinHash signature table for one corpus side: (id, sig,

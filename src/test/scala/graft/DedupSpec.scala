@@ -413,7 +413,10 @@ class DedupSpec extends SparkSpec {
       (1L, Seq(10L, 20L, 30L)), (2L, Seq(10L, 20L, 40L)),
       (3L, Seq(50L, 60L, 70L)), (4L, Seq(10L, 60L, 80L, 90L)))
       .toDF("id", "sh")
-    val cand = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    // (1,2) duplicated: the documented contract is that output
+    // MULTIPLICITY is regime-dependent — broadcast streams raw
+    // candidates (dup preserved), shuffle dedups before the exchange
+    val cand = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
       .toDF("id_a", "id_b")
     // disable the planner's own auto-broadcast so the regime switch
     // under test is attachSets' explicit hint, not the tiny fixture
@@ -437,5 +440,9 @@ class DedupSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(norm(bc) == norm(sh))
     assert(norm(bc).size == 4)
+    // multiplicity contract: broadcast preserves the duplicate
+    // candidate (5 rows), shuffle dedups pre-exchange (4 rows)
+    assert(bc.count() == 5)
+    assert(sh.count() == 4)
   }
 }
