@@ -107,6 +107,35 @@ object OpsQueries {
   private def trainFps(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(contamPaths(s, dir)._2)
 
+  /** Winnowing near-dup pairs shared by d49/d50: MOSS fingerprints
+    * over corpus+mutants, stop-print cap, original×mutant pair join.
+    * Two scale-correctness properties, both learned the hard way:
+    * the original/mutant SPLIT tests the explicit `is_mutant` flag
+    * (the d24 rule — `doc_id < 100000` silently emptied the
+    * original side at GenScale's 1M-strided ids, making d49 return
+    * zero rows at sf3), and the stop-print cap SCALES with the
+    * corpus — `max(50, nDocs/1000)`, integer division so the DuckDB
+    * oracle computes the identical value — because under g-fold
+    * duplication every genuine fingerprint appears ~2g times and a
+    * fixed cap of 50 classifies the entire signal as boilerplate at
+    * g ≥ 25 (gate scales keep cap = 50 exactly; results unchanged).
+    */
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithMutantsTagged(s, dir)
+    val p = TextAnalysis.winnowedPrints(d, "doc_id", "text", k = 4, w = 4)
+    val cap = math.max(50L, d.count() / 1000L)
+    val freq = p.groupBy("print").agg(count(lit(1)).as("pf"))
+    val kept = p.join(broadcast(freq.filter(col("pf") <= cap)), "print")
+      .join(d.select("doc_id", "is_mutant"), "doc_id")
+    val a = kept.filter(!col("is_mutant"))
+      .select(col("print"), col("doc_id").as("id_a"))
+    val b = kept.filter(col("is_mutant"))
+      .select(col("print"), col("doc_id").as("id_b"))
+    a.join(b, "print")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+  }
+
   /** Embeddings + mutants: first component nudged by +0.01. */
   def embsWithMutants(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
@@ -1331,40 +1360,22 @@ object OpsQueries {
     // the threshold while unrelated docs share almost nothing. Hot
     // prints (appearing in > 50 docs) drop before the join — the
     // standard stop-print guard that caps fan-out at corpus scale.
-    "d49_winnow_neardup" -> ((s, dir) => {
-      val p = TextAnalysis.winnowedPrints(docsWithMutants(s, dir),
-        "doc_id", "text", k = 4, w = 4)
-      val freq = p.groupBy("print").agg(count(lit(1)).as("pf"))
-      val kept = p.join(broadcast(freq.filter(col("pf") <= 50)), "print")
-      val a = kept.filter(col("doc_id") < 100000)
-        .select(col("print"), col("doc_id").as("id_a"))
-      val b = kept.filter(col("doc_id") >= 100000)
-        .select(col("print"), col("doc_id").as("id_b"))
-      a.join(b, "print")
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
-        .orderBy("id_a", "id_b")
-    }),
+    "d49_winnow_neardup" -> ((s, dir) =>
+      winnowPairs(s, dir).orderBy("id_a", "id_b")),
 
     // dedup-quality evaluation — the harness a curation team runs
     // before trusting a detector: d49's winnowing pairs scored
     // against the planted ground truth (every base doc's mutant is
     // its one true near-dup), yielding corpus-level precision/recall.
     // Pure composition of the d49 pipeline + one aggregate; the
-    // oracle replays both.
+    // oracle replays both. On duplicated (GenScale) corpora the
+    // "precision" reading is truth-definition-bound: cross-copy
+    // pairs ARE near-dups of the same base text but are not the
+    // planted pair, so they score as FPs (sf1: recall 0.924,
+    // precision 0.092 — the detector is fine, the metric counts
+    // genuine dups against a 1-pair-per-doc truth).
     "d50_dedup_eval" -> ((s, dir) => {
-      val d = docsWithMutants(s, dir)
-      val p = TextAnalysis.winnowedPrints(d, "doc_id", "text",
-        k = 4, w = 4)
-      val freq = p.groupBy("print").agg(count(lit(1)).as("pf"))
-      val kept = p.join(broadcast(freq.filter(col("pf") <= 50)), "print")
-      val a = kept.filter(col("doc_id") < 100000)
-        .select(col("print"), col("doc_id").as("id_a"))
-      val b = kept.filter(col("doc_id") >= 100000)
-        .select(col("print"), col("doc_id").as("id_b"))
-      val pred = a.join(b, "print")
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
+      val pred = winnowPairs(s, dir)
       val nTruth = docs(s, dir).count()
       pred.agg(count(lit(1)).as("n_pred"),
           sum(when(col("id_b") - col("id_a") === 100000L, 1L)
@@ -1586,12 +1597,22 @@ object OpsQueries {
                END AS prints
         FROM hs),
       inv AS (SELECT doc_id, unnest(prints) AS print FROM wm),
-      pf AS (SELECT print FROM inv GROUP BY 1 HAVING COUNT(*) <= 50),
+      pf AS (SELECT print FROM inv GROUP BY 1
+             HAVING COUNT(*) <=
+               (SELECT greatest(50, 2 * COUNT(*) // 1000)
+                FROM documents)),
       kept AS (SELECT doc_id, print FROM inv JOIN pf USING (print)),
+      flags AS (
+        SELECT doc_id, FALSE AS is_mutant FROM toks0
+        UNION ALL
+        SELECT doc_id + 100000, TRUE FROM toks0),
       j AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM kept a JOIN kept b ON a.print = b.print
-          AND a.doc_id < 100000 AND b.doc_id >= 100000)"""
+        FROM kept a
+        JOIN flags fa ON a.doc_id = fa.doc_id
+        JOIN kept b ON a.print = b.print
+        JOIN flags fb ON b.doc_id = fb.doc_id
+        WHERE NOT fa.is_mutant AND fb.is_mutant)"""
 
   /** d07's oracle replays the FULL LSH pipeline — base hashes, the
     * universal-hash signatures (the same (a_j, b_j) literals the engine
