@@ -101,15 +101,17 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","load_max":$loadMax,"reruns_sec_load":$rr,"errors":$errs,"load_1m_at_start":$loads,"queries":$qs}"""
     // at 200+ queries the full line (~6 KB) no longer fits any ~2 KB
     // capture window, so BENCH_r07 carried parsed:null. Emit a COMPACT
-    // headline line first — total + the slowest 25 queries + a pointer
-    // to the full map — sized to survive truncation whole; the full
-    // line still follows for captures that keep everything.
+    // headline line — total + the slowest 25 queries + a pointer to
+    // the full map — sized to survive truncation whole. It must be the
+    // LAST stdout line: the capture keeps a TAIL, so printing it first
+    // (round 8) scrolled it out behind the full line and the driver
+    // parsed nothing. Full line first, compact headline last.
     val slow = results.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"full_map":"BENCH_LOCAL.json","slowest25":$slow}"""
-    println(compact)
     println(line)
+    println(compact)
     // truncation-proof sibling: the full line also lands in-repo so
     // per-query numbers stay machine-readable regardless of capture
     // limits (the driver commits it with round-end state), plus a

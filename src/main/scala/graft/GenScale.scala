@@ -49,9 +49,23 @@ object GenScale {
       Tables(spark, src, name).crossJoin(copies)
 
     /** Shift the named long-key columns by `__copy * stride`, keep the
-      * rest verbatim, drop the copy index.
+      * rest verbatim, drop the copy index. Asserts max(key) < stride
+      * per shifted column: a source whose keys already reach the
+      * stride (a larger source SF, or GenScale chained on its own
+      * output) would silently collide keys ACROSS copies, corrupting
+      * the join selectivity and dup structure this tool exists to
+      * preserve — fail loudly instead.
       */
     def shifted(name: String, strides: Map[String, Long]): DataFrame = {
+      val src0 = Tables(spark, src, name)
+      val maxes = src0.select(strides.keys.toSeq.map(c =>
+        max(col(c).cast("long")).as(c)): _*).head()
+      strides.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, k), _) =>
+        val m = maxes.getAs[Long](c)
+        require(m < k,
+          s"[genscale] $name.$c max key $m >= stride $k: copies would " +
+            "collide; raise the stride or use an un-scaled source")
+      }
       val df = fanned(name)
       df.select(df.columns.filter(_ != "__copy").map { c =>
         strides.get(c) match {
@@ -81,7 +95,15 @@ object GenScale {
       Map("event_id" -> EVT, "user_id" -> USR)), "events", 8)
 
     // documents: shift ids, make texts per-copy distinct with a suffix
-    // token (and keep n_chars = length(text) true)
+    // token (and keep n_chars = length(text) true). Same collision
+    // guard as shifted(): doc/vec ids must fit under the DOC stride.
+    for (tn <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
+      val m = Tables(spark, src, tn._1)
+        .agg(max(col(tn._2).cast("long"))).head().getLong(0)
+      require(m < DOC,
+        s"[genscale] ${tn._1}.${tn._2} max key $m >= stride $DOC: " +
+          "copies would collide")
+    }
     val docs = fanned("documents")
     write(docs.select(
       (col("doc_id") + col("__copy") * DOC).as("doc_id"),

@@ -788,6 +788,32 @@ object RelQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // timestamp-based time travel (the Delta `timestampAsOf` surface
+    // over the same commit model): each manifest carries its commit
+    // wall-clock in-commit (`_commit_ts`, atomic with the rename);
+    // resolution = latest version committed at or before the asked
+    // instant, inclusive at the boundary. Timestamps here are PINNED
+    // via the fixture hook so the oracle replays resolution
+    // deterministically (v1@1e6 ms, v2@2e6 ms): ts=1.5e6 → v1,
+    // ts=2e6 (boundary) → v2, ts=9e6 → v2. Pre-oldest asks error —
+    // spec-gated, as is expire interaction.
+    "q90_timestamp_travel" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = timeTravelRoot(s, dir)
+      Versioned.setCommitTimestamp(root, 1, 1000000L)
+      Versioned.setCommitTimestamp(root, 2, 2000000L)
+      def at(ts: Int) = {
+        val v = Versioned.versionAtTimestamp(root, ts.toLong)
+        Versioned.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .select(lit(ts).as("ts_ms"), lit(v).as("version"),
+            col("n_rows"), col("total"))
+      }
+      at(1500000).unionByName(at(2000000)).unionByName(at(9000000))
+        .orderBy("ts_ms")
+    }),
+
     // pipeline observability: Dataset.observe attaches data-quality
     // metrics (row count, null count, running mean) to the SAME pass
     // as the real aggregation — zero extra scans, the Spark-native
@@ -3120,6 +3146,39 @@ object RelQueries {
       SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
       FROM v2
       ORDER BY version""",
+
+    // timestamp resolution replay under the pinned commit clocks:
+    // 1.5e6 → v1 content, 2e6 (inclusive boundary) and 9e6 → v2
+    // content — same v1/v2 replay CTEs as q73
+    "q90_timestamp_travel" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 41 = 0),
+      v2 AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U')
+      SELECT 1500000 AS ts_ms, 1 AS version,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(o_totalprice), 2) AS total FROM base
+      UNION ALL
+      SELECT 2000000, 2, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(o_totalprice), 2) FROM v2
+      UNION ALL
+      SELECT 9000000, 2, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(o_totalprice), 2) FROM v2
+      ORDER BY ts_ms""",
 
     // v2 content replay with the evolved column: survivors carry a
     // NULL tier, updated rows compute it from the ORIGINAL price,

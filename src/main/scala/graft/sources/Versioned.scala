@@ -65,6 +65,56 @@ object Versioned {
   private def manifestDir(root: String, version: Int): String =
     s"$root/_graft_manifest/v=$version"
 
+  /** Memoized snapshot schema per (root, version) — [[readAsOfWhere]]
+    * needs the SNAPSHOT's schema (not the surviving file subset's) on
+    * every call, and computing it via [[readAsOf]].schema footer-reads
+    * every data file of the snapshot: O(table file count) driver work
+    * that would undercut the pruned point-lookup claim on
+    * many-file tables. A committed version's file list is immutable,
+    * so the memo is sound; the one mutation path (`overwrite = true`
+    * re-commit of the same version) invalidates its entry in
+    * [[commitManifest]].
+    */
+  private val snapSchemaCache = new scala.collection.concurrent
+    .TrieMap[(String, Int), org.apache.spark.sql.types.StructType]
+
+  /** Directory-listing count (test hook): every O(versions) listing
+    * of `_graft_manifest` bumps it, so VersionedSpec can gate that a
+    * warm [[latestVersion]]/[[oldestVersion]] opens the table with
+    * ZERO listings — the `_last_checkpoint` property that keeps a
+    * 100k-commit table's open cost O(1).
+    */
+  private[graft] val manifestListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def ptrFile(root: String, name: String): java.io.File =
+    new java.io.File(s"$root/_graft_manifest/$name")
+
+  private def readPtr(root: String, name: String): Option[Int] =
+    try {
+      val f = ptrFile(root, name)
+      if (f.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8").trim.toInt)
+      else None
+    } catch { case _: Throwable => None }
+
+  /** Best-effort atomic pointer write (temp + rename). The pointer is
+    * a HINT, never ground truth: racing writers can land it slightly
+    * stale (A commits v5, B commits v6, A's pointer write lands last),
+    * and [[latestVersion]]'s probe-forward repairs exactly that — so
+    * a lost or stale pointer costs probes, never correctness.
+    */
+  private def writePtr(root: String, name: String, v: Int): Unit =
+    try {
+      val dir = java.nio.file.Paths.get(s"$root/_graft_manifest")
+      val tmp = java.nio.file.Files.createTempFile(dir, s"_ptr$name", "")
+      java.nio.file.Files.write(tmp, (v.toString + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, ptrFile(root, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => () }
+
   /** Atomic manifest commit: write the manifest parquet into a temp
     * directory, then RENAME it to `v=N`. The version directory —
     * which [[hasVersion]]/[[latestVersion]] key on — appears only
@@ -78,29 +128,91 @@ object Versioned {
     * [[ConcurrentCommitException]], the put-if-absent that table
     * formats build on a conditional PUT. `overwrite = true` keeps
     * replace semantics for single-writer re-runs (the st05/st13
-    * idempotent-retry scheme overwrites its own failed commit).
+    * idempotent-retry scheme overwrites its own failed commit); its
+    * replace is rename-aside + rename-in (never delete-then-rename),
+    * so a concurrent reader always observes SOME complete manifest —
+    * the old one up to the instant the new one lands — and
+    * `hasVersion`/`latestVersion` never regress mid-overwrite.
+    *
+    * Each commit also carries its wall-clock timestamp in a
+    * `_commit_ts` file INSIDE the manifest directory — written before
+    * the rename, so it is atomic with the commit and enables
+    * [[readAsOfTimestamp]] resolution with no extra commit step.
     */
   private def commitManifest(stats: DataFrame, root: String,
                              version: Int,
-                             overwrite: Boolean = true): Unit = {
+                             overwrite: Boolean = true,
+                             tsMs: Option[Long] = None): Unit = {
     val tmp = s"$root/_graft_manifest/_tmp_v${version}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_commit_ts"),
+      (tsMs.getOrElse(System.currentTimeMillis()).toString + "\n")
+        .getBytes("UTF-8"))
     val target = new java.io.File(manifestDir(root, version))
+    var aside: Option[java.io.File] = None
     if (target.exists()) {
       if (!overwrite)
         throw new ConcurrentCommitException(root, version)
-      Option(target.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      target.delete()
+      val a = new java.io.File(s"$root/_graft_manifest/_old_v${version}_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      if (target.renameTo(a)) aside = Some(a)
+      // a failed rename-aside (concurrent overwrite of the same
+      // version — outside the contract) falls through and lets the
+      // rename below fail loudly
     }
     if (!new java.io.File(tmp).renameTo(target)) {
       // two optimistic writers can both pass the exists() probe; the
       // kernel serializes the renames, so the loser lands here
+      aside.foreach(_.renameTo(target)) // restore the old manifest
       if (!overwrite && target.exists())
         throw new ConcurrentCommitException(root, version)
       sys.error(s"manifest commit failed: rename $tmp -> $target")
     }
+    aside.foreach { a =>
+      Option(a.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      a.delete()
+    }
+    snapSchemaCache.remove((root, version))
+    // version pointers: monotonic hints that make table open O(1)
+    if (readPtr(root, "_last").forall(_ < version))
+      writePtr(root, "_last", version)
+    if (readPtr(root, "_first").forall(_ > version))
+      writePtr(root, "_first", version)
   }
+
+  /** Fixture/test hook: pin `version`'s commit timestamp (millis) so
+    * [[readAsOfTimestamp]] resolution is deterministic in oracles.
+    * Production commits stamp wall-clock time automatically.
+    */
+  def setCommitTimestamp(root: String, version: Int, tsMs: Long): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(manifestDir(root, version), "_commit_ts"),
+      (tsMs.toString + "\n").getBytes("UTF-8"))
+
+  /** Commit wall-clock timestamp of `version` (millis). Pre-feature
+    * manifests (no `_commit_ts` file) fall back to directory mtime —
+    * same semantics, weaker durability across copies.
+    */
+  def commitTimestamp(root: String, version: Int): Long = {
+    val f = new java.io.File(manifestDir(root, version), "_commit_ts")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.toLong
+    else new java.io.File(manifestDir(root, version)).lastModified()
+  }
+
+  /** A read asked for a version whose manifest no longer (or never)
+    * exists — typically a reader pinned to V racing an [[expire]]
+    * that dropped V. Typed so a retry loop can distinguish "snapshot
+    * expired mid-read, re-pin to a surviving version" from real I/O
+    * failure.
+    */
+  final class NoSuchVersionException(root: String, version: Int)
+    extends RuntimeException(
+      s"version $version does not exist at $root (never committed, " +
+        "or expired); re-pin to a surviving version")
 
   /** One row per file of `version`: (path, min_key, max_key, rows,
     * kind) with kind = 'data' | 'delete'. Manifests written before the
@@ -108,6 +220,8 @@ object Versioned {
     * snapshots stay readable (manifest-schema evolution).
     */
   def manifest(s: SparkSession, root: String, version: Int): DataFrame = {
+    if (!hasVersion(root, version))
+      throw new NoSuchVersionException(root, version)
     val m = s.read.parquet(manifestDir(root, version))
     if (m.columns.contains("kind")) m
     else m.withColumn("kind", lit("data"))
@@ -116,26 +230,86 @@ object Versioned {
   def hasVersion(root: String, version: Int): Boolean =
     new java.io.File(manifestDir(root, version)).exists()
 
-  /** Highest committed version under `root`. */
-  def latestVersion(root: String): Int = {
+  /** The O(versions) listing fallback — counted via
+    * [[manifestListings]] so the spec can prove the pointer path
+    * avoids it.
+    */
+  private def listVersions(root: String): Array[Int] = {
+    manifestListings.incrementAndGet()
     val manRoot = new java.io.File(s"$root/_graft_manifest")
     Option(manRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toInt)
-      .maxOption.getOrElse(sys.error(s"no versions at $root"))
   }
+
+  /** Highest committed version under `root` — O(1) on the pointer
+    * path: read the `_last` hint, then probe FORWARD until the first
+    * missing version (commits are dense, so the probe is the
+    * staleness gap, usually zero). A racing writer can leave the
+    * pointer one behind; the probe repairs it, so the hint is never
+    * load-bearing for correctness. Tables without a pointer (pre-
+    * feature, or the pointer write failed) fall back to the
+    * O(versions) directory listing — the exact cost Delta's
+    * `_last_checkpoint` exists to avoid at 100k commits.
+    */
+  def latestVersion(root: String): Int =
+    readPtr(root, "_last") match {
+      case Some(p) if hasVersion(root, p) =>
+        var v = p
+        while (hasVersion(root, v + 1)) v += 1
+        v
+      case _ =>
+        listVersions(root).maxOption
+          .getOrElse(sys.error(s"no versions at $root"))
+    }
 
   /** Lowest committed version under `root` — after [[expire]] this is
     * the oldest surviving snapshot, i.e. the change-feed base (its own
-    * predecessor diff is gone with the expired manifests).
+    * predecessor diff is gone with the expired manifests). Same
+    * pointer scheme as [[latestVersion]] (`_first`, maintained by
+    * commits and by [[expire]]); a stale hint — a crash between
+    * expire's deletes and its pointer update — probes forward to the
+    * first surviving version and self-repairs the pointer.
     */
-  def oldestVersion(root: String): Int = {
-    val manRoot = new java.io.File(s"$root/_graft_manifest")
-    Option(manRoot.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toInt)
-      .minOption.getOrElse(sys.error(s"no versions at $root"))
+  def oldestVersion(root: String): Int =
+    readPtr(root, "_first") match {
+      case Some(p) if hasVersion(root, p) => p
+      case Some(p) =>
+        val last = latestVersion(root)
+        var v = p
+        while (v < last && !hasVersion(root, v)) v += 1
+        if (hasVersion(root, v)) { writePtr(root, "_first", v); v }
+        else listVersions(root).minOption
+          .getOrElse(sys.error(s"no versions at $root"))
+      case _ =>
+        listVersions(root).minOption
+          .getOrElse(sys.error(s"no versions at $root"))
+    }
+
+  /** Resolve a wall-clock timestamp to the version a reader pinned at
+    * that instant would see: the LATEST version whose commit
+    * timestamp is <= `tsMs` (the Delta `timestampAsOf` contract).
+    * Errors when `tsMs` predates the oldest surviving commit — after
+    * [[expire]] that history is gone and silently serving the oldest
+    * snapshot would misattribute it.
+    */
+  def versionAtTimestamp(root: String, tsMs: Long): Int = {
+    val lo = oldestVersion(root)
+    val hi = latestVersion(root)
+    val cands = (lo to hi).filter(v =>
+      hasVersion(root, v) && commitTimestamp(root, v) <= tsMs)
+    require(cands.nonEmpty,
+      s"no commit at or before ts=$tsMs at $root (oldest surviving " +
+        s"version $lo committed at ${commitTimestamp(root, lo)}; " +
+        "earlier history may have been expired)")
+    cands.max
   }
+
+  /** Snapshot read as of a wall-clock timestamp —
+    * [[versionAtTimestamp]] + [[readAsOf]]. */
+  def readAsOfTimestamp(s: SparkSession, root: String,
+                        tsMs: Long): DataFrame =
+    readAsOf(s, root, versionAtTimestamp(root, tsMs))
 
   /** Per-file (path, min_key, max_key, rows) for freshly written
     * files — one column-pruned scan grouped by file.
@@ -246,10 +420,12 @@ object Versioned {
     // surviving file subset happens to carry: under add-column
     // evolution a range whose files all predate the column (or a
     // fully-pruned range) would otherwise drop it, making the schema
-    // depend on the query range. Footer-merged once per call —
-    // file-count-sized driver work; production formats keep the table
-    // schema in commit metadata to skip exactly this step.
-    val snapSchema = readAsOf(s, root, version).schema
+    // depend on the query range. Footer-merged ONCE per (root,
+    // version) and memoized ([[snapSchemaCache]]) — repeated point
+    // lookups pay zero footer reads; production formats persist the
+    // table schema in commit metadata for the same reason.
+    val snapSchema = snapSchemaCache.getOrElseUpdate((root, version),
+      readAsOf(s, root, version).schema)
     val all =
       if (paths.nonEmpty) {
         val read = s.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -363,7 +539,10 @@ object Versioned {
       val d = new java.io.File(manifestDir(root, v))
       Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       d.delete()
+      snapSchemaCache.remove((root, v))
     }
+    // keep the open-cost pointer honest: the oldest survivor moved up
+    keep.minOption.foreach(writePtr(root, "_first", _))
     toDelete.size
   }
 
@@ -372,13 +551,23 @@ object Versioned {
     * manifests referenced). Orphans come from writers that lost an
     * optimistic-commit race AFTER writing their file group, and from
     * crashes between file-group write and manifest commit; both are
-    * invisible to every reader, so deleting them can never break a
-    * snapshot. This is the one maintenance op that must LIST the
-    * files/ directory (the commit protocol never does) — directory-
-    * listing-sized driver work, the Delta VACUUM contract. Returns the
-    * number of orphaned file GROUPS removed.
+    * invisible to every reader. This is the one maintenance op that
+    * must LIST the files/ directory (the commit protocol never does)
+    * — directory-listing-sized driver work, the Delta VACUUM
+    * contract. Returns the number of orphaned file GROUPS removed.
+    *
+    * `graceMs` is the retention window that makes vacuum safe under
+    * CONCURRENT writers: the commit protocol writes a file group
+    * BEFORE renaming its manifest in, so a zero-grace vacuum racing
+    * that window would delete an in-flight winner's data files and
+    * leave its subsequent manifest referencing nothing — a
+    * permanently broken snapshot. Skipping groups younger than the
+    * grace period (mtime-based, like Delta VACUUM's retention) closes
+    * the race for any writer that commits within the window; pass
+    * `graceMs = 0` only when no writer can be in flight.
     */
-  def vacuumOrphans(s: SparkSession, root: String): Int = {
+  def vacuumOrphans(s: SparkSession, root: String,
+                    graceMs: Long = 20 * 60 * 1000L): Int = {
     val manRoot = new java.io.File(s"$root/_graft_manifest")
     val versions = Option(manRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("v="))
@@ -392,8 +581,9 @@ object Versioned {
           .getParentFile.getCanonicalPath)).toSet
     val groups = Option(new java.io.File(s"$root/files").listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
-    val orphans = groups.filterNot(g =>
-      referenced(g.getCanonicalPath))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = groups.filterNot(g => referenced(g.getCanonicalPath))
+      .filter(_.lastModified() < cutoff)
     orphans.foreach { g =>
       Option(g.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       g.delete()

@@ -343,13 +343,118 @@ class VersionedSpec extends SparkSpec {
       // the nine losers each orphaned a file group no manifest
       // references; vacuum reclaims EXACTLY those, and every snapshot
       // still reads in full afterwards
-      val removed = Versioned.vacuumOrphans(spark, root)
+      // graceMs = 0: all writers are provably done here; the default
+      // retention exists for vacuums racing in-flight commits
+      val removed = Versioned.vacuumOrphans(spark, root, graceMs = 0L)
       assert(removed == 9, s"expected 9 orphaned groups, got $removed")
+      assert(Versioned.vacuumOrphans(spark, root, graceMs = 0L) == 0)
+      // the default-grace vacuum skips EVERYTHING young — the
+      // retention window that keeps a racing writer's pre-commit file
+      // group alive (all groups here are seconds old)
+      Versioned.write(table(3), root, "k", version = 5, nFiles = 1)
+      val f = new java.io.File(s"$root/files")
+      val groupsBefore = Option(f.listFiles()).get.count(_.isDirectory)
       assert(Versioned.vacuumOrphans(spark, root) == 0)
+      assert(Option(f.listFiles()).get.count(_.isDirectory)
+        == groupsBefore, "default-grace vacuum must not delete young groups")
       (1 to 4).foreach { v =>
         assert(Versioned.readAsOf(spark, root, v).count() >= 10,
           s"v$v unreadable after vacuum")
       }
     } finally pool.shutdown()
+  }
+
+  test("version pointers make table open O(1): warm latest/oldest " +
+    "do ZERO manifest-directory listings, and a stale pointer " +
+    "self-repairs") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-ptr") + "/t"
+    Versioned.write(table(10), root, "k", version = 1, nFiles = 2)
+    (2 to 6).foreach { v =>
+      val ch = Seq((1L, s"v$v", 1.0, "U")).toDF("k", "status", "price", "op")
+      Versioned.merge(spark, root, "k", "op", ch, v - 1, v)
+    }
+    val before = Versioned.manifestListings.get()
+    assert(Versioned.latestVersion(root) == 6)
+    assert(Versioned.oldestVersion(root) == 1)
+    assert(Versioned.manifestListings.get() == before,
+      "pointer-path open must not list the manifest directory")
+    // stale-low pointer (a racing writer's late pointer write): the
+    // probe walks forward to the true latest
+    val last = new java.io.File(s"$root/_graft_manifest/_last")
+    java.nio.file.Files.write(last.toPath, "4\n".getBytes("UTF-8"))
+    assert(Versioned.latestVersion(root) == 6)
+    // expire moves the oldest pointer; open stays listing-free
+    Versioned.expire(spark, root, keepVersions = 3)
+    val before2 = Versioned.manifestListings.get()
+    assert(Versioned.oldestVersion(root) == 4)
+    assert(Versioned.latestVersion(root) == 6)
+    assert(Versioned.manifestListings.get() == before2)
+    // crash between expire's deletes and its pointer update: stale
+    // `_first` probes forward and self-repairs
+    val first = new java.io.File(s"$root/_graft_manifest/_first")
+    java.nio.file.Files.write(first.toPath, "1\n".getBytes("UTF-8"))
+    assert(Versioned.oldestVersion(root) == 4)
+    // a deleted pointer falls back to the listing and still answers
+    last.delete()
+    assert(Versioned.latestVersion(root) == 6)
+  }
+
+  test("timestamp time travel: latest commit <= ts wins, boundary " +
+    "inclusive, pre-history and post-expire asks fail typed") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-ts") + "/t"
+    Versioned.write(table(10), root, "k", version = 1, nFiles = 2)
+    val ch = Seq((1L, "u", 9.0, "U")).toDF("k", "status", "price", "op")
+    Versioned.merge(spark, root, "k", "op", ch, 1, 2)
+    Versioned.setCommitTimestamp(root, 1, 1000L)
+    Versioned.setCommitTimestamp(root, 2, 2000L)
+    assert(Versioned.versionAtTimestamp(root, 1500L) == 1)
+    assert(Versioned.versionAtTimestamp(root, 2000L) == 2) // inclusive
+    assert(Versioned.versionAtTimestamp(root, 99999L) == 2)
+    assert(Versioned.readAsOfTimestamp(spark, root, 1500L)
+      .filter($"k" === 1).select("status").as[String].head() == "s1")
+    intercept[IllegalArgumentException] {
+      Versioned.versionAtTimestamp(root, 999L) // predates v1
+    }
+    // expire interaction: once v1 is gone, its time range is
+    // unanswerable — erroring beats silently serving v2
+    Versioned.expire(spark, root, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      Versioned.versionAtTimestamp(root, 1500L)
+    }
+    assert(Versioned.versionAtTimestamp(root, 2500L) == 2)
+  }
+
+  test("snapshot isolation under concurrent maintenance: a reader " +
+    "pinned to V survives expire+vacuum that keep V, and an expired " +
+    "pin fails with the typed error") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-iso") + "/t"
+    Versioned.write(table(30), root, "k", version = 1, nFiles = 4)
+    (2 to 4).foreach { v =>
+      val ch = Seq(((v * 3).toLong, s"v$v", 1.0, "U"), ((v * 7).toLong, "", 0.0, "D"))
+        .toDF("k", "status", "price", "op")
+      Versioned.merge(spark, root, "k", "op", ch, v - 1, v)
+    }
+    // reader pins v3 (a DataFrame holds the resolved file list); a
+    // concurrent writer commits v5, expire drops v1/v2 but keeps v3,
+    // vacuum sweeps orphans — the pinned read must still see exactly
+    // the v3 snapshot
+    val pinned = Versioned.readAsOf(spark, root, 3)
+    val expected = pinned.as[(Long, String, Double)].collect().toSet
+    val ch5 = Seq((1L, "v5", 5.0, "U")).toDF("k", "status", "price", "op")
+    Versioned.merge(spark, root, "k", "op", ch5, 4, 5)
+    Versioned.expire(spark, root, keepVersions = 3) // keeps v3..v5
+    Versioned.vacuumOrphans(spark, root, graceMs = 0L)
+    assert(pinned.as[(Long, String, Double)].collect().toSet == expected,
+      "pinned v3 read changed under concurrent expire+vacuum")
+    assert(Versioned.readAsOf(spark, root, 3)
+      .as[(Long, String, Double)].collect().toSet == expected)
+    // a pin on an EXPIRED version fails with the typed error, not a
+    // raw parquet path failure
+    intercept[Versioned.NoSuchVersionException] {
+      Versioned.readAsOf(spark, root, 2)
+    }
+    intercept[IllegalArgumentException] { // changeFeed's range require
+      Versioned.changeFeed(spark, root, "k", 1, 3)
+    }
   }
 }
