@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{OpsQueries, RelQueries, StatQueries, StreamQueries}
+import graft.queries.{OpsQueries, PipelineQueries, RelQueries, StatQueries,
+  StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +23,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ StatQueries.queries ++ OpsQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ StatQueries.oracles ++ OpsQueries.oracles ++
-      StreamQueries.oracles
+      StreamQueries.oracles ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries
+
+/** Semantic gates for the composed corpus pipeline (p01/p02): each
+  * planted fixture must be caught by the stage it was planted FOR, the
+  * funnel must shrink monotonically, and the pack coordinates must be
+  * internally consistent. The value-level gate (full-chain DuckDB
+  * replay) is the driver's oracle pass; these specs pin the semantics
+  * that a hash can't explain when it breaks.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val st = PipelineQueries.chain(spark, sf001)
+  private lazy val off: Long = {
+    val mx = graft.Tables(spark, sf001, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    (mx / 1000000L + 1L) * 1000000L
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("exact dedup collapses every planted exact copy onto its " +
+    "original (no id in the copy stride survives stage 2)") {
+    val s1 = ids(st.surv1)
+    assert(s1.nonEmpty)
+    assert(!s1.exists(id => id >= off && id < 2 * off),
+      "an exact copy out-ranked its original")
+    // and the originals themselves all survive (min-id keeper rule)
+    val baseIds = ids(graft.Tables(spark, sf001, "documents"))
+    val origSurvivors = s1.filter(_ < off)
+    // an original can only be deduped into ANOTHER original (identical
+    // raw text), never into a planted row (all planted ids are larger)
+    assert(origSurvivors.subsetOf(baseIds))
+  }
+
+  test("fuzzy dedup merges each long doc with its drop-one-token " +
+    "mutant: never both in the survivor set") {
+    val longDocs = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).as("n"))
+      .filter(col("n") >= 20)
+      .select("doc_id").as[Long].collect()
+    val s2 = ids(st.surv2)
+    val both = longDocs.filter(id => s2(id) && s2(id + 2 * off))
+    assert(both.isEmpty,
+      s"mutant pairs survived fuzzy dedup: ${both.take(5).mkString(",")}")
+  }
+
+  test("decontamination removes every planted benchmark leak and the " +
+    "benchmark split itself") {
+    val s4 = ids(st.surv4)
+    assert(!s4.exists(_ >= 3 * off), "a leak reached the final corpus")
+    val srcs = st.cleaned.join(st.surv4, Seq("doc_id"), "left_semi")
+      .select("source").distinct().as[String].collect().toSet
+    assert(!srcs.contains("src0") && !srcs.contains("leak"))
+  }
+
+  test("funnel is monotone non-increasing in docs and tokens across " +
+    "stages 1-5 and every stage drops something at this fixture") {
+    val f = PipelineQueries.queries("p02_pipeline_funnel")(spark, sf001)
+      .collect().sortBy(_.getInt(0))
+    val units = f.map(_.getLong(2))
+    val toks = f.map(_.getLong(3))
+    // stages 1..5 are doc counts; stage 6 is pack count
+    assert(units.slice(0, 5).sliding(2).forall(p => p(1) <= p(0)))
+    assert(toks.slice(0, 5).sliding(2).forall(p => p(1) <= p(0)))
+    assert(units(1) < units(0), "exact dedup dropped nothing")
+    assert(units(2) < units(1), "fuzzy dedup dropped nothing")
+    assert(units(3) < units(2), "decontamination dropped nothing")
+    // packed tokens == quality-gate tokens (packing loses nothing)
+    assert(toks(5) == toks(4))
+  }
+
+  test("pack coordinates are consistent: per-shard offsets are the " +
+    "running token sum in id order, pack bounds bracket the doc") {
+    val rows = st.packed
+      .select("shard", "doc_id", "n_tokens", "tok_offset", "pack_first",
+        "pack_last")
+      .as[(Int, Long, Int, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, id, n, offt, pf, pl) =>
+        assert(offt == cum, s"doc $id offset $offt != running sum $cum")
+        cum += n
+        assert(pf == offt / 256, s"doc $id pack_first")
+        assert(pl == (offt + math.max(n, 1) - 1) / 256 && pl >= pf)
+      }
+    }
+  }
+
+  test("stage handoffs are genuine subsets: surv4 ⊆ surv3 ⊆ surv2 ⊆ " +
+    "surv1 ⊆ cleaned ids") {
+    val c = ids(st.cleaned); val s1 = ids(st.surv1)
+    val s2 = ids(st.surv2); val s3 = ids(st.surv3); val s4 = ids(st.surv4)
+    assert(s1.subsetOf(c) && s2.subsetOf(s1) && s3.subsetOf(s2) &&
+      s4.subsetOf(s3))
+  }
+}
