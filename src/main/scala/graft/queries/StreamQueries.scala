@@ -206,6 +206,20 @@ object StreamQueries {
         .orderBy("_change_type")
     }),
 
+    // stream-driven incremental MV (q89's delta algebra applied per
+    // micro-batch commit off st14's manifest-log stream, version-keyed
+    // idempotent sink): the final MV state after draining all commits
+    // must equal a direct recompute of the final snapshot — which is
+    // exactly what the oracle computes. Per-version MV == full
+    // recompute at EVERY version and re-run idempotence are
+    // StreamsSpec-gated.
+    "st15_streaming_mv" -> ((s, dir) => {
+      val root = streamSinkRoot(s, dir)
+      Streams.streamingMvDrain(s, root, "o_orderkey",
+          "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderstatus")
+    }),
+
     "st12_transform_with_state" -> ((s, dir) => {
       val ev = RelQueries.events(s, dir).select("user_id", "value")
       Streams.transformWithStateDrain(ev)
@@ -323,6 +337,34 @@ object StreamQueries {
                AS cents,
              MIN(k) AS min_k, MAX(k) AS max_k
       FROM feed GROUP BY 1 ORDER BY _change_type""",
+
+    // final-snapshot recompute (st13's v2 replay, MV columns): the
+    // streamed MV must land exactly here after its per-commit deltas
+    "st15_streaming_mv" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 41 = 0),
+      v2 AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U')
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM v2 GROUP BY 1 ORDER BY o_orderstatus""",
 
     "st12_transform_with_state" -> """
       SELECT user_id, COUNT(*) AS n_events,

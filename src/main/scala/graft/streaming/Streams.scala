@@ -897,6 +897,110 @@ object Streams {
     spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
   }
 
+  /** Stream-driven incremental materialized-view maintenance — the
+    * q89 × st14 loop closed (round-8 verdict item 2, the Delta Live
+    * Tables shape): tail the Versioned table's commit log as a file
+    * stream (st14's source), and per committed version apply the
+    * commit's [[graft.sources.Versioned.changeFeed]] rows to the MV as
+    * SIGNED deltas (q89's algebra: insert/update_postimage +1,
+    * delete/update_preimage -1), writing each refreshed MV state to a
+    * VERSION-KEYED sink (`mv_v<N>`, overwrite).
+    *
+    * Semantics under failure/restart: a batch re-run recomputes
+    * mv_v<N> from mv_v<N-1> + the SAME commit-keyed feed and
+    * overwrites the SAME directory — exactly-once MV state under
+    * at-least-once batch execution, keyed by table version (st05/st13
+    * idempotence, commit-version flavored). Out-of-order manifest
+    * discovery and a drain joining an already-grown table bootstrap
+    * through the cold-start path: a missing predecessor MV is rebuilt
+    * by FULL aggregate of that snapshot (what a fresh DLT deployment
+    * does), after which maintenance is incremental again.
+    *
+    * Scale shape: per-batch work is COMMIT-sized (the feed diffs one
+    * manifest pair; the table is never re-scanned after bootstrap) and
+    * the MV itself is GROUP-sized. The MV definition is the q89
+    * shape over (groupCol, valueCol): n_rows + exact integer cents —
+    * signed deltas need lossless arithmetic; a float SUM would drift
+    * under heavy churn.
+    *
+    * Returns the final MV (at the table's latest version). Pass
+    * `sinkDir` to pin the sink (specs inspect per-version states and
+    * re-run drains against the same sink).
+    */
+  def streamingMvDrain(spark: SparkSession, root: String,
+                       keyCol: String, groupCol: String,
+                       valueCol: String,
+                       sinkDir: Option[String] = None): DataFrame = {
+    import graft.sources.Versioned
+    val ckpt = Files.createTempDirectory("graft-st15-ckpt").toString
+    val sinkRoot = sinkDir.getOrElse(tempDirCleanedAtExit("graft-st15-mv"))
+    val manRoot = s"$root/_graft_manifest"
+    val schema = spark.read.parquet(manRoot).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(manRoot)
+    def cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    def fullMv(s2: SparkSession, v: Int) =
+      Versioned.readAsOf(s2, root, v).groupBy(groupCol)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
+    val prevParts = scopedStatePartitions(spark)
+    try {
+      val baseV = Versioned.oldestVersion(root)
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          val s2 = batch.sparkSession
+          val vs = batch.select("v").distinct().collect()
+            .map(_.getInt(0)).sorted
+          vs.foreach { v =>
+            if (v == baseV)
+              fullMv(s2, v).coalesce(1).write.mode("overwrite")
+                .parquet(s"$sinkRoot/mv_v$v")
+            else if (Versioned.hasVersion(root, v - 1)
+                && Versioned.hasVersion(root, v)) {
+              val prevPath = s"$sinkRoot/mv_v${v - 1}"
+              val prev =
+                if (new java.io.File(prevPath).exists())
+                  s2.read.parquet(prevPath)
+                else fullMv(s2, v - 1) // cold-start / out-of-order
+              val sign = when(col("_change_type")
+                .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+              try {
+                val delta = Versioned.changeFeed(s2, root, keyCol,
+                    v - 1, v)
+                  .groupBy(groupCol)
+                  .agg(sum(sign).as("dn"), sum(sign * cents).as("dc"))
+                prev.join(delta, Seq(groupCol), "full_outer")
+                  .select(col(groupCol),
+                    (coalesce(col("n_rows"), lit(0L))
+                      + coalesce(col("dn"), lit(0L))).as("n_rows"),
+                    (coalesce(col("cents"), lit(0L))
+                      + coalesce(col("dc"), lit(0L))).as("cents"))
+                  .filter(col("n_rows") > 0)
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$sinkRoot/mv_v$v")
+              } catch {
+                // expire() racing the drain (st14's contract): a
+                // version whose predecessor vanished mid-diff loses
+                // per-commit attribution and is skipped
+                case e: IllegalArgumentException
+                  if e.getMessage != null
+                    && e.getMessage.contains("expired") =>
+                  System.err.println(
+                    s"[mv] v$v predecessor expired mid-drain; skipped")
+              }
+            } else System.err.println(
+              s"[mv] v$v predecessor expired mid-drain; skipped")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
+    rmTree(ckpt)
+    spark.read.parquet(s"$sinkRoot/mv_v${Versioned.latestVersion(root)}")
+  }
+
   case class UEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

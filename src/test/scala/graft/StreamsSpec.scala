@@ -382,4 +382,52 @@ class StreamsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet == want2,
       "post-expire drain diverged from the surviving-range feed")
   }
+
+  test("streamingMvDrain: per-commit delta maintenance equals the full " +
+    "recompute at EVERY version, and a re-run drain is idempotent") {
+    import graft.sources.Versioned
+    val base = (0L until 50L).map(i => (i, s"g${i % 5}", i * 2.0))
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (3L, "g9", 300.0, "U"),   // update moves key between groups
+      (17L, "g9", 1700.0, "U"),
+      (26L, "x", 0.0, "D"),     // delete shrinks its group
+      (44L, "g0", 4400.0, "U"), // update within a group (value only)
+      (90L, "gN", 900.0, "U")). // insert opens a new group
+      toDF("k", "status", "price", "op")
+    val root = TempDirs.createCleanedAtExit("graft-st15-spec") + "/t"
+    val sink = TempDirs.createCleanedAtExit("graft-st15-spec-mv")
+    Streams.versionedSinkDrain(base, changes, "k", "op", root,
+      numBatches = 3)
+    def cents = floor(col("price") * 100 + 0.5).cast("long")
+    def recompute(v: Int) =
+      Versioned.readAsOf(spark, root, v).groupBy("status")
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
+        .as[(String, Long, Long)].collect().toSet
+    val got = Streams.streamingMvDrain(spark, root, "k", "status",
+        "price", Some(sink))
+      .as[(String, Long, Long)].collect().toSet
+    val latest = Versioned.latestVersion(root)
+    assert(got == recompute(latest),
+      s"final MV != recompute: ${got -- recompute(latest)}")
+    // EVERY intermediate MV state equals that snapshot's recompute —
+    // the incremental algebra holds commit by commit, not just in sum
+    (1 to latest).foreach { v =>
+      val mvV = spark.read.parquet(s"$sink/mv_v$v")
+        .as[(String, Long, Long)].collect().toSet
+      assert(mvV == recompute(v), s"mv_v$v diverged from recompute")
+    }
+    // restart/re-run safety: a second drain over the SAME sink (fresh
+    // checkpoint — every batch re-executes) overwrites every version-
+    // keyed state with identical content
+    val rerun = Streams.streamingMvDrain(spark, root, "k", "status",
+        "price", Some(sink))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rerun == got, "re-run drain diverged")
+    (1 to latest).foreach { v =>
+      val mvV = spark.read.parquet(s"$sink/mv_v$v")
+        .as[(String, Long, Long)].collect().toSet
+      assert(mvV == recompute(v), s"mv_v$v not idempotent under re-run")
+    }
+  }
 }
