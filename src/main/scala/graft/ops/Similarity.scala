@@ -1080,6 +1080,11 @@ object Similarity {
     val cb = MatVecDots.matrixLit(cents)
     def clampAcos(c: Column): Column =
       acos(least(lit(1.0), greatest(lit(-1.0), c)))
+    // CACHED: assigned feeds two consumers — the radii aggregate and
+    // the probe join — and the unit-normalize + matvec HOF projection
+    // is the dominant per-row cost at local scale; uncached the corpus
+    // pays it twice. (At 100 TB you persist this table instead — the
+    // s18 build-once/serve-many index IS assigned written to parquet.)
     val assigned = unitized(corpus, idCol, vecCol, "nbr_id", "cv")
       .withColumn("dots", MatVecDots.matvec(col("cv"), cb))
       .withColumn("cell",
@@ -1087,6 +1092,7 @@ object Similarity {
           .cast("int"))
       .withColumn("theta_c", clampAcos(array_max(col("dots"))))
       .drop("dots")
+      .cache()
     // nlist-row angular radii; ONE partial-aggregated pass, broadcast
     val radii = assigned.groupBy("cell")
       .agg(max(col("theta_c")).as("radius"))

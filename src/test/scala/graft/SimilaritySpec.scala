@@ -299,6 +299,37 @@ class SimilaritySpec extends SparkSpec {
     assert(probed <= 18, s"pruning inert: $probed of 36 pairs probed")
   }
 
+  test("s23 fixture: pruning engages on the DERIVED clustered harness " +
+    "table (not just the synthetic blob spec) and stays exact") {
+    val clustered = graft.queries.OpsQueries.clusteredEmbs(spark, sf001)
+    val qs = clustered.filter($"vec_id" < 8)
+    val (res, probes) = Similarity.rangeSearchWithProbes(clustered,
+      "vec_id", "embedding", qs, "vec_id", "embedding", minCos = 0.8,
+      nlist = 8, trainIters = 8, sampleSize = 4096)
+    // exactness vs brute force on the same derived vectors
+    import graft.functions.DotProduct
+    DotProduct.register(spark)
+    val c = Similarity.unitized(clustered, "vec_id", "embedding",
+      "nbr_id", "cv")
+    val q = Similarity.unitized(qs, "vec_id", "embedding",
+      "query_id", "qv")
+    val want = c.crossJoin(broadcast(q))
+      .filter($"nbr_id" =!= $"query_id")
+      .withColumn("cos", DotProduct.dotFast($"qv", $"cv"))
+      .filter(round($"cos", 6) >= 0.8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val got = res.select("query_id", "nbr_id").as[(Long, Long)]
+      .collect().toSet
+    assert(want.size > 50, s"degenerate fixture: ${want.size} pairs")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // the pruning METRIC gate: 8 queries x 8 cells = 64 candidate
+    // probe pairs; on 8 tight blobs each query may keep only a small
+    // fraction (its own blob's cell + training-split slop)
+    val probed = probes.count()
+    assert(probed <= 24, s"pruning inert on clustered data: " +
+      s"$probed of 64 (query, cell) pairs probed")
+  }
+
   test("mmrRerank: diversity beats raw relevance, deterministic ids") {
     // two clones of the query direction + one dissimilar-but-relevant
     // vector: raw top-3 = (1, 2, 3); MMR must demote the second clone
