@@ -146,9 +146,14 @@ object PipelineQueries {
     val keepers = labels.join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select("doc_id")
+    // survivor id-lists are CACHED too: they're tiny (one long per
+    // doc) but sit downstream of the pair join + CC closure — p02's
+    // funnel reads each one several times, and uncached every read
+    // re-runs the closure
     val surv2 = surv1.select("doc_id")
       .join(labels, Seq("doc_id"), "left_anti")
       .unionByName(keepers)
+      .cache()
 
     // stage 4: decontamination. Benchmark shingles come from the
     // cleaned src0 ORIGINALS (id < off — safe here because off is
@@ -173,10 +178,12 @@ object PipelineQueries {
     val surv3 = tot.join(shr, Seq("doc_id"), "left")
       .filter(coalesce(col("n_shared"), lit(0L)) * 2 < col("n_sh"))
       .select("doc_id")
+      .cache()
 
     // stage 5: quality gate on the rounded score
     val surv4 = surv3.join(quality, Seq("doc_id"))
       .filter(col("q") >= 0.5).select("doc_id")
+      .cache()
 
     // stage 6: tokenize + pack the curated corpus
     val corpusFinal = cleaned.join(surv4, Seq("doc_id"), "left_semi")
