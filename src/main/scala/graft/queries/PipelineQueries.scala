@@ -193,6 +193,78 @@ object PipelineQueries {
     Stages(cleaned, surv1, surv2, surv3, surv4, quality, packed)
   }
 
+  /** Build-once fixture for p03 (one per JVM × dataset): the
+    * INCREMENTAL curation loop a production corpus runs daily —
+    * batch A (even ids) is curated (fingerprint dedup + quality gate)
+    * and committed as v1 of a Versioned corpus table alongside its
+    * fingerprint store; batch B (odd ids) then ingests
+    * incrementally — in-batch fp dedup (min id per fp), anti-join
+    * against the STORE (never the corpus scan: the d27 shape), the
+    * same quality gate — and commits as v2 via the net-new-key merge.
+    * Only batch-B work happens at ingest time; the v1 corpus is never
+    * re-curated. Returns the table root.
+    */
+  private val incrCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private[graft] def incrRoot(s: SparkSession, dir: String): String =
+    incrCache.getOrElseUpdate(dir, {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-p03-$key")
+        .getAbsolutePath
+      if (!Versioned.hasVersion(root, 2)) {
+        graft.TempDirs.registerCleanedAtExit(root)
+        val base = docs(s, dir)
+        val off = strideOf(base)
+        val scored = base
+          .select(col("doc_id"), col("source"), col("text"),
+            TextAnalysis.fingerprint(col("text")).as("fp"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"),
+            round(TextAnalysis.qualityScoreOf(
+              TextAnalysis.tokens(lower(col("text"))), col("text")), 6)
+              .as("q"))
+          .drop("text")
+          .cache()
+        val a = scored.filter(col("doc_id") % 2 === 0)
+        val curatedA = a.filter(col("q") >= 0.5)
+        Versioned.write(
+          curatedA.select("doc_id", "source", "n_tokens", "q", "fp"),
+          root, "doc_id", version = 1, nFiles = 4)
+        // the fingerprint STORE is the accepted corpus's fp column —
+        // batch B probes it, never the corpus itself
+        val store = curatedA.select("fp").distinct()
+        // batch B = the odd docs PLUS planted re-crawls of already-
+        // ingested batch-A content under fresh ids (every tenth even
+        // doc, twice — ids +off and +2·off, max-key-derived): the
+        // in-batch min-id dedup must collapse the re-crawl twins and
+        // the store probe must then drop the canonical survivor, or a
+        // re-crawl would silently duplicate corpus content
+        val reCrawls = (1 to 2).map(k =>
+          scored.filter(col("doc_id") % 2 === 0
+              && col("doc_id") % 10 === 0)
+            .select((col("doc_id") + k * off).as("doc_id"),
+              col("source"), col("fp"), col("n_tokens"), col("q")))
+        val b = scored.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "source", "fp", "n_tokens", "q")
+          .unionByName(reCrawls(0)).unionByName(reCrawls(1))
+        val bCanon = b.join(
+          b.groupBy("fp").agg(min("doc_id").as("doc_id")),
+          Seq("doc_id", "fp"), "left_semi")
+        val bKeep = bCanon
+          .join(broadcast(store), Seq("fp"), "left_anti")
+          .filter(col("q") >= 0.5)
+        Versioned.merge(s, root, "doc_id", "op",
+          bKeep.select(col("doc_id"), col("source"), col("n_tokens"),
+            col("q"), col("fp"), lit("U").as("op")),
+          fromVersion = 1, toVersion = 2)
+        scored.unpersist()
+      }
+      root
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // final pack coordinates per surviving doc — the whole-chain gate
     "p01_corpus_pipeline" -> ((s, dir) => {
@@ -203,6 +275,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("shard"), col("tok_offset"), col("pack_first"),
           col("pack_last"), col("q"))
+        .orderBy("doc_id")
+    }),
+
+    // the INCREMENTAL pipeline (p03): final curated corpus read back
+    // through the versioned layer, each doc attributed to the commit
+    // that ingested it via the CHANGE FEED — the oracle's two-phase
+    // replay gates the store-probed dedup, the gate, the merge commit
+    // AND the CDF in one equality (a wrong CDF row flips commit_v; a
+    // wrong store probe adds/drops a doc).
+    "p03_incremental_pipeline" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val root = incrRoot(s, dir)
+      val snap2 = Versioned.readAsOf(s, root, 2)
+      val feed = Versioned.changeFeed(s, root, "doc_id", 1, 2)
+        .filter(col("_change_type") === "insert")
+        .select(col("doc_id"), lit(2).as("commit_v"))
+      snap2.join(feed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("q"), coalesce(col("commit_v"), lit(1)).as("commit_v"))
         .orderBy("doc_id")
     }),
 
@@ -415,6 +506,62 @@ object PipelineQueries {
   """
 
   val oracleSql: Map[String, String] = Map(
+    // two-phase replay: batch A (evens) curated + committed, batch B
+    // (odds) in-batch fp dedup -> store anti-join -> gate -> commit 2
+    "p03_incremental_pipeline" -> """
+      WITH f0 AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END AS ltoks
+        FROM documents),
+      qc AS (
+        SELECT doc_id, source, fp,
+               CAST(len(ltoks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE len(list_filter(ltoks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','are',
+                       'was','it','that','for','on','with','as'], t)))
+                      * 1.0 / len(ltoks) END AS sw,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(ltoks)) * 1.0 / len(ltoks)
+                    END AS rep,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))
+                         * 1.0 / length(text) END AS punct,
+               LEAST(len(ltoks) / 100.0, 1.0) AS lenscore
+        FROM f0),
+      q AS (
+        SELECT doc_id, source, fp, n_tokens,
+               ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
+                     + 0.25 * lenscore
+                     + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS q
+        FROM qc),
+      off AS (
+        SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o
+        FROM documents),
+      a AS (SELECT * FROM q WHERE doc_id % 2 = 0 AND q >= 0.5),
+      bs AS (
+        SELECT doc_id, source, fp, n_tokens, q FROM q
+        WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + (SELECT o FROM off), source, fp, n_tokens, q
+        FROM q WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2 * (SELECT o FROM off), source, fp, n_tokens, q
+        FROM q WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+      bkeep AS (
+        SELECT * FROM bs
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM bs GROUP BY fp)
+          AND fp NOT IN (SELECT fp FROM a)
+          AND q >= 0.5)
+      SELECT doc_id, source, n_tokens, q, 1 AS commit_v FROM a
+      UNION ALL
+      SELECT doc_id, source, n_tokens, q, 2 FROM bkeep
+      ORDER BY doc_id""",
+
     "p01_corpus_pipeline" -> (chainSql + """
       SELECT pf.doc_id, pf.source, pf.n_tokens, pf.shard,
              CAST(pf.tok_offset AS BIGINT) AS tok_offset,

@@ -93,6 +93,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental pipeline (p03): every planted re-crawl is dropped " +
+    "(in-batch dedup + store probe), commits attribute correctly, the " +
+    "feed is insert-only, and the corpus holds no duplicate content") {
+    import graft.sources.Versioned
+    val out = PipelineQueries.queries("p03_incremental_pipeline")(
+      spark, sf001).collect()
+    val baseMax = graft.Tables(spark, sf001, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    val off = (baseMax / 1000000L + 1L) * 1000000L
+    // no re-crawl id (>= off) survives: the store probe or the gate
+    // caught every one
+    assert(out.forall(_.getLong(0) < off), "a re-crawl reached the corpus")
+    // commit attribution: v1 docs are batch A (even), v2 batch B (odd)
+    assert(out.forall(r =>
+      if (r.getInt(4) == 1) r.getLong(0) % 2 == 0
+      else r.getLong(0) % 2 == 1), "commit attribution wrong")
+    assert(out.exists(_.getInt(4) == 2), "no batch-B doc committed")
+    // the change feed v1->v2 is pure inserts (net-new keys only)
+    val root = PipelineQueries.incrRoot(spark, sf001)
+    val types = Versioned.changeFeed(spark, root, "doc_id", 1, 2)
+      .select("_change_type").distinct().as[String].collect().toSet
+    assert(types == Set("insert"), s"unexpected feed types: $types")
+    // no duplicate content in the final corpus
+    val snap = Versioned.readAsOf(spark, root, 2)
+    assert(snap.select("fp").distinct().count() == snap.count(),
+      "duplicate fingerprints in the curated corpus")
+  }
+
   test("stage handoffs are genuine subsets: surv4 ⊆ surv3 ⊆ surv2 ⊆ " +
     "surv1 ⊆ cleaned ids") {
     val c = ids(st.cleaned); val s1 = ids(st.surv1)
