@@ -797,6 +797,42 @@ object RelQueries {
     // deterministically (v1@1e6 ms, v2@2e6 ms): ts=1.5e6 → v1,
     // ts=2e6 (boundary) → v2, ts=9e6 → v2. Pre-oldest asks error —
     // spec-gated, as is expire interaction.
+    // Delta-style RESTORE (metadata-only rollback): v1 -> bad v2 ->
+    // restore(1) commits v3 whose manifest re-references v1's file
+    // group verbatim. v3's content must equal v1's EXACTLY while v2
+    // stays readable for audit — the oracle replays all three
+    // snapshots (v3's rows are v1's with version = 3). Own fixture
+    // root (NOT timeTravelRoot: restore appends a version, and the
+    // shared root must stay two-version for q73/q87/q90); built once
+    // per JVM, guarded on hasVersion(root, 3) so re-runs are
+    // deterministic. Expire interaction is VersionedSpec-gated.
+    "q91_restore" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-q91-$key")
+        .getAbsolutePath
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      if (!Versioned.hasVersion(root, 3)) {
+        graft.TempDirs.registerCleanedAtExit(root)
+        if (!Versioned.hasVersion(root, 1))
+          Versioned.write(base, root, "o_orderkey", version = 1,
+            nFiles = 8)
+        if (!Versioned.hasVersion(root, 2))
+          Versioned.merge(s, root, "o_orderkey", "op",
+            timeTravelChanges(base), fromVersion = 1, toVersion = 2)
+        Versioned.restore(s, root, 1)
+      }
+      def snap(v: Int) =
+        Versioned.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .select(lit(v).as("version"), col("n_rows"), col("total"))
+      snap(1).unionByName(snap(2)).unionByName(snap(3))
+        .orderBy("version")
+    }),
+
     "q90_timestamp_travel" -> ((s, dir) => {
       import graft.sources.Versioned
       val root = timeTravelRoot(s, dir)
@@ -3121,6 +3157,36 @@ object RelQueries {
     // (DuckDB SUM(BIGINT) -> HUGEINT)
     // both snapshots' CONTENT replayed from the raw table: v1 = base,
     // v2 = the q47-style merge replay of the same change batch
+    // v1 / bad v2 / restored v3 (= v1's content under version 3)
+    "q91_restore" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM base WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 = 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT (MAX(o_orderkey) // 10000000 + 1)
+                             * 10000000 FROM base), 'N', 1.0, 'U'
+        FROM base WHERE o_orderkey % 41 = 0),
+      v2 AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U')
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(o_totalprice), 2) AS total FROM base
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+      FROM v2
+      UNION ALL
+      SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+      FROM base
+      ORDER BY version""",
+
     "q73_time_travel" -> """
       WITH base AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -517,6 +517,28 @@ object Versioned {
     * references (never a file a live version can still read). Returns
     * the deleted data-file count. Driver work is manifest-sized.
     */
+  /** Delta-style RESTORE: roll the table back to `toVersion`'s content
+    * by committing a NEW version whose manifest is the target
+    * snapshot's manifest verbatim — metadata-only (zero data files
+    * move or rewrite; the commit is one manifest write whatever the
+    * table size). History is PRESERVED: the rolled-back versions stay
+    * readable for audit/time-travel, and the restore itself appears in
+    * the change feed as the diff back to the old content. Safe under
+    * retention maintenance by construction: `expire` keeps every file
+    * a SURVIVING manifest references, and the restored manifest
+    * re-references the old file group — so vacuuming the bad history
+    * cannot strand the restored snapshot (the Delta RESTORE +
+    * VACUUM contract). Commits with `overwrite = false`, so a racing
+    * writer surfaces as the usual [[ConcurrentCommitException]].
+    * Returns the new version number.
+    */
+  def restore(s: SparkSession, root: String, toVersion: Int): Int = {
+    val target = manifest(s, root, toVersion) // throws if expired
+    val newV = latestVersion(root) + 1
+    commitManifest(target, root, newV, overwrite = false)
+    newV
+  }
+
   def expire(s: SparkSession, root: String, keepVersions: Int): Int = {
     val manRoot = new java.io.File(s"$root/_graft_manifest")
     val versions = Option(manRoot.listFiles()).getOrElse(Array.empty)

@@ -457,4 +457,50 @@ class VersionedSpec extends SparkSpec {
       Versioned.changeFeed(spark, root, "k", 1, 3)
     }
   }
+
+  test("restore: metadata-only rollback — new version equals the " +
+    "target snapshot, history stays readable, CDF shows the revert, " +
+    "and expire/vacuum cannot strand the restored files") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-restore") + "/t"
+    Versioned.write(table(20), root, "k", version = 1, nFiles = 2)
+    val bad = Seq((3L, "oops", -1.0, "U"), (5L, "x", 0.0, "D"))
+      .toDF("k", "status", "price", "op")
+    Versioned.merge(spark, root, "k", "op", bad, 1, 2)
+    val v1 = Versioned.readAsOf(spark, root, 1)
+      .as[(Long, String, Double)].collect().toSet
+    val newV = Versioned.restore(spark, root, 1)
+    assert(newV == 3 && Versioned.latestVersion(root) == 3)
+    // restored content == v1 exactly
+    assert(Versioned.readAsOf(spark, root, 3)
+      .as[(Long, String, Double)].collect().toSet == v1)
+    // the bad version stays readable for audit
+    val v2 = Versioned.readAsOf(spark, root, 2)
+      .as[(Long, String, Double)].collect().toSet
+    assert(v2 != v1 && v2.exists(_._2 == "oops"))
+    // the change feed across the restore is the exact inverse of the
+    // bad commit: the revert re-inserts the deleted key and restores
+    // the updated row's pre-image
+    val feed = Versioned.changeFeed(spark, root, "k", 2, 3)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.getOrElse("insert", 0L) == 1L, s"got $byType")
+    assert(byType.getOrElse("update_postimage", 0L) == 1L)
+    val restored3 = feed
+      .filter(col("_change_type") === "update_postimage")
+      .select("k", "status").as[(Long, String)].head()
+    assert(restored3 == (3L, "s3"), s"got $restored3")
+    // retention maintenance: expire everything but the last two
+    // surviving snapshots (v2, v3), then vacuum with zero grace —
+    // v3 re-references v1's file group, so the restored snapshot
+    // must survive both
+    Versioned.expire(spark, root, keepVersions = 2)
+    Versioned.vacuumOrphans(spark, root, graceMs = 0L)
+    assert(Versioned.readAsOf(spark, root, 3)
+      .as[(Long, String, Double)].collect().toSet == v1,
+      "restore stranded by retention maintenance")
+    // a restore of an EXPIRED version fails with the typed error
+    intercept[Versioned.NoSuchVersionException] {
+      Versioned.restore(spark, root, 1)
+    }
+  }
 }
