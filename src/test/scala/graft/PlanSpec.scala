@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{broadcast, col, when}
 
 import graft.queries.RelQueries
 
@@ -61,6 +61,30 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("s19_range_search")
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p01: the decontamination benchmark broadcasts — corpus " +
+    "shingle rows drop at a broadcast join, never shuffling on the " +
+    "benchmark side") {
+    val plan = planOf("p01_corpus_pipeline")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("p03: the fingerprint-store probe plans as a broadcast " +
+    "anti-join (batch B streams; the store never shuffles)") {
+    // plan the INGEST side directly: the entry itself reads the
+    // committed table, so the probe plan lives in the fixture build
+    import graft.ops.TextAnalysis
+    val scored = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val store = scored.filter(col("doc_id") % 2 === 0)
+      .select("fp").distinct()
+    val probe = scored.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(store), Seq("fp"), "left_anti")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
   }
 
   test("q81: null keys split out before the join exchange (no hot " +
