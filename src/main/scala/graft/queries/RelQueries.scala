@@ -833,6 +833,36 @@ object RelQueries {
         .orderBy("version")
     }),
 
+    // data-quality EXPECTATIONS on the commit path (the DLT
+    // expect_or_drop shape): a batch with planted violations commits
+    // through Versioned.writeWithExpectations — violators quarantined
+    // per constraint (a row failing two gates is attributed to both),
+    // clean rows committed, and the returned metrics (per-constraint
+    // violation counts + committed count) are the entry's output. The
+    // oracle replays the split; quarantine content and snapshot
+    // cleanliness are VersionedSpec-gated. NULL passes (SQL CHECK).
+    "q92_expectations" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-q92-$key")
+        .getAbsolutePath
+      graft.TempDirs.registerCleanedAtExit(root)
+      // planted corruption: %43 keys get a negated price, %47 keys an
+      // unknown status (keys hitting both violate both constraints)
+      val batch = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 47 === 0, "Z")
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 43 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Versioned.writeWithExpectations(batch, root, "o_orderkey",
+        version = 1, nFiles = 8, expectations = Seq(
+          "price_nonneg" -> (col("o_totalprice") >= 0),
+          "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+        .orderBy("expectation")
+    }),
+
     "q90_timestamp_travel" -> ((s, dir) => {
       import graft.sources.Versioned
       val root = timeTravelRoot(s, dir)
@@ -3157,6 +3187,28 @@ object RelQueries {
     // (DuckDB SUM(BIGINT) -> HUGEINT)
     // both snapshots' CONTENT replayed from the raw table: v1 = base,
     // v2 = the q47-style merge replay of the same change batch
+    // the expectation split replayed: per-constraint violation counts
+    // over the planted corruption + the committed (all-pass) count
+    "q92_expectations" -> """
+      WITH batch AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 47 = 0 THEN 'Z'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 43 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders)
+      SELECT 'price_nonneg' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM batch WHERE NOT (o_totalprice >= 0)
+      UNION ALL
+      SELECT 'status_known', CAST(COUNT(*) AS BIGINT)
+      FROM batch WHERE NOT (o_orderstatus IN ('O', 'F', 'P'))
+      UNION ALL
+      SELECT '__committed', CAST(COUNT(*) AS BIGINT)
+      FROM batch
+      WHERE o_totalprice >= 0 AND o_orderstatus IN ('O', 'F', 'P')
+      ORDER BY expectation""",
+
     // v1 / bad v2 / restored v3 (= v1's content under version 3)
     "q91_restore" -> """
       WITH base AS (

@@ -517,6 +517,54 @@ object Versioned {
     * references (never a file a live version can still read). Returns
     * the deleted data-file count. Driver work is manifest-sized.
     */
+  /** Commit with DATA-QUALITY EXPECTATIONS (the Delta Live Tables
+    * `expect_or_drop` shape on the commit path): each expectation is a
+    * named boolean Column; rows satisfying ALL of them are committed
+    * as `version`, violators land in a version-keyed QUARANTINE side
+    * table (`_quarantine/v=N`, one row per violated constraint so a
+    * row failing two gates is attributed to both), and the returned
+    * metrics frame records per-constraint violation counts plus the
+    * committed row count — the audit record a pipeline run logs.
+    * NULL satisfies a constraint (SQL CHECK semantics: only an
+    * explicit FALSE violates).
+    *
+    * Scale shape: ONE pass over the batch computes the violation
+    * vector as a narrow array projection; the valid/quarantine split
+    * is two filters off it (Spark re-reads the batch per sink, as any
+    * multi-output write does); metrics are constraint-count-sized.
+    */
+  def writeWithExpectations(df: DataFrame, root: String, keyCol: String,
+      version: Int, nFiles: Int,
+      expectations: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(expectations.nonEmpty, "need at least one expectation")
+    val fails = array(expectations.map { case (n, c) =>
+      when(coalesce(c, lit(true)) === false, lit(n))
+    }: _*)
+    val flagged = df.withColumn("__fails",
+      filter(fails, x => x.isNotNull))
+    val valid = flagged.filter(size(col("__fails")) === 0)
+      .drop("__fails")
+    write(valid, root, keyCol, version, nFiles)
+    val quarantined = flagged.filter(size(col("__fails")) > 0)
+      .withColumn("__constraint", explode(col("__fails")))
+      .drop("__fails")
+    quarantined.write.mode("overwrite")
+      .parquet(s"$root/_quarantine/v=$version")
+    val s = df.sparkSession
+    val qCounts = s.read.parquet(s"$root/_quarantine/v=$version")
+      .groupBy("__constraint").agg(count(lit(1)).as("n_rows"))
+      .select(col("__constraint").as("expectation"), col("n_rows"))
+    val committed = readAsOf(s, root, version)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("__committed").as("expectation"), col("n_rows"))
+    qCounts.unionByName(committed)
+  }
+
+  /** Quarantined rows of `version` (with the `__constraint` column). */
+  def quarantine(s: SparkSession, root: String, version: Int): DataFrame =
+    s.read.parquet(s"$root/_quarantine/v=$version")
+
   /** Delta-style RESTORE: roll the table back to `toVersion`'s content
     * by committing a NEW version whose manifest is the target
     * snapshot's manifest verbatim — metadata-only (zero data files

@@ -503,4 +503,37 @@ class VersionedSpec extends SparkSpec {
       Versioned.restore(spark, root, 1)
     }
   }
+
+  test("writeWithExpectations: violators quarantined per constraint " +
+    "(double violations attributed to both), committed snapshot is " +
+    "clean, NULL passes (SQL CHECK semantics)") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-expect") + "/t"
+    val batch = Seq(
+      (1L, "O", 10.0),             // clean
+      (2L, "O", -5.0),             // price violation
+      (3L, "Z", 7.0),              // status violation
+      (4L, "Z", -1.0),             // both
+      (5L, null.asInstanceOf[String], 3.0) // NULL status -> passes
+    ).toDF("k", "status", "price")
+    val metrics = Versioned.writeWithExpectations(batch, root, "k",
+      version = 1, nFiles = 1, expectations = Seq(
+        "price_nonneg" -> (col("price") >= 0),
+        "status_known" -> col("status").isin("O", "F")))
+      .as[(String, Long)].collect().toMap
+    assert(metrics == Map("price_nonneg" -> 2L, "status_known" -> 2L,
+      "__committed" -> 2L), metrics.toString)
+    // committed snapshot = exactly the all-pass rows (NULL passes)
+    val snap = Versioned.readAsOf(spark, root, 1)
+      .select("k").as[Long].collect().toSet
+    assert(snap == Set(1L, 5L), snap.toString)
+    // quarantine: row 4 appears under BOTH constraints
+    val q4 = Versioned.quarantine(spark, root, 1)
+      .filter(col("k") === 4L)
+      .select("__constraint").as[String].collect().toSet
+    assert(q4 == Set("price_nonneg", "status_known"), q4.toString)
+    // quarantined rows never reach the snapshot
+    assert(Versioned.quarantine(spark, root, 1)
+      .select("k").as[Long].collect().toSet
+      .intersect(snap).isEmpty)
+  }
 }
