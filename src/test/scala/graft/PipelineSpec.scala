@@ -121,6 +121,57 @@ class PipelineSpec extends SparkSpec {
       "duplicate fingerprints in the curated corpus")
   }
 
+  test("adversarial corpus: empty/one-token/unicode/identical docs " +
+    "flow through the whole chain without crashes, empties collapse " +
+    "to one canonical doc, and the run is deterministic") {
+    // a tiny documents table of pathological shapes, written in the
+    // harness layout so chain() reads it like any SF dir
+    val dir = TempDirs.createCleanedAtExit("graft-pipe-adversarial")
+    val rows = Seq(
+      (0L, "", "en", "src0", 0L),                  // empty
+      (1L, "   ", "en", "src1", 3L),               // whitespace only
+      (2L, "one", "en", "src1", 3L),               // single token
+      (3L, "one", "en", "src2", 3L),               // identical, other source
+      (4L, "züri çà émoji 🚀 text", "de", "src1", 21L), // unicode + emoji
+      (5L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4,
+        "en", "src2", 208L),                       // long repetitive
+      (6L, "The, quick; brown! fox? (jumps) over \"lazy\" dog",
+        "en", "src1", 48L),                        // punctuation soup
+      (7L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "src0", 60L),                        // src0 benchmark doc
+      (8L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN",
+        "en", "src1", 60L))                        // case variant of 7
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val st1 = PipelineQueries.chain(spark, dir)
+    val out1 = PipelineQueries.queries("p01_corpus_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // empties: docs 0 and 1 (and their planted copies) clean to the
+    // identical boilerplate suffix -> ONE fp group, keeper id 0
+    val s1 = st1.surv1.select("doc_id").as[Long].collect().toSet
+    assert(s1.contains(0L) && !s1.contains(1L),
+      "empty docs did not collapse onto the min-id keeper")
+    // identical cross-source docs 2/3 collapse at exact dedup
+    assert(s1.contains(2L) && !s1.contains(3L))
+    // case variant 8 collapses onto 7 (fingerprint lowercases) —
+    // 7 is src0; the fp keeper rule is id-min regardless of source
+    assert(!s1.contains(8L))
+    // the pipeline produced SOMETHING and every surviving doc is
+    // non-src0 (7 is the benchmark split)
+    assert(out1.nonEmpty)
+    // determinism: a second full run is row-identical
+    val out2 = PipelineQueries.queries("p01_corpus_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(out1 == out2, "pipeline is nondeterministic on re-run")
+    // p03 also survives the adversarial corpus end to end
+    val p3 = PipelineQueries.queries("p03_incremental_pipeline")(
+      spark, dir).collect()
+    assert(p3.nonEmpty)
+    val p3ids = p3.map(_.getLong(0)).toSet
+    assert(p3ids.forall(_ <= 8L), "a planted re-crawl survived p03")
+  }
+
   test("stage handoffs are genuine subsets: surv4 ⊆ surv3 ⊆ surv2 ⊆ " +
     "surv1 ⊆ cleaned ids") {
     val c = ids(st.cleaned); val s1 = ids(st.surv1)
