@@ -206,6 +206,52 @@ object StreamQueries {
         .orderBy("_change_type")
     }),
 
+    // STREAMING corpus ingest-curation (the continuous-crawl regime;
+    // the streaming closure of p03): scored docs arrive in 4
+    // content-keyed micro-batches; each runs in-batch fp dedup, an
+    // accumulated-store anti-join, and the quality gate, committing
+    // survivors as version batchId+1. Output = final corpus read back
+    // through the versioned layer with commit attribution FROM the
+    // change feed; the oracle replays winner = first-batch-canonical-
+    // passing-the-gate per fingerprint over the SAME md5 batch split,
+    // so ONE equality gates the split, the store semantics, the gate,
+    // all four commits, and the CDF.
+    "st16_stream_ingest" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-st16-$key")
+        .getAbsolutePath
+      if (!Versioned.hasVersion(root, 4)) {
+        graft.TempDirs.registerCleanedAtExit(root)
+        val base = graft.Tables(s, dir, "documents")
+        // planted re-crawls: every 10th doc appears AGAIN under a
+        // fresh max-key-derived id — its hash batch is independent of
+        // the original's, so the pair exercises every store outcome
+        // (same batch -> in-batch dedup; original first -> store
+        // blocks the copy; copy first -> copy wins, original blocked;
+        // all replayed by the oracle's first-batch-canonical rule)
+        val off = (base.agg(max(col("doc_id"))).head().getLong(0)
+          / 1000000L + 1L) * 1000000L
+        val withCopies = base.select("doc_id", "source", "text")
+          .unionByName(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("source"),
+              col("text")))
+        val scored = withCopies
+          .select(col("doc_id"), col("source"),
+            graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"),
+            round(graft.ops.TextAnalysis.qualityScoreOf(
+              graft.ops.TextAnalysis.tokens(lower(col("text"))),
+              col("text")), 6).as("q"))
+        Streams.corpusIngestDrain(scored, root, numBatches = 4)
+      }
+      Streams.corpusAttribution(s, root)
+        .select("doc_id", "source", "n_tokens", "q", "commit_v")
+        .orderBy("doc_id")
+    }),
+
     // stream-driven incremental MV (q89's delta algebra applied per
     // micro-batch commit off st14's manifest-log stream, version-keyed
     // idempotent sink): the final MV state after draining all commits
@@ -337,6 +383,70 @@ object StreamQueries {
                AS cents,
              MIN(k) AS min_k, MAX(k) AS max_k
       FROM feed GROUP BY 1 ORDER BY _change_type""",
+
+    // the ingest replay: md5 batch split (the d23 hashUniform pattern,
+    // salt 'ingest'), per-(fp, batch) min-id canonicals, winner =
+    // first batch's canonical that passes the gate, commit = batch+1
+    "st16_stream_ingest" -> """
+      WITH off AS (
+        SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o
+        FROM documents),
+      corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT o FROM off), source, text
+        FROM documents WHERE doc_id % 10 = 0),
+      f0 AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END AS ltoks
+        FROM corpus),
+      qc AS (
+        SELECT doc_id, source, fp,
+               CAST(len(ltoks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE len(list_filter(ltoks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','are',
+                       'was','it','that','for','on','with','as'], t)))
+                      * 1.0 / len(ltoks) END AS sw,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(ltoks)) * 1.0 / len(ltoks)
+                    END AS rep,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))
+                         * 1.0 / length(text) END AS punct,
+               LEAST(len(ltoks) / 100.0, 1.0) AS lenscore
+        FROM f0),
+      q AS (
+        SELECT doc_id, source, fp, n_tokens,
+               ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
+                     + 0.25 * lenscore
+                     + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS q
+        FROM qc),
+      bt AS (
+        SELECT q.*, CAST(floor(
+          CAST(list_sum(list_transform(range(1, 9), i ->
+            (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR) || 'ingest'),
+                 CAST(i AS INT), 1)) - 1)
+            * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 * 4)
+          AS INT) AS bid
+        FROM q),
+      canon AS (
+        SELECT bt.* FROM bt JOIN (
+          SELECT MIN(doc_id) AS doc_id FROM bt GROUP BY fp, bid) m
+          ON bt.doc_id = m.doc_id),
+      acc AS (SELECT * FROM canon WHERE q >= 0.5),
+      win AS (
+        SELECT * FROM (
+          SELECT acc.*, ROW_NUMBER() OVER (PARTITION BY fp
+            ORDER BY bid, doc_id) AS rn FROM acc)
+        WHERE rn = 1)
+      SELECT doc_id, source, n_tokens, q, bid + 1 AS commit_v
+      FROM win ORDER BY doc_id""",
 
     // final-snapshot recompute (st13's v2 replay, MV columns): the
     // streamed MV must land exactly here after its per-commit deltas

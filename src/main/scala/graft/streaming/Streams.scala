@@ -1001,6 +1001,104 @@ object Streams {
     spark.read.parquet(s"$sinkRoot/mv_v${Versioned.latestVersion(root)}")
   }
 
+  /** STREAMING corpus ingest-curation (st16) — the continuous-crawl
+    * regime: scored documents arrive as micro-batches (one source file
+    * per batch; the batch split is CONTENT-KEYED, floor(hashUniform
+    * (id, "ingest") · numBatches), so the engine run and the oracle
+    * replay agree on which batch carries which doc); each batch runs
+    * the p03 curation step — in-batch min-id fingerprint dedup, an
+    * anti-join against the ACCUMULATED fingerprint store (accepted
+    * fps only; a rejected canonical leaves its fp open for a later
+    * batch's candidate), the quality gate — and commits the survivors
+    * to a Versioned corpus table as version batchId+1 (batch 0 is the
+    * base load). The store grows by one batch-sized parquet append per
+    * micro-batch; the corpus table is NEVER re-scanned at ingest.
+    *
+    * Determinism note: batches must process in batch order (source
+    * files are written sequentially and the file source takes them
+    * oldest-first); the gate is not an assumption — the DuckDB oracle
+    * replays winner = first-batch-canonical-passing-the-gate per
+    * fingerprint, so an order violation hash-mismatches.
+    *
+    * `docs` must carry (doc_id, source, fp, n_tokens, q).
+    */
+  def corpusIngestDrain(docs: DataFrame, root: String,
+                        numBatches: Int = 4): DataFrame = {
+    import graft.sources.Versioned
+    val spark = docs.sparkSession
+    val srcDir = Files.createTempDirectory("graft-st16-src").toString
+    val ckpt = Files.createTempDirectory("graft-st16-ckpt").toString
+    val storeDir = tempDirCleanedAtExit("graft-st16-store")
+    val batched = docs.withColumn("__b",
+      floor(graft.ops.TextAnalysis.hashUniform(col("doc_id"), "ingest")
+        * numBatches).cast("int"))
+    (0 until numBatches).foreach { k =>
+      batched.filter(col("__b") === k).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b$k")
+    }
+    val schema = spark.read.parquet(s"$srcDir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val prevParts = scopedStatePartitions(spark)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val s2 = batch.sparkSession
+          val canon = batch.join(
+            batch.groupBy("fp").agg(min("doc_id").as("doc_id")),
+            Seq("doc_id", "fp"), "left_semi")
+          val storeFiles = Option(new java.io.File(storeDir).listFiles())
+            .getOrElse(Array.empty).filter(_.getName.endsWith(".d"))
+            .map(_.getAbsolutePath)
+          val fresh =
+            if (storeFiles.isEmpty) canon
+            else canon.join(
+              broadcast(s2.read.parquet(storeFiles.toSeq: _*)),
+              Seq("fp"), "left_anti")
+          val keep = fresh.filter(col("q") >= 0.5).cache()
+          val v = (batchId + 1).toInt
+          if (v == 1)
+            Versioned.write(keep, root, "doc_id", version = 1,
+              nFiles = 2)
+          else
+            Versioned.merge(s2, root, "doc_id", "op",
+              keep.withColumn("op", lit("U")), v - 1, v)
+          // append accepted fps to the store (one file per batch;
+          // overwrite per-batch dir = idempotent under batch re-runs)
+          keep.select("fp").coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/b$batchId.d")
+          keep.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally restoreStatePartitions(spark, prevParts)
+    rmTree(ckpt); rmTree(srcDir)
+    corpusAttribution(spark, root)
+  }
+
+  /** Final ingested corpus with each doc attributed to the commit
+    * that inserted it, derived from the change feed (shared by the
+    * st16 drain and its build-once re-reads).
+    */
+  def corpusAttribution(spark: SparkSession, root: String): DataFrame = {
+    import graft.sources.Versioned
+    val latest = Versioned.latestVersion(root)
+    val snap = Versioned.readAsOf(spark, root, latest)
+    if (latest == 1) snap.withColumn("commit_v", lit(1))
+    else {
+      val feed = (2 to latest).map(v =>
+        Versioned.changeFeed(spark, root, "doc_id", v - 1, v)
+          .filter(col("_change_type") === "insert")
+          .select(col("doc_id"), lit(v).as("commit_v")))
+        .reduce(_ unionByName _)
+      snap.join(feed, Seq("doc_id"), "left")
+        .withColumn("commit_v", coalesce(col("commit_v"), lit(1)))
+    }
+  }
+
   case class UEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

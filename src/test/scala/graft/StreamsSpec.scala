@@ -430,4 +430,33 @@ class StreamsSpec extends SparkSpec {
       assert(mvV == recompute(v), s"mv_v$v not idempotent under re-run")
     }
   }
+
+  test("corpusIngestDrain (st16): one winner per fingerprint, all " +
+    "commits readable and growing, and no planted re-crawl coexists " +
+    "with its original") {
+    import graft.sources.Versioned
+    val out = graft.queries.StreamQueries.queries("st16_stream_ingest")(
+      spark, sf001).collect()
+    assert(out.nonEmpty)
+    val key = (sf001.hashCode.toLong & 0xffffffffL).toHexString
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-st16-$key")
+      .getAbsolutePath
+    assert(Versioned.latestVersion(root) == 4)
+    // one winner per fingerprint in the final corpus
+    val snap = Versioned.readAsOf(spark, root, 4)
+    assert(snap.select("fp").distinct().count() == snap.count(),
+      "duplicate content in the ingested corpus")
+    // the corpus only grows across ingest commits
+    val sizes = (1 to 4).map(v => Versioned.readAsOf(spark, root, v).count())
+    assert(sizes.sliding(2).forall(p => p(1) >= p(0)), sizes.toString)
+    // a doc and its planted re-crawl never BOTH survive
+    val ids = out.map(_.getLong(0)).toSet
+    val off = (graft.Tables(spark, sf001, "documents")
+      .agg(max("doc_id")).head().getLong(0) / 1000000L + 1L) * 1000000L
+    val both = ids.filter(id => id < off && id % 10 == 0 && ids(id + off))
+    assert(both.isEmpty, s"original+copy both survived: ${both.take(5)}")
+    // every winner passed the gate
+    assert(out.forall(_.getDouble(3) >= 0.5))
+  }
 }
