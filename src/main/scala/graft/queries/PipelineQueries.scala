@@ -87,6 +87,40 @@ object PipelineQueries {
     (base.agg(max(col("doc_id"))).head().getLong(0) / 1000000L + 1L) *
       1000000L
 
+  /** Stages 0-2 only (cleaned ∩ exact-dedup survivors) — the fuzzy
+    * stage's input, exposed for scale diagnosis without triggering
+    * the eager CC closure.
+    */
+  private[graft] def chainInputsOnly(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      col("text"))
+    val off = strideOf(base)
+    val toks = base.withColumn("toks", TextAnalysis.tokens(col("text")))
+    val exactCopies = base.select((col("doc_id") + off).as("doc_id"),
+      col("source"), col("text"))
+    val mutants = toks.select((col("doc_id") + 2 * off).as("doc_id"),
+      col("source"),
+      concat_ws(" ", filter(col("toks"), (t, i) => i =!= 1)).as("text"))
+    val leaks = toks.filter(col("source") === "src0")
+      .select((col("doc_id") + 3 * off).as("doc_id"),
+        lit("leak").as("source"),
+        concat_ws(" ", slice(col("toks"), 1, 30)).as("text"))
+    val corpus0 = base.unionByName(exactCopies).unionByName(mutants)
+      .unionByName(leaks)
+    val dirty = concat(lit("<p class=\"doc\">"), col("text"),
+      lit("</p> <br/>contact u"), col("doc_id").cast("string"),
+      lit("@example.com or https://data.example.org/d/"),
+      col("doc_id").cast("string"), lit("?ref=x"))
+    val cleaned = corpus0.select(col("doc_id"), col("source"),
+      TextAnalysis.cleanText(dirty).as("clean")).cache()
+    val surv1Ids = cleaned
+      .withColumn("fp", TextAnalysis.fingerprint(col("clean")))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    cleaned.join(surv1Ids, Seq("doc_id"), "left_semi")
+  }
+
   private[graft] def chain(s: SparkSession, dir: String): Stages = {
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       col("text"))
@@ -127,11 +161,25 @@ object PipelineQueries {
       .cache()
 
     // stage 3: fuzzy dedup — pairs -> closure -> per-cluster keeper.
+    // MinHash-LSH (d07's config), NOT the exact prefix-filtered
+    // jaccard join: this harness corpus draws from a deliberately
+    // tiny vocabulary, so at duplication stress (GenScale ×30) every
+    // 3-gram is globally common (prefix-group sizes ~600) and the
+    // exact join's candidate space measured 3.69 BILLION rows — the
+    // sets table simultaneously outgrows the attachSets broadcast
+    // cap, and the shuffle-regime candidate exchange dies on disk.
+    // LSH candidates are similarity-targeted by band collisions
+    // (cluster-quadratic, ~9.6M pairs at sf3 — the scale-proven d07
+    // path), which is also the honest 100-TB answer: production
+    // fuzzy dedup at corpus scale IS MinHash-LSH, with the exact
+    // join reserved for prefix-friendly (zipfian) vocabularies.
+    // Exact verify still gates every candidate, and the oracle
+    // replays the full signature/band machinery bit-for-bit.
     // quality is computed over ALL cleaned docs (the gate at stage 5
     // and the final projection reuse it), rounded to 6 dp so the
     // keeper ranking and the gate replay exactly.
-    val pairs = Dedup.ngramJaccardJoin(surv1, "doc_id", "clean",
-      shingleN = 3, threshold = 0.5)
+    val pairs = Dedup.minhashLsh(surv1, "doc_id", "clean",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
     val quality = cleaned
@@ -324,6 +372,25 @@ object PipelineQueries {
         .orderBy("stage_ord")
     }))
 
+  /** First 8 md5 hex digits of `expr` as a BIGINT (the engine-portable
+    * integer hash; same helper as OpsQueries' d06/d07 oracles).
+    */
+  private def duckHex8(expr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                  substr(md5($expr), CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"""
+
+  /** The d07 universal-hash coefficients as DuckDB array literals —
+    * the oracle embeds the SAME (a_j, b_j) the engine plan uses.
+    */
+  private val (minhashA, minhashB) = {
+    val (as, bs) = Dedup.minhashCoeffs(32)
+    (as.mkString("[", ",", "]"), bs.mkString("[", ",", "]"))
+  }
+  private def MinhashA: String = minhashA
+  private def MinhashB: String = minhashB
+
   /** Shared DuckDB replay of the full chain (stages 0-5 + packing
     * inputs); p01/p02 append their final SELECTs. Every fragment is a
     * proven piece of an existing green oracle (d11 clean, d01
@@ -388,16 +455,37 @@ object PipelineQueries {
                                ' '))
                  END) AS sh
         FROM t1),
-      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
-      p AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
-               COUNT(*) AS inter
-        FROM inv a JOIN inv b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4),
-      pr AS (
-        SELECT id_a, id_b FROM p
-        WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5),
+      hs AS (
+        SELECT doc_id, list_transform(sh, s ->
+          """ + duckHex8("s") + """ % 2147483647) AS hs
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 32), j ->
+                 list_min(list_transform(hs, h ->
+                   ((""" + MinhashA + """::BIGINT[])[CAST(j AS INT) + 1] * h
+                    + (""" + MinhashB + """::BIGINT[])[CAST(j AS INT) + 1])
+                   % 2147483647))) AS sig
+        FROM hs),
+      bb AS (
+        SELECT doc_id, band,
+               substring(md5(array_to_string(list_transform(
+                 sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
+                 x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS bhash
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+      cnd AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bb x JOIN bb y
+          ON x.band = y.band AND x.bhash = y.bhash
+             AND x.doc_id < y.doc_id),
+      jp AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh))) AS jac
+        FROM cnd c JOIN sh a ON a.doc_id = c.id_a
+                   JOIN sh b ON b.doc_id = c.id_b),
+      pr AS (SELECT id_a, id_b FROM jp WHERE jac >= 0.5),
       e AS (
         SELECT id_a AS a, id_b AS b FROM pr
         UNION SELECT id_b, id_a FROM pr),
