@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt logs the forked process's stdout through its own
+// logger, prefixing every line with "[info] " — which made the bench
+// headline JSON unparseable to the driver for nine straight rounds
+// (BENCH_r0*.json `parsed: null`). StdoutOutput passes the child's
+// stdout through verbatim, so the bare single-line JSON survives.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

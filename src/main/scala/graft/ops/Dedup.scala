@@ -153,6 +153,40 @@ object Dedup {
       .join(side.select(col("id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
   }
 
+  /** Anti-join `df` against an accumulated-KEY store — the probe an
+    * incremental/streaming ingest runs against its accepted-
+    * fingerprint store (p03, st16). The store is O(accepted corpus),
+    * NOT dimension-sized: at 100 TB it is billions of fingerprints
+    * (tens of GB), so an unconditional `broadcast()` hint — which
+    * strips the planner's ability to fall back — is a guaranteed
+    * driver/executor OOM. Same regime contract as [[attachSets]]:
+    * probe the store's size once (a count over the store — for a
+    * parquet-backed store this is a metadata-cheap scan), broadcast
+    * under the honest cap (map-side anti-join; `df` never shuffles),
+    * and beyond it leave the join UNHINTED so the planner picks the
+    * shuffled anti-join (both sides exchange on the key — correct at
+    * any store size, and AQE can still locally re-plan).
+    *
+    * Bytes estimate: fingerprint keys are 32-char md5 hex strings;
+    * 64 B/row covers the string plus UnsafeRow overhead, and the
+    * 128 MB default cap leaves the usual 2-4x headroom for the
+    * driver collect + HashedRelation peak (attachSets' measured
+    * contract).
+    *
+    * `preCount` lets a caller that already knows the store's row
+    * count (e.g. tracked incrementally across streaming batches)
+    * skip the probe.
+    */
+  def storeAntiJoin(df: DataFrame, store: DataFrame, keyCol: String,
+                    maxBroadcastBytes: Long = 128L << 20,
+                    preCount: Option[Long] = None): DataFrame = {
+    val n = preCount.getOrElse(store.count())
+    if (n * 64.0 <= maxBroadcastBytes.toDouble)
+      df.join(broadcast(store), Seq(keyCol), "left_anti")
+    else
+      df.join(store, Seq(keyCol), "left_anti")
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {

@@ -1670,7 +1670,7 @@ object OpsQueries {
     val aL = as.mkString("[", ",", "]")
     val bL = bs.mkString("[", ",", "]")
     s"""
-      WITH toks0 AS (
+      WITH toks0 AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
@@ -1682,7 +1682,7 @@ object OpsQueries {
         UNION ALL
         SELECT 1, doc_id + 200000, list_filter(toks, (t, i) -> i <> 2)
         FROM toks0 WHERE doc_id % 2 = 0),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT side, doc_id, list_distinct(
                  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
                       ELSE list_transform(range(1, len(toks) - 1), i ->
@@ -1690,19 +1690,24 @@ object OpsQueries {
                                toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
                  END) AS sh
         FROM sides),
-      hs AS (
+      hs AS MATERIALIZED (
         SELECT side, doc_id,
                list_transform(sh, s -> ${duckHex8("s")} % 2147483647) AS hs
         FROM sh),
-      sig AS (
-        SELECT side, doc_id,
-               list_transform(range(0, 32), j ->
-                 list_min(list_transform(hs, h ->
-                   (($aL::BIGINT[])[CAST(j AS INT) + 1] * h
-                    + ($bL::BIGINT[])[CAST(j AS INT) + 1]) % 2147483647)))
-                 AS sig
-        FROM hs),
-      bb AS (
+      coef AS MATERIALIZED (
+        SELECT CAST(i AS INT) - 1 AS j,
+               ($aL::BIGINT[])[CAST(i AS INT)] AS a,
+               ($bL::BIGINT[])[CAST(i AS INT)] AS b
+        FROM range(1, 33) t(i)),
+      hx AS MATERIALIZED (
+        SELECT side, doc_id, unnest(hs) AS h FROM hs),
+      sigx AS MATERIALIZED (
+        SELECT side, doc_id, j, MIN((c.a * h + c.b) % 2147483647) AS m
+        FROM hx CROSS JOIN coef c GROUP BY side, doc_id, j),
+      sig AS MATERIALIZED (
+        SELECT side, doc_id, list(m ORDER BY j) AS sig FROM sigx
+        GROUP BY side, doc_id),
+      bb AS MATERIALIZED (
         SELECT side, doc_id, sig, band,
                substring(md5(array_to_string(list_transform(
                  sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
@@ -1730,7 +1735,7 @@ object OpsQueries {
     val aL = as.mkString("[", ",", "]")
     val bL = bs.mkString("[", ",", "]")
     s"""
-      WITH toks0 AS (
+      WITH toks0 AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
@@ -1740,7 +1745,7 @@ object OpsQueries {
         UNION ALL
         SELECT doc_id + 100000, list_filter(toks, (t, i) -> i <> 2)
         FROM toks0),
-      sh AS (
+      sh0 AS MATERIALIZED (
         SELECT doc_id, list_distinct(
                  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
                       ELSE list_transform(range(1, len(toks) - 1), i ->
@@ -1748,19 +1753,25 @@ object OpsQueries {
                                toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
                  END) AS sh
         FROM docs2),
-      hs AS (
+      hs AS MATERIALIZED (
         SELECT doc_id, sh,
                list_transform(sh, s -> ${duckHex8("s")} % 2147483647) AS hs
-        FROM sh),
-      sig AS (
-        SELECT doc_id, sh,
-               list_transform(range(0, 32), j ->
-                 list_min(list_transform(hs, h ->
-                   (($aL::BIGINT[])[CAST(j AS INT) + 1] * h
-                    + ($bL::BIGINT[])[CAST(j AS INT) + 1]) % 2147483647)))
-                 AS sig
-        FROM hs),
-      bb AS (
+        FROM sh0),
+      coef AS MATERIALIZED (
+        SELECT CAST(i AS INT) - 1 AS j,
+               ($aL::BIGINT[])[CAST(i AS INT)] AS a,
+               ($bL::BIGINT[])[CAST(i AS INT)] AS b
+        FROM range(1, 33) t(i)),
+      hx AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM hs),
+      sigx AS MATERIALIZED (
+        SELECT doc_id, j, MIN((c.a * h + c.b) % 2147483647) AS m
+        FROM hx CROSS JOIN coef c GROUP BY doc_id, j),
+      sig AS MATERIALIZED (
+        SELECT s.doc_id, s.sh, g.sig
+        FROM sh0 s JOIN (
+          SELECT doc_id, list(m ORDER BY j) AS sig FROM sigx
+          GROUP BY doc_id) g USING (doc_id)),
+      bb AS MATERIALIZED (
         SELECT doc_id, sh, band,
                substring(md5(array_to_string(list_transform(
                  sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],

@@ -301,8 +301,11 @@ object PipelineQueries {
         val bCanon = b.join(
           b.groupBy("fp").agg(min("doc_id").as("doc_id")),
           Seq("doc_id", "fp"), "left_semi")
-        val bKeep = bCanon
-          .join(broadcast(store), Seq("fp"), "left_anti")
+        // the accepted-fp store is O(accepted corpus) — capped-
+        // broadcast probe (Dedup.storeAntiJoin), never an
+        // unconditional broadcast hint: at 100 TB the store is
+        // billions of fps and a forced broadcast is a guaranteed OOM
+        val bKeep = Dedup.storeAntiJoin(bCanon, store, "fp")
           .filter(col("q") >= 0.5)
         Versioned.merge(s, root, "doc_id", "op",
           bKeep.select(col("doc_id"), col("source"), col("n_tokens"),
@@ -399,9 +402,9 @@ object PipelineQueries {
     */
   private val chainSql = """
       WITH RECURSIVE
-      base AS (SELECT doc_id, source, text FROM documents),
-      off AS (SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o FROM base),
-      tk0 AS (
+      base AS MATERIALIZED (SELECT doc_id, source, text FROM documents),
+      off AS MATERIALIZED (SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o FROM base),
+      tk0 AS MATERIALIZED (
         SELECT doc_id, source, text,
                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                     ELSE string_split_regex(trim(text), '\s+') END AS toks
@@ -418,7 +421,7 @@ object PipelineQueries {
         SELECT doc_id + 3 * (SELECT o FROM off), 'leak',
                array_to_string(toks[1:30], ' ')
         FROM tk0 WHERE source = 'src0'),
-      cleaned AS (
+      cleaned AS MATERIALIZED (
         SELECT doc_id, source,
                trim(regexp_replace(
                  regexp_replace(
@@ -439,14 +442,14 @@ object PipelineQueries {
                md5(trim(regexp_replace(regexp_replace(lower(clean),
                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM cleaned),
-      surv1 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+      surv1 AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
       t1 AS (
         SELECT c.doc_id,
                CASE WHEN trim(c.clean) = '' THEN []::VARCHAR[]
                     ELSE string_split_regex(trim(c.clean), '\s+') END
                  AS toks
         FROM cleaned c JOIN surv1 USING (doc_id)),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id, list_distinct(
                  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
                       ELSE list_transform(range(1, len(toks) - 1), i ->
@@ -455,19 +458,23 @@ object PipelineQueries {
                                ' '))
                  END) AS sh
         FROM t1),
-      hs AS (
+      hs AS MATERIALIZED (
         SELECT doc_id, list_transform(sh, s ->
           """ + duckHex8("s") + """ % 2147483647) AS hs
         FROM sh),
-      sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 32), j ->
-                 list_min(list_transform(hs, h ->
-                   ((""" + MinhashA + """::BIGINT[])[CAST(j AS INT) + 1] * h
-                    + (""" + MinhashB + """::BIGINT[])[CAST(j AS INT) + 1])
-                   % 2147483647))) AS sig
-        FROM hs),
-      bb AS (
+      coef AS MATERIALIZED (
+        SELECT CAST(i AS INT) - 1 AS j,
+               (""" + MinhashA + """::BIGINT[])[CAST(i AS INT)] AS a,
+               (""" + MinhashB + """::BIGINT[])[CAST(i AS INT)] AS b
+        FROM range(1, 33) t(i)),
+      hx AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM hs),
+      sigx AS MATERIALIZED (
+        SELECT doc_id, j, MIN((c.a * h + c.b) % 2147483647) AS m
+        FROM hx CROSS JOIN coef c GROUP BY doc_id, j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(m ORDER BY j) AS sig FROM sigx
+        GROUP BY doc_id),
+      bb AS MATERIALIZED (
         SELECT doc_id, band,
                substring(md5(array_to_string(list_transform(
                  sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
@@ -485,8 +492,8 @@ object PipelineQueries {
                     - len(list_intersect(a.sh, b.sh))) AS jac
         FROM cnd c JOIN sh a ON a.doc_id = c.id_a
                    JOIN sh b ON b.doc_id = c.id_b),
-      pr AS (SELECT id_a, id_b FROM jp WHERE jac >= 0.5),
-      e AS (
+      pr AS MATERIALIZED (SELECT id_a, id_b FROM jp WHERE jac >= 0.5),
+      e AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM pr
         UNION SELECT id_b, id_a FROM pr),
       nn AS (SELECT DISTINCT a AS id FROM e),
@@ -494,7 +501,7 @@ object PipelineQueries {
         SELECT id, id AS rid FROM nn
         UNION
         SELECT r.id, e.b FROM r JOIN e ON e.a = r.rid),
-      lab AS (SELECT id AS doc_id, MIN(rid) AS cluster FROM r GROUP BY id),
+      lab AS MATERIALIZED (SELECT id AS doc_id, MIN(rid) AS cluster FROM r GROUP BY id),
       lt AS (
         SELECT doc_id, clean,
                CASE WHEN trim(clean) = '' THEN []::VARCHAR[]
@@ -516,7 +523,7 @@ object PipelineQueries {
                          * 1.0 / length(clean) END AS punct,
                LEAST(len(ltoks) / 100.0, 1.0) AS lenscore
         FROM lt),
-      q AS (
+      q AS MATERIALIZED (
         SELECT doc_id,
                ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
                      + 0.25 * lenscore
@@ -527,7 +534,7 @@ object PipelineQueries {
                ROW_NUMBER() OVER (PARTITION BY lab.cluster
                  ORDER BY q.q DESC, lab.doc_id) AS rn
         FROM lab JOIN q USING (doc_id)),
-      surv2 AS (
+      surv2 AS MATERIALIZED (
         SELECT doc_id FROM surv1
         WHERE doc_id NOT IN (SELECT doc_id FROM lab)
         UNION ALL
@@ -548,7 +555,7 @@ object PipelineQueries {
                  END) AS sh
         FROM btk),
       bench AS (SELECT DISTINCT md5(unnest(sh)) AS h FROM bsh),
-      csh AS (
+      csh AS MATERIALIZED (
         SELECT s.doc_id, md5(unnest(s.sh)) AS h
         FROM sh s JOIN surv2 USING (doc_id)
              JOIN cleaned c ON c.doc_id = s.doc_id
@@ -557,10 +564,10 @@ object PipelineQueries {
       shr AS (
         SELECT csh.doc_id, COUNT(*) AS n_shared
         FROM csh JOIN bench USING (h) GROUP BY csh.doc_id),
-      surv3 AS (
+      surv3 AS MATERIALIZED (
         SELECT t.doc_id FROM tot t LEFT JOIN shr USING (doc_id)
         WHERE COALESCE(n_shared, 0) * 2 < n_sh),
-      surv4 AS (
+      surv4 AS MATERIALIZED (
         SELECT s.doc_id FROM surv3 s JOIN q USING (doc_id)
         WHERE q.q >= 0.5),
       ptk AS (
@@ -578,14 +585,14 @@ object PipelineQueries {
         SELECT doc_id, source, n_tokens,
                CAST(floor(u * 8) AS INT) AS shard
         FROM ptk),
-      packfinal AS (
+      packfinal AS MATERIALIZED (
         SELECT doc_id, source, shard, n_tokens,
                COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS tok_offset
         FROM shd),
-      tokc AS (
+      tokc AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN trim(clean) = '' THEN 0
                     ELSE len(string_split_regex(trim(clean), '\s+')) END
@@ -621,17 +628,17 @@ object PipelineQueries {
                          * 1.0 / length(text) END AS punct,
                LEAST(len(ltoks) / 100.0, 1.0) AS lenscore
         FROM f0),
-      q AS (
+      q AS MATERIALIZED (
         SELECT doc_id, source, fp, n_tokens,
                ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
                      + 0.25 * lenscore
                      + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS q
         FROM qc),
-      off AS (
+      off AS MATERIALIZED (
         SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o
         FROM documents),
-      a AS (SELECT * FROM q WHERE doc_id % 2 = 0 AND q >= 0.5),
-      bs AS (
+      a AS MATERIALIZED (SELECT * FROM q WHERE doc_id % 2 = 0 AND q >= 0.5),
+      bs AS MATERIALIZED (
         SELECT doc_id, source, fp, n_tokens, q FROM q
         WHERE doc_id % 2 = 1
         UNION ALL

@@ -97,7 +97,9 @@ object Versioned {
         Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
           "UTF-8").trim.toInt)
       else None
-    } catch { case _: Throwable => None }
+      // NonFatal only: an OOM/interrupt here is a real failure, not a
+      // stale-pointer case, and must not be masked as "no pointer"
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Best-effort atomic pointer write (temp + rename). The pointer is
     * a HINT, never ground truth: racing writers can land it slightly
@@ -113,7 +115,7 @@ object Versioned {
       java.nio.file.Files.move(tmp, ptrFile(root, name).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Atomic manifest commit: write the manifest parquet into a temp
     * directory, then RENAME it to `v=N`. The version directory —
@@ -130,9 +132,14 @@ object Versioned {
     * replace semantics for single-writer re-runs (the st05/st13
     * idempotent-retry scheme overwrites its own failed commit); its
     * replace is rename-aside + rename-in (never delete-then-rename),
-    * so a concurrent reader always observes SOME complete manifest —
-    * the old one up to the instant the new one lands — and
-    * `hasVersion`/`latestVersion` never regress mid-overwrite.
+    * so a reader never sees a HALF-WRITTEN v=N — but between the
+    * rename-aside and the rename-in the v=N directory briefly does
+    * not exist, so a reader racing an overwrite can observe
+    * `hasVersion = false` / a regressed `latestVersion` for that
+    * instant. That is the actual guarantee: overwrite is for SINGLE-
+    * WRITER re-runs of a failed commit (where no committed reader of
+    * v=N exists yet); concurrent multi-writer replace would need a
+    * pointer-swap commit this miniature deliberately omits.
     *
     * Each commit also carries its wall-clock timestamp in a
     * `_commit_ts` file INSIDE the manifest directory — written before
@@ -552,13 +559,22 @@ object Versioned {
     quarantined.write.mode("overwrite")
       .parquet(s"$root/_quarantine/v=$version")
     val s = df.sparkSession
+    import s.implicits._
+    // every DECLARED constraint appears in the metrics, violation-free
+    // ones with an explicit 0 — a caller must be able to distinguish
+    // "all rows passed" from "constraint not evaluated" (a grouped
+    // count over quarantine rows alone silently drops clean ones)
+    val declared = expectations.map(_._1).toDF("expectation")
     val qCounts = s.read.parquet(s"$root/_quarantine/v=$version")
       .groupBy("__constraint").agg(count(lit(1)).as("n_rows"))
       .select(col("__constraint").as("expectation"), col("n_rows"))
+    val perConstraint = declared.join(qCounts, Seq("expectation"), "left")
+      .select(col("expectation"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
     val committed = readAsOf(s, root, version)
       .agg(count(lit(1)).as("n_rows"))
       .select(lit("__committed").as("expectation"), col("n_rows"))
-    qCounts.unionByName(committed)
+    perConstraint.unionByName(committed)
   }
 
   /** Quarantined rows of `version` (with the `__constraint` column). */

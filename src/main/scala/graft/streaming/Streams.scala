@@ -1014,16 +1014,29 @@ object Streams {
     * base load). The store grows by one batch-sized parquet append per
     * micro-batch; the corpus table is NEVER re-scanned at ingest.
     *
-    * Determinism note: batches must process in batch order (source
-    * files are written sequentially and the file source takes them
-    * oldest-first); the gate is not an assumption — the DuckDB oracle
-    * replays winner = first-batch-canonical-passing-the-gate per
-    * fingerprint, so an order violation hash-mismatches.
+    * Determinism note: batches must process in batch order.
+    * FileStreamSource orders by modification time, and on coarse-
+    * mtime filesystems (1 s granularity) sequentially-written files
+    * can TIE and reorder — so the source files get explicitly spaced
+    * mtimes (2 s apart), and the commit version is derived from the
+    * DATA (max of the batch's __b split key + 1), never from the
+    * opaque batchId, so a delivery-order violation fails the merge
+    * loudly (missing predecessor version) instead of silently
+    * committing content under the wrong version. The gate is not an
+    * assumption — the DuckDB oracle replays winner = first-batch-
+    * canonical-passing-the-gate per fingerprint, so an order
+    * violation also hash-mismatches.
     *
     * `docs` must carry (doc_id, source, fp, n_tokens, q).
+    *
+    * `maxStoreBroadcastBytes` is the [[graft.ops.Dedup.storeAntiJoin]]
+    * broadcast cap for the accumulated-store probe (test hook; the
+    * default is the honest production cap).
     */
   def corpusIngestDrain(docs: DataFrame, root: String,
-                        numBatches: Int = 4): DataFrame = {
+                        numBatches: Int = 4,
+                        maxStoreBroadcastBytes: Long = 128L << 20)
+      : DataFrame = {
     import graft.sources.Versioned
     val spark = docs.sparkSession
     val srcDir = Files.createTempDirectory("graft-st16-src").toString
@@ -1032,9 +1045,15 @@ object Streams {
     val batched = docs.withColumn("__b",
       floor(graft.ops.TextAnalysis.hashUniform(col("doc_id"), "ingest")
         * numBatches).cast("int"))
+    val mtimeBase = System.currentTimeMillis() - numBatches * 4000L
     (0 until numBatches).foreach { k =>
-      batched.filter(col("__b") === k).drop("__b")
+      batched.filter(col("__b") === k)
         .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b$k")
+      // explicitly spaced mtimes: FileStreamSource orders by mtime,
+      // and same-second writes tie on coarse-granularity filesystems
+      Option(new java.io.File(s"$srcDir/b$k").listFiles())
+        .getOrElse(Array.empty)
+        .foreach(f => f.setLastModified(mtimeBase + k * 2000L))
     }
     val schema = spark.read.parquet(s"$srcDir/b0").schema
     val stream = spark.readStream.schema(schema)
@@ -1042,21 +1061,37 @@ object Streams {
     val prevParts = scopedStatePartitions(spark)
     try {
       val q = stream.writeStream
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          val s2 = batch.sparkSession
+        .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
+          val s2 = batch0.sparkSession
+          // commit version comes from the DATA's split key, not the
+          // opaque batchId (see determinism note above); an EMPTY
+          // batch carries no key — fall back to batchId+1 (it
+          // commits no content, so ordering cannot corrupt it)
+          val vRow = batch0.agg(max("__b")).head
+          val v = if (vRow.isNullAt(0)) (batchId + 1).toInt
+                  else vRow.getInt(0) + 1
+          val batch = batch0.drop("__b")
           val canon = batch.join(
             batch.groupBy("fp").agg(min("doc_id").as("doc_id")),
             Seq("doc_id", "fp"), "left_semi")
           val storeFiles = Option(new java.io.File(storeDir).listFiles())
             .getOrElse(Array.empty).filter(_.getName.endsWith(".d"))
             .map(_.getAbsolutePath)
+          // the accumulated store is corpus-cumulative — capped-
+          // broadcast probe, never an unconditional broadcast hint
           val fresh =
             if (storeFiles.isEmpty) canon
-            else canon.join(
-              broadcast(s2.read.parquet(storeFiles.toSeq: _*)),
-              Seq("fp"), "left_anti")
-          val keep = fresh.filter(col("q") >= 0.5).cache()
-          val v = (batchId + 1).toInt
+            else graft.ops.Dedup.storeAntiJoin(canon,
+              s2.read.parquet(storeFiles.toSeq: _*), "fp",
+              maxStoreBroadcastBytes)
+          // commit attribution is persisted AS A COLUMN at commit
+          // time — free here (the version is a literal), and it makes
+          // corpusAttribution one scan with zero joins instead of an
+          // O(versions)-node union of per-commit change feeds (the
+          // reason Delta persists its CDF at commit rather than
+          // diffing snapshots after the fact)
+          val keep = fresh.filter(col("q") >= 0.5)
+            .withColumn("commit_v", lit(v)).cache()
           if (v == 1)
             Versioned.write(keep, root, "doc_id", version = 1,
               nFiles = 2)
@@ -1080,14 +1115,26 @@ object Streams {
   }
 
   /** Final ingested corpus with each doc attributed to the commit
-    * that inserted it, derived from the change feed (shared by the
-    * st16 drain and its build-once re-reads).
+    * that inserted it (shared by the st16 drain and its build-once
+    * re-reads).
+    *
+    * Two regimes:
+    *  - the table PERSISTED `commit_v` at commit time (what
+    *    [[corpusIngestDrain]] now does): ONE snapshot scan, zero
+    *    joins — plan size independent of the commit count. This is
+    *    the production shape; at a 1,000-commit table the
+    *    alternative's PLAN is the bottleneck.
+    *  - tables that never planned for attribution: reconstruct from
+    *    the change feed — one [[Versioned.diffSnapshots]] per commit,
+    *    unioned. Correct, but O(versions) plan nodes; kept only as
+    *    the after-the-fact capability for legacy tables.
     */
   def corpusAttribution(spark: SparkSession, root: String): DataFrame = {
     import graft.sources.Versioned
     val latest = Versioned.latestVersion(root)
     val snap = Versioned.readAsOf(spark, root, latest)
-    if (latest == 1) snap.withColumn("commit_v", lit(1))
+    if (snap.columns.contains("commit_v")) snap
+    else if (latest == 1) snap.withColumn("commit_v", lit(1))
     else {
       val feed = (2 to latest).map(v =>
         Versioned.changeFeed(spark, root, "doc_id", v - 1, v)

@@ -70,21 +70,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
-  test("p03: the fingerprint-store probe plans as a broadcast " +
-    "anti-join (batch B streams; the store never shuffles)") {
+  test("p03/st16: the fingerprint-store probe broadcasts UNDER the " +
+    "cap — map-side anti-join, batch streams, store never shuffles") {
     // plan the INGEST side directly: the entry itself reads the
     // committed table, so the probe plan lives in the fixture build
-    import graft.ops.TextAnalysis
+    import graft.ops.{Dedup, TextAnalysis}
     val scored = graft.Tables(spark, sf001, "documents")
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
     val store = scored.filter(col("doc_id") % 2 === 0)
       .select("fp").distinct()
-    val probe = scored.filter(col("doc_id") % 2 === 1)
-      .join(broadcast(store), Seq("fp"), "left_anti")
+    val probe = Dedup.storeAntiJoin(
+      scored.filter(col("doc_id") % 2 === 1), store, "fp")
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("p03/st16: the fingerprint-store probe falls back to a SHUFFLE " +
+    "anti-join OVER the cap — a corpus-cumulative store is never " +
+    "force-broadcast (the 100 TB OOM)") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val scored = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val store = scored.filter(col("doc_id") % 2 === 0)
+      .select("fp").distinct()
+    // test-sized cap (1 KB) forces the over-cap regime; the planner's
+    // own auto-broadcast must not resurrect the forced hint, so pin
+    // its threshold down for this plan only
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.storeAntiJoin(
+        scored.filter(col("doc_id") % 2 === 1), store, "fp",
+        maxBroadcastBytes = 1024L)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert((plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin")) && plan.contains("LeftAnti"),
+        plan.take(2000))
+      // correctness is regime-independent: capped result == broadcast
+      val capped = probe.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val bcast = Dedup.storeAntiJoin(
+        scored.filter(col("doc_id") % 2 === 1), store, "fp")
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      assert(capped.sameElements(bcast))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q81: null keys split out before the join exchange (no hot " +

@@ -459,4 +459,57 @@ class StreamsSpec extends SparkSpec {
     // every winner passed the gate
     assert(out.forall(_.getDouble(3) >= 0.5))
   }
+
+  test("corpusIngestDrain: a 1-byte store-broadcast cap (shuffle " +
+    "anti-join regime) commits the identical corpus — the probe's " +
+    "regime never changes results") {
+    import graft.sources.Versioned
+    import graft.ops.TextAnalysis
+    val scored = graft.Tables(spark, sf001, "documents")
+      .limit(200)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextAnalysis.qualityScoreOf(
+          TextAnalysis.tokens(lower(col("text"))), col("text")), 6)
+          .as("q"))
+    def drain(cap: Long): Set[(Long, Int)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-st16cap").toString + "/t"
+      Streams.corpusIngestDrain(scored, root, numBatches = 3,
+        maxStoreBroadcastBytes = cap)
+        .select("doc_id", "commit_v")
+        .as[(Long, Int)].collect().toSet
+    }
+    val shuffled = drain(1L)
+    val bcast = drain(128L << 20)
+    assert(shuffled == bcast,
+      s"regimes diverged: ${(shuffled diff bcast).take(3)} vs " +
+        s"${(bcast diff shuffled).take(3)}")
+  }
+
+  test("corpusAttribution: with commit_v persisted at commit time a " +
+    "100-commit table attributes in ONE scan — zero joins, zero " +
+    "unions, plan size independent of the commit count") {
+    import graft.sources.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-attr100").toString + "/t"
+    val mk = (v: Int) => spark.range(v * 10L, v * 10L + 10L)
+      .select(col("id").as("doc_id"), lit(v).as("commit_v"))
+    Versioned.write(mk(1), root, "doc_id", version = 1, nFiles = 1)
+    (2 to 100).foreach { v =>
+      Versioned.merge(spark, root, "doc_id", "op",
+        mk(v).withColumn("op", lit("U")), v - 1, v)
+    }
+    val attributed = Streams.corpusAttribution(spark, root)
+    val plan = attributed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("Union"), plan.take(1500))
+    // values: every row carries the commit that inserted it
+    val got = attributed.select("doc_id", "commit_v")
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == 1000)
+    (1 to 100).foreach(v => (0 until 10).foreach(i =>
+      assert(got(v * 10L + i) == v, s"doc ${v * 10L + i}")))
+  }
 }

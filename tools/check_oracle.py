@@ -4,9 +4,15 @@ dumped by graft.Verify, run its oracle SQL in DuckDB over the same
 parquet tables and compare values (columns sorted by name, rows sorted).
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
+
+# round-10 oracle budget: every oracle must replay in DuckDB under
+# this wall at sf0.01 — a single outlier (p02 ran 808 s pre-fix)
+# can blow the driver's whole correctness-gate budget and zero the
+# round's hard signal (CORRECTNESS_r09.json came back `{}`)
+BUDGET_S = float(os.environ.get("ORACLE_BUDGET_S", "10"))
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -20,6 +26,7 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # optional extra args = query-name substrings for targeted re-checks
 flt = sys.argv[3:]
 fails = []
+slow = []
 checked = 0
 for name, sql in sorted(oracle.items()):
     if flt and not any(f in name for f in flt):
@@ -31,12 +38,17 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
         continue
     sdf = pd.read_parquet(f"{out_dir}/{name}")
+    t0 = time.time()
     try:
         ddf = con.execute(sql).df()
     except Exception as e:
         print(f"ORAERR {name}: {e}")
         fails.append(name)
         continue
+    dt = time.time() - t0
+    if dt > BUDGET_S:
+        print(f"SLOW  {name}: oracle took {dt:.1f}s (budget {BUDGET_S:.0f}s)")
+        slow.append((name, dt))
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     ddf = ddf.reindex(sorted(ddf.columns), axis=1)
     if list(sdf.columns) != list(ddf.columns):
@@ -69,4 +81,7 @@ for name, sql in sorted(oracle.items()):
 # count only queries actually checked — with a filter, the skipped
 # ones must not be reported as matching
 print(f"\n{checked - len(fails)}/{checked} match")
-sys.exit(1 if fails else 0)
+if slow:
+    print("over-budget oracles: " +
+          ", ".join(f"{n} {t:.1f}s" for n, t in sorted(slow, key=lambda x: -x[1])))
+sys.exit(1 if fails or slow else 0)
