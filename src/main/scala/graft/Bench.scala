@@ -23,6 +23,25 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deterministic fixture lifecycle (round-10): entry fixtures
+    // (versioned tables, catalog data, persisted indexes) live in
+    // java.io.tmpdir as graft-<entry>-* dirs, normally removed at JVM
+    // exit — but a killed builder JVM leaks them, and a leaked warm
+    // fixture made identical code swing 0.3 <-> 3.4 s across rounds
+    // (q85/q70, round-9 verdict: the bench's dominant noise). Sweep
+    // them BEFORE timing so every bench run times the same cold
+    // build. Matches entry-keyed prefixes only — GenScale data dirs
+    // (graft-sf1 etc.) don't match and are kept. Assumes the bench
+    // owns the host (the driver's contract).
+    val fixtureRe = "^graft-(ckpt|contam|attr|d\\d+|m\\d+|mm\\d+|p\\d+|q\\d+|s\\d+|st\\d+)".r
+    Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        fixtureRe.findFirstIn(f.getName).isDefined)
+      .foreach(f =>
+        try TempDirs.rmTree(f.getAbsolutePath)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] fixture sweep ${f.getName}: $e") })
     // warm up JVM/session (scheduler, codegen, parquet footer reads) so
     // the first timed query doesn't absorb startup cost
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -187,9 +187,43 @@ object Dedup {
       df.join(store, Seq(keyCol), "left_anti")
   }
 
+  /** `maxBucketSize` is the hot-bucket BUDGET — the real-crawl skew
+    * regime where one boilerplate cluster holds ~10% of the corpus
+    * and its band bucket would emit g²/2 all-pairs candidates (a
+    * 5k-doc cluster = 12.5M pairs from ONE bucket). Buckets over the
+    * budget switch to STAR candidates — every member paired with the
+    * bucket's min id — O(g) edges that keep the cluster CONNECTED
+    * (so the closure still collapses it to one keeper) while
+    * truncating the quadratic pair enumeration. The trade is
+    * explicit, deterministic, and oracle-replayable (bucket size +
+    * min id are plain SQL): pairs LOST are those whose only shared
+    * buckets were oversized and whose exact-verify against the hub
+    * fails — for a genuine boilerplate cluster (the case the budget
+    * targets) members verify against the hub by construction.
+    * Callers surface the truncation via [[minhashLshBudgeted]] —
+    * never silently (p02's funnel reports budgeted-bucket counts).
+    * Default MaxValue = exact all-pairs semantics, zero plan change.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame =
+    minhashLshBudgeted(df, idCol, textCol, shingleN, numHashes, bands,
+      threshold, maxBucketSize)._1
+
+  /** [[minhashLsh]] plus the truncation REPORT: returns
+    * (verified pairs, budgeted buckets). The second frame lists every
+    * band bucket that exceeded `maxBucketSize` — (band, bhash, bsz,
+    * hub) — so a caller can surface the budget's activity in its own
+    * output (empty at the default cap). Reporting is the contract:
+    * a silent candidate truncation would read as "no near-dups
+    * there" when the truth is "too many".
+    */
+  def minhashLshBudgeted(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.7,
+                         maxBucketSize: Int = Int.MaxValue)
+      : (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     // staged projections: tokens -> distinct shingles -> base hashes ->
     // signature -> stringified signature; each stage's column is multi-
@@ -230,12 +264,38 @@ object Dedup {
     // (~8 band-dups per true pair, not the prefix join's ~45x
     // redundancy) — the slim dedup shuffle is cheaper than 8 extra
     // verifies per pair (sf3: ~21s here vs 31.7s dedup-late)
-    val cand = slim.as("a")
-      .join(slim.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val emptyStats = df.sparkSession.emptyDataFrame
+      .withColumn("band", lit(0)).withColumn("bhash", lit(""))
+      .withColumn("bsz", lit(0L)).withColumn("hub", lit(0L))
+    val (cand, budgeted) =
+      if (maxBucketSize == Int.MaxValue)
+        (slim.as("a")
+          .join(slim.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bhash") === col("b.bhash")
+              && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b"), emptyStats)
+      else {
+        // budget regime: annotate each slim row with its bucket's
+        // size and min id (one extra combinable agg + join on the
+        // same slim key — no wide data moves)
+        val stats = slim.groupBy("band", "bhash")
+          .agg(count(lit(1)).as("bsz"), min(col("id")).as("hub"))
+        val sized = slim.join(stats, Seq("band", "bhash"))
+        val small = sized.filter(col("bsz") <= maxBucketSize)
+        val allPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bhash") === col("b.bhash")
+              && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val star = sized
+          .filter(col("bsz") > maxBucketSize && col("id") > col("hub"))
+          .select(col("hub").as("id_a"), col("id").as("id_b"))
+        (allPairs.unionByName(star).dropDuplicates("id_a", "id_b"),
+          stats.filter(col("bsz") > maxBucketSize))
+      }
     // exact verify on 64-bit-hashed SORTED sets through the
     // SortedIntersect merge kernel (the d09 verify shape — one
     // branch-predictable scan per pair instead of a per-row string
@@ -253,7 +313,7 @@ object Dedup {
     // dedup is needed (1:1 joins can't re-duplicate a distinct pair)
     val st = sig.agg(count(lit(1)).as("n"), avg(size(col("sh"))).as("s"))
       .first
-    attachSets(cand, sets, "id_a", "id_b", preDeduped = true,
+    val pairs = attachSets(cand, sets, "id_a", "id_b", preDeduped = true,
         preStats = Some((st.getLong(0),
           if (st.isNullAt(1)) 0.0 else st.getDouble(1))))
       .withColumn("inter",
@@ -264,6 +324,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (pairs, budgeted)
   }
 
   /** Banded MinHash signature table for one corpus side: (id, sig,

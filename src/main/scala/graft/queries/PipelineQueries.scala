@@ -73,11 +73,38 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Intermediate stage outputs; survivor frames are slim id lists. */
+  /** Intermediate stage outputs; survivor frames are slim id lists.
+    * `lshBudget` is the fuzzy stage's truncation report — band
+    * buckets that exceeded [[LshBucketBudget]] (empty on an honest
+    * corpus; the p02 funnel surfaces its count so a triggered budget
+    * is NEVER silent).
+    */
   private[graft] final case class Stages(
     cleaned: DataFrame, surv1: DataFrame, surv2: DataFrame,
     surv3: DataFrame, surv4: DataFrame, quality: DataFrame,
-    packed: DataFrame)
+    packed: DataFrame, lshBudget: DataFrame)
+
+  /** Hot-bucket budget for the chain's MinHash-LSH stage: one
+    * boilerplate cluster holding ~10% of a real crawl would emit
+    * g²/2 all-pairs candidates from a single band bucket; over this
+    * size the bucket switches to O(g) min-id star candidates
+    * (connectivity preserved — the closure still collapses the
+    * cluster; see [[graft.ops.Dedup.minhashLsh]]). 4096 keeps every
+    * honest bucket at sf0.01-sf3 in the exact regime (largest
+    * observed: ~600 at the sf3 ×30-duplication stress) while bounding
+    * any one bucket's candidates to 8.4M pairs. The ORACLE replays
+    * the same rule, so a planted giant cluster stays hash-matched.
+    */
+  private[graft] val LshBucketBudget = 4096
+
+  /** p04's test-sized budget: small enough that its planted 150-doc
+    * boilerplate cluster (a fixed-size fixture, so the entry stays
+    * cheap at every SF) overflows it — the budget's TRIGGERED path is
+    * oracle-gated at every verify run, not just at a manual sf1
+    * stress. [[LshBucketBudget]] stays the production constant; the
+    * two share every line of code and SQL except the literal.
+    */
+  private[graft] val SkewTestCap = 64
 
   /** Max-key-derived id stride for the planted copies (the
     * insertOffset contract: SF-proof, replayed as the identical
@@ -178,8 +205,9 @@ object PipelineQueries {
     // quality is computed over ALL cleaned docs (the gate at stage 5
     // and the final projection reuse it), rounded to 6 dp so the
     // keeper ranking and the gate replay exactly.
-    val pairs = Dedup.minhashLsh(surv1, "doc_id", "clean",
-      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    val (pairs, lshBudget) = Dedup.minhashLshBudgeted(surv1, "doc_id",
+      "clean", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+      maxBucketSize = LshBucketBudget)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
     val quality = cleaned
@@ -238,7 +266,8 @@ object PipelineQueries {
     val packed = TextAnalysis.packSequences(corpusFinal, "doc_id",
       "clean", capacity = 256, shards = 8)
 
-    Stages(cleaned, surv1, surv2, surv3, surv4, quality, packed)
+    Stages(cleaned, surv1, surv2, surv3, surv4, quality, packed,
+      lshBudget)
   }
 
   /** Build-once fixture for p03 (one per JVM × dataset): the
@@ -348,6 +377,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the real-crawl hot-key regime, oracle-gated: ONE boilerplate
+    // near-dup cluster (150 docs = long shared text + per-doc salt
+    // token, so fingerprints DIFFER and exact dedup cannot collapse
+    // it — it must survive to the fuzzy stage) floods its band
+    // buckets past the test-sized budget. The entry proves the whole
+    // budget path end-to-end: buckets overflow -> star candidates ->
+    // exact verify -> the closure still collapses the giant component
+    // to ONE cluster -> and the truncation is REPORTED (budgeted
+    // bucket metrics are part of the output, equality-gated by the
+    // oracle's replay of the same size/hub arithmetic).
+    "p04_lsh_skew_budget" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val off = strideOf(base)
+      val boiler = (0 until 200).map(i => "boiler" + i).mkString(" ")
+      val cluster = s.range(0, 150)
+        .select((col("id") + off).as("doc_id"),
+          concat(lit(boiler), lit(" salt"), col("id").cast("string"))
+            .as("text"))
+      val corpus = base.unionByName(cluster)
+      val (pairs, budget) = Dedup.minhashLshBudgeted(corpus, "doc_id",
+        "text", shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, maxBucketSize = SkewTestCap)
+      val pairsC = pairs.cache()
+      val comps = Dedup.connectedComponents(pairsC, "id_a", "id_b")
+        .groupBy("comp").agg(count(lit(1)).as("n")).cache()
+      def metric(ord: Int, name: String, v: org.apache.spark.sql.Column,
+                 src: DataFrame): DataFrame =
+        src.agg(v.as("value"))
+          .select(lit(ord).as("ord"), lit(name).as("metric"),
+            col("value").cast("long").as("value"))
+      metric(1, "budgeted_buckets", count(lit(1)), budget)
+        .unionByName(metric(2, "budgeted_memberships",
+          coalesce(sum("bsz"), lit(0L)), budget))
+        .unionByName(metric(3, "verified_pairs", count(lit(1)), pairsC))
+        .unionByName(metric(4, "components", count(lit(1)), comps))
+        .unionByName(metric(5, "max_component",
+          coalesce(max("n"), lit(0L)), comps))
+        .orderBy("ord")
+    }),
+
     // the curation funnel: units (docs; packs at stage 6) + cleaned-
     // token volume surviving each stage
     "p02_pipeline_funnel" -> ((s, dir) => {
@@ -366,12 +435,23 @@ object PipelineQueries {
           .agg(sum("nt").as("n_tokens")))
         .select(lit(6).as("stage_ord"), lit("packed").as("stage"),
           col("n_units"), col("n_tokens"))
+      // the budget surfacing contract: a truncated fuzzy stage is
+      // REPORTED in the funnel — n_units = buckets over budget,
+      // n_tokens = their total band memberships (both 0 on an honest
+      // corpus; nonzero means the star-candidate regime ran)
+      val budgetRow = st.lshBudget
+        .agg(count(lit(1)).as("n_units"),
+          coalesce(sum("bsz"), lit(0L)).as("n_tokens"))
+        .select(lit(7).as("stage_ord"),
+          lit("lsh_budgeted_buckets").as("stage"),
+          col("n_units"), col("n_tokens"))
       row(1, "ingest", st.cleaned)
         .unionByName(row(2, "exact_dedup", st.surv1))
         .unionByName(row(3, "fuzzy_dedup", st.surv2))
         .unionByName(row(4, "decontaminate", st.surv3))
         .unionByName(row(5, "quality_gate", st.surv4))
         .unionByName(packsRow)
+        .unionByName(budgetRow)
         .orderBy("stage_ord")
     }))
 
@@ -480,11 +560,27 @@ object PipelineQueries {
                  sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
                  x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS bhash
         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+      bsz AS MATERIALIZED (
+        SELECT band, bhash, COUNT(*) AS bsz, MIN(doc_id) AS hub
+        FROM bb GROUP BY band, bhash),
       cnd AS (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM bb x JOIN bb y
-          ON x.band = y.band AND x.bhash = y.bhash
-             AND x.doc_id < y.doc_id),
+        -- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE
+        -- clause DuckDB 1.0 does NOT deduplicate a plain UNION in a
+        -- non-recursive CTE (minimal repro: WITH RECURSIVE x AS
+        -- (SELECT 1 UNION SELECT 1) yields 2 rows) — a bare UNION
+        -- here silently multiplied candidates by their band count
+        SELECT DISTINCT id_a, id_b FROM (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bb x JOIN bb y
+            ON x.band = y.band AND x.bhash = y.bhash
+               AND x.doc_id < y.doc_id
+          JOIN bsz s ON s.band = x.band AND s.bhash = x.bhash
+          WHERE s.bsz <= """ + LshBucketBudget + """
+          UNION ALL
+          SELECT s.hub, b.doc_id
+          FROM bb b JOIN bsz s ON s.band = b.band AND s.bhash = b.bhash
+          WHERE s.bsz > """ + LshBucketBudget + """
+            AND b.doc_id > s.hub)),
       jp AS (
         SELECT c.id_a, c.id_b,
                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -657,6 +753,117 @@ object PipelineQueries {
       SELECT doc_id, source, n_tokens, q, 2 FROM bkeep
       ORDER BY doc_id""",
 
+    // the skew-budget replay: same signature/band arithmetic as the
+    // chain, the SAME budget rule at the test cap, star candidates,
+    // string-shingle verify, recursive closure — metric equality
+    // gates that the budget fired AND that the giant component still
+    // collapsed to one cluster
+    "p04_lsh_skew_budget" -> ("""
+      WITH RECURSIVE
+      off AS MATERIALIZED (
+        SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o
+        FROM documents),
+      boiler AS MATERIALIZED (
+        SELECT string_agg('boiler' || CAST(i AS VARCHAR), ' '
+                 ORDER BY i) AS t
+        FROM range(0, 200) r(i)),
+      corpus AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT (SELECT o FROM off) + i,
+               (SELECT t FROM boiler) || ' salt' || CAST(i AS VARCHAR)
+        FROM range(0, 150) r(i)),
+      tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM corpus),
+      sh AS MATERIALIZED (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1), i ->
+                             array_to_string(
+                               toks[CAST(i AS INT):CAST(i + 2 AS INT)],
+                               ' '))
+                 END) AS sh
+        FROM tk),
+      hs AS MATERIALIZED (
+        SELECT doc_id, list_transform(sh, s ->
+          """ + duckHex8("s") + """ % 2147483647) AS hs
+        FROM sh),
+      coef AS MATERIALIZED (
+        SELECT CAST(i AS INT) - 1 AS j,
+               (""" + MinhashA + """::BIGINT[])[CAST(i AS INT)] AS a,
+               (""" + MinhashB + """::BIGINT[])[CAST(i AS INT)] AS b
+        FROM range(1, 33) t(i)),
+      hx AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM hs),
+      sigx AS MATERIALIZED (
+        SELECT doc_id, j, MIN((c.a * h + c.b) % 2147483647) AS m
+        FROM hx CROSS JOIN coef c GROUP BY doc_id, j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(m ORDER BY j) AS sig FROM sigx
+        GROUP BY doc_id),
+      bb AS MATERIALIZED (
+        SELECT doc_id, band,
+               substring(md5(array_to_string(list_transform(
+                 sig[CAST(band * 4 + 1 AS INT):CAST(band * 4 + 4 AS INT)],
+                 x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS bhash
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+      bsz AS MATERIALIZED (
+        SELECT band, bhash, COUNT(*) AS bsz, MIN(doc_id) AS hub
+        FROM bb GROUP BY band, bhash),
+      cnd AS MATERIALIZED (
+        -- DISTINCT over UNION ALL, not bare UNION: see the chainSql
+        -- cnd note (WITH RECURSIVE disables UNION's dedup in DuckDB)
+        SELECT DISTINCT id_a, id_b FROM (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bb x JOIN bb y
+            ON x.band = y.band AND x.bhash = y.bhash
+               AND x.doc_id < y.doc_id
+          JOIN bsz s ON s.band = x.band AND s.bhash = x.bhash
+          WHERE s.bsz <= """ + SkewTestCap + """
+          UNION ALL
+          SELECT s.hub, b.doc_id
+          FROM bb b JOIN bsz s ON s.band = b.band AND s.bhash = b.bhash
+          WHERE s.bsz > """ + SkewTestCap + """ AND b.doc_id > s.hub)),
+      jp AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(a.sh, b.sh)) AS li,
+                 len(a.sh) AS la, len(b.sh) AS lb
+          FROM cnd c JOIN sh a ON a.doc_id = c.id_a
+                     JOIN sh b ON b.doc_id = c.id_b)
+        WHERE CAST(li AS DOUBLE) / (la + lb - li) >= 0.5),
+      e AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+      nn AS (SELECT DISTINCT a AS id FROM e),
+      r AS (
+        SELECT id, id AS rid FROM nn
+        UNION
+        SELECT r.id, e.b FROM r JOIN e ON e.a = r.rid),
+      lab AS (SELECT id, MIN(rid) AS comp FROM r GROUP BY id),
+      cs AS MATERIALIZED (
+        SELECT comp, COUNT(*) AS n FROM lab GROUP BY comp)
+      SELECT * FROM (
+        SELECT 1 AS ord, 'budgeted_buckets' AS metric,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz
+                WHERE bsz > """ + SkewTestCap + """) AS value
+        UNION ALL
+        SELECT 2, 'budgeted_memberships',
+               (SELECT CAST(COALESCE(SUM(bsz), 0) AS BIGINT) FROM bsz
+                WHERE bsz > """ + SkewTestCap + """)
+        UNION ALL
+        SELECT 3, 'verified_pairs',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM jp)
+        UNION ALL
+        SELECT 4, 'components',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cs)
+        UNION ALL
+        SELECT 5, 'max_component',
+               (SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) FROM cs)
+      ) ORDER BY ord"""),
+
     "p01_corpus_pipeline" -> (chainSql + """
       SELECT pf.doc_id, pf.source, pf.n_tokens, pf.shard,
              CAST(pf.tok_offset AS BIGINT) AS tok_offset,
@@ -696,5 +903,11 @@ object PipelineQueries {
                   FROM packfinal GROUP BY shard)),
                (SELECT CAST(SUM(nt) AS BIGINT)
                 FROM tokc JOIN surv4 USING (doc_id))
+        UNION ALL
+        SELECT 7, 'lsh_budgeted_buckets',
+               (SELECT COUNT(*) FROM bsz
+                WHERE bsz > """ + LshBucketBudget + """),
+               (SELECT CAST(COALESCE(SUM(bsz), 0) AS BIGINT) FROM bsz
+                WHERE bsz > """ + LshBucketBudget + """)
       ) ORDER BY stage_ord"""))
 }

@@ -252,6 +252,54 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // EVENT-TIME ingest with LATE re-crawls (st17): st16's drain
+    // under a watermark. Deterministic event times: originals at
+    // 1,000,000 + (id % 97)·100 (spread 9,600 — well inside the
+    // delay, so originals are never late); planted ANCIENT re-crawls (ts =
+    // 1,000 — always below any advanced watermark, so quarantined in
+    // every batch after the first) and WITHIN-DELAY re-crawls (ts =
+    // 1,005,000, inside the 50,000 delay of the global max — always
+    // processed, then blocked by the store as ordinary duplicates).
+    // The watermark is the Spark rule replayed exactly: max event
+    // time over PRIOR batches minus the delay, advanced at batch
+    // boundaries. ONE oracle equality gates the batch split, the
+    // per-batch watermark sequence, the quarantine set, the store
+    // semantics over on-time rows, and the commit attribution.
+    "st17_stream_ingest_late" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-st17-$key")
+        .getAbsolutePath
+      if (!Versioned.hasVersion(root, 4)) {
+        graft.TempDirs.registerCleanedAtExit(root)
+        val base = graft.Tables(s, dir, "documents")
+        val off = (base.agg(max(col("doc_id"))).head().getLong(0)
+          / 1000000L + 1L) * 1000000L
+        val orig = base.select(col("doc_id"), col("source"),
+          col("text"),
+          (lit(1000000L) + (col("doc_id") % 97) * 100L).as("ts"))
+        val ancient = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("source"),
+            col("text"), lit(1000L).as("ts"))
+        val within = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2 * off).as("doc_id"), col("source"),
+            col("text"), lit(1005000L).as("ts"))
+        val scored = orig.unionByName(ancient).unionByName(within)
+          .select(col("doc_id"), col("source"),
+            graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"),
+            round(graft.ops.TextAnalysis.qualityScoreOf(
+              graft.ops.TextAnalysis.tokens(lower(col("text"))),
+              col("text")), 6).as("q"),
+            col("ts"))
+        Streams.corpusIngestDrain(scored, root, numBatches = 4,
+          eventTime = Some(("ts", 50000L)))
+      }
+      Streams.corpusWithLate(s, root).orderBy("doc_id")
+    }),
+
     // stream-driven incremental MV (q89's delta algebra applied per
     // micro-batch commit off st14's manifest-log stream, version-keyed
     // idempotent sink): the final MV state after draining all commits
@@ -447,6 +495,92 @@ object StreamQueries {
         WHERE rn = 1)
       SELECT doc_id, source, n_tokens, q, bid + 1 AS commit_v
       FROM win ORDER BY doc_id""",
+
+    // the event-time replay (st17): st16's rule restricted to ON-TIME
+    // rows, where late(d) = bid > 0 AND ts < max(prior-batch ts) -
+    // 50000 — the engine's per-batch high-water sequence computed
+    // declaratively; late rows come back as the quarantine arm
+    "st17_stream_ingest_late" -> """
+      WITH off AS (
+        SELECT (MAX(doc_id) // 1000000 + 1) * 1000000 AS o
+        FROM documents),
+      corpus AS (
+        SELECT doc_id, source, text,
+               1000000 + (doc_id % 97) * 100 AS ts
+        FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT o FROM off), source, text, 1000
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2 * (SELECT o FROM off), source, text, 1005000
+        FROM documents WHERE doc_id % 10 = 0),
+      f0 AS (
+        SELECT doc_id, source, text, ts,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END AS ltoks
+        FROM corpus),
+      qc AS (
+        SELECT doc_id, source, fp, ts,
+               CAST(len(ltoks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE len(list_filter(ltoks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','are',
+                       'was','it','that','for','on','with','as'], t)))
+                      * 1.0 / len(ltoks) END AS sw,
+               CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(ltoks)) * 1.0 / len(ltoks)
+                    END AS rep,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))
+                         * 1.0 / length(text) END AS punct,
+               LEAST(len(ltoks) / 100.0, 1.0) AS lenscore
+        FROM f0),
+      q AS (
+        SELECT doc_id, source, fp, ts, n_tokens,
+               ROUND(0.25 * LEAST(sw * 4.0, 1.0) + 0.25 * (1.0 - rep)
+                     + 0.25 * lenscore
+                     + 0.25 * (1.0 - LEAST(punct * 4.0, 1.0)), 6) AS q
+        FROM qc),
+      bt AS (
+        SELECT q.*, CAST(floor(
+          CAST(list_sum(list_transform(range(1, 9), i ->
+            (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR) || 'ingest'),
+                 CAST(i AS INT), 1)) - 1)
+            * power(16, 8 - i))) AS DOUBLE) / 4294967296.0 * 4)
+          AS INT) AS bid
+        FROM q),
+      mx AS (SELECT bid, MAX(ts) AS mx FROM bt GROUP BY bid),
+      wm AS (
+        SELECT b.bid, MAX(m.mx) - 50000 AS wm
+        FROM (SELECT DISTINCT bid FROM bt) b
+        JOIN mx m ON m.bid < b.bid
+        GROUP BY b.bid),
+      flags AS (
+        SELECT bt.*, CASE WHEN w.wm IS NOT NULL AND bt.ts < w.wm
+                          THEN 1 ELSE 0 END AS late
+        FROM bt LEFT JOIN wm w ON w.bid = bt.bid),
+      ot AS (SELECT * FROM flags WHERE late = 0),
+      canon AS (
+        SELECT ot.* FROM ot JOIN (
+          SELECT MIN(doc_id) AS doc_id FROM ot GROUP BY fp, bid) m
+          ON ot.doc_id = m.doc_id),
+      acc AS (SELECT * FROM canon WHERE q >= 0.5),
+      win AS (
+        SELECT * FROM (
+          SELECT acc.*, ROW_NUMBER() OVER (PARTITION BY fp
+            ORDER BY bid, doc_id) AS rn FROM acc)
+        WHERE rn = 1)
+      SELECT doc_id, source, n_tokens, q, bid + 1 AS commit_v,
+             'committed' AS status
+      FROM win
+      UNION ALL
+      SELECT doc_id, source, n_tokens, q, bid + 1, 'late'
+      FROM flags WHERE late = 1
+      ORDER BY doc_id""",
 
     // final-snapshot recompute (st13's v2 replay, MV columns): the
     // streamed MV must land exactly here after its per-commit deltas

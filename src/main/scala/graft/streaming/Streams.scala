@@ -1032,10 +1032,27 @@ object Streams {
     * `maxStoreBroadcastBytes` is the [[graft.ops.Dedup.storeAntiJoin]]
     * broadcast cap for the accumulated-store probe (test hook; the
     * default is the honest production cap).
+    *
+    * `eventTime = Some((tsCol, delayMs))` adds EVENT-TIME semantics
+    * (st17): real crawls re-deliver content with old timestamps, and
+    * unbounded lateness would mean unbounded dedup state. The drain
+    * keeps a per-batch high-water file next to the fp store and
+    * computes the watermark exactly as Spark's own operator-level
+    * watermark does — max event time over all PRIOR batches minus
+    * the delay, advanced at batch boundaries — so the rule is
+    * deterministic and oracle-replayable. A row with ts below the
+    * watermark is QUARANTINED-and-counted (q92's `_quarantine`
+    * convention, one dir per commit version) — never silently
+    * dropped, never admitted to the dedup/store competition; rows
+    * within the delay flow through the normal store semantics (a
+    * within-delay re-crawl is just a duplicate and the store blocks
+    * it). The returned frame then carries a `status` column:
+    * 'committed' winners plus 'late' quarantined rows.
     */
   def corpusIngestDrain(docs: DataFrame, root: String,
                         numBatches: Int = 4,
-                        maxStoreBroadcastBytes: Long = 128L << 20)
+                        maxStoreBroadcastBytes: Long = 128L << 20,
+                        eventTime: Option[(String, Long)] = None)
       : DataFrame = {
     import graft.sources.Versioned
     val spark = docs.sparkSession
@@ -1071,8 +1088,30 @@ object Streams {
           val v = if (vRow.isNullAt(0)) (batchId + 1).toInt
                   else vRow.getInt(0) + 1
           val batch = batch0.drop("__b")
-          val canon = batch.join(
-            batch.groupBy("fp").agg(min("doc_id").as("doc_id")),
+          // event-time regime: quarantine rows older than the
+          // watermark (= max event time over PRIOR batches - delay,
+          // the Spark watermark-advance rule) before any dedup
+          val onTime = eventTime match {
+            case None => batch
+            case Some((tsCol, delayMs)) =>
+              val hwFiles = Option(new java.io.File(storeDir)
+                  .listFiles()).getOrElse(Array.empty)
+                .filter(_.getName.endsWith(".hw"))
+              if (hwFiles.isEmpty) batch
+              else {
+                val wm = hwFiles.map(f => new String(
+                  java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+                  .trim.toLong).max - delayMs
+                val late = batch.filter(col(tsCol) < wm)
+                  .withColumn("commit_v", lit(v))
+                if (!late.isEmpty)
+                  late.coalesce(1).write.mode("overwrite")
+                    .parquet(s"$root/_quarantine_late/v=$v")
+                batch.filter(col(tsCol) >= wm)
+              }
+          }
+          val canon = onTime.join(
+            onTime.groupBy("fp").agg(min("doc_id").as("doc_id")),
             Seq("doc_id", "fp"), "left_semi")
           val storeFiles = Option(new java.io.File(storeDir).listFiles())
             .getOrElse(Array.empty).filter(_.getName.endsWith(".d"))
@@ -1103,6 +1142,16 @@ object Streams {
           keep.select("fp").coalesce(1).write.mode("overwrite")
             .parquet(s"$storeDir/b$batchId.d")
           keep.unpersist()
+          // advance the high-water mark over the WHOLE batch (late
+          // rows update event-time maxima too, exactly as events do
+          // under Spark's watermark)
+          eventTime.foreach { case (tsCol, _) =>
+            val mRow = batch.agg(max(col(tsCol))).head
+            if (!mRow.isNullAt(0))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$storeDir/b$batchId.hw"),
+                (mRow.getLong(0).toString + "\n").getBytes("UTF-8"))
+          }
           ()
         }
         .option("checkpointLocation", ckpt)
@@ -1111,7 +1160,26 @@ object Streams {
       q.awaitTermination()
     } finally restoreStatePartitions(spark, prevParts)
     rmTree(ckpt); rmTree(srcDir)
-    corpusAttribution(spark, root)
+    if (eventTime.isEmpty) corpusAttribution(spark, root)
+    else corpusWithLate(spark, root)
+  }
+
+  /** Event-time ingest output (st17): committed winners with their
+    * commit attribution UNION the late-quarantined rows — the
+    * "dropped-and-counted" contract made a first-class result
+    * (shared by the drain and build-once re-reads).
+    */
+  def corpusWithLate(spark: SparkSession, root: String): DataFrame = {
+    val committed = corpusAttribution(spark, root)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("q"),
+        col("commit_v"), lit("committed").as("status"))
+    val dirs = Option(new java.io.File(s"$root/_quarantine_late")
+        .listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    if (dirs.isEmpty) committed
+    else committed.unionByName(
+      spark.read.parquet(dirs.map(_.getAbsolutePath).toSeq: _*)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("q"), col("commit_v"), lit("late").as("status")))
   }
 
   /** Final ingested corpus with each doc attributed to the commit

@@ -179,4 +179,24 @@ class PipelineSpec extends SparkSpec {
     assert(s1.subsetOf(c) && s2.subsetOf(s1) && s3.subsetOf(s2) &&
       s4.subsetOf(s3))
   }
+
+  test("p04: the LSH hot-bucket budget TRIGGERS on the planted giant " +
+    "cluster, the truncation is reported, and the star candidates " +
+    "still collapse the component to one cluster") {
+    val m = PipelineQueries.queries("p04_lsh_skew_budget")(spark, sf001)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(m("budgeted_buckets") > 0, s"budget never fired: $m")
+    assert(m("budgeted_memberships") > m("budgeted_buckets"))
+    // the 150-doc planted cluster survives as ONE connected component
+    assert(m("max_component") == 150L, s"giant component fragmented: $m")
+    // star candidates are O(cluster), not O(cluster²): verified pairs
+    // stay far below the 150·149/2 = 11,175 all-pairs enumeration
+    assert(m("verified_pairs") < 1000L, s"budget inert: $m")
+    // the funnel's budget row is present and zero on the HONEST chain
+    // (p02's corpus has no bucket near the production budget)
+    val funnel = PipelineQueries.queries("p02_pipeline_funnel")(
+      spark, sf001).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(funnel("lsh_budgeted_buckets") == 0L, funnel.toString)
+  }
 }

@@ -460,6 +460,38 @@ class StreamsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) >= 0.5))
   }
 
+  test("event-time ingest (st17): ancient re-crawls quarantine past " +
+    "the watermark, within-delay re-crawls flow through the store, " +
+    "and no content is ever committed twice") {
+    val out = graft.queries.StreamQueries.queries(
+      "st17_stream_ingest_late")(spark, sf001).collect()
+    val off = (graft.Tables(spark, sf001, "documents")
+      .agg(max("doc_id")).head().getLong(0) / 1000000L + 1L) * 1000000L
+    val byStatus = out.groupBy(_.getString(5))
+    val late = byStatus.getOrElse("late", Array.empty)
+    val committed = byStatus.getOrElse("committed", Array.empty)
+    // late rows exist and every one is an ANCIENT re-crawl (+off ids)
+    // from a post-first batch (batch 0 has no watermark yet)
+    assert(late.nonEmpty, "no late rows — the watermark never fired")
+    assert(late.forall(r => r.getLong(0) >= off && r.getLong(0) < 2 * off),
+      s"non-ancient doc quarantined: ${late.map(_.getLong(0)).take(5).toSeq}")
+    assert(late.forall(_.getInt(4) > 1), "late row in batch 0")
+    // within-delay re-crawls (+2·off) are NEVER quarantined — they are
+    // ordinary duplicates for the store to block
+    assert(!late.exists(_.getLong(0) >= 2 * off))
+    // a doc id appears exactly once across both arms
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // dedup still holds: no committed doc shares content with another
+    // (ids of originals and copies differ but fps collide — committed
+    // originals+copies per planted pair must be exactly one)
+    val committedIds = committed.map(_.getLong(0)).toSet
+    val bothOrigAndCopy = committedIds.filter(id =>
+      id < off && id % 10 == 0 &&
+        (committedIds(id + off) || committedIds(id + 2 * off)))
+    assert(bothOrigAndCopy.isEmpty,
+      s"content committed twice: ${bothOrigAndCopy.take(5)}")
+  }
+
   test("corpusIngestDrain: a 1-byte store-broadcast cap (shuffle " +
     "anti-join regime) commits the identical corpus — the probe's " +
     "regime never changes results") {
