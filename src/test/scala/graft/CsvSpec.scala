@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,7 +13,7 @@ class CsvSpec extends SparkSpec {
   test("CSV sink round-trips a report table (S2/S3)") {
     val report = Seq(("AL", 12.34, 3L), ("AK", 56.78, 7L), ("AZ", 9.01, 2L))
       .toDF("state", "est", "n")
-    val dir = Files.createTempDirectory("graft-csv").toString
+    val dir = TempDirs.createCleanedAtExit("graft-csv")
     Csv.write(report, dir, header = true, singleFile = true)
     // exactly one part file when singleFile requested
     val parts = new java.io.File(dir).listFiles()
@@ -30,7 +30,7 @@ class CsvSpec extends SparkSpec {
   test("CSV sink stays partitioned for data-sized extracts") {
     val big = spark.range(0, 1000).repartition(4)
       .withColumn("v", col("id") * 2)
-    val dir = Files.createTempDirectory("graft-csv-par").toString
+    val dir = TempDirs.createCleanedAtExit("graft-csv-par")
     Csv.write(big, dir) // no coalesce
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-"))

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -15,7 +15,7 @@ class JsonLinesSpec extends SparkSpec {
 
   test("readAudit keeps every line: valid rows parse, corrupt rows " +
       "carry the raw line verbatim for quarantine") {
-    val dir = Files.createTempDirectory("graft-jsonaudit").toString
+    val dir = TempDirs.createCleanedAtExit("graft-jsonaudit")
     val lines = Seq(
       """{"k": 1, "name": "alpha"}""",
       """{"k": 2, "name"  """, // truncated mid-object
@@ -36,7 +36,7 @@ class JsonLinesSpec extends SparkSpec {
 
   test("readAudit survives a corrupt-column-only projection " +
       "(the raw-json-scan form throws QUERY_ONLY_CORRUPT_RECORD_COLUMN here)") {
-    val dir = Files.createTempDirectory("graft-jsonaudit2").toString
+    val dir = TempDirs.createCleanedAtExit("graft-jsonaudit2")
     Seq("""{"k": 1, "name": "a"}""", "oops").toDF("value")
       .coalesce(1).write.mode("overwrite").text(dir)
     val nBad = JsonLines.readAudit(spark, dir, schema)
