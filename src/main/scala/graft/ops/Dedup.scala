@@ -279,7 +279,12 @@ object Dedup {
       else {
         // budget regime: annotate each slim row with its bucket's
         // size and min id (one extra combinable agg + join on the
-        // same slim key — no wide data moves)
+        // same slim key — no wide data moves). A window over
+        // (band, bhash) would express the same thing in one pass but
+        // WindowExec sorts every partition even for unbounded
+        // frames; a back-to-back A/B measured it slightly SLOWER
+        // than this agg+join (p01 17.1 vs 16.5 s, same host window).
+        // Whole budget regime costs ~7% of p01 vs the uncapped path.
         val stats = slim.groupBy("band", "bhash")
           .agg(count(lit(1)).as("bsz"), min(col("id")).as("hub"))
         val sized = slim.join(stats, Seq("band", "bhash"))
