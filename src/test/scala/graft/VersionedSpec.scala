@@ -536,4 +536,19 @@ class VersionedSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet
       .intersect(snap).isEmpty)
   }
+
+  test("writeWithExpectations: a violation-FREE constraint still " +
+    "appears in the metrics with an explicit 0 — 'all rows passed' " +
+    "is distinguishable from 'constraint not evaluated'") {
+    val root = TempDirs.createCleanedAtExit("graft-versioned-expect0") + "/t"
+    val batch = Seq((1L, "O", 10.0), (2L, "F", -5.0))
+      .toDF("k", "status", "price")
+    val metrics = Versioned.writeWithExpectations(batch, root, "k",
+      version = 1, nFiles = 1, expectations = Seq(
+        "price_nonneg" -> (col("price") >= 0),
+        "status_known" -> col("status").isin("O", "F")))
+      .as[(String, Long)].collect().toMap
+    assert(metrics == Map("price_nonneg" -> 1L, "status_known" -> 0L,
+      "__committed" -> 1L), metrics.toString)
+  }
 }
