@@ -492,6 +492,63 @@ class StreamsSpec extends SparkSpec {
       s"content committed twice: ${bothOrigAndCopy.take(5)}")
   }
 
+  test("event-time ingest fuzz: the drain matches an INDEPENDENT " +
+    "in-memory reference model on seeded random corpora (guards " +
+    "against engine/oracle co-drift — same author wrote both)") {
+    // plain-JVM twin of TextAnalysis.hashUniform (first 8 md5 hex
+    // digits over id+salt as uint32 / 2^32)
+    def hashU(id: Long, salt: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + salt).getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16)
+        .toDouble / 4294967296.0
+    }
+    val nb = 3; val delay = 300L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 60).map { i =>
+        (i.toLong, "s" + (i % 3), "fp" + rnd.nextInt(12),
+          (i % 7 + 1).toLong,
+          if (rnd.nextBoolean()) 0.7 else 0.3,
+          1000L + rnd.nextInt(1000))
+      }
+      // reference model: batches in bid order, watermark = max prior
+      // ts - delay, late quarantined, per-fp min-id canon, store
+      // anti-join, gate, commit = bid+1
+      val byBid = rows.groupBy(r => (hashU(r._1, "ingest") * nb).toInt)
+      var store = Set.empty[String]
+      var seenMax = Option.empty[Long]
+      val expect = scala.collection.mutable.Set[(Long, Int, String)]()
+      (0 until nb).foreach { b =>
+        val batch = byBid.getOrElse(b, Seq.empty)
+        val wm = seenMax.map(_ - delay)
+        val (late, onTime) = batch.partition(r =>
+          wm.exists(w => r._6 < w))
+        late.foreach(r => expect += ((r._1, b + 1, "late")))
+        val canon = onTime.groupBy(_._3).values.map(_.minBy(_._1))
+        canon.filter(r => !store.contains(r._3) && r._5 >= 0.5)
+          .foreach { r =>
+            expect += ((r._1, b + 1, "committed")); store += r._3
+          }
+        if (batch.nonEmpty)
+          seenMax = Some(math.max(seenMax.getOrElse(Long.MinValue),
+            batch.map(_._6).max))
+      }
+      val docs = rows
+        .toDF("doc_id", "source", "fp", "n_tokens", "q", "ts")
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-st17fuzz$seed").toString + "/t"
+      val got = Streams.corpusIngestDrain(docs, root, numBatches = nb,
+        eventTime = Some(("ts", delay)))
+        .select("doc_id", "commit_v", "status")
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == expect.toSet,
+        s"seed $seed: engine-only ${(got -- expect).take(5)} " +
+          s"model-only ${(expect.toSet -- got).take(5)}")
+    }
+  }
+
   test("corpusIngestDrain: a 1-byte store-broadcast cap (shuffle " +
     "anti-join regime) commits the identical corpus — the probe's " +
     "regime never changes results") {
