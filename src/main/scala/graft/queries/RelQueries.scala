@@ -1983,6 +1983,65 @@ object RelQueries {
         .orderBy("p_brand")
     }),
 
+    // AQE runtime skew-join re-plan (beyond ref): the one skew
+    // mechanism the suite had not yet DEMONSTRATED — q81 splits the
+    // null hot key declaratively and Relational.saltedJoin pre-salts
+    // KNOWN hot keys, but the unknown-at-plan-time hot key is AQE's
+    // job: it observes map-output sizes at the shuffle boundary and
+    // splits the oversized partition across tasks at runtime.
+    // Fixture: ~1/3 of lineitem re-keyed onto ONE hot orderkey,
+    // joined to orders on a forced sort-merge path; thresholds are
+    // scaled down (cloned session, q68's pattern) so sf0.01's hot
+    // partition trips the same relative-size logic a 100-TB hot key
+    // would trip at defaults. The oracle proves the re-plan is
+    // TRANSPARENT (identical results); PlanSpec asserts the executed
+    // adaptive plan carries the skew=true split marker.
+    "q93_aqe_skew_join" -> ((s, dir) => {
+      val aq = s.newSession()
+      aq.conf.set("spark.sql.adaptive.enabled", "true")
+      aq.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      aq.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      aq.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16384")
+      aq.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "8192")
+      aq.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      // the join feeds a groupBy, so splitting the hot partition
+      // introduces one extra exchange — AQE declines that trade by
+      // default and must be told the skew split is worth it (it is:
+      // the extra exchange is answer-sized, the hot partition is not)
+      aq.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      aq.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // pinned: the skew geometry (hot-partition vs median ratio and
+      // per-mapper chunk sizes) must not depend on the host session's
+      // shuffle-partition count
+      aq.conf.set("spark.sql.shuffle.partitions", "8")
+      // repartition(8) gives the join shuffle REAL mappers: the
+      // sf0.01 parquet is one row group, so however the scan is
+      // byte-sliced only ONE task emits rows — and AQE splits a
+      // skewed reduce partition by MAPPER ranges, so a single-mapper
+      // hot partition is unsplittable (probe-measured: perMapper =
+      // [0,..,264509,..,0] -> createSkewPartitionSpecs = None). At
+      // 100 TB the input always has thousands of mappers; the
+      // fixture must emulate that multiplicity for the same rule to
+      // have something to split.
+      val hot = t(aq, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_orderkey")).as("jk"),
+          col("l_extendedprice"))
+        .repartition(8)
+      val ord = t(aq, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      hot.join(ord, col("jk") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // JSON-lines ingest round-trip: write customers as JSONL, read
     // back with an explicit schema (no inference pass), aggregate —
     // write→read must equal the parquet truth
@@ -3189,6 +3248,20 @@ object RelQueries {
     // v2 = the q47-style merge replay of the same change batch
     // the expectation split replayed: per-constraint violation counts
     // over the planted corruption + the committed (all-pass) count
+    // the skewed join replayed flat — AQE's split must be invisible
+    // in the results
+    "q93_aqe_skew_join" -> """
+      WITH hot AS (
+        SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
+                    ELSE l_orderkey END AS jk,
+               l_extendedprice
+        FROM lineitem)
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(l_extendedprice), 2) AS revenue
+      FROM hot JOIN orders ON jk = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+
     "q92_expectations" -> """
       WITH batch AS (
         SELECT o_orderkey,

@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q93: AQE actually SPLITS the planted hot partition at " +
+    "runtime — the executed adaptive plan carries skew=true") {
+    val df = SparkEntry.queries("q93_aqe_skew_join")(spark, sf001)
+    df.collect() // AQE finalizes the plan only during execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), plan.take(3000))
+  }
+
   test("q81: null keys split out before the join exchange (no hot " +
     "null partition) and rejoin via union") {
     val plan = planOf("q81_null_skew_join")
