@@ -370,6 +370,24 @@ object Versioned {
       rows.filter(_.getString(1) == "delete").map(_.getString(0)).toSeq)
   }
 
+  /** (data-file path, version that FIRST committed it) for every data
+    * file across `root`'s live version range — the one-pass commit-
+    * attribution backfill's map. One manifest read per version (the
+    * previous version's path set threads through the fold), so the
+    * driver work is O(total manifest rows), never O(versions) table
+    * scans.
+    */
+  private[graft] def dataPathsFirstCommitted(
+      s: SparkSession, root: String): Seq[(String, Int)] = {
+    var prevSet = Set.empty[String]
+    (oldestVersion(root) to latestVersion(root)).flatMap { v =>
+      val cur = pathsByKind(s, root, v)._1
+      val added = cur.filterNot(prevSet)
+      prevSet = cur.toSet
+      added.map(p => (p, v))
+    }
+  }
+
   /** Merge-on-read: anti-join the data stream against the tombstone
     * key files. The delete side is key-column-only (8 bytes per
     * deleted row) and in practice tiny relative to the table, so AQE
