@@ -12,7 +12,53 @@ object Bench {
       .trim.split(" ").head.toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Entry-fixture dirs under `root` (versioned tables, catalog data,
+    * persisted indexes — the graft-<entry>-* prefixes the query
+    * builders create). GenScale data dirs (graft-sf1 etc.) and other
+    * harness scratch don't match and are kept.
+    */
+  private[graft] val fixtureRe =
+    "^graft-(ckpt|contam|attr|d\\d+|m\\d+|mm\\d+|p\\d+|q\\d+|s\\d+|st\\d+)".r
+
+  /** Remove every entry fixture under `root` so the next build is
+    * COLD; returns the removed names. Called at bench start (a killed
+    * earlier JVM leaks warm fixtures) and again before every
+    * load-gated rerun — the rerun executes in the same JVM that
+    * already built everything, and without a sweep+[[Fixtures]] reset
+    * it times a warm fixture (the round-10 p03 escape: first pass at
+    * host load 5.56 > max 5.0 triggered a rerun, the warm 0.87 s beat
+    * the cold 4.7 s, and the "faster figure" rule committed it).
+    */
+  private[graft] def sweepFixtures(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        fixtureRe.findFirstIn(f.getName).isDefined)
+      .flatMap { f =>
+        try { TempDirs.rmTree(f.getAbsolutePath); Some(f.getName) }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] fixture sweep ${f.getName}: $e")
+          None }
+      }.toSeq
+
+  /** Full cold start without a JVM restart: sweep the fixture dirs AND
+    * clear the in-JVM memo maps that remember them (a memo pointing at
+    * a swept path would serve a dangling fixture).
+    */
+  private[graft] def coldReset(root: String): Unit = {
+    Fixtures.resetAll()
+    sweepFixtures(root)
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
+    // scope ALL fixture/scratch dirs this JVM creates under a
+    // bench-owned root, so the cold-start sweep below can never
+    // delete a concurrent test/verify JVM's fixtures (those live
+    // under the unscoped java.io.tmpdir default). Must run before
+    // anything touches TempDirs.
+    val benchRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-bench").getAbsolutePath
+    System.setProperty("graft.scratch", benchRoot)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -23,25 +69,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Deterministic fixture lifecycle (round-10): entry fixtures
-    // (versioned tables, catalog data, persisted indexes) live in
-    // java.io.tmpdir as graft-<entry>-* dirs, normally removed at JVM
-    // exit — but a killed builder JVM leaks them, and a leaked warm
-    // fixture made identical code swing 0.3 <-> 3.4 s across rounds
-    // (q85/q70, round-9 verdict: the bench's dominant noise). Sweep
-    // them BEFORE timing so every bench run times the same cold
-    // build. Matches entry-keyed prefixes only — GenScale data dirs
-    // (graft-sf1 etc.) don't match and are kept. Assumes the bench
-    // owns the host (the driver's contract).
-    val fixtureRe = "^graft-(ckpt|contam|attr|d\\d+|m\\d+|mm\\d+|p\\d+|q\\d+|s\\d+|st\\d+)".r
-    Option(new java.io.File(System.getProperty("java.io.tmpdir"))
-        .listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        fixtureRe.findFirstIn(f.getName).isDefined)
-      .foreach(f =>
-        try TempDirs.rmTree(f.getAbsolutePath)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] fixture sweep ${f.getName}: $e") })
+    // Deterministic fixture lifecycle (round-10): entry fixtures are
+    // normally removed at JVM exit — but a killed builder JVM leaks
+    // them, and a leaked warm fixture made identical code swing
+    // 0.3 <-> 3.4 s across rounds (q85/q70, round-9 verdict: the
+    // bench's dominant noise). Sweep BEFORE timing so every bench run
+    // times the same cold build.
+    sweepFixtures(benchRoot)
     // warm up JVM/session (scheduler, codegen, parquet footer reads) so
     // the first timed query doesn't absorb startup cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -87,6 +121,12 @@ object Bench {
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "5.0").toDouble
     val reruns: Map[String, (Double, Double)] = firstPass.collect {
       case (name, fn, _, true, load0) if load0 > loadMax =>
+        // a rerun must be as COLD as the first pass: the first pass
+        // already built this JVM's fixtures, and an entry re-timed
+        // against its own warm fixture reports build-free time the
+        // committed map then presents as cold (the round-10 p03
+        // escape). Sweep dirs + reset the fixture memos first.
+        coldReset(benchRoot)
         val (sec2, ok2, load2) = runOne(name, fn, " [rerun]")
         name -> (if (ok2) (sec2, load2) else (Double.MaxValue, load2))
     }.toMap

@@ -12,6 +12,14 @@ import scala.util.Using
   * here a single hook sweeps an appendable list instead. `rmTree`
   * closes its `Files.walk` stream (a leaked stream holds the directory
   * fd until GC).
+  *
+  * SCOPING (round-11): every scratch/fixture path is created under
+  * [[scratchRoot]] — `java.io.tmpdir` by default, or the
+  * `graft.scratch` system property when set. The bench sets the
+  * property to a bench-owned subdirectory before anything else runs,
+  * so its cold-start fixture sweep can never delete a concurrently
+  * running test/verify JVM's fixtures out from under it (those land
+  * under the unscoped default root).
   */
 object TempDirs {
 
@@ -23,6 +31,29 @@ object TempDirs {
     cleanupAtExit.iterator().asScala.foreach(p =>
       try rmTree(p) catch { case _: Throwable => () })
   }, "graft-tempdir-cleaner"))
+
+  /** Root for all scratch/fixture dirs this JVM creates. Read at every
+    * call (not cached) so the bench can scope it first thing in main.
+    */
+  def scratchRoot: String = {
+    val r = sys.props.getOrElse("graft.scratch",
+      System.getProperty("java.io.tmpdir"))
+    new java.io.File(r).mkdirs()
+    r
+  }
+
+  /** Stable, caller-keyed fixture location under [[scratchRoot]] (for
+    * build-once fixtures reused across calls in one JVM — versioned
+    * tables, persisted indexes — keyed by their dataset).
+    */
+  def fixturePath(name: String): String =
+    new java.io.File(scratchRoot, name).getAbsolutePath
+
+  /** Unique scratch dir under [[scratchRoot]], NOT exit-cleaned — for
+    * sources/checkpoints the caller deletes eagerly itself.
+    */
+  def createScratch(prefix: String): String =
+    Files.createTempDirectory(Paths.get(scratchRoot), prefix).toString
 
   /** Recursive delete; closes the walk stream. */
   def rmTree(dir: String): Unit = {
@@ -40,7 +71,7 @@ object TempDirs {
     * out from under the caller).
     */
   def createCleanedAtExit(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix).toString
+    val p = createScratch(prefix)
     cleanupAtExit.add(p)
     p
   }
@@ -51,4 +82,31 @@ object TempDirs {
     */
   def registerCleanedAtExit(path: String): Unit =
     cleanupAtExit.add(path)
+}
+
+/** Registry of build-once fixture CACHES (the in-JVM memo maps that
+  * remember "this dataset's fixture is already built at path P").
+  *
+  * Why it exists: the bench's cold-run contract sweeps fixture
+  * DIRECTORIES before timing, but a per-JVM memo that still points at
+  * the swept path would then serve a dangling fixture — and, worse,
+  * the load-gated RERUN path used to re-time entries inside the same
+  * JVM where the first pass had already built everything, so the
+  * committed "cold" map carried warm readings (round-10's p03 at
+  * 0.87 s vs its 4.7-5.2 s cold band — the escape happened twice
+  * before the mechanism was found). Every memo registers a reset here;
+  * [[resetAll]] + a directory sweep restores a true cold start without
+  * a JVM restart.
+  */
+object Fixtures {
+  private val resets =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  def onReset(f: () => Unit): Unit = resets.add(f)
+
+  /** Clear every registered fixture memo (the directories are the
+    * caller's to sweep — [[graft.Bench.sweepFixtures]]).
+    */
+  def resetAll(): Unit =
+    resets.iterator().asScala.foreach(f => f())
 }

@@ -167,11 +167,19 @@ object Dedup {
     * shuffled anti-join (both sides exchange on the key — correct at
     * any store size, and AQE can still locally re-plan).
     *
-    * Bytes estimate: fingerprint keys are 32-char md5 hex strings;
-    * 64 B/row covers the string plus UnsafeRow overhead, and the
-    * 128 MB default cap leaves the usual 2-4x headroom for the
-    * driver collect + HashedRelation peak (attachSets' measured
-    * contract).
+    * Bytes estimate: per-row width comes from the store's SCHEMA
+    * (Catalyst `defaultSize` per column — 20 B per string, 8 B per
+    * long — plus 32 B UnsafeRow/HashedRelation overhead), so a caller
+    * passing a store wider than the single-md5-key shape is sized
+    * honestly instead of silently broadcasting past the cap at the
+    * fixed 64 B/row the fp-only callers happen to fit. For the
+    * canonical (one md5 string) store this lands at 52 B/row — the
+    * same regime boundaries as the old constant, with the 128 MB
+    * default cap keeping the usual 2-4x headroom for the driver
+    * collect + HashedRelation peak (attachSets' measured contract).
+    * The anti-join only needs the key, so the store is projected to
+    * `keyCol` first — both the broadcast and the shuffled regime ship
+    * keys, never payload columns.
     *
     * `preCount` lets a caller that already knows the store's row
     * count (e.g. tracked incrementally across streaming batches)
@@ -180,11 +188,14 @@ object Dedup {
   def storeAntiJoin(df: DataFrame, store: DataFrame, keyCol: String,
                     maxBroadcastBytes: Long = 128L << 20,
                     preCount: Option[Long] = None): DataFrame = {
-    val n = preCount.getOrElse(store.count())
-    if (n * 64.0 <= maxBroadcastBytes.toDouble)
-      df.join(broadcast(store), Seq(keyCol), "left_anti")
+    val keys = store.select(keyCol)
+    val n = preCount.getOrElse(keys.count())
+    val rowBytes =
+      keys.schema.map(_.dataType.defaultSize.toLong).sum + 32L
+    if (n * rowBytes.toDouble <= maxBroadcastBytes.toDouble)
+      df.join(broadcast(keys), Seq(keyCol), "left_anti")
     else
-      df.join(store, Seq(keyCol), "left_anti")
+      df.join(keys, Seq(keyCol), "left_anti")
   }
 
   /** `maxBucketSize` is the hot-bucket BUDGET — the real-crawl skew

@@ -56,6 +56,7 @@ object OpsQueries {
     */
   private val contamCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]
+  graft.Fixtures.onReset(() => contamCache.clear())
 
   private def contamPaths(s: SparkSession, dir: String): (String, String) =
     contamCache.getOrElseUpdate(dir, {
@@ -490,7 +491,7 @@ object OpsQueries {
     "s18_ivf_persisted" -> ((s, dir) => {
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val idx = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-s18-idx-$key")
+        graft.TempDirs.scratchRoot, s"graft-s18-idx-$key")
       val path = idx.getAbsolutePath
       if (!new java.io.File(s"$path/codes").exists()) {
         graft.TempDirs.registerCleanedAtExit(path)
@@ -767,7 +768,7 @@ object OpsQueries {
     "mm07_binary_ingest" -> ((s, dir) => {
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val mdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-mm07-$key")
+        graft.TempDirs.scratchRoot, s"graft-mm07-$key")
       if (!mdir.exists()) {
         graft.TempDirs.registerCleanedAtExit(mdir.getAbsolutePath)
         mdir.mkdirs()

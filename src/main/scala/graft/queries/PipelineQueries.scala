@@ -283,14 +283,13 @@ object PipelineQueries {
     */
   private val incrCache =
     new scala.collection.concurrent.TrieMap[String, String]
+  graft.Fixtures.onReset(() => incrCache.clear())
 
   private[graft] def incrRoot(s: SparkSession, dir: String): String =
     incrCache.getOrElseUpdate(dir, {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-p03-$key")
-        .getAbsolutePath
+      val root = graft.TempDirs.fixturePath(s"graft-p03-$key")
       if (!Versioned.hasVersion(root, 2)) {
         graft.TempDirs.registerCleanedAtExit(root)
         val base = docs(s, dir)

@@ -31,7 +31,7 @@ object RelQueries {
     import graft.sources.Versioned
     val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-q73-$key")
+      graft.TempDirs.scratchRoot, s"graft-q73-$key")
       .getAbsolutePath
     val base = t(s, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -85,7 +85,7 @@ object RelQueries {
     import graft.sources.Versioned
     val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-q85-$key")
+      graft.TempDirs.scratchRoot, s"graft-q85-$key")
       .getAbsolutePath
     if (!Versioned.hasVersion(root, 2)) {
       graft.TempDirs.registerCleanedAtExit(root)
@@ -129,7 +129,7 @@ object RelQueries {
     import graft.sources.Versioned
     val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-q86-$key")
+      graft.TempDirs.scratchRoot, s"graft-q86-$key")
       .getAbsolutePath
     if (!Versioned.hasVersion(root, 4)) {
       graft.TempDirs.registerCleanedAtExit(root)
@@ -810,7 +810,7 @@ object RelQueries {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-q91-$key")
+        graft.TempDirs.scratchRoot, s"graft-q91-$key")
         .getAbsolutePath
       val base = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -845,7 +845,7 @@ object RelQueries {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-q92-$key")
+        graft.TempDirs.scratchRoot, s"graft-q92-$key")
         .getAbsolutePath
       graft.TempDirs.registerCleanedAtExit(root)
       // planted corruption: %43 keys get a negated price, %47 keys an

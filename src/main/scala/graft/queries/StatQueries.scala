@@ -57,6 +57,10 @@ object StatQueries {
   private val emConvCache = TrieMap.empty[String, Em.Fit]
   private val mspeCache = TrieMap.empty[String, Seq[(String, Double)]]
   private val agqCache = TrieMap.empty[String, Agq.Fit]
+  graft.Fixtures.onReset { () =>
+    emCache.clear(); emConvCache.clear(); mspeCache.clear()
+    agqCache.clear()
+  }
 
   /** The glmer-equivalent fit (adaptive Gauss-Hermite marginal ML) —
     * the reference's model-fitting step itself (`Method_code.Rmd:

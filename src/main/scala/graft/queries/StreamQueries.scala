@@ -21,7 +21,7 @@ object StreamQueries {
     import graft.sources.Versioned
     val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-st13-$key")
+      graft.TempDirs.scratchRoot, s"graft-st13-$key")
       .getAbsolutePath
     if (!Versioned.hasVersion(root, 2)) {
       graft.TempDirs.registerCleanedAtExit(root)
@@ -220,7 +220,7 @@ object StreamQueries {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-st16-$key")
+        graft.TempDirs.scratchRoot, s"graft-st16-$key")
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)
@@ -269,7 +269,7 @@ object StreamQueries {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-st17-$key")
+        graft.TempDirs.scratchRoot, s"graft-st17-$key")
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)

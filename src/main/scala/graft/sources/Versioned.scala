@@ -77,6 +77,7 @@ object Versioned {
     */
   private val snapSchemaCache = new scala.collection.concurrent
     .TrieMap[(String, Int), org.apache.spark.sql.types.StructType]
+  graft.Fixtures.onReset(() => snapSchemaCache.clear())
 
   /** Directory-listing count (test hook): every O(versions) listing
     * of `_graft_manifest` bumps it, so VersionedSpec can gate that a

@@ -171,9 +171,9 @@ object Streams {
   def hourlyAggStreamDrain(spark: SparkSession, sfDir: String,
                            slide: Option[String] = None): DataFrame = {
     val tag = slide.fold("st01")(_ => "st07")
-    val srcDir = Files.createTempDirectory(s"graft-$tag-src").toString
+    val srcDir = graft.TempDirs.createScratch(s"graft-$tag-src")
     val sinkDir = tempDirCleanedAtExit(s"graft-$tag-sink")
-    val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch(s"graft-$tag-ckpt")
     locally {
       val raw = eventsBatch(spark, sfDir)
         .select("ts", "event_type", "value")
@@ -219,9 +219,9 @@ object Streams {
   def topkStreamDrain(spark: SparkSession, sfDir: String,
                       k: Int = 3): DataFrame = {
     graft.functions.TopKPairs.register(spark)
-    val srcDir = Files.createTempDirectory("graft-st11-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st11-src")
     val sinkDir = tempDirCleanedAtExit("graft-st11-sink")
-    val ckpt = Files.createTempDirectory("graft-st11-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st11-ckpt")
     locally {
       val raw = eventsBatch(spark, sfDir)
         .select("ts", "event_id", "value")
@@ -280,9 +280,9 @@ object Streams {
     */
   def hourlyApproxDistinctDrain(spark: SparkSession, sfDir: String,
                                 rsd: Double = 0.02): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft-st10-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st10-src")
     val sinkDir = tempDirCleanedAtExit("graft-st10-sink")
-    val ckpt = Files.createTempDirectory("graft-st10-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st10-ckpt")
     locally {
       val raw = eventsBatch(spark, sfDir).select("ts", "user_id")
       val sentinel = raw.agg(
@@ -333,9 +333,9 @@ object Streams {
     */
   def sessionWindowStreamDrain(spark: SparkSession, sfDir: String,
                                gapMinutes: Int = 30): DataFrame = {
-    val srcDir = Files.createTempDirectory("graft-st09-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st09-src")
     val sinkDir = tempDirCleanedAtExit("graft-st09-sink")
-    val ckpt = Files.createTempDirectory("graft-st09-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st09-ckpt")
     locally {
       val raw = eventsBatch(spark, sfDir)
         .select("ts", "user_id", "value")
@@ -476,9 +476,9 @@ object Streams {
   def sessionizeStreamDrain(events: DataFrame, gapMs: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-st02-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st02-src")
     val sinkDir = tempDirCleanedAtExit("graft-st02-sink")
-    val ckpt = Files.createTempDirectory("graft-st02-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st02-ckpt")
     val sentinels = events.groupBy("user_id")
       .agg(timestamp_millis(max(unix_millis(col("ts"))) + 10 * gapMs).as("ts"))
       .withColumn("value", lit(0.0))
@@ -518,9 +518,9 @@ object Streams {
   def dedupStreamDrain(events: DataFrame, keyCols: Seq[String],
                        watermarkDelay: String = "2 hours"): DataFrame = {
     val spark = events.sparkSession
-    val srcDir = Files.createTempDirectory("graft-st03-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st03-src")
     val sinkDir = tempDirCleanedAtExit("graft-st03-sink")
-    val ckpt = Files.createTempDirectory("graft-st03-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st03-ckpt")
     // one file -> one micro-batch, so all duplicate copies meet the
     // same state-store generation
     events.coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -555,9 +555,9 @@ object Streams {
   def streamJoinDrain(events: DataFrame, windowMs: Long,
                       watermarkDelay: String = "2 hours"): DataFrame = {
     val spark = events.sparkSession
-    val srcDir = Files.createTempDirectory("graft-st04-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st04-src")
     val sinkDir = tempDirCleanedAtExit("graft-st04-sink")
-    val ckpt = Files.createTempDirectory("graft-st04-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st04-ckpt")
     events.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     def side(tpe: String, prefix: String) =
@@ -602,9 +602,9 @@ object Streams {
   def streamLeftJoinDrain(events: DataFrame, windowMs: Long,
                           watermarkDelay: String = "2 hours"): DataFrame = {
     val spark = events.sparkSession
-    val srcDir = Files.createTempDirectory("graft-st08-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st08-src")
     val sinkDir = tempDirCleanedAtExit("graft-st08-sink")
-    val ckpt = Files.createTempDirectory("graft-st08-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st08-ckpt")
     val maxTsMs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime
     // horizon > watermark delay (2h) + window, with margin: the final
     // watermark = min(side maxima) - delay must clear maxTs + window
@@ -660,9 +660,9 @@ object Streams {
   def streamStaticDrain(events: DataFrame, dim: DataFrame,
                         eventKey: String, dimKey: String): DataFrame = {
     val spark = events.sparkSession
-    val srcDir = Files.createTempDirectory("graft-st06-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st06-src")
     val sinkDir = tempDirCleanedAtExit("graft-st06-sink")
-    val ckpt = Files.createTempDirectory("graft-st06-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st06-ckpt")
     events.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
@@ -706,9 +706,9 @@ object Streams {
   def upsertStreamDrain(events: DataFrame, keyCol: String,
                         orderCols: Seq[String], numBatches: Int = 4): DataFrame = {
     val spark = events.sparkSession
-    val srcDir = Files.createTempDirectory("graft-st05-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st05-src")
     val stateRoot = tempDirCleanedAtExit("graft-st05-state")
-    val ckpt = Files.createTempDirectory("graft-st05-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st05-ckpt")
     events.repartition(numBatches).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     try upsertStreamResume(spark, srcDir, schema, stateRoot, ckpt,
@@ -791,8 +791,8 @@ object Streams {
                          numBatches: Int = 4): DataFrame = {
     import graft.sources.Versioned
     val spark = base.sparkSession
-    val srcDir = Files.createTempDirectory("graft-st13-src").toString
-    val ckpt = Files.createTempDirectory("graft-st13-ckpt").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st13-src")
+    val ckpt = graft.TempDirs.createScratch("graft-st13-ckpt")
     Versioned.write(base, root, keyCol, version = 1, nFiles = 8)
     changes.repartition(numBatches).write.mode("overwrite")
       .parquet(srcDir)
@@ -840,7 +840,7 @@ object Streams {
   def changeFeedStreamDrain(spark: SparkSession, root: String,
                             keyCol: String): DataFrame = {
     import graft.sources.Versioned
-    val ckpt = Files.createTempDirectory("graft-st14-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st14-ckpt")
     val sinkRoot = tempDirCleanedAtExit("graft-st14-sink")
     val manRoot = s"$root/_graft_manifest"
     // partition discovery turns v=N into a `v` column on the stream
@@ -932,7 +932,7 @@ object Streams {
                        valueCol: String,
                        sinkDir: Option[String] = None): DataFrame = {
     import graft.sources.Versioned
-    val ckpt = Files.createTempDirectory("graft-st15-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st15-ckpt")
     val sinkRoot = sinkDir.getOrElse(tempDirCleanedAtExit("graft-st15-mv"))
     val manRoot = s"$root/_graft_manifest"
     val schema = spark.read.parquet(manRoot).schema
@@ -1091,9 +1091,9 @@ object Streams {
     val spark = docs.sparkSession
     scratch.foreach(p => new java.io.File(p).mkdirs())
     val srcDir = scratch.map(_ + "/src")
-      .getOrElse(Files.createTempDirectory("graft-st16-src").toString)
+      .getOrElse(graft.TempDirs.createScratch("graft-st16-src"))
     val ckpt = scratch.map(_ + "/ckpt")
-      .getOrElse(Files.createTempDirectory("graft-st16-ckpt").toString)
+      .getOrElse(graft.TempDirs.createScratch("graft-st16-ckpt"))
     val storeDir = scratch.map { p =>
       val d = p + "/store"; new java.io.File(d).mkdirs(); d
     }.getOrElse(tempDirCleanedAtExit("graft-st16-store"))
@@ -1427,9 +1427,9 @@ object Streams {
                               numBatches: Int = 3): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-st12-src").toString
+    val srcDir = graft.TempDirs.createScratch("graft-st12-src")
     val sinkDir = tempDirCleanedAtExit("graft-st12-sink")
-    val ckpt = Files.createTempDirectory("graft-st12-ckpt").toString
+    val ckpt = graft.TempDirs.createScratch("graft-st12-ckpt")
     events.select(col("user_id").cast("long"), col("value").cast("double"))
       .repartition(numBatches).write.mode("overwrite").parquet(srcDir)
     val schema = StructType(Seq(StructField("user_id", LongType),
@@ -1480,7 +1480,7 @@ object Streams {
   def runAvailableNow(stream: DataFrame, tableName: String,
                       outputMode: String = "complete"): DataFrame = {
     val spark = stream.sparkSession
-    val ckpt = Files.createTempDirectory(s"graft-ckpt-$tableName").toString
+    val ckpt = graft.TempDirs.createScratch(s"graft-ckpt-$tableName")
     val prevParts = scopedStatePartitions(spark)
     try {
       val q = stream.writeStream

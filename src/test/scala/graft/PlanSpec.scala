@@ -120,6 +120,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("storeAntiJoin sizes and ships the KEY projection, not the " +
+    "store's full width — a payload column can neither blow the " +
+    "byte estimate past the cap nor ride the broadcast") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val scored = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    // a store WIDER than the fp-only shape the callers pass: the old
+    // fixed 64 B/row would under-estimate it; the fix projects to the
+    // key before sizing AND before joining
+    val wideStore = graft.Tables(spark, sf001, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("text").as("payload"))
+    val probe = Dedup.storeAntiJoin(
+      scored.filter(col("doc_id") % 2 === 1), wideStore, "fp")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    // the broadcast build side must be the key projection only
+    assert(!plan.contains("payload"), plan.take(2000))
+    // and the result is the same anti-join a slim store produces
+    val slim = Dedup.storeAntiJoin(
+      scored.filter(col("doc_id") % 2 === 1),
+      wideStore.select("fp"), "fp")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val wide = probe.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    assert(wide.sameElements(slim))
+  }
+
   test("q93: AQE actually SPLITS the planted hot partition at " +
     "runtime — the executed adaptive plan carries skew=true") {
     val df = SparkEntry.queries("q93_aqe_skew_join")(spark, sf001)

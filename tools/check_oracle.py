@@ -84,4 +84,9 @@ print(f"\n{checked - len(fails)}/{checked} match")
 if slow:
     print("over-budget oracles: " +
           ", ".join(f"{n} {t:.1f}s" for n, t in sorted(slow, key=lambda x: -x[1])))
-sys.exit(1 if fails or slow else 0)
+# exit codes: 1 = value/schema/row MISMATCH (a correctness failure);
+# 2 = all values match but an oracle blew the time budget (a perf
+# regression in the gate itself — on a loaded host this must stay
+# distinguishable from a wrong answer, or a slow run reads as a
+# correctness-gate failure)
+sys.exit(1 if fails else (2 if slow else 0))
