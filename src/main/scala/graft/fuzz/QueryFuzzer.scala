@@ -84,6 +84,12 @@ object QueryFuzzer {
   final case class ArithCol(a: ColDef, op: String, b: ColDef,
                             alias: String) extends OutCol
   final case class CaseCol(pred: Pred, alias: String) extends OutCol
+  /** Scalar function call: LENGTH/UPPER over strings, ABS over
+    * numerics — functions both dialects define identically on the
+    * harness's ASCII data.
+    */
+  final case class FuncCol(func: String, col: ColDef, alias: String)
+    extends OutCol
 
   final case class AggCol(func: String, col: Option[ColDef],
                           alias: String)
@@ -91,7 +97,13 @@ object QueryFuzzer {
   sealed trait Shape
   final case class Proj(cols: Seq[OutCol], distinct: Boolean)
     extends Shape
-  final case class Agg(groups: Seq[ColDef], aggs: Seq[AggCol])
+  /** `having` = (alias of a COUNT aggregate, minimum value): rendered
+    * as a post-aggregation filter (subquery-wrapped in SQL — alias
+    * references in HAVING are a dialect extension; the wrap is
+    * portable and plans identically).
+    */
+  final case class Agg(groups: Seq[ColDef], aggs: Seq[AggCol],
+                       having: Option[(String, Long)] = None)
     extends Shape
   final case class Win(keys: Seq[ColDef], part: ColDef, num: ColDef,
                        alias: String) extends Shape
@@ -132,6 +144,8 @@ object QueryFuzzer {
         s"(${sqlNum(x)} $op ${sqlNum(y)}) AS $a"
       case CaseCol(p, a) =>
         s"(CASE WHEN ${sqlPred(p)} THEN 1 ELSE 0 END) AS $a"
+      case FuncCol(f, c, a) =>
+        s"${f.toUpperCase}(${c.name}) AS $a"
     }
 
     private def sqlAgg(a: AggCol): String = a.func match {
@@ -157,14 +171,19 @@ object QueryFuzzer {
         case Proj(cols, distinct) =>
           s"SELECT ${if (distinct) "DISTINCT " else ""}" +
             s"${cols.map(sqlOut).mkString(", ")} FROM $from$where"
-        case Agg(groups, aggs) =>
+        case Agg(groups, aggs, having) =>
           val gSel = groups.zipWithIndex
             .map { case (g, i) => s"${g.name} AS g$i" }
           val sel = (gSel ++ aggs.map(sqlAgg)).mkString(", ")
           val by =
             if (groups.isEmpty) ""
             else " GROUP BY " + groups.map(_.name).mkString(", ")
-          s"SELECT $sel FROM $from$where$by"
+          val agg = s"SELECT $sel FROM $from$where$by"
+          having match {
+            case None => agg
+            case Some((alias, k)) =>
+              s"SELECT * FROM ($agg) h WHERE $alias >= $k"
+          }
         case Win(keys, part, num, alias) =>
           val kSel = keys.zipWithIndex
             .map { case (k, i) => s"${k.name} AS k$i" }
@@ -183,6 +202,21 @@ object QueryFuzzer {
       case s: String => lit(s)
       case other => lit(other)
     }
+
+    /** The filtered-joined relation BEFORE the output shape — the TLP
+      * self-check's subject (FuzzSpec partitions it by a predicate).
+      */
+    private[graft] def baseDF(spark: SparkSession,
+                              dir: String): DataFrame = {
+      val base = graft.Tables(spark, dir, baseTable)
+      joins.foldLeft(base) {
+        case (acc, (_, lk, rt, rk, isLeft)) =>
+          acc.join(graft.Tables(spark, dir, rt),
+            col(lk) === col(rk), if (isLeft) "left" else "inner")
+      }
+    }
+
+    private[graft] def predColumn(p: Pred): Column = sparkPred(p)
 
     private def sparkPred(p: Pred): Column = p match {
       case Cmp(c, op, l) => op match {
@@ -216,6 +250,11 @@ object QueryFuzzer {
         }).as(a)
       case CaseCol(p, a) =>
         when(sparkPred(p), lit(1L)).otherwise(lit(0L)).as(a)
+      case FuncCol(f, c, a) => (f match {
+        case "length" => length(col(c.name)).cast("long")
+        case "upper" => upper(col(c.name))
+        case "abs" => abs(col(c.name))
+      }).as(a)
     }
 
     private def sparkAgg(a: AggCol): Column = a.func match {
@@ -231,23 +270,24 @@ object QueryFuzzer {
     }
 
     def toDF(spark: SparkSession, dir: String): DataFrame = {
-      val base = graft.Tables(spark, dir, baseTable)
-      val joined = joins.foldLeft(base) {
-        case (acc, (_, lk, rt, rk, isLeft)) =>
-          acc.join(graft.Tables(spark, dir, rt),
-            col(lk) === col(rk), if (isLeft) "left" else "inner")
-      }
+      val joined = baseDF(spark, dir)
       val filtered = preds.foldLeft(joined)((d, p) => d.filter(sparkPred(p)))
       shape match {
         case Proj(cols0, distinct) =>
           val p = filtered.select(cols0.map(sparkOut): _*)
           if (distinct) p.distinct() else p
-        case Agg(groups, aggs) =>
+        case Agg(groups, aggs, having) =>
           val gCols = groups.zipWithIndex
             .map { case (g, i) => col(g.name).as(s"g$i") }
           val aCols = aggs.map(sparkAgg)
-          if (groups.isEmpty) filtered.agg(aCols.head, aCols.tail: _*)
-          else filtered.groupBy(gCols: _*).agg(aCols.head, aCols.tail: _*)
+          val agged =
+            if (groups.isEmpty) filtered.agg(aCols.head, aCols.tail: _*)
+            else filtered.groupBy(gCols: _*)
+              .agg(aCols.head, aCols.tail: _*)
+          having match {
+            case None => agged
+            case Some((alias, k)) => agged.filter(col(alias) >= lit(k))
+          }
         case Win(keys, part, num, alias) =>
           val kCols = keys.zipWithIndex
             .map { case (k, i) => col(k.name).as(s"k$i") }
@@ -273,10 +313,21 @@ object QueryFuzzer {
             else Seq.empty
           fewer ++ (if (d) Seq(copy(shape = Proj(cols0, distinct = false)))
                     else Seq.empty)
-        case Agg(gs, as0) =>
-          if (as0.size > 1)
-            as0.indices.map(i => copy(shape = Agg(gs, as0.patch(i, Nil, 1))))
-          else Seq.empty
+        case Agg(gs, as0, hv) =>
+          val dropHaving =
+            if (hv.isDefined) Seq(copy(shape = Agg(gs, as0, None)))
+            else Seq.empty
+          val fewerAggs =
+            if (as0.size > 1)
+              as0.indices.flatMap { i =>
+                val rest = as0.patch(i, Nil, 1)
+                // never orphan a HAVING that references the dropped agg
+                if (hv.exists(h => !rest.exists(_.alias == h._1)))
+                  None
+                else Some(copy(shape = Agg(gs, rest, hv)))
+              }
+            else Seq.empty
+          dropHaving ++ fewerAggs
         case _ => Seq.empty
       }
       fewerPreds ++ shapeShrinks
@@ -374,11 +425,15 @@ object QueryFuzzer {
 
     val preds = Seq.fill(rnd.nextInt(3))(genPred(1))
 
-    def genOutCol(i: Int): OutCol = rnd.nextInt(10) match {
+    def genOutCol(i: Int): OutCol = rnd.nextInt(12) match {
       case n if n < 6 => PlainCol(pick(cols), s"c$i")
-      case n if n < 9 && numCols.nonEmpty =>
+      case n if n < 8 && numCols.nonEmpty =>
         ArithCol(pick(numCols), pick(Seq("+", "-", "*")),
           pick(numCols), s"c$i")
+      case n if n < 10 =>
+        if (rnd.nextBoolean() && strCols.nonEmpty)
+          FuncCol(pick(Seq("length", "upper")), pick(strCols), s"c$i")
+        else FuncCol("abs", pick(numCols), s"c$i")
       case _ => CaseCol(genLeafPred(), s"c$i")
     }
 
@@ -401,7 +456,11 @@ object QueryFuzzer {
             case _ => AggCol("max", Some(pick(cols)), s"a$i")
           }
         }
-        Agg(groups, aggs)
+        // HAVING on a COUNT aggregate (always integral, never null)
+        val having = aggs.find(_.func.startsWith("count"))
+          .filter(_ => groups.nonEmpty && rnd.nextInt(10) < 4)
+          .map(a => (a.alias, 1L + rnd.nextInt(4)))
+        Agg(groups, aggs, having)
       case _ =>
         Win(Seq.fill(2)(pick(cols)).distinct, pick(keyCols),
           pick(numCols), "w")

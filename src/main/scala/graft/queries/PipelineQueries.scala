@@ -95,7 +95,12 @@ object PipelineQueries {
     * any one bucket's candidates to 8.4M pairs. The ORACLE replays
     * the same rule, so a planted giant cluster stays hash-matched.
     */
-  private[graft] val LshBucketBudget = 4096
+  private[graft] val LshBucketBudget: Int =
+    // A/B hook for the budget-insurance cost measurement (round-11
+    // verdict item: same-window sf3 on/off): Int.MaxValue disables
+    // the budget (exact all-pairs in every bucket), anything else
+    // overrides the cap. Unset = the production constant.
+    sys.env.get("SPARK_GRAFT_LSH_BUDGET").map(_.toInt).getOrElse(4096)
 
   /** p04's test-sized budget: small enough that its planted 150-doc
     * boilerplate cluster (a fixed-size fixture, so the entry stays

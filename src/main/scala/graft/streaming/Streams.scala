@@ -1236,8 +1236,16 @@ object Streams {
     val pre = listStore()
     if (pre.length > compactEvery) {
       val tmp = s"$storeDir/_ctmp$batchId"
-      s2.read.parquet(pre.map(_.getAbsolutePath).toSeq: _*)
-        .distinct().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val merged = s2.read.parquet(pre.map(_.getAbsolutePath).toSeq: _*)
+        .distinct()
+      // size the compacted store by ROWS, not to one file: a corpus-
+      // cumulative store is billions of fps at 100 TB, and a single
+      // output file would serialize every future probe's scan (and
+      // this write) through one task. ~10M keys/file ≈ a few hundred
+      // MB of md5s per file; fixture-sized stores still fold to 1.
+      val n = merged.count()
+      val nf = math.max(1L, (n + 9999999L) / 10000000L).toInt
+      merged.repartition(nf).write.mode("overwrite").parquet(tmp)
       metaReads += pre.length
       val target = new java.io.File(storeDir, s"c$batchId.d")
       if (target.exists()) rmTree(target.getAbsolutePath)
