@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{OpsQueries, PipelineQueries, RelQueries, StatQueries,
-  StreamQueries}
+import graft.queries.{FuzzQueries, OpsQueries, PipelineQueries,
+  RelQueries, StatQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ StatQueries.queries ++ OpsQueries.queries ++
-      StreamQueries.queries ++ PipelineQueries.queries
+      StreamQueries.queries ++ PipelineQueries.queries ++
+      FuzzQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ StatQueries.oracles ++ OpsQueries.oracles ++
-      StreamQueries.oracles ++ PipelineQueries.oracleSql
+      StreamQueries.oracles ++ PipelineQueries.oracleSql ++
+      FuzzQueries.oracles
 }

@@ -187,8 +187,12 @@ object QueryFuzzer {
         case Win(keys, part, num, alias) =>
           val kSel = keys.zipWithIndex
             .map { case (k, i) => s"${k.name} AS k$i" }
-          val w = s"SUM(${sqlNum(num)}) OVER " +
-            s"(PARTITION BY ${part.name}) AS $alias"
+          // integral window sums land as BIGINT in both dialects
+          // (DuckDB's native SUM(BIGINT) OVER returns HUGEINT)
+          val raw = s"SUM(${sqlNum(num)}) OVER " +
+            s"(PARTITION BY ${part.name})"
+          val w = (if (num.isIntegral) s"CAST($raw AS BIGINT)" else raw) +
+            s" AS $alias"
           s"SELECT ${(kSel :+ w).mkString(", ")} FROM $from$where"
       }
     }

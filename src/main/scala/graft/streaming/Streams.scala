@@ -1235,6 +1235,13 @@ object Streams {
     // duplicate fps across files — harmless to an anti-join probe
     val pre = listStore()
     if (pre.length > compactEvery) {
+      // clear stale temp dirs from compactions that crashed before
+      // their rename (they are invisible to the probe — no `.d`
+      // suffix — but would otherwise accumulate forever)
+      Option(new java.io.File(storeDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_ctmp"))
+        .foreach(f => rmTree(f.getAbsolutePath))
       val tmp = s"$storeDir/_ctmp$batchId"
       val merged = s2.read.parquet(pre.map(_.getAbsolutePath).toSeq: _*)
         .distinct()

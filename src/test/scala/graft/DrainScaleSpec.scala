@@ -113,6 +113,61 @@ class DrainScaleSpec extends SparkSpec {
         s"model-only ${(expect.toSet -- got).take(5)}")
   }
 
+  test("mid-compaction crash residue is harmless and self-healing: " +
+    "duplicated fps across store files (incomplete delete-olds) and a " +
+    "stale _ctmp dir (crash before rename) change no results, and the " +
+    "next compaction clears both") {
+    val compactEvery = 3
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-ctmpcrash").toString
+    TempDirs.registerCleanedAtExit(scratch)
+    val root = s"$scratch/t"
+    val storeDir = s"$scratch/store"
+    new java.io.File(storeDir).mkdirs()
+    def rowsOf(k: Int) = (0 until 4).map { i =>
+      val id = k * 10L + i
+      (id, "s0", s"f$id", 10L, 0.8)
+    }
+    def drive(k: Int): Unit =
+      Streams.ingestBatch(
+        rowsOf(k).toDF("doc_id", "source", "fp", "n_tokens", "q")
+          .withColumn("__b", lit(k)),
+        k.toLong, root, storeDir, 128L << 20, None, compactEvery)
+    (0 until 3).foreach(drive)
+    // plant the two crash residues compaction can leave behind:
+    // (1) incomplete delete-olds — a store file duplicated under a
+    // fake prior-batch name (same fps now in two files); (2) a stale
+    // _ctmp from a compaction that died before its rename
+    val b0 = new java.io.File(storeDir, "b0.d")
+    val dup = new java.io.File(storeDir, "b99dup.d")
+    java.nio.file.Files.walk(b0.toPath).forEach { p =>
+      val rel = b0.toPath.relativize(p)
+      val t = dup.toPath.resolve(rel)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    new java.io.File(storeDir, "_ctmp77").mkdirs()
+    // batch 3 sees 4 prior files (> compactEvery=3): it must compact,
+    // clear the stale _ctmp, and still commit exactly its fresh docs
+    // (the duplicated fps stay one-survivor)
+    (3 until 6).foreach(drive)
+    val files = Option(new java.io.File(storeDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    assert(!files.exists(_.startsWith("_ctmp")),
+      s"stale _ctmp survived: ${files.toSeq}")
+    assert(files.count(_.endsWith(".d")) <= compactEvery + 1,
+      s"store not compacted: ${files.toSeq}")
+    val got = Streams.corpusAttribution(spark, root)
+      .select("doc_id", "commit_v")
+      .as[(Long, Int)].collect().toSet
+    val expect = (0 until 6).flatMap(k =>
+      rowsOf(k).map(r => (r._1, k + 1))).toSet
+    assert(got == expect,
+      s"residue changed results: extra ${(got -- expect).take(5)} " +
+        s"missing ${(expect -- got).take(5)}")
+  }
+
   test("crash-resume: a drain killed after commit k resumes from the " +
     "same checkpoint to the identical corpus, for every k (the " +
     "crashed batch re-runs; its own store append must not turn the " +
