@@ -1,0 +1,164 @@
+package graft.fuzz
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-vs-oracle comparison for the differential fuzzer: runs a
+  * batch of generated SQL in DuckDB (out-of-process via
+  * `tools/fuzz_duckdb.py` — the same driver-side python the oracle
+  * gate uses), canonicalizes both engines' rows, and reports the
+  * first divergence. Shared by FuzzSpec (the in-suite 220-seed gate)
+  * and [[Fuzz]] (ad-hoc large campaigns).
+  *
+  * Comparison contract: columns aligned by alias, rows compared as
+  * sorted multisets, integrals exact, floating point within 1e-6
+  * RELATIVE tolerance (cross-engine double aggregation is
+  * order-dependent in the last ulps; anything past the tolerance is a
+  * real divergence). Sort keys round numerics to 6 dp so a
+  * sub-tolerance wobble cannot reorder rows between the engines.
+  */
+object Differ {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def duckAvailable(): Boolean =
+    try {
+      import scala.sys.process._
+      Seq("python3", "-c", "import duckdb").! == 0
+    } catch { case _: Throwable => false }
+
+  /** Run named SQL statements in DuckDB over `sfDir`'s parquet;
+    * Right((cols, rows)) per query, Left(error) for a statement that
+    * failed (one bad statement never takes down the batch).
+    */
+  def runDuck(sfDir: String, sqls: Map[String, String],
+              repoRoot: String = ".")
+      : Map[String, Either[String, (Seq[String], Seq[Seq[Any]])]] = {
+    import scala.sys.process._
+    val jm = new java.util.LinkedHashMap[String, String]()
+    sqls.foreach { case (k, v) => jm.put(k, v) }
+    val qf = java.nio.file.Files.createTempFile("fuzzq", ".json")
+    java.nio.file.Files.write(qf,
+      mapper.writeValueAsString(jm).getBytes("UTF-8"))
+    val out = Seq("python3", s"$repoRoot/tools/fuzz_duckdb.py", sfDir,
+      qf.toString).!!
+    java.nio.file.Files.deleteIfExists(qf)
+    val parsed = mapper.readValue(out,
+      classOf[java.util.Map[String, Object]]).asScala
+    parsed.map { case (name, vObj) =>
+      val m = vObj.asInstanceOf[java.util.Map[String, Object]]
+      val res =
+        if (m.containsKey("error")) Left(m.get("error").toString)
+        else {
+          val cols = m.get("cols").asInstanceOf[java.util.List[Object]]
+            .asScala.map(_.toString).toSeq
+          val rows = m.get("rows").asInstanceOf[java.util.List[Object]]
+            .asScala.map(_.asInstanceOf[java.util.List[Object]]
+              .asScala.map(x => x: Any).toSeq).toSeq
+          Right((cols, rows))
+        }
+      name -> res
+    }.toMap
+  }
+
+  // ---- canonical value model ----
+
+  sealed trait V
+  case object VN extends V
+  final case class VL(v: Long) extends V
+  final case class VD(v: Double) extends V
+  final case class VS(s: String) extends V
+  final case class VB(b: Boolean) extends V
+
+  def norm(a: Any): V = a match {
+    case null => VN
+    case i: java.lang.Integer => VL(i.longValue())
+    case l: java.lang.Long => VL(l.longValue())
+    case bi: java.math.BigInteger => VL(bi.longValueExact())
+    case bd: java.math.BigDecimal => VD(bd.doubleValue())
+    case f: java.lang.Float => VD(f.doubleValue())
+    case d: java.lang.Double => VD(d.doubleValue())
+    case s: String => VS(s)
+    case b: java.lang.Boolean => VB(b.booleanValue())
+    case other => VS(other.toString)
+  }
+
+  def sortKey(v: V): String = v match {
+    case VN => " "
+    case VL(l) => "N%+021d".format(l)
+    case VD(d) =>
+      if (d.isNaN || d.isInfinite) s"X$d"
+      else "N" + BigDecimal(d).setScale(6, BigDecimal.RoundingMode
+        .HALF_UP).underlying.toPlainString.reverse.padTo(28, ' ')
+        .reverse
+    case VS(s) => "S" + s
+    case VB(b) => "B" + b
+  }
+
+  def eqV(a: V, b: V): Boolean = (a, b) match {
+    case (VN, VN) => true
+    case (VL(x), VL(y)) => x == y
+    case (VL(x), VD(y)) => eqNum(x.toDouble, y)
+    case (VD(x), VL(y)) => eqNum(x, y.toDouble)
+    case (VD(x), VD(y)) => eqNum(x, y)
+    case (VS(x), VS(y)) => x == y
+    case (VB(x), VB(y)) => x == y
+    case _ => false
+  }
+
+  private def eqNum(x: Double, y: Double): Boolean =
+    (x.isNaN && y.isNaN) ||
+      math.abs(x - y) <= 1e-6 * math.max(1.0,
+        math.max(math.abs(x), math.abs(y)))
+
+  /** None = match; Some(reason) = divergence. */
+  def diff(spark: SparkSession, dir: String,
+           q: QueryFuzzer.FuzzQuery,
+           duck: Either[String, (Seq[String], Seq[Seq[Any]])])
+      : Option[String] = {
+    val df = q.toDF(spark, dir)
+    val sparkCols = df.columns.toSeq
+    val sparkRows = df.collect().toSeq
+      .map(r => sparkCols.indices.map(i => norm(r.get(i))))
+    duck match {
+      case Left(err) => Some(s"duckdb error: $err")
+      case Right((dCols, dRows0)) =>
+        if (dCols.sorted != sparkCols.sorted)
+          return Some(s"schema: spark=$sparkCols duck=$dCols")
+        val idx = sparkCols.map(dCols.indexOf)
+        val dRows = dRows0.map(r => idx.map(i => norm(r(i))))
+        if (dRows.size != sparkRows.size)
+          return Some(s"rows: spark=${sparkRows.size} duck=${dRows.size}")
+        val s = sparkRows.sortBy(_.map(sortKey).mkString(""))
+        val d = dRows.sortBy(_.map(sortKey).mkString(""))
+        s.zip(d).zipWithIndex.collectFirst {
+          case ((sr, dr), ri) if !sr.zip(dr).forall((eqV _).tupled) =>
+            s"row $ri: spark=$sr duck=$dr"
+        }
+    }
+  }
+
+  /** Greedy minimization: keep applying the first shrink that still
+    * diverges until none does.
+    */
+  def minimize(spark: SparkSession, dir: String,
+               q0: QueryFuzzer.FuzzQuery, d0: String,
+               repoRoot: String = ".")
+      : (QueryFuzzer.FuzzQuery, String) = {
+    var cur = q0
+    var curDiff = d0
+    var continue = true
+    while (continue) {
+      val next = cur.shrinks.iterator.flatMap { s =>
+        val dk = runDuck(dir, Map("s" -> s.sql), repoRoot)("s")
+        diff(spark, dir, s, dk).map(reason => (s, reason))
+      }.take(1).toSeq.headOption
+      next match {
+        case Some((s, reason)) => cur = s; curDiff = reason
+        case None => continue = false
+      }
+    }
+    (cur, curDiff)
+  }
+}

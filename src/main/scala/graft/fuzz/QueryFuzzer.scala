@@ -111,9 +111,18 @@ object QueryFuzzer {
   /** (table, key, table, key, isLeftJoin) in left-deep join order. */
   type JoinUse = (String, String, String, String, Boolean)
 
+  /** [NOT] EXISTS correlated on an FK edge, with an optional extra
+    * predicate over the inner table — rendered as a correlated
+    * subquery in SQL and as a left_semi/left_anti join in the Column
+    * API (the two formulations every engine must agree on).
+    */
+  final case class Semi(lt: String, lk: String, rt: String, rk: String,
+                        negated: Boolean, pred: Option[Pred])
+
   final case class FuzzQuery(seed: Int, baseTable: String,
                              joins: Seq[JoinUse], preds: Seq[Pred],
-                             shape: Shape) {
+                             shape: Shape,
+                             semis: Seq[Semi] = Seq.empty) {
 
     // ---- SQL rendering (the DuckDB side) ----
 
@@ -159,14 +168,21 @@ object QueryFuzzer {
       case f => s"${f.toUpperCase}(${a.col.get.name}) AS ${a.alias}"
     }
 
+    private def sqlSemi(s: Semi): String = {
+      val inner = s"${s.rt}.${s.rk} = ${s.lt}.${s.lk}" +
+        s.pred.map(p => s" AND ${sqlPred(p)}").getOrElse("")
+      s"${if (s.negated) "NOT " else ""}EXISTS " +
+        s"(SELECT 1 FROM ${s.rt} WHERE $inner)"
+    }
+
     def sql: String = {
       val from = joins.foldLeft(baseTable) {
         case (acc, (lt, lk, rt, rk, isLeft)) =>
           s"$acc ${if (isLeft) "LEFT " else ""}JOIN $rt ON $lt.$lk = $rt.$rk"
       }
+      val conds = preds.map(sqlPred) ++ semis.map(sqlSemi)
       val where =
-        if (preds.isEmpty) ""
-        else " WHERE " + preds.map(sqlPred).mkString(" AND ")
+        if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
       shape match {
         case Proj(cols, distinct) =>
           s"SELECT ${if (distinct) "DISTINCT " else ""}" +
@@ -275,7 +291,16 @@ object QueryFuzzer {
 
     def toDF(spark: SparkSession, dir: String): DataFrame = {
       val joined = baseDF(spark, dir)
-      val filtered = preds.foldLeft(joined)((d, p) => d.filter(sparkPred(p)))
+      val predded = preds.foldLeft(joined)((d, p) => d.filter(sparkPred(p)))
+      // [NOT] EXISTS = left_semi/left_anti against the (optionally
+      // pre-filtered) inner table's key column
+      val filtered = semis.foldLeft(predded) { (d, s) =>
+        val inner0 = graft.Tables(spark, dir, s.rt)
+        val inner = s.pred.fold(inner0)(p => inner0.filter(sparkPred(p)))
+          .select(s.rk)
+        d.join(inner, col(s.lk) === col(s.rk),
+          if (s.negated) "left_anti" else "left_semi")
+      }
       shape match {
         case Proj(cols0, distinct) =>
           val p = filtered.select(cols0.map(sparkOut): _*)
@@ -308,6 +333,15 @@ object QueryFuzzer {
     def shrinks: Seq[FuzzQuery] = {
       val fewerPreds = preds.indices.map(i =>
         copy(preds = preds.patch(i, Nil, 1)))
+      val fewerSemis = semis.indices.flatMap { i =>
+        val dropped = copy(semis = semis.patch(i, Nil, 1))
+        val unPredded =
+          if (semis(i).pred.isDefined)
+            Seq(copy(semis =
+              semis.updated(i, semis(i).copy(pred = None))))
+          else Seq.empty
+        dropped +: unPredded
+      }
       val shapeShrinks = shape match {
         case Proj(cols0, d) =>
           val fewer =
@@ -334,7 +368,7 @@ object QueryFuzzer {
           dropHaving ++ fewerAggs
         case _ => Seq.empty
       }
-      fewerPreds ++ shapeShrinks
+      fewerPreds ++ fewerSemis ++ shapeShrinks
     }
   }
 
@@ -399,26 +433,30 @@ object QueryFuzzer {
       pool(rnd.nextInt(pool.size))
     }
 
-    def genLeafPred(): Pred = rnd.nextInt(10) match {
-      case n if n < 5 =>
-        val c = pick(cols)
-        Cmp(c, pick(Seq("<", "<=", ">", ">=", "=", "<>")), litOf(c))
-      case n if n < 7 =>
-        val c = pick(cols)
-        val pool = pools((c.table, c.name))
-        val k = 1 + rnd.nextInt(math.min(4, pool.size))
-        InList(c, Seq.fill(k)(pool(rnd.nextInt(pool.size))).distinct)
-      case n if n < 9 && strCols.nonEmpty =>
-        val c = pick(strCols)
-        val v = litOf(c).toString
-        val pre = v.take(1 + rnd.nextInt(math.min(4, math.max(1, v.length))))
-          .filterNot(ch => ch == '%' || ch == '_' || ch == '\'')
-        if (pre.nonEmpty) LikePrefix(c, pre)
-        else Cmp(c, "=", litOf(c))
-      case _ =>
-        // null checks only bite after LEFT joins; harmless elsewhere
-        NullCheck(pick(cols), isNull = rnd.nextBoolean())
+    def genLeafPredOver(over: Seq[ColDef]): Pred = {
+      val overStr = over.filter(_.kind == 'S')
+      rnd.nextInt(10) match {
+        case n if n < 5 =>
+          val c = pick(over)
+          Cmp(c, pick(Seq("<", "<=", ">", ">=", "=", "<>")), litOf(c))
+        case n if n < 7 =>
+          val c = pick(over)
+          val pool = pools((c.table, c.name))
+          val k = 1 + rnd.nextInt(math.min(4, pool.size))
+          InList(c, Seq.fill(k)(pool(rnd.nextInt(pool.size))).distinct)
+        case n if n < 9 && overStr.nonEmpty =>
+          val c = pick(overStr)
+          val v = litOf(c).toString
+          val pre = v.take(1 + rnd.nextInt(math.min(4, math.max(1, v.length))))
+            .filterNot(ch => ch == '%' || ch == '_' || ch == '\'')
+          if (pre.nonEmpty) LikePrefix(c, pre)
+          else Cmp(c, "=", litOf(c))
+        case _ =>
+          // null checks only bite after LEFT joins; harmless elsewhere
+          NullCheck(pick(over), isNull = rnd.nextBoolean())
+      }
     }
+    def genLeafPred(): Pred = genLeafPredOver(cols)
 
     def genPred(depth: Int): Pred =
       if (depth > 0 && rnd.nextInt(10) < 4) {
@@ -428,6 +466,25 @@ object QueryFuzzer {
       } else genLeafPred()
 
     val preds = Seq.fill(rnd.nextInt(3))(genPred(1))
+
+    // [NOT] EXISTS on an FK edge whose inner table is NOT already
+    // joined (a Column-API semi join would otherwise hit ambiguous
+    // key attributes)
+    val semis =
+      if (rnd.nextInt(10) < 3) {
+        val cands = joinEdges.filter(e =>
+          present.contains(e._1) && !present.contains(e._3))
+        if (cands.isEmpty) Seq.empty
+        else {
+          val e = pick(cands)
+          val innerPred =
+            if (rnd.nextBoolean())
+              Some(genLeafPredOver(tables(e._3)))
+            else None
+          Seq(Semi(e._1, e._2, e._3, e._4,
+            negated = rnd.nextInt(10) < 4, pred = innerPred))
+        }
+      } else Seq.empty
 
     def genOutCol(i: Int): OutCol = rnd.nextInt(12) match {
       case n if n < 6 => PlainCol(pick(cols), s"c$i")
@@ -470,6 +527,6 @@ object QueryFuzzer {
           pick(numCols), "w")
     }
 
-    FuzzQuery(seed, present.head, joins, preds, shape)
+    FuzzQuery(seed, present.head, joins, preds, shape, semis)
   }
 }
