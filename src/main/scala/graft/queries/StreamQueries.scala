@@ -252,6 +252,44 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // st16's drain with store COMPACTION FORCED inside the replayed
+    // window (compactEvery = 2: batches 3 and 4 each fold the prior
+    // store files): compaction is pure metadata-plane work, so the
+    // committed corpus must hash-match st16's oracle VERBATIM. The
+    // long-drain spec gates compaction at 100 batches against a
+    // model; this entry puts the neutrality claim under the driver's
+    // independent gate.
+    "st18_stream_ingest_compacted" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val root = new java.io.File(
+        graft.TempDirs.scratchRoot, s"graft-st18-$key")
+        .getAbsolutePath
+      if (!Versioned.hasVersion(root, 4)) {
+        graft.TempDirs.registerCleanedAtExit(root)
+        val base = graft.Tables(s, dir, "documents")
+        val off = (base.agg(max(col("doc_id"))).head().getLong(0)
+          / 1000000L + 1L) * 1000000L
+        val withCopies = base.select("doc_id", "source", "text")
+          .unionByName(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("source"),
+              col("text")))
+        val scored = withCopies
+          .select(col("doc_id"), col("source"),
+            graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"),
+            round(graft.ops.TextAnalysis.qualityScoreOf(
+              graft.ops.TextAnalysis.tokens(lower(col("text"))),
+              col("text")), 6).as("q"))
+        Streams.corpusIngestDrain(scored, root, numBatches = 4,
+          compactEvery = 2)
+      }
+      Streams.corpusAttribution(s, root)
+        .select("doc_id", "source", "n_tokens", "q", "commit_v")
+        .orderBy("doc_id")
+    }),
+
     // EVENT-TIME ingest with LATE re-crawls (st17): st16's drain
     // under a watermark. Deterministic event times: originals at
     // 1,000,000 + (id % 97)·100 (spread 9,600 — well inside the
@@ -342,7 +380,7 @@ object StreamQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // latest row per key: window argmax on (micro-truncated ts, id) —
     // the same total order the engine's struct max applies
     "st05_stream_upsert" -> """
@@ -724,4 +762,12 @@ object StreamQueries {
              ROUND(SUM(COALESCE(value, 0.0)), 4) AS purchase_value
       FROM j GROUP BY user_id ORDER BY user_id"""
   )
+
+  /** st18's oracle IS st16's, verbatim: store compaction must be
+    * semantics-neutral, so the compaction-forced drain hash-matches
+    * the identical replay — the neutrality claim under the driver's
+    * own gate, not just the spec suite's.
+    */
+  val oracles: Map[String, String] = oracles0 +
+    ("st18_stream_ingest_compacted" -> oracles0("st16_stream_ingest"))
 }
