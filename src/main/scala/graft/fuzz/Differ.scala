@@ -15,8 +15,11 @@ import org.apache.spark.sql.SparkSession
   * sorted multisets, integrals exact, floating point within 1e-6
   * RELATIVE tolerance (cross-engine double aggregation is
   * order-dependent in the last ulps; anything past the tolerance is a
-  * real divergence). Sort keys round numerics to 6 dp so a
-  * sub-tolerance wobble cannot reorder rows between the engines.
+  * real divergence). Row alignment is two-tier: a fast positional
+  * compare on 6-dp-rounded sort keys, and — because two in-tolerance
+  * values can straddle a rounding boundary and sort apart — any
+  * positional mismatch is confirmed by a tolerant multiset match
+  * before it is reported as a divergence.
   */
 object Differ {
 
@@ -75,7 +78,13 @@ object Differ {
     case null => VN
     case i: java.lang.Integer => VL(i.longValue())
     case l: java.lang.Long => VL(l.longValue())
-    case bi: java.math.BigInteger => VL(bi.longValueExact())
+    // DuckDB integral SUMs come back as HUGEINT (int128): inside
+    // int64 compare exactly; outside it degrade to double rather
+    // than throw — one overflowing query must report as ITS OWN
+    // divergence, never abort the whole diff batch
+    case bi: java.math.BigInteger =>
+      if (bi.bitLength() < 64) VL(bi.longValue())
+      else VD(bi.doubleValue())
     case bd: java.math.BigDecimal => VD(bd.doubleValue())
     case f: java.lang.Float => VD(f.doubleValue())
     case d: java.lang.Double => VD(d.doubleValue())
@@ -132,11 +141,55 @@ object Differ {
           return Some(s"rows: spark=${sparkRows.size} duck=${dRows.size}")
         val s = sparkRows.sortBy(_.map(sortKey).mkString(""))
         val d = dRows.sortBy(_.map(sortKey).mkString(""))
-        s.zip(d).zipWithIndex.collectFirst {
-          case ((sr, dr), ri) if !sr.zip(dr).forall((eqV _).tupled) =>
+        // fast path: positional compare on the shared sort. Two
+        // values inside the 1e-6 tolerance can straddle a 6-dp
+        // rounding boundary and land in different sort positions, so
+        // a positional mismatch is only a CANDIDATE divergence —
+        // confirm it with a tolerant multiset match before reporting.
+        val positional = s.zip(d).zipWithIndex.collectFirst {
+          case ((sr, dr), ri) if !rowEq(sr, dr) =>
             s"row $ri: spark=$sr duck=$dr"
         }
+        positional.flatMap(reason =>
+          tolerantMatch(s, d).map(t => s"$t (positional: $reason)"))
     }
+  }
+
+  private def rowEq(a: Seq[V], b: Seq[V]): Boolean =
+    a.size == b.size && a.zip(b).forall((eqV _).tupled)
+
+  // bucket key: exact on strings/bools/nulls, wildcard on numerics
+  // (a value can be VL in one engine and VD in the other, and floats
+  // match under tolerance — no rounding of the key can be finer than
+  // the comparison without re-creating the boundary problem)
+  private def bucketKey(r: Seq[V]): String = r.map {
+    case VL(_) | VD(_) => "#"
+    case v => sortKey(v)
+  }.mkString("")
+
+  /** Tolerant multiset match (slow path, runs only on a positional
+    * mismatch): bucket rows by their non-numeric values, then
+    * greedy-match within buckets under [[eqV]]. None = the multisets
+    * match under tolerance; Some(reason) = a spark row no duck row
+    * can pair with.
+    */
+  private def tolerantMatch(s: Seq[Seq[V]],
+                            d: Seq[Seq[V]]): Option[String] = {
+    val db = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Seq[V]]]
+    d.foreach { r =>
+      db.getOrElseUpdate(bucketKey(r),
+        new scala.collection.mutable.ArrayBuffer[Seq[V]]()) += r
+    }
+    s.iterator.flatMap { sr =>
+      db.get(bucketKey(sr)) match {
+        case Some(b) =>
+          val i = b.indexWhere(rowEq(sr, _))
+          if (i >= 0) { b.remove(i); None }
+          else Some(s"unmatched spark row: $sr")
+        case None => Some(s"unmatched spark row: $sr")
+      }
+    }.take(1).toSeq.headOption
   }
 
   /** Greedy minimization: keep applying the first shrink that still

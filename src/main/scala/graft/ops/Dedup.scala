@@ -167,32 +167,52 @@ object Dedup {
     * shuffled anti-join (both sides exchange on the key — correct at
     * any store size, and AQE can still locally re-plan).
     *
-    * Bytes estimate: per-row width comes from the store's SCHEMA
-    * (Catalyst `defaultSize` per column — 20 B per string, 8 B per
-    * long — plus 32 B UnsafeRow/HashedRelation overhead), so a caller
-    * passing a store wider than the single-md5-key shape is sized
-    * honestly instead of silently broadcasting past the cap at the
-    * fixed 64 B/row the fp-only callers happen to fit. For the
-    * canonical (one md5 string) store this lands at 52 B/row — the
-    * same regime boundaries as the old constant, with the 128 MB
-    * default cap keeping the usual 2-4x headroom for the driver
+    * Bytes estimate: string widths are MEASURED from the data, not
+    * taken from Catalyst's flat 20 B `defaultSize` — the canonical
+    * 32-char md5 key is ~64-72 B in an UnsafeRow, and a URL-keyed
+    * store is wider still and unbounded; sizing those at 20 B/row
+    * could admit a store several times past `maxBroadcastBytes` and
+    * pressure the driver despite the cap. The size probe is ONE
+    * aggregation (count + avg key length, the same pass attachSets
+    * runs), per string column costing 8 B fixed-width slot + payload
+    * rounded to 8, with a conservative 48 B/string floor; non-string
+    * columns use `defaultSize`; +32 B UnsafeRow/HashedRelation
+    * overhead per row. The md5 store lands at 80 B/row — the 128 MB
+    * default cap keeps the usual 2-4x headroom for the driver
     * collect + HashedRelation peak (attachSets' measured contract).
     * The anti-join only needs the key, so the store is projected to
     * `keyCol` first — both the broadcast and the shuffled regime ship
     * keys, never payload columns.
     *
     * `preCount` lets a caller that already knows the store's row
-    * count (e.g. tracked incrementally across streaming batches)
-    * skip the probe.
+    * count (e.g. tracked incrementally across streaming batches) skip
+    * the probe; with no pass available to measure widths, that path
+    * prices each string column at a flat conservative 72 B.
     */
   def storeAntiJoin(df: DataFrame, store: DataFrame, keyCol: String,
                     maxBroadcastBytes: Long = 128L << 20,
                     preCount: Option[Long] = None): DataFrame = {
     val keys = store.select(keyCol)
-    val n = preCount.getOrElse(keys.count())
-    val rowBytes =
-      keys.schema.map(_.dataType.defaultSize.toLong).sum + 32L
-    if (n * rowBytes.toDouble <= maxBroadcastBytes.toDouble)
+    val strCols = keys.schema
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    val fixedBytes = keys.schema
+      .filterNot(f => strCols.contains(f.name))
+      .map(_.dataType.defaultSize.toLong).sum + 32L
+    val (n, strBytes): (Long, Double) = preCount match {
+      case Some(c) => (c, strCols.size * 72.0)
+      case None if strCols.isEmpty => (keys.count(), 0.0)
+      case None =>
+        val aggs = count(lit(1)).as("__n") +:
+          strCols.map(c => avg(length(col(c))).as(s"__l_$c"))
+        val r = keys.agg(aggs.head, aggs.tail: _*).head
+        val sb = strCols.indices.map { i =>
+          val a = if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1)
+          math.max(48.0, 8.0 + math.ceil(a / 8.0) * 8.0)
+        }.sum
+        (r.getLong(0), sb)
+    }
+    if (n * (fixedBytes + strBytes) <= maxBroadcastBytes.toDouble)
       df.join(broadcast(keys), Seq(keyCol), "left_anti")
     else
       df.join(keys, Seq(keyCol), "left_anti")

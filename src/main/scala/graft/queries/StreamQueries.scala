@@ -253,12 +253,13 @@ object StreamQueries {
     }),
 
     // st16's drain with store COMPACTION FORCED inside the replayed
-    // window (compactEvery = 2: batches 3 and 4 each fold the prior
-    // store files): compaction is pure metadata-plane work, so the
-    // committed corpus must hash-match st16's oracle VERBATIM. The
-    // long-drain spec gates compaction at 100 batches against a
-    // model; this entry puts the neutrality claim under the driver's
-    // independent gate.
+    // window (compactEvery = 1: the 3rd and 4th batches EACH fold the
+    // prior store files — two folds, one over per-batch appends and
+    // one over a prior compaction's output): compaction is pure
+    // metadata-plane work, so the committed corpus must hash-match
+    // st16's oracle VERBATIM. The long-drain spec gates compaction at
+    // 100 batches against a model; this entry puts the neutrality
+    // claim under the driver's independent gate.
     "st18_stream_ingest_compacted" -> ((s, dir) => {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
@@ -283,7 +284,7 @@ object StreamQueries {
               graft.ops.TextAnalysis.tokens(lower(col("text"))),
               col("text")), 6).as("q"))
         Streams.corpusIngestDrain(scored, root, numBatches = 4,
-          compactEvery = 2)
+          compactEvery = 1)
       }
       Streams.corpusAttribution(s, root)
         .select("doc_id", "source", "n_tokens", "q", "commit_v")

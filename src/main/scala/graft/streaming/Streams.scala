@@ -1250,6 +1250,10 @@ object Streams {
       // output file would serialize every future probe's scan (and
       // this write) through one task. ~10M keys/file ≈ a few hundred
       // MB of md5s per file; fixture-sized stores still fold to 1.
+      // The count IS an extra full pass over the store, accepted by
+      // design: it amortizes over `compactEvery` batches, and folding
+      // it into the write (accumulator) would tie output sizing to a
+      // completed job — circular.
       val n = merged.count()
       val nf = math.max(1L, (n + 9999999L) / 10000000L).toInt
       merged.repartition(nf).write.mode("overwrite").parquet(tmp)
@@ -1277,11 +1281,22 @@ object Streams {
           case None => batch
           case Some(m) =>
             val wm = m - delayMs
+            // ONE pass decides emptiness AND sizes the write: cache +
+            // count replaces the old isEmpty-probe-then-write double
+            // evaluation (two jobs per batch even with nothing late —
+            // the common case), and the count sizes the quarantine
+            // write by ROWS like the store paths: a batch quarantining
+            // millions of rows (a bulk re-crawl of stale data) must
+            // not serialize through one task.
             val late = batch.filter(col(tsCol) < wm)
-              .withColumn("commit_v", lit(v))
-            if (!late.isEmpty)
-              late.coalesce(1).write.mode("overwrite")
+              .withColumn("commit_v", lit(v)).cache()
+            val nLate = late.count()
+            if (nLate > 0) {
+              val lf = math.max(1L, (nLate + 9999999L) / 10000000L).toInt
+              late.repartition(lf).write.mode("overwrite")
                 .parquet(s"$root/_quarantine_late/v=$v")
+            }
+            late.unpersist()
             batch.filter(col(tsCol) >= wm)
         }
     }
@@ -1310,9 +1325,18 @@ object Streams {
     else
       Versioned.merge(s2, root, "doc_id", "op",
         keep.withColumn("op", lit("U")), v - 1, v)
-    // append accepted fps to the store (one file per batch; overwrite
-    // per-batch dir = idempotent under batch re-runs)
-    keep.select("fp").coalesce(1).write.mode("overwrite")
+    // append accepted fps to the store, sized by ROWS exactly like
+    // compaction: a micro-batch accepting tens of millions of new
+    // docs at 100-TB ingest volume must not serialize a multi-GB
+    // parquet write through ONE task (the old coalesce(1) did). The
+    // count is free — `keep` is cached and already materialized by
+    // the Versioned commit above. Crash-resume is unchanged: `own`
+    // is a DIRECTORY and listStore excludes it by name, so a
+    // multi-file append is excluded as a unit; overwrite mode keeps
+    // re-runs idempotent regardless of file count.
+    val nKeep = keep.count()
+    val kf = math.max(1L, (nKeep + 9999999L) / 10000000L).toInt
+    keep.select("fp").repartition(kf).write.mode("overwrite")
       .parquet(s"$storeDir/$own")
     keep.unpersist()
     // advance the high-water mark over the WHOLE batch (late rows
