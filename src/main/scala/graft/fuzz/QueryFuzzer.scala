@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Seeded differential query fuzzer (round-11): generates random
-  * filter/join/aggregate/window queries over the harness tables from
-  * a bounded grammar — exactly the relational surface the 194
-  * hand-written oracles gate — and renders each query BOTH ways:
+/** Seeded differential query fuzzer (round-11, widened round-12):
+  * generates random queries over the harness tables from a bounded
+  * grammar — the relational surface the hand-written oracles gate —
+  * and renders each query BOTH ways:
   *
   *   - a Spark `DataFrame` plan built through the Column API (the way
   *    every graft query is built), and
@@ -22,13 +22,38 @@ import org.apache.spark.sql.functions._
   * order, so a seed that passes once passes forever on the same data.
   *
   * Grammar bounds (kept inside what both dialects define identically):
-  * inner/left equi-joins along the FK graph, comparison/IN/LIKE-
-  * prefix/null-check predicates with AND/OR/NOT, projections with
-  * +,-,* arithmetic and CASE WHEN, optional DISTINCT, grouped
-  * sum/count/min/max/avg, and sum-over-partition windows. Timestamp
-  * columns are excluded (DuckDB and Spark render them differently);
-  * integer columns are widened to BIGINT at arithmetic/sum sites in
-  * BOTH renderings so the engines agree on result types.
+  * inner/left/FULL OUTER equi-joins along the FK graph (up to
+  * 4-table left-deep chains), comparison/IN/LIKE-prefix/BETWEEN/
+  * null-check/scalar-subquery predicates with AND/OR/NOT, projections
+  * with +,-,* arithmetic and CASE WHEN, optional DISTINCT, grouped
+  * sum/count/min/max/avg with GROUP BY over expressions (integral
+  * modulo, string prefix) and HAVING, sum-over-partition windows,
+  * ordered multi-function windows (row_number/rank/dense_rank and a
+  * running sum under an explicit RANGE frame), UNION / UNION ALL /
+  * INTERSECT / EXCEPT over a shared FROM, and ORDER BY + LIMIT
+  * (top-k) over a float-free total order. Timestamp columns are
+  * excluded (DuckDB and Spark render them differently); integer
+  * columns are widened to BIGINT at arithmetic/sum sites in BOTH
+  * renderings so the engines agree on result types.
+  *
+  * Determinism notes for the constructs where engines could
+  * legitimately disagree:
+  *  - ORDER BY + LIMIT sorts over ALL output aliases (a total order
+  *    up to fully-identical rows, which are interchangeable in a
+  *    multiset compare) and only attaches to float-free outputs, so
+  *    no last-ulp wobble can flip a boundary row; null placement is
+  *    rendered explicitly (Spark and DuckDB have different defaults).
+  *  - row_number over ties is multiset-safe because the projection
+  *    includes every window ORDER BY column: tied rows are identical
+  *    in all projected columns except the row number, and the SET of
+  *    numbers assigned to a tie group is order-independent.
+  *  - the running window sum uses an explicit RANGE frame (peer rows
+  *    included), which is tie-order-independent; a ROWS frame is not
+  *    and stays out of the grammar.
+  *  - scalar subqueries aggregate INTEGRAL columns only (min/max are
+  *    exact in both engines); the Spark rendering computes the scalar
+  *    with Spark's own aggregate and embeds it as a literal, so the
+  *    compare still crosses engines.
   */
 object QueryFuzzer {
 
@@ -69,6 +94,9 @@ object QueryFuzzer {
     ("nation", "n_regionkey", "region", "r_regionkey"),
   )
 
+  private val allIntegralCols: Seq[ColDef] =
+    tables.toSeq.sortBy(_._1).flatMap(_._2).filter(_.isIntegral)
+
   // ---- AST ------------------------------------------------------------
 
   sealed trait Pred
@@ -76,6 +104,15 @@ object QueryFuzzer {
   final case class InList(col: ColDef, lits: Seq[Any]) extends Pred
   final case class LikePrefix(col: ColDef, prefix: String) extends Pred
   final case class NullCheck(col: ColDef, isNull: Boolean) extends Pred
+  final case class Between(col: ColDef, lo: Any, hi: Any) extends Pred
+  /** Uncorrelated scalar subquery compare: `col op (SELECT
+    * FUNC(inner) FROM inner.table)`. Integral min/max only — exact in
+    * both engines. The Spark rendering evaluates the aggregate with
+    * Spark and embeds the result as a literal (the q39 idiom), so the
+    * two engines still compute the scalar independently.
+    */
+  final case class ScalarCmp(col: ColDef, op: String, func: String,
+                             inner: ColDef) extends Pred
   final case class Bin(l: Pred, r: Pred, and: Boolean) extends Pred
   final case class NotP(p: Pred) extends Pred
 
@@ -94,6 +131,13 @@ object QueryFuzzer {
   final case class AggCol(func: String, col: Option[ColDef],
                           alias: String)
 
+  /** GROUP BY over an expression: `mod` = (CAST(col AS BIGINT) % k)
+    * over an integral column, `prefix` = SUBSTR(col, 1, k) over a
+    * string column. Both total functions both dialects define
+    * identically on the harness data (non-negative keys, ASCII).
+    */
+  final case class GroupExpr(col: ColDef, kind: String, k: Int)
+
   sealed trait Shape
   final case class Proj(cols: Seq[OutCol], distinct: Boolean)
     extends Shape
@@ -103,13 +147,34 @@ object QueryFuzzer {
     * portable and plans identically).
     */
   final case class Agg(groups: Seq[ColDef], aggs: Seq[AggCol],
-                       having: Option[(String, Long)] = None)
+                       having: Option[(String, Long)] = None,
+                       groupExprs: Seq[GroupExpr] = Seq.empty)
     extends Shape
   final case class Win(keys: Seq[ColDef], part: ColDef, num: ColDef,
                        alias: String) extends Shape
+  /** Ordered multi-function window: row_number/rank/dense_rank and a
+    * RANGE-framed running sum over one (PARTITION BY part ORDER BY
+    * order) spec. The projection is part + every order column + the
+    * function values — the shape that makes ties multiset-safe (see
+    * object scaladoc). `order` pairs are (column, ascending); null
+    * placement is rendered explicitly in both dialects.
+    */
+  final case class Win2(part: ColDef, order: Seq[(ColDef, Boolean)],
+                        funcs: Seq[(String, Option[ColDef], String)])
+    extends Shape
+  /** Set operation over a SHARED FROM/WHERE: each branch adds its own
+    * extra predicate over the same join tree, then projects the same
+    * columns. `op` is one of UNION, UNION ALL, INTERSECT, EXCEPT —
+    * Spark's distinct-set semantics for union().distinct()/
+    * intersect()/except() match the SQL defaults.
+    */
+  final case class SetOp(cols: Seq[OutCol], op: String,
+                         lp: Pred, rp: Pred) extends Shape
 
-  /** (table, key, table, key, isLeftJoin) in left-deep join order. */
-  type JoinUse = (String, String, String, String, Boolean)
+  /** (table, key, table, key, joinType) in left-deep join order;
+    * joinType is "inner" | "left" | "full".
+    */
+  type JoinUse = (String, String, String, String, String)
 
   /** [NOT] EXISTS correlated on an FK edge, with an optional extra
     * predicate over the inner table — rendered as a correlated
@@ -122,7 +187,18 @@ object QueryFuzzer {
   final case class FuzzQuery(seed: Int, baseTable: String,
                              joins: Seq[JoinUse], preds: Seq[Pred],
                              shape: Shape,
-                             semis: Seq[Semi] = Seq.empty) {
+                             semis: Seq[Semi] = Seq.empty,
+                             orderLimit: Option[(Seq[(String, Boolean)],
+                               Int)] = None,
+                             joinOnPreds: Map[Int, Pred] = Map.empty) {
+    // joinOnPreds: extra ON-clause predicate over join i's RIGHT
+    // table (`... JOIN rt ON lk = rk AND <pred>`). This is what makes
+    // LEFT/FULL join null-extension LIVE on the harness data: its FK
+    // edges are referentially complete (verified at every SF — at
+    // most 1 unmatched row anywhere), so a bare outer equi-join never
+    // null-extends and outer-vs-inner would be a dead axis without
+    // the ON restriction. Scalar subqueries are excluded from ON
+    // preds by construction (baseDF renders without a resolver).
 
     // ---- SQL rendering (the DuckDB side) ----
 
@@ -139,6 +215,11 @@ object QueryFuzzer {
       case LikePrefix(c, pre) => s"${c.name} LIKE '$pre%'"
       case NullCheck(c, isN) =>
         s"${c.name} IS ${if (isN) "" else "NOT "}NULL"
+      case Between(c, lo, hi) =>
+        s"${c.name} BETWEEN ${sqlLit(lo)} AND ${sqlLit(hi)}"
+      case ScalarCmp(c, op, f, inner) =>
+        s"${c.name} $op (SELECT ${f.toUpperCase}(${inner.name}) " +
+          s"FROM ${inner.table})"
       case Bin(l, r, and) =>
         s"(${sqlPred(l)} ${if (and) "AND" else "OR"} ${sqlPred(r)})"
       case NotP(inner) => s"(NOT ${sqlPred(inner)})"
@@ -168,6 +249,11 @@ object QueryFuzzer {
       case f => s"${f.toUpperCase}(${a.col.get.name}) AS ${a.alias}"
     }
 
+    private def sqlGroupExpr(ge: GroupExpr): String = ge.kind match {
+      case "mod" => s"(${sqlNum(ge.col)} % ${ge.k})"
+      case "prefix" => s"SUBSTR(${ge.col.name}, 1, ${ge.k})"
+    }
+
     private def sqlSemi(s: Semi): String = {
       val inner = s"${s.rt}.${s.rk} = ${s.lt}.${s.lk}" +
         s.pred.map(p => s" AND ${sqlPred(p)}").getOrElse("")
@@ -175,25 +261,42 @@ object QueryFuzzer {
         s"(SELECT 1 FROM ${s.rt} WHERE $inner)"
     }
 
+    private def sqlOrder(keys: Seq[(String, Boolean)]): String =
+      keys.map { case (a, asc) =>
+        // explicit null placement: Spark's default is nulls-first for
+        // ASC / nulls-last for DESC; DuckDB's is NULLS LAST always
+        s"$a ${if (asc) "ASC NULLS FIRST" else "DESC NULLS LAST"}"
+      }.mkString(", ")
+
     def sql: String = {
-      val from = joins.foldLeft(baseTable) {
-        case (acc, (lt, lk, rt, rk, isLeft)) =>
-          s"$acc ${if (isLeft) "LEFT " else ""}JOIN $rt ON $lt.$lk = $rt.$rk"
+      val from = joins.zipWithIndex.foldLeft(baseTable) {
+        case (acc, ((lt, lk, rt, rk, jt), i)) =>
+          val kw = jt match {
+            case "left" => "LEFT JOIN"
+            case "full" => "FULL JOIN"
+            case _ => "JOIN"
+          }
+          val extra = joinOnPreds.get(i)
+            .map(p => s" AND ${sqlPred(p)}").getOrElse("")
+          s"$acc $kw $rt ON $lt.$lk = $rt.$rk$extra"
       }
       val conds = preds.map(sqlPred) ++ semis.map(sqlSemi)
       val where =
         if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
-      shape match {
+      val body = shape match {
         case Proj(cols, distinct) =>
           s"SELECT ${if (distinct) "DISTINCT " else ""}" +
             s"${cols.map(sqlOut).mkString(", ")} FROM $from$where"
-        case Agg(groups, aggs, having) =>
+        case Agg(groups, aggs, having, ges) =>
           val gSel = groups.zipWithIndex
             .map { case (g, i) => s"${g.name} AS g$i" }
-          val sel = (gSel ++ aggs.map(sqlAgg)).mkString(", ")
+          val geSel = ges.zipWithIndex.map { case (ge, j) =>
+            s"${sqlGroupExpr(ge)} AS g${groups.size + j}" }
+          val sel = (gSel ++ geSel ++ aggs.map(sqlAgg)).mkString(", ")
+          val byKeys = groups.map(_.name) ++ ges.map(sqlGroupExpr)
           val by =
-            if (groups.isEmpty) ""
-            else " GROUP BY " + groups.map(_.name).mkString(", ")
+            if (byKeys.isEmpty) ""
+            else " GROUP BY " + byKeys.mkString(", ")
           val agg = s"SELECT $sel FROM $from$where$by"
           having match {
             case None => agg
@@ -210,6 +313,43 @@ object QueryFuzzer {
           val w = (if (num.isIntegral) s"CAST($raw AS BIGINT)" else raw) +
             s" AS $alias"
           s"SELECT ${(kSel :+ w).mkString(", ")} FROM $from$where"
+        case Win2(part, order, funcs) =>
+          val ord = order.map { case (c, asc) =>
+            s"${c.name} ${if (asc) "ASC NULLS FIRST"
+                          else "DESC NULLS LAST"}"
+          }.mkString(", ")
+          val overBase =
+            s"(PARTITION BY ${part.name} ORDER BY $ord"
+          val kSel = (s"${part.name} AS k0") +:
+            order.zipWithIndex.map { case ((c, _), i) =>
+              s"${c.name} AS k${i + 1}" }
+          val fSel = funcs.map {
+            case ("row_number", _, al) =>
+              s"CAST(ROW_NUMBER() OVER $overBase) AS BIGINT) AS $al"
+            case ("rank", _, al) =>
+              s"CAST(RANK() OVER $overBase) AS BIGINT) AS $al"
+            case ("dense_rank", _, al) =>
+              s"CAST(DENSE_RANK() OVER $overBase) AS BIGINT) AS $al"
+            case ("sum_range", Some(c), al) =>
+              val raw = s"SUM(${sqlNum(c)}) OVER $overBase RANGE " +
+                s"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+              if (c.isIntegral) s"CAST($raw AS BIGINT) AS $al"
+              else s"$raw AS $al"
+            case (f, _, _) => sys.error(s"unknown window func $f")
+          }
+          s"SELECT ${(kSel ++ fSel).mkString(", ")} FROM $from$where"
+        case SetOp(cols, op, lp, rp) =>
+          val sel = cols.map(sqlOut).mkString(", ")
+          def branch(p: Pred): String = {
+            val bConds = conds :+ sqlPred(p)
+            s"SELECT $sel FROM $from WHERE ${bConds.mkString(" AND ")}"
+          }
+          s"${branch(lp)} $op ${branch(rp)}"
+      }
+      orderLimit match {
+        case None => body
+        case Some((keys, k)) =>
+          s"SELECT * FROM ($body) ob ORDER BY ${sqlOrder(keys)} LIMIT $k"
       }
     }
 
@@ -229,53 +369,100 @@ object QueryFuzzer {
     private[graft] def baseDF(spark: SparkSession,
                               dir: String): DataFrame = {
       val base = graft.Tables(spark, dir, baseTable)
-      joins.foldLeft(base) {
-        case (acc, (_, lk, rt, rk, isLeft)) =>
-          acc.join(graft.Tables(spark, dir, rt),
-            col(lk) === col(rk), if (isLeft) "left" else "inner")
+      joins.zipWithIndex.foldLeft(base) {
+        case (acc, ((_, lk, rt, rk, jt), i)) =>
+          val cond = joinOnPreds.get(i).foldLeft(col(lk) === col(rk))(
+            (c, p) => c && sparkPred(p, Map.empty))
+          acc.join(graft.Tables(spark, dir, rt), cond, jt)
       }
     }
 
-    private[graft] def predColumn(p: Pred): Column = sparkPred(p)
+    private def collectScalars(p: Pred): Seq[ScalarCmp] = p match {
+      case s: ScalarCmp => Seq(s)
+      case Bin(l, r, _) => collectScalars(l) ++ collectScalars(r)
+      case NotP(i) => collectScalars(i)
+      case _ => Seq.empty
+    }
 
-    private def sparkPred(p: Pred): Column = p match {
-      case Cmp(c, op, l) => op match {
-        case "<" => col(c.name) < sparkLit(l)
-        case "<=" => col(c.name) <= sparkLit(l)
-        case ">" => col(c.name) > sparkLit(l)
-        case ">=" => col(c.name) >= sparkLit(l)
-        case "=" => col(c.name) === sparkLit(l)
-        case "<>" => col(c.name) =!= sparkLit(l)
+    private def allPreds: Seq[Pred] = {
+      val shapePreds = shape match {
+        case Proj(cols, _) => cols.collect { case CaseCol(p, _) => p }
+        case SetOp(cols, _, lp, rp) =>
+          (cols.collect { case CaseCol(p, _) => p }) ++ Seq(lp, rp)
+        case _ => Seq.empty
       }
-      case InList(c, ls) => col(c.name).isin(ls: _*)
-      case LikePrefix(c, pre) => col(c.name).like(s"$pre%")
-      case NullCheck(c, isN) =>
-        if (isN) col(c.name).isNull else col(c.name).isNotNull
-      case Bin(l, r, and) =>
-        if (and) sparkPred(l) && sparkPred(r)
-        else sparkPred(l) || sparkPred(r)
-      case NotP(inner) => !sparkPred(inner)
+      preds ++ semis.flatMap(_.pred) ++ shapePreds ++
+        joinOnPreds.values
+    }
+
+    /** Evaluate every scalar subquery in the tree with Spark's own
+      * aggregate (once per distinct subquery).
+      */
+    private def resolveScalars(spark: SparkSession, dir: String)
+        : Map[ScalarCmp, Any] =
+      allPreds.flatMap(collectScalars).distinct.map { s =>
+        val t = graft.Tables(spark, dir, s.inner.table)
+        val c = col(s.inner.name)
+        val v = s.func match {
+          case "min" => t.agg(min(c)).head.get(0)
+          case "max" => t.agg(max(c)).head.get(0)
+          case f => sys.error(s"unknown scalar func $f")
+        }
+        s -> v
+      }.toMap
+
+    private[graft] def predColumn(spark: SparkSession, dir: String,
+                                  p: Pred): Column =
+      sparkPred(p, resolveScalars(spark, dir))
+
+    private def sparkPred(p: Pred,
+                          scalars: Map[ScalarCmp, Any]): Column = {
+      def cmp(c: Column, op: String, v: Column): Column = op match {
+        case "<" => c < v
+        case "<=" => c <= v
+        case ">" => c > v
+        case ">=" => c >= v
+        case "=" => c === v
+        case "<>" => c =!= v
+      }
+      p match {
+        case Cmp(c, op, l) => cmp(col(c.name), op, sparkLit(l))
+        case InList(c, ls) => col(c.name).isin(ls: _*)
+        case LikePrefix(c, pre) => col(c.name).like(s"$pre%")
+        case NullCheck(c, isN) =>
+          if (isN) col(c.name).isNull else col(c.name).isNotNull
+        case Between(c, lo, hi) =>
+          col(c.name).between(sparkLit(lo), sparkLit(hi))
+        case s @ ScalarCmp(c, op, _, _) =>
+          cmp(col(c.name), op, sparkLit(scalars(s)))
+        case Bin(l, r, and) =>
+          if (and) sparkPred(l, scalars) && sparkPred(r, scalars)
+          else sparkPred(l, scalars) || sparkPred(r, scalars)
+        case NotP(inner) => !sparkPred(inner, scalars)
+      }
     }
 
     private def sparkNum(c: ColDef): Column =
       if (c.kind == 'I') col(c.name).cast("long") else col(c.name)
 
-    private def sparkOut(o: OutCol): Column = o match {
-      case PlainCol(c, a) => col(c.name).as(a)
-      case ArithCol(x, op, y, a) =>
-        (op match {
-          case "+" => sparkNum(x) + sparkNum(y)
-          case "-" => sparkNum(x) - sparkNum(y)
-          case "*" => sparkNum(x) * sparkNum(y)
+    private def sparkOut(o: OutCol,
+                         scalars: Map[ScalarCmp, Any]): Column =
+      o match {
+        case PlainCol(c, a) => col(c.name).as(a)
+        case ArithCol(x, op, y, a) =>
+          (op match {
+            case "+" => sparkNum(x) + sparkNum(y)
+            case "-" => sparkNum(x) - sparkNum(y)
+            case "*" => sparkNum(x) * sparkNum(y)
+          }).as(a)
+        case CaseCol(p, a) =>
+          when(sparkPred(p, scalars), lit(1L)).otherwise(lit(0L)).as(a)
+        case FuncCol(f, c, a) => (f match {
+          case "length" => length(col(c.name)).cast("long")
+          case "upper" => upper(col(c.name))
+          case "abs" => abs(col(c.name))
         }).as(a)
-      case CaseCol(p, a) =>
-        when(sparkPred(p), lit(1L)).otherwise(lit(0L)).as(a)
-      case FuncCol(f, c, a) => (f match {
-        case "length" => length(col(c.name)).cast("long")
-        case "upper" => upper(col(c.name))
-        case "abs" => abs(col(c.name))
-      }).as(a)
-    }
+      }
 
     private def sparkAgg(a: AggCol): Column = a.func match {
       case "count*" => count(lit(1)).as(a.alias)
@@ -289,29 +476,40 @@ object QueryFuzzer {
       case "max" => max(col(a.col.get.name)).as(a.alias)
     }
 
+    private def sparkGroupExpr(ge: GroupExpr): Column = ge.kind match {
+      case "mod" => sparkNum(ge.col) % lit(ge.k.toLong)
+      case "prefix" => substring(col(ge.col.name), 1, ge.k)
+    }
+
     def toDF(spark: SparkSession, dir: String): DataFrame = {
+      val scalars = resolveScalars(spark, dir)
       val joined = baseDF(spark, dir)
-      val predded = preds.foldLeft(joined)((d, p) => d.filter(sparkPred(p)))
+      val predded = preds.foldLeft(joined)((d, p) =>
+        d.filter(sparkPred(p, scalars)))
       // [NOT] EXISTS = left_semi/left_anti against the (optionally
       // pre-filtered) inner table's key column
       val filtered = semis.foldLeft(predded) { (d, s) =>
         val inner0 = graft.Tables(spark, dir, s.rt)
-        val inner = s.pred.fold(inner0)(p => inner0.filter(sparkPred(p)))
+        val inner = s.pred.fold(inner0)(p =>
+            inner0.filter(sparkPred(p, scalars)))
           .select(s.rk)
         d.join(inner, col(s.lk) === col(s.rk),
           if (s.negated) "left_anti" else "left_semi")
       }
-      shape match {
+      val body = shape match {
         case Proj(cols0, distinct) =>
-          val p = filtered.select(cols0.map(sparkOut): _*)
+          val p = filtered.select(cols0.map(sparkOut(_, scalars)): _*)
           if (distinct) p.distinct() else p
-        case Agg(groups, aggs, having) =>
+        case Agg(groups, aggs, having, ges) =>
           val gCols = groups.zipWithIndex
             .map { case (g, i) => col(g.name).as(s"g$i") }
+          val geCols = ges.zipWithIndex.map { case (ge, j) =>
+            sparkGroupExpr(ge).as(s"g${groups.size + j}") }
           val aCols = aggs.map(sparkAgg)
+          val allG = gCols ++ geCols
           val agged =
-            if (groups.isEmpty) filtered.agg(aCols.head, aCols.tail: _*)
-            else filtered.groupBy(gCols: _*)
+            if (allG.isEmpty) filtered.agg(aCols.head, aCols.tail: _*)
+            else filtered.groupBy(allG: _*)
               .agg(aCols.head, aCols.tail: _*)
           having match {
             case None => agged
@@ -323,14 +521,65 @@ object QueryFuzzer {
           filtered.select(kCols :+
             sum(sparkNum(num)).over(Window.partitionBy(col(part.name)))
               .as(alias): _*)
+        case Win2(part, order, funcs) =>
+          val ordCols = order.map { case (c, asc) =>
+            if (asc) col(c.name).asc_nulls_first
+            else col(c.name).desc_nulls_last
+          }
+          val wBase = Window.partitionBy(col(part.name))
+            .orderBy(ordCols: _*)
+          val kCols = col(part.name).as("k0") +:
+            order.zipWithIndex.map { case ((c, _), i) =>
+              col(c.name).as(s"k${i + 1}") }
+          val fCols = funcs.map {
+            case ("row_number", _, al) =>
+              row_number().over(wBase).cast("long").as(al)
+            case ("rank", _, al) =>
+              rank().over(wBase).cast("long").as(al)
+            case ("dense_rank", _, al) =>
+              dense_rank().over(wBase).cast("long").as(al)
+            case ("sum_range", Some(c), al) =>
+              sum(sparkNum(c)).over(wBase.rangeBetween(
+                Window.unboundedPreceding, Window.currentRow)).as(al)
+            case (f, _, _) => sys.error(s"unknown window func $f")
+          }
+          filtered.select(kCols ++ fCols: _*)
+        case SetOp(cols0, op, lp, rp) =>
+          val outs = cols0.map(sparkOut(_, scalars))
+          val l = filtered.filter(sparkPred(lp, scalars))
+            .select(outs: _*)
+          val r = filtered.filter(sparkPred(rp, scalars))
+            .select(outs: _*)
+          op match {
+            case "UNION ALL" => l.union(r)
+            case "UNION" => l.union(r).distinct()
+            case "INTERSECT" => l.intersect(r)
+            case "EXCEPT" => l.except(r)
+          }
+      }
+      orderLimit match {
+        case None => body
+        case Some((keys, k)) =>
+          body.orderBy(keys.map { case (a, asc) =>
+            if (asc) col(a).asc_nulls_first
+            else col(a).desc_nulls_last
+          }: _*).limit(k)
       }
     }
 
     /** Shrink candidates: the same query minus one predicate / one
-      * output column / one aggregate / the DISTINCT — each still a
-      * valid query. Used to minimize a failing seed.
+      * output column / one aggregate / the DISTINCT / the ORDER BY +
+      * LIMIT / one window function / one group expression — each
+      * still a valid query. A SetOp additionally shrinks to each of
+      * its branches as a plain projection. Used to minimize a failing
+      * seed.
       */
     def shrinks: Seq[FuzzQuery] = {
+      val dropOrder =
+        if (orderLimit.isDefined) Seq(copy(orderLimit = None))
+        else Seq.empty
+      val dropOnPreds = joinOnPreds.keys.toSeq.sorted.map(i =>
+        copy(joinOnPreds = joinOnPreds - i))
       val fewerPreds = preds.indices.map(i =>
         copy(preds = preds.patch(i, Nil, 1)))
       val fewerSemis = semis.indices.flatMap { i =>
@@ -347,14 +596,18 @@ object QueryFuzzer {
           val fewer =
             if (cols0.size > 1)
               cols0.indices.map(i =>
-                copy(shape = Proj(cols0.patch(i, Nil, 1), d)))
+                copy(shape = Proj(cols0.patch(i, Nil, 1), d),
+                  orderLimit = None))
             else Seq.empty
           fewer ++ (if (d) Seq(copy(shape = Proj(cols0, distinct = false)))
                     else Seq.empty)
-        case Agg(gs, as0, hv) =>
+        case Agg(gs, as0, hv, ges) =>
           val dropHaving =
-            if (hv.isDefined) Seq(copy(shape = Agg(gs, as0, None)))
+            if (hv.isDefined) Seq(copy(shape = Agg(gs, as0, None, ges)))
             else Seq.empty
+          val dropGes = ges.indices.map(i =>
+            copy(shape = Agg(gs, as0, hv, ges.patch(i, Nil, 1)),
+              orderLimit = None))
           val fewerAggs =
             if (as0.size > 1)
               as0.indices.flatMap { i =>
@@ -362,13 +615,25 @@ object QueryFuzzer {
                 // never orphan a HAVING that references the dropped agg
                 if (hv.exists(h => !rest.exists(_.alias == h._1)))
                   None
-                else Some(copy(shape = Agg(gs, rest, hv)))
+                else Some(copy(shape = Agg(gs, rest, hv, ges),
+                  orderLimit = None))
               }
             else Seq.empty
-          dropHaving ++ fewerAggs
+          dropHaving ++ dropGes ++ fewerAggs
+        case Win2(part, order, funcs) =>
+          if (funcs.size > 1)
+            funcs.indices.map(i =>
+              copy(shape = Win2(part, order, funcs.patch(i, Nil, 1))))
+          else Seq.empty
+        case SetOp(cols0, _, lp, rp) => Seq(
+          copy(shape = Proj(cols0, distinct = false),
+            preds = preds :+ lp, orderLimit = None),
+          copy(shape = Proj(cols0, distinct = false),
+            preds = preds :+ rp, orderLimit = None))
         case _ => Seq.empty
       }
-      fewerPreds ++ fewerSemis ++ shapeShrinks
+      dropOrder ++ dropOnPreds ++ fewerPreds ++ fewerSemis ++
+        shapeShrinks
     }
   }
 
@@ -398,11 +663,18 @@ object QueryFuzzer {
     val rnd = new scala.util.Random(seed)
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
 
-    // base table + 0..2 chained FK joins
-    val nJoins = rnd.nextInt(10) match {
+    // base table + 0..4 chained FK joins (inner/left/full)
+    val nJoins = rnd.nextInt(12) match {
       case n if n < 5 => 0
       case n if n < 8 => 1
-      case _ => 2
+      case n if n < 10 => 2
+      case n if n < 11 => 3
+      case _ => 4
+    }
+    def joinType(): String = rnd.nextInt(10) match {
+      case n if n < 6 => "inner"
+      case n if n < 9 => "left"
+      case _ => "full"
     }
     var present = Vector.empty[String]
     var joins = Vector.empty[JoinUse]
@@ -411,15 +683,14 @@ object QueryFuzzer {
     } else {
       val e1 = pick(joinEdges)
       present = Vector(e1._1, e1._3)
-      joins = Vector((e1._1, e1._2, e1._3, e1._4, rnd.nextInt(10) < 3))
-      if (nJoins == 2) {
+      joins = Vector((e1._1, e1._2, e1._3, e1._4, joinType()))
+      (1 until nJoins).foreach { _ =>
         val cands = joinEdges.filter(e =>
           present.contains(e._1) && !present.contains(e._3))
         if (cands.nonEmpty) {
-          val e2 = pick(cands)
-          present = present :+ e2._3
-          joins = joins :+
-            ((e2._1, e2._2, e2._3, e2._4, rnd.nextInt(10) < 3))
+          val e = pick(cands)
+          present = present :+ e._3
+          joins = joins :+ ((e._1, e._2, e._3, e._4, joinType()))
         }
       }
     }
@@ -433,26 +704,51 @@ object QueryFuzzer {
       pool(rnd.nextInt(pool.size))
     }
 
-    def genLeafPredOver(over: Seq[ColDef]): Pred = {
+    def genLeafPredOver(over: Seq[ColDef],
+                        allowScalar: Boolean = false): Pred = {
       val overStr = over.filter(_.kind == 'S')
-      rnd.nextInt(10) match {
-        case n if n < 5 =>
+      rnd.nextInt(12) match {
+        case n if n < 4 =>
           val c = pick(over)
           Cmp(c, pick(Seq("<", "<=", ">", ">=", "=", "<>")), litOf(c))
-        case n if n < 7 =>
+        case n if n < 6 =>
           val c = pick(over)
           val pool = pools((c.table, c.name))
           val k = 1 + rnd.nextInt(math.min(4, pool.size))
           InList(c, Seq.fill(k)(pool(rnd.nextInt(pool.size))).distinct)
-        case n if n < 9 && overStr.nonEmpty =>
+        case n if n < 8 && overStr.nonEmpty =>
           val c = pick(overStr)
           val v = litOf(c).toString
           val pre = v.take(1 + rnd.nextInt(math.min(4, math.max(1, v.length))))
             .filterNot(ch => ch == '%' || ch == '_' || ch == '\'')
           if (pre.nonEmpty) LikePrefix(c, pre)
           else Cmp(c, "=", litOf(c))
+        case n if n < 9 =>
+          val c = pick(over)
+          val (a, b) = (litOf(c), litOf(c))
+          val (lo, hi) = (a, b) match {
+            case (x: String, y: String) =>
+              if (x <= y) (a, b) else (b, a)
+            case _ =>
+              def d(v: Any): Double = v match {
+                case l: Long => l.toDouble
+                case i: Int => i.toDouble
+                case x: Double => x
+                case o => o.toString.toDouble
+              }
+              if (d(a) <= d(b)) (a, b) else (b, a)
+          }
+          Between(c, lo, hi)
+        case n if n < 10 =>
+          val overNum = over.filter(_.isNum)
+          if (allowScalar && overNum.nonEmpty)
+            ScalarCmp(pick(overNum),
+              pick(Seq("<", "<=", ">", ">=")),
+              pick(Seq("min", "max")), pick(allIntegralCols))
+          else NullCheck(pick(over), isNull = rnd.nextBoolean())
         case _ =>
-          // null checks only bite after LEFT joins; harmless elsewhere
+          // null checks only bite after LEFT/FULL joins; harmless
+          // elsewhere
           NullCheck(pick(over), isNull = rnd.nextBoolean())
       }
     }
@@ -463,7 +759,16 @@ object QueryFuzzer {
         val p = Bin(genPred(depth - 1), genPred(depth - 1),
           and = rnd.nextBoolean())
         if (rnd.nextInt(10) < 2) NotP(p) else p
-      } else genLeafPred()
+      } else genLeafPredOver(cols, allowScalar = true)
+
+    // extra ON-clause predicate over the joined table (~1 join in 3):
+    // the axis that makes outer-join null extension LIVE on
+    // referentially complete harness data (see FuzzQuery scaladoc)
+    val joinOnPreds: Map[Int, Pred] = joins.zipWithIndex.flatMap {
+      case ((_, _, rt, _, _), i) =>
+        if (rnd.nextInt(10) < 3) Some(i -> genLeafPredOver(tables(rt)))
+        else None
+    }.toMap
 
     val preds = Seq.fill(rnd.nextInt(3))(genPred(1))
 
@@ -498,14 +803,24 @@ object QueryFuzzer {
       case _ => CaseCol(genLeafPred(), s"c$i")
     }
 
-    val shape: Shape = rnd.nextInt(10) match {
-      case n if n < 4 =>
+    val shape: Shape = rnd.nextInt(20) match {
+      case n if n < 6 =>
         Proj((0 until (2 + rnd.nextInt(3))).map(genOutCol),
           distinct = rnd.nextInt(10) < 3)
-      case n if n < 9 =>
+      case n if n < 13 =>
         val groups =
           if (rnd.nextInt(10) < 2) Seq.empty
           else Seq.fill(1 + rnd.nextInt(2))(pick(keyCols)).distinct
+        // GROUP BY over an expression: integral modulo or string
+        // prefix, alongside (or instead of) the plain columns
+        val groupExprs =
+          if (rnd.nextInt(10) < 3) {
+            val intCols = cols.filter(_.isIntegral)
+            if (rnd.nextBoolean() && intCols.nonEmpty)
+              Seq(GroupExpr(pick(intCols), "mod", 2 + rnd.nextInt(6)))
+            else Seq(GroupExpr(pick(strCols), "prefix",
+              1 + rnd.nextInt(3)))
+          } else Seq.empty
         val nAggs = 1 + rnd.nextInt(3)
         val aggs = (0 until nAggs).map { i =>
           rnd.nextInt(6) match {
@@ -519,14 +834,69 @@ object QueryFuzzer {
         }
         // HAVING on a COUNT aggregate (always integral, never null)
         val having = aggs.find(_.func.startsWith("count"))
-          .filter(_ => groups.nonEmpty && rnd.nextInt(10) < 4)
+          .filter(_ => (groups.nonEmpty || groupExprs.nonEmpty) &&
+            rnd.nextInt(10) < 4)
           .map(a => (a.alias, 1L + rnd.nextInt(4)))
-        Agg(groups, aggs, having)
-      case _ =>
+        Agg(groups, aggs, having, groupExprs)
+      case n if n < 15 =>
         Win(Seq.fill(2)(pick(cols)).distinct, pick(keyCols),
           pick(numCols), "w")
+      case n if n < 18 =>
+        val part = pick(keyCols)
+        val order = Seq.fill(1 + rnd.nextInt(2))(pick(keyCols))
+          .distinct.map(c => (c, rnd.nextBoolean()))
+        val nF = 1 + rnd.nextInt(3)
+        val funcs = (0 until nF).map { i =>
+          rnd.nextInt(4) match {
+            case 0 => ("row_number", None, s"f$i")
+            case 1 => ("rank", None, s"f$i")
+            case 2 => ("dense_rank", None, s"f$i")
+            case _ => ("sum_range", Some(pick(numCols)), s"f$i")
+          }
+        }
+        Win2(part, order, funcs)
+      case _ =>
+        SetOp((0 until (2 + rnd.nextInt(2))).map(genOutCol),
+          pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")),
+          genPred(1), genPred(1))
     }
 
-    FuzzQuery(seed, present.head, joins, preds, shape, semis)
+    // ORDER BY + LIMIT over a float-free total order (all output
+    // aliases, shuffled, each asc or desc) — see determinism notes
+    def outKind(o: OutCol): Char = o match {
+      case PlainCol(c, _) => c.kind
+      case ArithCol(a, _, b, _) =>
+        if (a.kind == 'D' || b.kind == 'D') 'D' else 'L'
+      case CaseCol(_, _) => 'L'
+      case FuncCol("length", _, _) => 'L'
+      case FuncCol("upper", _, _) => 'S'
+      case FuncCol(_, c, _) => c.kind
+    }
+    def aggKind(a: AggCol): Char = a.func match {
+      case "count*" | "count" => 'L'
+      case "sum" => if (a.col.get.kind == 'D') 'D' else 'L'
+      case "avg" => 'D'
+      case _ => a.col.get.kind
+    }
+    val outAliases: Option[Seq[(String, Char)]] = shape match {
+      case Proj(cs, _) => Some(cs.map(o => o.alias -> outKind(o)))
+      case SetOp(cs, _, _, _) => Some(cs.map(o => o.alias -> outKind(o)))
+      case Agg(gs, as0, _, ges) => Some(
+        gs.zipWithIndex.map { case (g, i) => s"g$i" -> g.kind } ++
+          ges.zipWithIndex.map { case (ge, j) =>
+            s"g${gs.size + j}" -> (if (ge.kind == "mod") 'L' else 'S') } ++
+          as0.map(a => a.alias -> aggKind(a)))
+      case _ => None
+    }
+    val orderLimit = outAliases match {
+      case Some(ak) if ak.forall(_._2 != 'D') && rnd.nextInt(10) < 3 =>
+        val perm = rnd.shuffle(ak.map(_._1).toList)
+        Some((perm.map(a => (a, rnd.nextBoolean())),
+          1 + rnd.nextInt(50)))
+      case _ => None
+    }
+
+    FuzzQuery(seed, present.head, joins, preds, shape, semis,
+      orderLimit, joinOnPreds)
   }
 }

@@ -288,8 +288,15 @@ object Similarity {
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qIdCol: String, qVecCol: String,
              k: Int, m: Int, kc: Int, sampleSize: Int = 4096,
-             iters: Int = 10): DataFrame = {
-    val cb = pqTrain(corpus, idCol, vecCol, m, kc, sampleSize, iters)
+             iters: Int = 10,
+             codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    // `codebooks` pins a LITERAL codebook (the s22 move applied to
+    // PQ): encoding, ADC scoring, and ranking are pure arithmetic, so
+    // with the codebook fixed the whole path is oracle-replayable
+    // (s24); only Lloyd training stays seeded/spec-only (s12).
+    val cb = codebooks.getOrElse(
+      pqTrain(corpus, idCol, vecCol, m, kc, sampleSize, iters))
     val enc = pqEncode(corpus, idCol, vecCol, cb)
       .withColumnRenamed("id", "nbr_id")
     val q = unitized(queries, qIdCol, qVecCol, "query_id", "qv")

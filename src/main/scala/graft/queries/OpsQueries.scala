@@ -24,6 +24,81 @@ object OpsQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** s24's pinned PQ codebook: m=8 subspaces x kc=4 centroids x 8
+    * dims of DISTRIBUTION CONSTANTS (zeros / uniform / one-hot /
+    * alternating-sign patterns) — never values sampled from one SF's
+    * data. The single source of truth shared verbatim by the Spark
+    * entry, the GENERATED DuckDB oracle ([[s24OracleSql]]), and
+    * SimilaritySpec's independent scala model.
+    */
+  private[graft] val s24Codebook: Array[Array[Array[Double]]] =
+    Array.tabulate(8, 4, 8) { (s, c, j) =>
+      c match {
+        case 0 => 0.0
+        case 1 => 0.125
+        case 2 => if (j == s) 0.35 else 0.0
+        case _ => if (j % 2 == 0) 0.25 else -0.25
+      }
+    }
+
+  /** DuckDB oracle for s24, GENERATED from [[s24Codebook]] so both
+    * engines replay one set of constants. Bit-exactness contract: the
+    * Column-API side folds left-to-right from 0.0 (norm, per-subspace
+    * L2, ADC dot, ADC score), and this SQL unrolls the same sums
+    * left-associated, so every intermediate double is IEEE-identical
+    * and the argmin CASE chain (first index wins ties) matches
+    * array_position(d, array_min(d)).
+    */
+  private def s24OracleSql: String = {
+    val cb = s24Codebook
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString
+    def dist(s: Int, c: Int): String =
+      (0 until 8).map { j =>
+        val idx = s * 8 + j + 1
+        val w = dlit(cb(s)(c)(j))
+        s"(v[$idx] - $w) * (v[$idx] - $w)"
+      }.mkString(" + ")
+    def dot(s: Int, c: Int): String =
+      (0 until 8).map { j =>
+        val idx = s * 8 + j + 1
+        s"v[$idx] * ${dlit(cb(s)(c)(j))}"
+      }.mkString(" + ")
+    def code(s: Int): String = {
+      val d = (0 until 4).map(c => s"(${dist(s, c)})")
+      s"CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND " +
+        s"${d(0)} <= ${d(3)} THEN 0 " +
+        s"WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1 " +
+        s"WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END"
+    }
+    val normSum = (1 to 64).map(i => s"e[$i] * e[$i]").mkString(" + ")
+    val encCols = (0 until 8).map(s => s"${code(s)} AS k$s")
+      .mkString(", ")
+    val qtCols = (0 until 8).flatMap(s => (0 until 4).map(c =>
+      s"(${dot(s, c)}) AS t${s}_$c")).mkString(", ")
+    val adcSum = (0 until 8).map(s =>
+      s"(CASE c.k$s WHEN 0 THEN q.t${s}_0 WHEN 1 THEN q.t${s}_1 " +
+        s"WHEN 2 THEN q.t${s}_2 ELSE q.t${s}_3 END)").mkString(" + ")
+    s"""
+      WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt($normSum) AS nrm FROM e0),
+      u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS v
+            FROM n),
+      enc AS (SELECT vec_id, $encCols FROM u),
+      qt AS (SELECT vec_id, $qtCols FROM u WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, $adcSum AS adc
+        FROM qt q JOIN enc c ON q.vec_id <> c.vec_id)
+      SELECT query_id, rank, nbr_id, ROUND(adc, 4) AS adc FROM (
+        SELECT query_id, nbr_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(adc, 6) DESC, nbr_id) AS rank
+        FROM scored)
+      WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
+
   /** Corpus + near-dup mutants with provenance: keeps `source` and
     * tags mutants with an EXPLICIT `is_mutant` flag — the single
     * source of truth for the mutant recipe (drop the 2nd token,
@@ -1286,6 +1361,26 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ/ADC under the ORACLE gate (the s22 move applied to PQ):
+    // encoding (argmin over per-subspace centroids), ADC scoring
+    // (m table lookups), and the bounded top-k ranking are pure
+    // arithmetic — only Lloyd TRAINING is seeded. With the codebook
+    // pinned to literal distribution constants the whole serving path
+    // is DuckDB-replayable BIT-exactly: the generated oracle unrolls
+    // the same left-associated sums the Column expressions fold, so
+    // normalized vectors, distances, argmin ties, and ADC scores are
+    // IEEE-identical before the 6dp rank rounding. s12's training
+    // stays the one spec-only piece.
+    "s24_pq_adc_pinned" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, m = 8, kc = 4, codebooks = Some(s24Codebook))
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("adc"), 4).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Zipf's-law fit per language (corpus-statistics audit): token
     // frequencies ranked per language, OLS of ln(freq) on ln(rank)
     // over the top 100 terms — slope ≈ -1 is the Zipf signature,
@@ -1965,6 +2060,7 @@ object OpsQueries {
       ORDER BY t.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "s24_pq_adc_pinned" -> s24OracleSql,
     "d07_minhash_lsh" -> minhashOracle,
     "d42_incremental_lsh" -> incrementalLshOracle,
     "d08_simhash" -> simhashOracle,

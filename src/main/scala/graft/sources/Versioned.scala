@@ -706,36 +706,55 @@ object Versioned {
   private case class CdfScope(removed: Seq[String], added: Seq[String],
                               newTomb: Seq[String],
                               touchedCommon: Seq[String],
-                              delF: Seq[String], delT: Seq[String])
+                              delF: Seq[String], delT: Seq[String],
+                              droppedTomb: Seq[String],
+                              revivedCommon: Seq[String])
 
   private def cdfScope(s: SparkSession, root: String,
                        fromVersion: Int, toVersion: Int): CdfScope = {
-    val (dataF, delF) = pathsByKind(s, root, fromVersion)
-    // ONE read of the to-manifest serves kind routing AND the range
-    // intersection below
+    // ONE read per manifest serves kind routing AND the range
+    // intersections below
+    val manF = manifest(s, root, fromVersion)
+      .select("path", "kind", "min_key", "max_key").collect()
     val manT = manifest(s, root, toVersion)
       .select("path", "kind", "min_key", "max_key").collect()
+    val dataF = manF.filter(_.getString(1) == "data").map(_.getString(0)).toSeq
+    val delF = manF.filter(_.getString(1) == "delete").map(_.getString(0)).toSeq
     val dataT = manT.filter(_.getString(1) == "data").map(_.getString(0)).toSeq
     val delT = manT.filter(_.getString(1) == "delete").map(_.getString(0)).toSeq
     val removed = dataF.filterNot(dataT.toSet)
     val added = dataT.filterNot(dataF.toSet)
     val newTomb = delT.filterNot(delF.toSet)
-    val touchedCommon =
-      if (newTomb.isEmpty) Seq.empty[String]
+    // tombstones present at from but GONE at to with their covered
+    // data files carried verbatim: impossible under the merge/
+    // deleteMor/compact algebra (compact folds tombstones by
+    // REWRITING the affected files), but RESTORE commits an old
+    // manifest verbatim and can drop a tombstone while keeping the
+    // file — reviving its keys. Those revivals are inserts this diff
+    // must surface (race-fuzz-caught: an empty feed for a restore
+    // that un-deleted keys).
+    val droppedTomb = delF.filterNot(delT.toSet)
+    val commonSet = dataF.toSet.intersect(dataT.toSet)
+    // file-count-sized driver work: common data files whose
+    // [min_key, max_key] intersects some changed tombstone's range
+    def commonTouchedBy(tombPaths: Seq[String],
+                        man: Array[org.apache.spark.sql.Row])
+        : Seq[String] =
+      if (tombPaths.isEmpty) Seq.empty[String]
       else {
-        // file-count-sized driver work: common data files whose
-        // [min_key, max_key] intersects some new tombstone file's range
-        val newTombSet = newTomb.toSet
-        val tombRanges = manT.filter(r => newTombSet(r.getString(0)))
+        val tset = tombPaths.toSet
+        val ranges = man.filter(r => tset(r.getString(0)))
           .map(r => (r.getLong(2), r.getLong(3)))
-        val commonSet = dataF.toSet.intersect(dataT.toSet)
         manT.filter(r => r.getString(1) == "data"
             && commonSet(r.getString(0)))
-          .filter(r => tombRanges.exists(t =>
+          .filter(r => ranges.exists(t =>
             r.getLong(3) >= t._1 && r.getLong(2) <= t._2))
           .map(_.getString(0)).toSeq
       }
-    CdfScope(removed, added, newTomb, touchedCommon, delF, delT)
+    val touchedCommon = commonTouchedBy(newTomb, manT)
+    val revivedCommon = commonTouchedBy(droppedTomb, manF)
+    CdfScope(removed, added, newTomb, touchedCommon, delF, delT,
+      droppedTomb, revivedCommon)
   }
 
   /** Paths the adjacent-pair snapshot diff [[changeFeed]] will scan —
@@ -746,7 +765,8 @@ object Versioned {
                                   fromVersion: Int,
                                   toVersion: Int): Seq[String] = {
     val sc = cdfScope(s, root, fromVersion, toVersion)
-    sc.removed ++ sc.added ++ sc.touchedCommon ++ sc.newTomb
+    sc.removed ++ sc.added ++ sc.touchedCommon ++ sc.newTomb ++
+      sc.revivedCommon ++ sc.droppedTomb
   }
 
   /** Row-level diff of two ADJACENT committed snapshots, derived
@@ -766,7 +786,8 @@ object Versioned {
   private def diffSnapshots(s: SparkSession, root: String, keyCol: String,
                             fromVersion: Int,
                             toVersion: Int): DataFrame = {
-    val CdfScope(removed, added, newTomb, touchedCommon, delF, delT) =
+    val CdfScope(removed, added, newTomb, touchedCommon, delF, delT,
+      droppedTomb, revivedCommon) =
       cdfScope(s, root, fromVersion, toVersion)
 
     def read(paths: Seq[String]): Option[DataFrame] =
@@ -790,8 +811,22 @@ object Versioned {
     }
     val oldSide = (oldRewritten.toSeq ++ oldTombstoned.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    // rows in carried files REVIVED by a dropped tombstone (restore):
+    // dead at fromVersion (killed by a delF file gone at to), alive at
+    // toVersion (anti delT) — inserts on the new side
+    val newRevived = (read(revivedCommon), read(droppedTomb)) match {
+      case (Some(data), Some(tomb)) =>
+        val k = tomb.columns.head
+        val revKeys = applyTombstones(s, tomb.select(k).distinct(), delT)
+        Some(applyTombstones(s, data, delT)
+          .join(revKeys, Seq(k), "left_semi"))
+      case _ => None
+    }
     // rows visible at toVersion whose file did not exist at fromVersion
-    val newSide = read(added).map(applyTombstones(s, _, delT))
+    val newSide =
+      (read(added).map(applyTombstones(s, _, delT)).toSeq ++
+        newRevived.toSeq)
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
 
     // align both sides to the union schema (add-column evolution:
     // the missing side reads as typed nulls, like mergeSchema)

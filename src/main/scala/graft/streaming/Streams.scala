@@ -1199,6 +1199,20 @@ object Streams {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Rows-per-output-file for every ingest-path parquet write (the
+    * fp-store append and compaction, the quarantine dump): ~10M md5
+    * keys ≈ a few hundred MB per file, so a batch accepting tens of
+    * millions of docs fans its commit writes across tasks instead of
+    * serializing through one. Test knob (`private[graft] var`) so a
+    * spec can force the multi-file regime at fixture scale and gate
+    * that crash-resume exclusion and compaction treat a multi-file
+    * append as a unit.
+    */
+  private[graft] var storeKeysPerFile: Long = 10000000L
+
+  private def nFilesFor(rows: Long): Int =
+    math.max(1L, (rows + storeKeysPerFile - 1) / storeKeysPerFile).toInt
+
   /** One micro-batch of the ingest drain — the [[corpusIngestDrain]]
     * foreachBatch body, exposed so the long-drain spec can drive 100+
     * batches through the EXACT production path without the streaming
@@ -1255,8 +1269,8 @@ object Streams {
       // it into the write (accumulator) would tie output sizing to a
       // completed job — circular.
       val n = merged.count()
-      val nf = math.max(1L, (n + 9999999L) / 10000000L).toInt
-      merged.repartition(nf).write.mode("overwrite").parquet(tmp)
+      merged.repartition(nFilesFor(n)).write.mode("overwrite")
+        .parquet(tmp)
       metaReads += pre.length
       val target = new java.io.File(storeDir, s"c$batchId.d")
       if (target.exists()) rmTree(target.getAbsolutePath)
@@ -1291,11 +1305,9 @@ object Streams {
             val late = batch.filter(col(tsCol) < wm)
               .withColumn("commit_v", lit(v)).cache()
             val nLate = late.count()
-            if (nLate > 0) {
-              val lf = math.max(1L, (nLate + 9999999L) / 10000000L).toInt
-              late.repartition(lf).write.mode("overwrite")
+            if (nLate > 0)
+              late.repartition(nFilesFor(nLate)).write.mode("overwrite")
                 .parquet(s"$root/_quarantine_late/v=$v")
-            }
             late.unpersist()
             batch.filter(col(tsCol) >= wm)
         }
@@ -1335,9 +1347,8 @@ object Streams {
     // multi-file append is excluded as a unit; overwrite mode keeps
     // re-runs idempotent regardless of file count.
     val nKeep = keep.count()
-    val kf = math.max(1L, (nKeep + 9999999L) / 10000000L).toInt
-    keep.select("fp").repartition(kf).write.mode("overwrite")
-      .parquet(s"$storeDir/$own")
+    keep.select("fp").repartition(nFilesFor(nKeep)).write
+      .mode("overwrite").parquet(s"$storeDir/$own")
     keep.unpersist()
     // advance the high-water mark over the WHOLE batch (late rows
     // update event-time maxima too, exactly as events do under

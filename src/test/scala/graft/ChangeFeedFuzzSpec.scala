@@ -21,40 +21,11 @@ class ChangeFeedFuzzSpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(42)
 
-  /** Brute-force ground truth: full-outer join of the two snapshot
-    * reads, aligned to the union schema, null-safe struct compare —
-    * independent of manifests entirely.
-    */
-  private def bruteDiff(root: String, v: Int): Set[(String, Long)] = {
-    val a = Versioned.readAsOf(spark, root, v - 1)
-    val b = Versioned.readAsOf(spark, root, v)
-    val cols = (a.columns ++ b.columns).distinct.filterNot(_ == "k")
-    def aligned(df: DataFrame) = {
-      val have = df.columns.toSet
-      df.select(col("k").as("kk") +: cols.map(c =>
-        if (have(c)) col(c) else lit(null).as(c)): _*)
-        .select(col("kk"), struct(cols.map(col): _*).as("r"))
-    }
-    val j = aligned(a).as("a").join(aligned(b).as("b"),
-      col("a.kk") === col("b.kk"), "full_outer")
-    j.select(
-        when(col("a.kk").isNull, array(struct(lit("insert").as("t"),
-            col("b.kk").as("k"))))
-        .when(col("b.kk").isNull, array(struct(lit("delete").as("t"),
-            col("a.kk").as("k"))))
-        .when(col("a.r") <=> col("b.r"), lit(null))
-        .otherwise(array(
-          struct(lit("update_preimage").as("t"), col("a.kk").as("k")),
-          struct(lit("update_postimage").as("t"), col("b.kk").as("k"))))
-          .as("c"))
-      .select(explode(col("c")).as("c"))
-      .select(col("c.t"), col("c.k"))
-      .as[(String, Long)].collect().toSet
-  }
+  private def bruteDiff(root: String, v: Int): Set[(String, Long)] =
+    CdfTestUtil.bruteDiff(spark, root, v)
 
   private def feedOf(root: String, v: Int): Set[(String, Long)] =
-    Versioned.changeFeed(spark, root, "k", v - 1, v)
-      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    CdfTestUtil.feedOf(spark, root, v)
 
   test("changeFeed equals the brute-force snapshot diff across 3 " +
     "random 8-commit histories (merge/deleteMor/compact mix)") {

@@ -209,6 +209,71 @@ class DrainScaleSpec extends SparkSpec {
     }
   }
 
+  test("batch-volume axis: with keys-per-file forced tiny every " +
+    "per-batch fp append writes MULTIPLE part files, and the probe, " +
+    "the crashed-attempt re-run's own-append exclusion, and " +
+    "compaction all treat the multi-file append as a unit — results " +
+    "identical to the single-file regime") {
+    val compactEvery = 3
+    def runAll(scratch: String): Set[(Long, Int, String)] = {
+      val root = s"$scratch/t"
+      val storeDir = s"$scratch/store"
+      new java.io.File(storeDir).mkdirs()
+      // 12 docs/batch: ~9 pass the q gate (> the forced 5 keys/file,
+      // so every append is >= 2 part files); one prior-batch re-crawl
+      def rowsOf(k: Int): Seq[(Long, String, String, Long, Double, Long)] =
+        (0 until 12).map { i =>
+          val id = k * 100L + i
+          val fp = if (i == 11 && k > 0) s"f${(k - 1) * 100L}"
+                   else s"f$id"
+          val q = if (i % 4 == 3) 0.3 else 0.8
+          (id, "s0", fp, 10L + i, q, 1000L + k * 100L + i)
+        }
+      def drive(k: Int): Unit = Streams.ingestBatch(
+        rowsOf(k).toDF("doc_id", "source", "fp", "n_tokens", "q", "ts")
+          .withColumn("__b", lit(k)),
+        k.toLong, root, storeDir, 128L << 20,
+        Some(("ts", 150L)), compactEvery)
+      (0 until 6).foreach(drive)
+      // crashed-attempt re-run of the last batch: its own MULTI-FILE
+      // append must be excluded as a unit (dir-name exclusion), or
+      // the re-run anti-joins against its first attempt's fps and
+      // commits an empty version
+      drive(5)
+      Streams.corpusWithLate(spark, root)
+        .select("doc_id", "commit_v", "status")
+        .as[(Long, Int, String)].collect().toSet
+    }
+    def mkTemp(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-volaxis").toString
+      TempDirs.registerCleanedAtExit(d)
+      d
+    }
+    val single = runAll(mkTemp())
+    assert(single.nonEmpty)
+    val prevK = Streams.storeKeysPerFile
+    Streams.storeKeysPerFile = 5L
+    val multi = try {
+      val s = mkTemp()
+      val r = runAll(s)
+      // the forced regime actually produced multi-file appends
+      val appendDirs = Option(new java.io.File(s"$s/store").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("b") && f.getName.endsWith(".d"))
+      assert(appendDirs.nonEmpty, "no per-batch appends survived")
+      assert(appendDirs.exists(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.startsWith("part-")) >= 2),
+        s"expected a multi-file append at keys-per-file=5: " +
+          appendDirs.map(d => d.getName -> d.listFiles().length).toSeq)
+      r
+    } finally Streams.storeKeysPerFile = prevK
+    assert(multi == single,
+      s"multi-file regime diverged: multi-only ${(multi -- single).take(5)} " +
+        s"single-only ${(single -- multi).take(5)}")
+  }
+
   test("corpusAttribution (legacy table, no persisted commit_v): a " +
     "100-commit table backfills attribution with NO per-version " +
     "union — plan size independent of the commit count — and every " +

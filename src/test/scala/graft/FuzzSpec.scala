@@ -62,7 +62,7 @@ class FuzzSpec extends SparkSpec {
         .map(s => QueryFuzzer.gen(s, pools))
         .find(_.preds.nonEmpty).get
       val base = q.baseDF(spark, sf001)
-      val p = q.predColumn(q.preds.head)
+      val p = q.predColumn(spark, sf001, q.preds.head)
       val total = base.count()
       val t = base.filter(p).count()
       val f = base.filter(!p).count()
@@ -102,9 +102,80 @@ class FuzzSpec extends SparkSpec {
     // (left joins + null checks make p IS NULL reachable)
     val anyNull = (1001 to 1200).exists { s =>
       val q = QueryFuzzer.gen(s, pools)
-      q.preds.nonEmpty && q.joins.exists(_._5)
+      q.preds.nonEmpty && q.joins.exists(_._5 != "inner")
     }
-    assert(anyNull, "grammar never produced a left-join + predicate")
+    assert(anyNull,
+      "grammar never produced a left/full-join + predicate")
+  }
+
+  test("mutation negatives, one per round-12 construct family: a " +
+    "mutated oracle for ORDER BY+LIMIT / UNION ALL / FULL JOIN / " +
+    "BETWEEN / scalar subquery / ranked window / GROUP BY expression " +
+    "is reported as a divergence") {
+    assume(Differ.duckAvailable(), "python3+duckdb not available")
+    import QueryFuzzer._
+    def cd(t: String, n: String, k: Char) = ColDef(t, n, k)
+    def mDiff(q: FuzzQuery, mutated: String): Option[String] =
+      diff(q, duck(Map("m" -> mutated))("m"))
+
+    // ORDER BY + LIMIT: LIMIT k-1 in the oracle -> row-count mismatch
+    val qOl = FuzzQuery(0, "customer", Nil, Nil,
+      Proj(Seq(PlainCol(cd("customer", "c_custkey", 'L'), "c0"),
+        PlainCol(cd("customer", "c_name", 'S'), "c1")), distinct = false),
+      orderLimit = Some((Seq(("c0", true), ("c1", false)), 10)))
+    assert(mDiff(qOl, qOl.sql.replace("LIMIT 10", "LIMIT 9"))
+      .exists(_.startsWith("rows:")), "ORDER BY+LIMIT mutation missed")
+
+    // UNION ALL -> UNION: same predicate both branches guarantees
+    // every row is duplicated, so the dedup halves the count
+    val pB = Cmp(cd("customer", "c_mktsegment", 'S'), "=", "BUILDING")
+    val qU = FuzzQuery(0, "customer", Nil, Nil,
+      SetOp(Seq(PlainCol(cd("customer", "c_custkey", 'L'), "c0")),
+        "UNION ALL", pB, pB))
+    assert(mDiff(qU, qU.sql.replace("UNION ALL", "UNION"))
+      .exists(_.startsWith("rows:")), "UNION ALL mutation missed")
+
+    // FULL -> LEFT under a restrictive ON pred: non-BUILDING
+    // customers are right-unmatched, FULL keeps them null-extended
+    val qF = FuzzQuery(0, "orders",
+      joins = Seq(("orders", "o_custkey", "customer", "c_custkey",
+        "full")),
+      preds = Nil,
+      shape = Agg(Nil, Seq(AggCol("count*", None, "a0"))),
+      joinOnPreds = Map(0 -> pB))
+    assert(mDiff(qF, qF.sql.replace("FULL JOIN", "LEFT JOIN")).nonEmpty,
+      "FULL JOIN mutation missed")
+
+    // BETWEEN: upper bound tightened
+    val qB = FuzzQuery(0, "lineitem", Nil,
+      Seq(Between(cd("lineitem", "l_quantity", 'D'), 10.0, 20.0)),
+      Agg(Nil, Seq(AggCol("count*", None, "a0"))))
+    assert(mDiff(qB, qB.sql.replace("AND 20", "AND 19")).nonEmpty,
+      "BETWEEN mutation missed")
+
+    // scalar subquery: MIN -> MAX flips the comparison threshold
+    val qS = FuzzQuery(0, "orders", Nil,
+      Seq(ScalarCmp(cd("orders", "o_orderkey", 'L'), "<=", "min",
+        cd("customer", "c_custkey", 'L'))),
+      Agg(Nil, Seq(AggCol("count*", None, "a0"))))
+    assert(mDiff(qS, qS.sql.replace("MIN(", "MAX(")).nonEmpty,
+      "scalar subquery mutation missed")
+
+    // ranked window: RANK -> DENSE_RANK differs exactly where ties
+    // exist (5 segments over 25 nations -> heavy ties)
+    val qR = FuzzQuery(0, "customer", Nil, Nil,
+      Win2(cd("customer", "c_nationkey", 'I'),
+        Seq((cd("customer", "c_mktsegment", 'S'), true)),
+        Seq(("rank", None, "f0"))))
+    assert(mDiff(qR, qR.sql.replace("RANK()", "DENSE_RANK()")).nonEmpty,
+      "ranked window mutation missed")
+
+    // GROUP BY expression: modulus changed
+    val qG = FuzzQuery(0, "customer", Nil, Nil,
+      Agg(Nil, Seq(AggCol("count*", None, "a0")), None,
+        Seq(GroupExpr(cd("customer", "c_nationkey", 'I'), "mod", 3))))
+    assert(mDiff(qG, qG.sql.replace("% 3", "% 4")).nonEmpty,
+      "GROUP BY expression mutation missed")
   }
 
   test(s"differential fuzz: $NumQueries seeded random queries agree " +
@@ -117,12 +188,47 @@ class FuzzSpec extends SparkSpec {
       .map(s => s"q$s" -> QueryFuzzer.gen(s, pools)).toMap
     // grammar sanity: the seed range actually exercises every construct
     val shapes = queries.values.map(_.shape.getClass.getSimpleName).toSet
-    assert(shapes.size == 3, s"shapes covered: $shapes")
+    assert(shapes.size == 5, s"shapes covered: $shapes")
     assert(queries.values.exists(_.joins.size == 2), "no 3-table chain")
-    assert(queries.values.exists(_.joins.exists(_._5)), "no left join")
+    assert(queries.values.exists(_.joins.size >= 3), "no 4-table chain")
+    assert(queries.values.exists(_.joins.exists(_._5 == "left")),
+      "no left join")
+    assert(queries.values.exists(_.joins.exists(_._5 == "full")),
+      "no full outer join")
     assert(queries.values.exists(_.shape match {
-      case QueryFuzzer.Agg(_, _, Some(_)) => true; case _ => false
+      case QueryFuzzer.Agg(_, _, Some(_), _) => true; case _ => false
     }), "no HAVING produced")
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Agg(_, _, _, ges) => ges.nonEmpty
+      case _ => false
+    }), "no GROUP BY expression produced")
+    assert(queries.values.exists(_.orderLimit.isDefined),
+      "no ORDER BY + LIMIT produced")
+    def anyPred(q: QueryFuzzer.FuzzQuery)(
+        f: QueryFuzzer.Pred => Boolean): Boolean = {
+      def walk(p: QueryFuzzer.Pred): Boolean = p match {
+        case QueryFuzzer.Bin(l, r, _) => f(p) || walk(l) || walk(r)
+        case QueryFuzzer.NotP(i) => f(p) || walk(i)
+        case _ => f(p)
+      }
+      q.preds.exists(walk)
+    }
+    assert(queries.values.exists(anyPred(_) {
+      case _: QueryFuzzer.Between => true; case _ => false
+    }), "no BETWEEN produced")
+    assert(queries.values.exists(anyPred(_) {
+      case _: QueryFuzzer.ScalarCmp => true; case _ => false
+    }), "no scalar subquery produced")
+    val win2Funcs = queries.values.flatMap(_.shape match {
+      case QueryFuzzer.Win2(_, _, fs) => fs.map(_._1); case _ => Nil
+    }).toSet
+    assert(Set("row_number", "rank", "dense_rank", "sum_range")
+      .subsetOf(win2Funcs), s"win2 funcs covered: $win2Funcs")
+    val setOps = queries.values.flatMap(_.shape match {
+      case QueryFuzzer.SetOp(_, op, _, _) => Some(op); case _ => None
+    }).toSet
+    assert(Set("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
+      .subsetOf(setOps), s"set ops covered: $setOps")
     assert(queries.values.exists(_.shape match {
       case QueryFuzzer.Proj(cs, _) =>
         cs.exists(_.isInstanceOf[QueryFuzzer.FuncCol])
@@ -132,6 +238,12 @@ class FuzzSpec extends SparkSpec {
       "no EXISTS produced")
     assert(queries.values.exists(_.semis.exists(_.negated)),
       "no NOT EXISTS produced")
+    assert(queries.values.exists(_.joinOnPreds.nonEmpty),
+      "no ON-clause join predicate produced")
+    assert(queries.values.exists(q => q.joinOnPreds.nonEmpty &&
+      q.joins.exists(_._5 != "inner")),
+      "no outer join with an ON-clause predicate (the null-extension " +
+        "axis) produced")
     val d = duck(queries.map { case (n, q) => n -> q.sql })
     val failures = queries.toSeq.sortBy(_._1).flatMap { case (n, q) =>
       diff(q, d(n)).map(reason => (n, q, reason))

@@ -610,6 +610,60 @@ class SimilaritySpec extends SparkSpec {
       assert(top1(i + 1000L) == i.toLong, s"query ${i + 1000}"))
   }
 
+  test("s24 pinned-codebook PQ/ADC equals an independent plain-scala " +
+    "model exactly (same codebook, same argmin/ADC arithmetic) — the " +
+    "s12 serving path is value-gated with training taken out of the " +
+    "loop") {
+    val cb = graft.queries.OpsQueries.s24Codebook
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // independent model: plain-scala unitize -> encode -> ADC -> top-k
+    val vecs = e.select($"vec_id",
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        id -> v.map(_ / n).toArray
+      }
+    def codeOf(v: Array[Double]): Array[Int] =
+      Array.tabulate(8) { s =>
+        val d = Array.tabulate(4) { c =>
+          (0 until 8).map { j =>
+            val t = v(s * 8 + j) - cb(s)(c)(j); t * t
+          }.sum
+        }
+        d.indexOf(d.min)
+      }
+    def adcOf(q: Array[Double], codes: Array[Int]): Double =
+      (0 until 8).map { s =>
+        (0 until 8).map(j => q(s * 8 + j) * cb(s)(codes(s))(j)).sum
+      }.sum
+    val codes = vecs.map { case (id, v) => id -> codeOf(v) }
+    val expect = vecs.keys.filter(_ < 5).flatMap { qid =>
+      val q = vecs(qid)
+      vecs.keys.filter(_ != qid).toSeq
+        .map(nid => (nid, adcOf(q, codes(nid))))
+        .sortBy { case (nid, a) =>
+          (-BigDecimal(a).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, nid)
+        }
+        .take(3).zipWithIndex
+        .map { case ((nid, a), r) =>
+          (qid, r + 1, nid,
+            BigDecimal(a).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = graft.ops.Similarity.pqTopK(e, "vec_id", "embedding",
+        e.filter($"vec_id" < 5), "vec_id", "embedding",
+        k = 3, m = 8, kc = 4, codebooks = Some(cb))
+      .select($"query_id", $"rank", $"nbr_id",
+        round($"adc", 4).as("adc"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"engine-only ${(got -- expect).take(3)} " +
+        s"model-only ${(expect -- got).take(3)}")
+  }
+
   test("IVFADC at nprobe=nlist equals pqTopK exactly; plan is a " +
       "broadcast probe join + bounded top-k aggregate, no window") {
     // both pipelines train on the same hash-ordered sample, so at
