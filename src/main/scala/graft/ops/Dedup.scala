@@ -493,6 +493,17 @@ object Dedup {
     * doc), one prefix-on-prefix shuffle join, two hash joins to bring
     * the shingle sets back for verification.
     */
+  /** Feasibility contract (measured, round-12 sf10 sweep): an EXACT
+    * all-pairs Jaccard join is Ω(true-pair output), and its verify
+    * irreducibly moves pairs × both hashed shingle sets through the
+    * attach join — under g-fold near-duplication the output itself is
+    * g²-sized per cluster, so total verify volume ≈ pairs × ~1.6 KB.
+    * Plan for that spill (5M docs at 100-fold duplication ≈ 430 GB);
+    * when the duplication density makes it infeasible, the scale path
+    * is the budgeted LSH ([[minhashLshBudgeted]]) + closure, which
+    * handles the same corpus in minutes. Green at sf1/sf3 where the
+    * output fits (rounds 8-9).
+    */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     // shingles are 64-bit-hashed immediately: every downstream shuffle

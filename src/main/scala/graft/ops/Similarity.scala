@@ -801,13 +801,34 @@ object Similarity {
     * sample ≥ nlist); production at larger N raises `sampleSize`
     * together with the cap.
     */
+  /** IVF self-join parameter policy.
+    *
+    *  - n <= exactMax: (16, 16) — exhaustive probing, equal to the
+    *    brute-force oracle (the gate-scale exactness contract for
+    *    s06/s13).
+    *  - beyond: nlist ≈ 4·sqrt(n) (the FAISS heuristic), capped at
+    *    the training-sample size (more centroids than samples train
+    *    degenerate cells); nprobe FIXED at 32 — recall-driven,
+    *    independent of n. Candidate volume per query = nprobe·n/nlist
+    *    ≈ 8·sqrt(n); total O(n^1.5).
+    *
+    * The round-12 sf10 sweep caught the previous policy (nlist =
+    * n/256, nprobe = nlist/8 — a constant 1/8 PROBE FRACTION) scoring
+    * n²/8 candidate pairs: s06 at 100x the data ran 107x the wall,
+    * the only super-linear entry in the sweep. A constant probe
+    * FRACTION is quadratic whatever the constants; scale demands a
+    * constant probe COUNT over sqrt-growing cells. Past nlist =
+    * sampleSize (n ≈ 1M at the 4096 default) cell sizes grow linearly
+    * again — at that scale raise sampleSize, or shard the corpus (the
+    * standard IVF sharding convention).
+    */
   def autoIvfSelfJoinParams(n: Long, exactMax: Long = 4096,
                             sampleSize: Int = 4096): (Int, Int) =
     if (n <= exactMax) (16, 16)
     else {
       val nlist = math.min(sampleSize.toLong,
-        math.max(32L, n / 256L)).toInt
-      (nlist, math.max(4, nlist / 8))
+        math.max(32L, 4L * math.round(math.sqrt(n.toDouble)))).toInt
+      (nlist, math.min(nlist, 32))
     }
 
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,

@@ -697,8 +697,9 @@ object OpsQueries {
     // IVF-cell self-join with the label filter at candidate time.
     // nprobe = nlist -> exhaustive -> exact, so the oracle is the
     // brute-force label-aware ranking.
-    // same size guard as s06: exhaustive (== the brute-force oracle)
-    // at gate scale, O(N) candidate volume beyond it
+    // same size policy as s06: exhaustive (== the brute-force oracle)
+    // at gate scale, O(sqrt(N)) candidates per query beyond it
+    // (autoIvfSelfJoinParams: nlist ~ 4*sqrt(n), constant nprobe)
     "s13_hard_negatives" -> ((s, dir) => {
       val e = embs(s, dir)
       val (nlist, nprobe) = Similarity.autoIvfSelfJoinParams(e.count())

@@ -812,24 +812,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("autoIvfSelfJoinParams: exact at gate scale, O(N) candidate " +
-    "volume beyond it, nlist capped by the training sample") {
+  test("autoIvfSelfJoinParams: exact at gate scale, O(sqrt N) " +
+    "candidate volume per query beyond it (shrinking probe " +
+    "FRACTION), nlist capped by the training sample") {
     // at or under exactMax: the exhaustive oracle configuration
     assert(Similarity.autoIvfSelfJoinParams(200) == ((16, 16)))
     assert(Similarity.autoIvfSelfJoinParams(4096) == ((16, 16)))
-    // beyond: nlist ~ N/256, nprobe = nlist/8 (>= 4), so per-query
-    // candidates ~ 256 * nprobe stay flat as N grows
+    // beyond: nlist ~ 4*sqrt(N), nprobe CONSTANT 32 — per-query
+    // candidates ~ 8*sqrt(N), total O(N^1.5). The old policy
+    // (nlist = N/256, nprobe = nlist/8) held the probe FRACTION at
+    // 1/8, i.e. N²/8 scored pairs — caught by the round-12 sf10
+    // sweep as the only super-linear entry (s06: 107x wall at 100x
+    // data; 39x after this fix).
     val (n20k, p20k) = Similarity.autoIvfSelfJoinParams(20000)
-    assert(n20k == 78 && p20k == math.max(4, 78 / 8))
+    assert(n20k == 4 * math.round(math.sqrt(20000.0)).toInt &&
+      p20k == 32)
     val (n1m, p1m) = Similarity.autoIvfSelfJoinParams(1000000)
-    assert(n1m == 3906 && p1m == 488)
-    // candidate volume per query ~ N/nlist * nprobe — bounded by a
-    // constant multiple of 256 * nprobe/nlist growth
-    assert(1000000L / n1m * p1m < 256L * 512)
+    assert(n1m == 4000 && p1m == 32)
+    // scale law: per-query candidate volume at 100x the corpus grows
+    // ~sqrt(100) = 10x (cap inflation allowed), never ~100x
+    def perQuery(n: Long): Double = {
+      val (nl, np) = Similarity.autoIvfSelfJoinParams(n)
+      n.toDouble / nl * np
+    }
+    assert(perQuery(2000000) / perQuery(20000) < 15.0)
     // the quantizer sample caps nlist (training needs sample >= nlist)
     val (nHuge, _) = Similarity.autoIvfSelfJoinParams(100000000L)
     assert(nHuge == 4096)
     // floor for just-over-the-gate sizes
-    assert(Similarity.autoIvfSelfJoinParams(5000)._1 == 32)
+    assert(Similarity.autoIvfSelfJoinParams(5000)._1 >= 32)
   }
 }
