@@ -492,8 +492,8 @@ object Dedup {
     * frequency table, one window over the inverted index (keyed by
     * doc), one prefix-on-prefix shuffle join, two hash joins to bring
     * the shingle sets back for verification.
-    */
-  /** Feasibility contract (measured, round-12 sf10 sweep): an EXACT
+    *
+    * Feasibility contract (measured, round-12 sf10 sweep): an EXACT
     * all-pairs Jaccard join is Ω(true-pair output), and its verify
     * irreducibly moves pairs × both hashed shingle sets through the
     * attach join — under g-fold near-duplication the output itself is

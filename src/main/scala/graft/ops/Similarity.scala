@@ -787,21 +787,10 @@ object Similarity {
     * Production at corpus scale runs `nprobe << nlist` and trades
     * recall, measured by SimilaritySpec against this exact setting.
     */
-  /** Size-adaptive IVF parameters for the k-NN SELF-join (the q58→q66
-    * guard pattern, here for pair volume instead of wedge count): at
-    * or under `exactMax` vectors the exhaustive `nprobe = nlist`
-    * configuration is affordable and provably exact (the oracle-gate
-    * configuration); above it, candidates must stop growing as N²/
-    * nlist — so nlist scales WITH the corpus (~N/256 per cell) and
-    * nprobe stays a small fixed fraction, making candidate volume
-    * ~N·256·nprobe = O(N). The round-8 sf1 measurement that forced
-    * this: fixed nlist=nprobe=16 scaled 5.7s → 140s for 10× vectors
-    * (all-pairs by construction); the guarded config restores ~linear.
-    * nlist is capped by the quantizer sample (training needs
-    * sample ≥ nlist); production at larger N raises `sampleSize`
-    * together with the cap.
-    */
-  /** IVF self-join parameter policy.
+  /** Size-adaptive IVF parameter policy for the k-NN SELF-join (the
+    * q58→q66 guard pattern, here for pair volume instead of wedge
+    * count — first forced by the round-8 sf1 measurement where fixed
+    * nlist=nprobe=16 scaled 5.7s → 140s at 10× vectors).
     *
     *  - n <= exactMax: (16, 16) — exhaustive probing, equal to the
     *    brute-force oracle (the gate-scale exactness contract for
