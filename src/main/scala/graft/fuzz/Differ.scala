@@ -139,20 +139,28 @@ object Differ {
         val dRows = dRows0.map(r => idx.map(i => norm(r(i))))
         if (dRows.size != sparkRows.size)
           return Some(s"rows: spark=${sparkRows.size} duck=${dRows.size}")
-        val s = sparkRows.sortBy(_.map(sortKey).mkString(""))
-        val d = dRows.sortBy(_.map(sortKey).mkString(""))
-        // fast path: positional compare on the shared sort. Two
-        // values inside the 1e-6 tolerance can straddle a 6-dp
-        // rounding boundary and land in different sort positions, so
-        // a positional mismatch is only a CANDIDATE divergence —
-        // confirm it with a tolerant multiset match before reporting.
-        val positional = s.zip(d).zipWithIndex.collectFirst {
-          case ((sr, dr), ri) if !rowEq(sr, dr) =>
-            s"row $ri: spark=$sr duck=$dr"
-        }
-        positional.flatMap(reason =>
-          tolerantMatch(s, d).map(t => s"$t (positional: $reason)"))
+        alignAndCompare(sparkRows, dRows)
     }
+  }
+
+  /** Row-multiset compare: sort both sides on 6-dp-rounded keys and
+    * compare positionally (fast path). Two values inside the 1e-6
+    * tolerance can straddle a 6-dp rounding boundary and land in
+    * different sort positions, so a positional mismatch is only a
+    * CANDIDATE divergence — confirm it with a tolerant multiset match
+    * before reporting. None = match.
+    */
+  private[graft] def alignAndCompare(sparkRows: Seq[Seq[V]],
+                                     dRows: Seq[Seq[V]])
+      : Option[String] = {
+    val s = sparkRows.sortBy(_.map(sortKey).mkString(""))
+    val d = dRows.sortBy(_.map(sortKey).mkString(""))
+    val positional = s.zip(d).zipWithIndex.collectFirst {
+      case ((sr, dr), ri) if !rowEq(sr, dr) =>
+        s"row $ri: spark=$sr duck=$dr"
+    }
+    positional.flatMap(reason =>
+      tolerantMatch(s, d).map(t => s"$t (positional: $reason)"))
   }
 
   private def rowEq(a: Seq[V], b: Seq[V]): Boolean =

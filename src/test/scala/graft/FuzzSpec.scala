@@ -108,6 +108,27 @@ class FuzzSpec extends SparkSpec {
       "grammar never produced a left/full-join + predicate")
   }
 
+  test("Differ alignment: in-tolerance values straddling the 6-dp " +
+    "sort-key rounding boundary misalign positionally but do NOT " +
+    "report a false divergence; a real mismatch still reports") {
+    import Differ._
+    // row 1's float sits ~2e-8 either side of the 0.4999995 rounding
+    // boundary between engines (key 0.500000 vs 0.499999), so the
+    // positional zip pairs it against row 2 — whose string column
+    // differs. The advisor-flagged false-divergence shape.
+    val sparkRows: Seq[Seq[V]] =
+      Seq(Seq(VD(0.49999951), VS("x")), Seq(VD(0.4999990), VS("y")))
+    val duckRows: Seq[Seq[V]] =
+      Seq(Seq(VD(0.49999949), VS("x")), Seq(VD(0.4999990), VS("y")))
+    assert(alignAndCompare(sparkRows, duckRows).isEmpty,
+      "boundary straddle reported a false divergence")
+    // negative control: a genuinely different value still reports
+    val broken: Seq[Seq[V]] =
+      Seq(Seq(VD(0.6), VS("x")), Seq(VD(0.4999990), VS("y")))
+    assert(alignAndCompare(sparkRows, broken).isDefined,
+      "real mismatch was swallowed by the tolerant pass")
+  }
+
   test("mutation negatives, one per round-12 construct family: a " +
     "mutated oracle for ORDER BY+LIMIT / UNION ALL / FULL JOIN / " +
     "BETWEEN / scalar subquery / ranked window / GROUP BY expression " +
