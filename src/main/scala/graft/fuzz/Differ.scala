@@ -176,26 +176,58 @@ object Differ {
   }.mkString("")
 
   /** Tolerant multiset match (slow path, runs only on a positional
-    * mismatch): bucket rows by their non-numeric values, then
-    * greedy-match within buckets under [[eqV]]. None = the multisets
-    * match under tolerance; Some(reason) = a spark row no duck row
-    * can pair with.
+    * mismatch): bucket rows by their non-numeric values, then find a
+    * MAXIMUM bipartite matching within each bucket under [[eqV]]
+    * (Kuhn's augmenting paths). Greedy pairing is not sound here:
+    * the 1e-6 tolerance relation is non-transitive, so values chain
+    * (spark a ≈ duck x AND a ≈ y while spark b only ≈ x) and a
+    * greedy pass can consume the wrong partner and report a false
+    * divergence even though a perfect matching exists; augmenting
+    * paths re-pair the earlier row instead. Buckets past
+    * [[MatchExactCap]] fall back to greedy (O(g·aug) vs O(g)) —
+    * still sound in the safe direction (may over-report, never
+    * misses a true divergence). None = the multisets match under
+    * tolerance; Some(reason) = a spark row no maximum matching can
+    * pair with.
     */
+  private val MatchExactCap = 2048
+
   private def tolerantMatch(s: Seq[Seq[V]],
                             d: Seq[Seq[V]]): Option[String] = {
-    val db = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.ArrayBuffer[Seq[V]]]
-    d.foreach { r =>
-      db.getOrElseUpdate(bucketKey(r),
-        new scala.collection.mutable.ArrayBuffer[Seq[V]]()) += r
-    }
-    s.iterator.flatMap { sr =>
-      db.get(bucketKey(sr)) match {
-        case Some(b) =>
-          val i = b.indexWhere(rowEq(sr, _))
-          if (i >= 0) { b.remove(i); None }
-          else Some(s"unmatched spark row: $sr")
-        case None => Some(s"unmatched spark row: $sr")
+    val sb = s.groupBy(bucketKey)
+    val db = d.groupBy(bucketKey)
+    sb.iterator.flatMap { case (key, srs) =>
+      val drs = db.getOrElse(key, Seq.empty).toIndexedSeq
+      if (srs.size > MatchExactCap || drs.size > MatchExactCap) {
+        // greedy fallback for oversized buckets (recursion depth /
+        // cubic-time guard); errs toward a false alarm, never a miss
+        val taken = Array.fill(drs.size)(false)
+        srs.iterator.flatMap { sr =>
+          val i = drs.indices.indexWhere(j =>
+            !taken(j) && rowEq(sr, drs(j)))
+          if (i >= 0) { taken(i) = true; None }
+          else Some(s"unmatched spark row: $sr (greedy fallback, " +
+            s"bucket > $MatchExactCap)")
+        }
+      } else {
+        val matchOfD = Array.fill(drs.size)(-1)
+        def augment(i: Int, seen: Array[Boolean]): Boolean = {
+          var j = 0; var ok = false
+          while (j < drs.size && !ok) {
+            if (!seen(j) && rowEq(srs(i), drs(j))) {
+              seen(j) = true
+              if (matchOfD(j) < 0 || augment(matchOfD(j), seen)) {
+                matchOfD(j) = i; ok = true
+              }
+            }
+            j += 1
+          }
+          ok
+        }
+        srs.indices.iterator.flatMap { i =>
+          if (augment(i, Array.fill(drs.size)(false))) None
+          else Some(s"unmatched spark row: ${srs(i)}")
+        }
       }
     }.take(1).toSeq.headOption
   }

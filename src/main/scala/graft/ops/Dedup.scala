@@ -203,8 +203,13 @@ object Dedup {
       case Some(c) => (c, strCols.size * 72.0)
       case None if strCols.isEmpty => (keys.count(), 0.0)
       case None =>
+        // octet_length (bytes), not length (characters): multi-byte
+        // UTF-8 keys (non-ASCII URLs/titles) are up to 4x wider in
+        // memory than their character count, and undersizing here
+        // re-opens exactly the over-broadcast gap this probe closes
         val aggs = count(lit(1)).as("__n") +:
-          strCols.map(c => avg(length(col(c))).as(s"__l_$c"))
+          strCols.map(c =>
+            avg(octet_length(col(c))).as(s"__l_$c"))
         val r = keys.agg(aggs.head, aggs.tail: _*).head
         val sb = strCols.indices.map { i =>
           val a = if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1)

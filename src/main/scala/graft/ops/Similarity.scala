@@ -517,19 +517,27 @@ object Similarity {
 
   /** Spherical k-means centroids trained driver-side on a bounded
     * sample (IVF coarse quantizer). Deterministic: seeded start from
-    * evenly-spaced sample vectors, fixed Lloyd iteration count.
+    * evenly-spaced sample vectors (or the caller's pinned `init`
+    * codebook — the s25 oracle path, which replays ONE iteration from
+    * literal constants in DuckDB), fixed Lloyd iteration count.
     */
-  private[ops] def trainCentroids(sample: Array[Array[Double]], nlist: Int,
-                                  iters: Int): IndexedSeq[Array[Double]] = {
-    require(sample.nonEmpty && sample.length >= nlist,
+  private[graft] def trainCentroids(sample: Array[Array[Double]], nlist: Int,
+                                  iters: Int,
+                                  init: Option[IndexedSeq[Array[Double]]] =
+                                    None): IndexedSeq[Array[Double]] = {
+    require(sample.nonEmpty &&
+      (init.nonEmpty || sample.length >= nlist),
       s"need >= $nlist sample vectors, got ${sample.length}")
+    require(init.forall(_.length == nlist),
+      s"init codebook must have $nlist rows")
     val dim = sample.head.length
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
     var cents: IndexedSeq[Array[Double]] =
-      (0 until nlist).map(i => unit(sample(i * sample.length / nlist)))
+      init.map(_.map(unit)).getOrElse(
+        (0 until nlist).map(i => unit(sample(i * sample.length / nlist))))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nlist)(new Array[Double](dim))
@@ -552,6 +560,66 @@ object Similarity {
       it += 1
     }
     cents
+  }
+
+  /** ONE spherical-Lloyd iteration as a distributed DataFrame — the
+    * [[trainCentroids]] update step (assign each unitized vector to
+    * its argmax-dot cell, re-center each cell at the unit-normalized
+    * component sum, keep the previous center for emptied cells) from
+    * a caller-pinned `init` codebook, returned as skinny
+    * `(cell, j, centroid)` rows (`j` 1-based). With `init` literal
+    * the whole step is pure arithmetic and DuckDB-replayable — the
+    * s24 move applied to TRAINING, which leaves seeded
+    * multi-iteration convergence as the family's only spec-gated
+    * piece. Equality with `trainCentroids(iters = 1, Some(init))` on
+    * the same vectors is spec-gated (SimilaritySpec).
+    *
+    * Scale shape: assignment is a narrow map over the scan (the
+    * codebook is one foldable literal; [[MatVecDots]]); the only wide
+    * exchange is the `(cell, j)` groupBy of skinny (int, int, double)
+    * rows — k·dim groups whatever the corpus size — with map-side
+    * partial sums, so the shuffle is partition-count-sized, not
+    * corpus-sized. The per-cell norm runs on the k·dim aggregate
+    * (dimension-sized; the window is over k rows per dim group).
+    * `init` rows are unit-normalized driver-side (k·dim work) to
+    * match trainCentroids' init handling.
+    */
+  def lloydStepDf(corpus: DataFrame, idCol: String, vecCol: String,
+                  init: IndexedSeq[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    MatVecDots.register(spark)
+    val k = init.length
+    val dim = init.head.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val init0 = init.map(unit)
+    val cb = MatVecDots.matrixLit(init0)
+    val assigned = unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("dots", MatVecDots.matvec(col("v"), cb))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1)
+          .cast("int"))
+    val sums = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("j0", "x")))
+      .groupBy(col("cell"), (col("j0") + 1).as("j"))
+      .agg(sum(col("x")).as("sx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    // spherical update = unit(component sums); a zero-norm sum (exact
+    // cancellation) falls through to the previous center like
+    // trainCentroids' unit() identity-at-zero
+    val updated = sums
+      .withColumn("nrm", sqrt(sum(col("sx") * col("sx")).over(w)))
+      .select(col("cell"), col("j"),
+        when(col("nrm") === 0.0, lit(null))
+          .otherwise(col("sx") / col("nrm")).as("upd"))
+    import spark.implicits._
+    val grid = (for { c <- 0 until k; j <- 1 to dim }
+      yield (c, j, init0(c)(j - 1))).toDF("cell", "j", "prev")
+    grid.join(updated, Seq("cell", "j"), "left")
+      .select(col("cell"), col("j"),
+        coalesce(col("upd"), col("prev")).as("centroid"))
   }
 
   /** Distributed spherical k-means (Lloyd's) — the at-scale companion
@@ -806,18 +874,31 @@ object Similarity {
     * n²/8 candidate pairs: s06 at 100x the data ran 107x the wall,
     * the only super-linear entry in the sweep. A constant probe
     * FRACTION is quadratic whatever the constants; scale demands a
-    * constant probe COUNT over sqrt-growing cells. Past nlist =
-    * sampleSize (n ≈ 1M at the 4096 default) cell sizes grow linearly
-    * again — at that scale raise sampleSize, or shard the corpus (the
-    * standard IVF sharding convention).
+    * constant probe COUNT over sqrt-growing cells.
+    *
+    * The third returned value is the TRAINING SAMPLE size, scaled
+    * with the corpus: max(4096, 2·nlist). The round-12 policy took
+    * sampleSize as an independent 4096 default and silently CAPPED
+    * nlist at it, so past n ≈ 1.05M vectors cell sizes grew linearly
+    * again and candidate volume re-became ~n²/128 — the same
+    * quadratic class the policy exists to kill, hidden behind a
+    * default. Scaling the sample instead keeps training linear
+    * (O(sample·nlist·dim·iters) = O(n)·small-constants driver-side;
+    * quantizerSample is one bounded pass) and leaves NO silent edge:
+    * a caller overriding sampleSize below nlist fails fast in
+    * [[trainCentroids]]'s precondition, never degrades quietly. The
+    * remaining genuine bound is codebook-literal memory (nlist·dim·8
+    * B in the plan: 64 MB at n = 1e9, dim 64) — past that, shard the
+    * corpus (the standard IVF sharding convention).
     */
-  def autoIvfSelfJoinParams(n: Long, exactMax: Long = 4096,
-                            sampleSize: Int = 4096): (Int, Int) =
-    if (n <= exactMax) (16, 16)
+  def autoIvfSelfJoinParams(n: Long,
+                            exactMax: Long = 4096): (Int, Int, Int) =
+    if (n <= exactMax) (16, 16, 4096)
     else {
-      val nlist = math.min(sampleSize.toLong,
-        math.max(32L, 4L * math.round(math.sqrt(n.toDouble)))).toInt
-      (nlist, math.min(nlist, 32))
+      val nlist =
+        math.max(32L, 4L * math.round(math.sqrt(n.toDouble))).toInt
+      (nlist, math.min(nlist, 32),
+        math.max(4096L, 2L * nlist).toInt)
     }
 
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,

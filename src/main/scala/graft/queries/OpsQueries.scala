@@ -99,6 +99,70 @@ object OpsQueries {
       WHERE rank <= 3 ORDER BY query_id, rank"""
   }
 
+  /** s25's pinned Lloyd-init codebook: 4 centroids x 64 dims of
+    * DISTRIBUTION CONSTANTS that are EXACTLY unit in binary floating
+    * point (0.125 = 2^-3, 0.25 = 2^-2: 64·0.125² = 16·0.25² = 1.0
+    * with every partial sum a dyadic rational), so trainCentroids'
+    * init normalization is the IEEE identity and both engines start
+    * the step from bit-identical centers. Shared verbatim by the
+    * Spark entry, the GENERATED oracle ([[s25OracleSql]]), and
+    * SimilaritySpec's trainCentroids-equality gate.
+    */
+  private[graft] val s25Init: IndexedSeq[Array[Double]] =
+    IndexedSeq.tabulate(4)(c => Array.tabulate(64)(j => c match {
+      case 0 => 0.125
+      case 1 => if (j % 2 == 0) 0.125 else -0.125
+      case 2 => if (j == 0) 1.0 else 0.0
+      case _ => if (j < 16) 0.25 else 0.0
+    }))
+
+  /** DuckDB oracle for s25, GENERATED from [[s25Init]] so both
+    * engines replay one set of constants. The assignment is
+    * bit-exact (the s24 contract: unrolled left-associated dot sums
+    * mirror MatVecDots' loop, the >=-chain argmax mirrors
+    * array_position-of-array-max first-wins ties); the grouped
+    * re-centering sums are order-dependent in the last ulps on both
+    * engines, absorbed by the 4dp output rounding.
+    */
+  private def s25OracleSql: String = {
+    val init = s25Init
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString
+    def dot(c: Int): String = (0 until 64).map { j =>
+      s"v[${j + 1}] * ${dlit(init(c)(j))}"
+    }.mkString(" + ")
+    val d = (0 until 4).map(c => s"(${dot(c)})")
+    val cellCase =
+      s"CASE WHEN ${d(0)} >= ${d(1)} AND ${d(0)} >= ${d(2)} AND " +
+        s"${d(0)} >= ${d(3)} THEN 0 " +
+        s"WHEN ${d(1)} >= ${d(2)} AND ${d(1)} >= ${d(3)} THEN 1 " +
+        s"WHEN ${d(2)} >= ${d(3)} THEN 2 ELSE 3 END"
+    val normSum = (1 to 64).map(i => s"e[$i] * e[$i]").mkString(" + ")
+    val gridVals = (for { c <- 0 until 4; j <- 1 to 64 }
+      yield s"($c, $j, ${dlit(init(c)(j - 1))})").mkString(", ")
+    s"""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt($normSum) AS nrm FROM e0),
+      u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS v
+            FROM n),
+      a AS (SELECT vec_id, v, $cellCase AS cell FROM u),
+      xs AS (SELECT cell, CAST(gs.j AS INTEGER) AS j, v[gs.j] AS x
+             FROM a, (SELECT UNNEST(generate_series(1, 64)) AS j) gs),
+      sums AS (SELECT cell, j, SUM(x) AS sx FROM xs GROUP BY cell, j),
+      nrms AS (SELECT cell, sqrt(SUM(sx * sx)) AS nrm
+               FROM sums GROUP BY cell),
+      upd AS (SELECT s.cell, s.j,
+                     CASE WHEN n.nrm = 0 THEN NULL
+                          ELSE s.sx / n.nrm END AS u
+              FROM sums s JOIN nrms n USING (cell)),
+      grid(cell, j, prev) AS (VALUES $gridVals)
+      SELECT g.cell, g.j,
+             ROUND(COALESCE(u.u, g.prev), 4) AS centroid
+      FROM grid g LEFT JOIN upd u ON u.cell = g.cell AND u.j = g.j
+      ORDER BY g.cell, g.j"""
+  }
+
   /** Corpus + near-dup mutants with provenance: keeps `source` and
     * tags mutants with an EXPLICIT `is_mutant` flag — the single
     * source of truth for the mutant recipe (drop the 2nd token,
@@ -684,9 +748,11 @@ object OpsQueries {
     // (round-8 sf1 run: the fixed config went 5.7s → 140s at 10×).
     "s06_knn_join" -> ((s, dir) => {
       val e = embs(s, dir)
-      val (nlist, nprobe) = Similarity.autoIvfSelfJoinParams(e.count())
+      val (nlist, nprobe, smp) =
+        Similarity.autoIvfSelfJoinParams(e.count())
       Similarity.knnJoin(e, "vec_id", "embedding",
-          k = 3, dim = 64, nlist = nlist, nprobe = nprobe)
+          k = 3, dim = 64, nlist = nlist, nprobe = nprobe,
+          sampleSize = smp)
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")
@@ -702,9 +768,11 @@ object OpsQueries {
     // (autoIvfSelfJoinParams: nlist ~ 4*sqrt(n), constant nprobe)
     "s13_hard_negatives" -> ((s, dir) => {
       val e = embs(s, dir)
-      val (nlist, nprobe) = Similarity.autoIvfSelfJoinParams(e.count())
+      val (nlist, nprobe, smp) =
+        Similarity.autoIvfSelfJoinParams(e.count())
       Similarity.hardNegatives(e, "vec_id", "embedding",
-          "label", k = 3, dim = 64, nlist = nlist, nprobe = nprobe)
+          "label", k = 3, dim = 64, nlist = nlist, nprobe = nprobe,
+          sampleSize = smp)
         .select(col("query_id"), col("q_lbl"), col("rank"),
           col("nbr_id"), col("nbr_lbl"), round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")
@@ -1380,6 +1448,24 @@ object OpsQueries {
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("adc"), 4).as("adc"))
         .orderBy("query_id", "rank")
+    }),
+
+    // one PINNED spherical-Lloyd TRAINING iteration under the oracle
+    // gate (the s24 move applied to training): from literal
+    // exactly-unit init centers, cell assignment replays bit-exactly
+    // (same left-associated dot sums, first-wins argmax) and the
+    // grouped re-centering is plain SQL arithmetic — seeded
+    // MULTI-iteration convergence (s12) is now the training family's
+    // only spec-gated piece. Distributed shape: narrow assign, one
+    // skinny (cell, j) groupBy with map-side partials, k·dim output.
+    // Equality with the production trainCentroids(iters = 1) body at
+    // this init is gated in SimilaritySpec.
+    "s25_lloyd_step_pinned" -> ((s, dir) => {
+      Similarity.lloydStepDf(embs(s, dir), "vec_id", "embedding",
+          s25Init)
+        .select(col("cell"), col("j"),
+          round(col("centroid"), 4).as("centroid"))
+        .orderBy("cell", "j")
     }),
 
     // Zipf's-law fit per language (corpus-statistics audit): token
@@ -2062,6 +2148,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "s24_pq_adc_pinned" -> s24OracleSql,
+    "s25_lloyd_step_pinned" -> s25OracleSql,
     "d07_minhash_lsh" -> minhashOracle,
     "d42_incremental_lsh" -> incrementalLshOracle,
     "d08_simhash" -> simhashOracle,

@@ -758,8 +758,12 @@ object Versioned {
   }
 
   /** Paths the adjacent-pair snapshot diff [[changeFeed]] will scan —
-    * exposed for the spec gate that the CDF never reads a
-    * carried-verbatim file.
+    * exposed for the spec gate that the CDF never reads a carried
+    * file UNTOUCHED by a changed tombstone range. Carried files whose
+    * key ranges overlap a tombstone added (touchedCommon) or dropped
+    * (revivedCommon — the restore-revival fix) between the versions
+    * ARE deliberately scanned: their visible rows change even though
+    * their bytes did not.
     */
   private[graft] def cdfScanPaths(s: SparkSession, root: String,
                                   fromVersion: Int,
@@ -776,8 +780,10 @@ object Versioned {
     * updates emit a pre/post pair).
     *
     * Scale shape: files common to both manifests were carried VERBATIM
-    * by the commit protocol, so their rows cannot differ and are never
-    * scanned ([[cdfScanPaths]], spec-gated). The scan — and the
+    * by the commit protocol, so their BYTES cannot differ and only
+    * those whose key ranges a changed tombstone overlaps — rows whose
+    * VISIBILITY flipped — are scanned ([[cdfScanPaths]], spec-gated);
+    * untouched carried files never are. The scan — and the
     * key-keyed full-outer diff join that follows — is commit-sized,
     * not table-sized: a commit touching 0.1% of a 100-TB table yields
     * a CDF that reads ~0.1% of the bytes. A compaction commit

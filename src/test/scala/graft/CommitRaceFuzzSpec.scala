@@ -160,8 +160,23 @@ class CommitRaceFuzzSpec extends SparkSpec {
       val ws = (0 until Writers).map(writer)
       vacuumer.start(); reader.start(); ws.foreach(_.start())
       ws.foreach(_.join(180000))
+      // a straggler still alive past the join timeout races the
+      // zero-grace vacuumOrphans (documented safe only after every
+      // writer is dead) and would misreport as a protocol violation.
+      // Record it BEFORE releasing the vacuumer (so the loops still
+      // terminate and the JVM can exit), then fail with the clear
+      // schedule-timeout message ahead of any invariant assert.
+      val stragglers = ws.zipWithIndex.collect {
+        case (t, i) if t.isAlive => i
+      }
       writersDone = true
       vacuumer.join(30000); reader.join(30000)
+      assert(stragglers.isEmpty,
+        s"seed $seed: writers $stragglers still running after the " +
+          "180s join — schedule timed out, not a protocol violation")
+      assert(!vacuumer.isAlive && !reader.isAlive,
+        s"seed $seed: vacuumer/reader still running after join — " +
+          "schedule timed out")
 
       assert(errors.isEmpty, s"seed $seed: ${errors.toArray.toSeq}")
 

@@ -129,6 +129,29 @@ class FuzzSpec extends SparkSpec {
       "real mismatch was swallowed by the tolerant pass")
   }
 
+  test("Differ tolerant match is a MAXIMUM matching, not greedy: " +
+    "chained in-tolerance values (spark a ~ duck x AND y, spark b " +
+    "only ~ x) pair correctly via augmenting paths") {
+    import Differ._
+    // tolerance near 1.0 is ~1e-6. a=1.0000004 is within it of BOTH
+    // x=1.0 and y=1.0000008; b=0.9999996 only of x (|b-y|=1.2e-6).
+    // A greedy pass pairs a->x first and falsely reports b unmatched;
+    // the augmenting path re-pairs a->y so b->x. The multisets DO
+    // match under tolerance — this must be a non-divergence.
+    val sparkRows: Seq[Seq[V]] =
+      Seq(Seq(VD(1.0000004)), Seq(VD(0.9999996)))
+    val duckRows: Seq[Seq[V]] =
+      Seq(Seq(VD(1.0)), Seq(VD(1.0000008)))
+    assert(alignAndCompare(sparkRows, duckRows).isEmpty,
+      "greedy-order false divergence: a perfect matching exists")
+    // negative control: shift y out of everyone's tolerance — now b
+    // truly has no partner once a takes x, and it must report
+    val brokenDuck: Seq[Seq[V]] =
+      Seq(Seq(VD(1.0)), Seq(VD(1.0000030)))
+    assert(alignAndCompare(sparkRows, brokenDuck).isDefined,
+      "true divergence swallowed by the matching pass")
+  }
+
   test("mutation negatives, one per round-12 construct family: a " +
     "mutated oracle for ORDER BY+LIMIT / UNION ALL / FULL JOIN / " +
     "BETWEEN / scalar subquery / ranked window / GROUP BY expression " +

@@ -813,33 +813,84 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("autoIvfSelfJoinParams: exact at gate scale, O(sqrt N) " +
-    "candidate volume per query beyond it (shrinking probe " +
-    "FRACTION), nlist capped by the training sample") {
+    "candidate volume per query beyond it, training sample scales " +
+    "with nlist so the old 4096 cap can never bind") {
     // at or under exactMax: the exhaustive oracle configuration
-    assert(Similarity.autoIvfSelfJoinParams(200) == ((16, 16)))
-    assert(Similarity.autoIvfSelfJoinParams(4096) == ((16, 16)))
+    assert(Similarity.autoIvfSelfJoinParams(200) == ((16, 16, 4096)))
+    assert(Similarity.autoIvfSelfJoinParams(4096) == ((16, 16, 4096)))
     // beyond: nlist ~ 4*sqrt(N), nprobe CONSTANT 32 — per-query
     // candidates ~ 8*sqrt(N), total O(N^1.5). The old policy
     // (nlist = N/256, nprobe = nlist/8) held the probe FRACTION at
     // 1/8, i.e. N²/8 scored pairs — caught by the round-12 sf10
     // sweep as the only super-linear entry (s06: 107x wall at 100x
     // data; 39x after this fix).
-    val (n20k, p20k) = Similarity.autoIvfSelfJoinParams(20000)
+    val (n20k, p20k, s20k) = Similarity.autoIvfSelfJoinParams(20000)
     assert(n20k == 4 * math.round(math.sqrt(20000.0)).toInt &&
-      p20k == 32)
-    val (n1m, p1m) = Similarity.autoIvfSelfJoinParams(1000000)
-    assert(n1m == 4000 && p1m == 32)
+      p20k == 32 && s20k == 4096)
+    val (n1m, p1m, s1m) = Similarity.autoIvfSelfJoinParams(1000000)
+    assert(n1m == 4000 && p1m == 32 && s1m == 8000)
     // scale law: per-query candidate volume at 100x the corpus grows
-    // ~sqrt(100) = 10x (cap inflation allowed), never ~100x
+    // ~sqrt(100) = 10x, never ~100x
     def perQuery(n: Long): Double = {
-      val (nl, np) = Similarity.autoIvfSelfJoinParams(n)
+      val (nl, np, _) = Similarity.autoIvfSelfJoinParams(n)
       n.toDouble / nl * np
     }
     assert(perQuery(2000000) / perQuery(20000) < 15.0)
-    // the quantizer sample caps nlist (training needs sample >= nlist)
-    val (nHuge, _) = Similarity.autoIvfSelfJoinParams(100000000L)
-    assert(nHuge == 4096)
+    // the round-12 `weak`: nlist was silently CAPPED at the 4096
+    // sampleSize default, so past n ~ 1.05M candidate volume
+    // re-became ~n²/128. The policy gate across that old boundary:
+    // per-query candidates at 10x the corpus (0.5M -> 5M) grow
+    // ~sqrt(10) ~ 3.2x, NOT the capped policy's ~10x
+    val grow = perQuery(5000000) / perQuery(500000)
+    assert(grow > 2.0 && grow < 4.5,
+      s"candidate growth across the old cap boundary was $grow")
+    // nlist uncapped at huge n; the sample scales to 2*nlist so
+    // trainCentroids' sample >= nlist precondition always holds
+    val (nHuge, _, sHuge) =
+      Similarity.autoIvfSelfJoinParams(100000000L)
+    assert(nHuge == 40000 && sHuge == 80000)
     // floor for just-over-the-gate sizes
     assert(Similarity.autoIvfSelfJoinParams(5000)._1 >= 32)
+  }
+
+  test("lloydStepDf: the distributed one-iteration spherical-Lloyd " +
+    "step equals the production trainCentroids(iters = 1) body at " +
+    "the same pinned init, including the emptied-cell carry and " +
+    "non-unit init normalization") {
+    val n = 200; val dim = 8
+    // last init center points into the negative orthant while every
+    // data vector is positive -> its cell stays EMPTY and must carry
+    // the (normalized) init values through; it is also deliberately
+    // NON-unit (norm sqrt(2)) to exercise the init normalization
+    val init = IndexedSeq(
+      Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0),
+      Array.tabulate(dim)(j => if (j == 3) 1.0 else 0.0),
+      Array.fill(dim)(0.5),
+      Array.fill(dim)(-0.5))
+    val data = (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(j => math.abs(math.sin(i * 31 + j * 7)) + 0.1)
+          .toSeq)
+    }
+    val df = data.toDF("id", "vec")
+    val step = Similarity.lloydStepDf(df, "id", "vec", init)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(step.size == 4 * dim)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0) v else v.map(_ / nn)
+    }
+    val sample = data.map(d => unit(d._2.toArray)).toArray
+    val cents = Similarity.trainCentroids(sample, 4, 1, Some(init))
+    for (c <- 0 until 4; j <- 0 until dim) {
+      val got = step((c, j + 1))
+      assert(math.abs(got - cents(c)(j)) < 1e-9,
+        s"cell $c dim $j: df=$got driver=${cents(c)(j)}")
+    }
+    // the empty cell really carried its normalized init
+    (0 until dim).foreach { j =>
+      assert(math.abs(step((3, j + 1)) - (-0.5 / math.sqrt(2.0))) < 1e-12)
+    }
   }
 }
