@@ -28,16 +28,17 @@ object Pca {
   case class Fit(mean: Array[Double], components: IndexedSeq[Array[Double]],
                  eigenvalues: Array[Double], totalVariance: Double)
 
-  /** Fit PCA from one pass. Covariance is the SAMPLE covariance
-    * (n - 1); eigenvector sign is canonicalized (largest-|coordinate|
-    * entry positive) so results don't flip sign across partitionings
-    * or BLAS builds.
+  /** The one-pass moment accumulation BOTH [[fit]] and
+    * [[covarianceDf]] consume: (n, component sums, row-major
+    * outer-product sums). One `treeAggregate`, dimension-sized
+    * accumulator, no shuffle — the Gramian pattern.
     */
-  def fit(corpus: DataFrame, vecCol: String, dim: Int, r: Int): Fit = {
-    require(r >= 1 && r <= dim, s"need 1 <= r <= dim, got r=$r dim=$dim")
+  private[graft] def momentsPass(corpus: DataFrame, vecCol: String,
+                                 dim: Int)
+      : (Long, Array[Double], Array[Double]) = {
     val vecs = corpus.select(col(vecCol).cast("array<double>"))
       .rdd.map(_.getSeq[Double](0).toArray)
-    val (n, s, o) = vecs.treeAggregate(
+    vecs.treeAggregate(
       (0L, new Array[Double](dim), new Array[Double](dim * dim)))(
       seqOp = { case ((cnt, sum, outer), x) =>
         var i = 0
@@ -57,6 +58,40 @@ object Pca {
         (n1 + n2, s1, o1)
       },
       depth = 2)
+  }
+
+  /** Sample covariance per (i, j) as rows — the SQL-expressible half
+    * of PCA, split out for the oracle gate (s26): the eigendecomposition
+    * [[fit]] runs on top is the only piece DuckDB cannot replay. Upper
+    * triangle only (the matrix is symmetric by construction), 1-based
+    * indices, cov = (o_ij - n·mean_i·mean_j)/(n - 1) — EXACTLY the
+    * entries [[fit]] hands to eigSym, from the SAME [[momentsPass]]
+    * (single source of truth; PcaSpec gates that eig over these rows
+    * reproduces fit's spectrum). The returned frame is dim²-sized
+    * driver-built literals — codebook-sized, corpus size never touches
+    * it.
+    */
+  def covarianceDf(corpus: DataFrame, vecCol: String,
+                   dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (n, s, o) = momentsPass(corpus, vecCol, dim)
+    require(n >= 2, s"need at least 2 vectors, got $n")
+    val mean = s.map(_ / n)
+    (for { i <- 0 until dim; j <- i until dim }
+      yield (i + 1, j + 1,
+        (o(i * dim + j) - n * mean(i) * mean(j)) / (n - 1.0)))
+      .toDF("i", "j", "cov")
+  }
+
+  /** Fit PCA from one pass. Covariance is the SAMPLE covariance
+    * (n - 1); eigenvector sign is canonicalized (largest-|coordinate|
+    * entry positive) so results don't flip sign across partitionings
+    * or BLAS builds.
+    */
+  def fit(corpus: DataFrame, vecCol: String, dim: Int, r: Int): Fit = {
+    require(r >= 1 && r <= dim, s"need 1 <= r <= dim, got r=$r dim=$dim")
+    val (n, s, o) = momentsPass(corpus, vecCol, dim)
     require(n >= 2, s"need at least 2 vectors, got $n")
     val mean = s.map(_ / n)
     val cov = DenseMatrix.tabulate(dim, dim) { (i, j) =>

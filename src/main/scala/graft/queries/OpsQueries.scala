@@ -1721,6 +1721,19 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PCA's moment accumulation under the ORACLE gate (s11 split per
+    // the round-12 verdict): the mean/covariance sums are plain SQL
+    // arithmetic per (i, j) — only the eigendecomposition is not, and
+    // it stays spec-gated in s11/PcaSpec, which also gates that eig
+    // over EXACTLY these rows reproduces fit's spectrum (momentsPass
+    // is the shared single source of truth). Upper triangle, 1-based,
+    // sample covariance, 6dp (sum-order ulps absorbed).
+    "s26_pca_moments" -> ((s, dir) => {
+      Pca.covarianceDf(embs(s, dir), "embedding", dim = 64)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     "s11_pca_whiten" -> ((s, dir) => {
       import s.implicits._
       val e = embs(s, dir)
@@ -2149,6 +2162,26 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "s24_pq_adc_pinned" -> s24OracleSql,
     "s25_lloyd_step_pinned" -> s25OracleSql,
+
+    // PCA moment replay: per-(i,j) sample covariance from the same
+    // sums the engine's one-pass treeAggregate accumulates —
+    // (sij - si*sj/n)/(n-1) is fit()'s (o_ij - n*mi*mj)/(n-1) with
+    // mean folded in; both engines' sum orders differ in last ulps,
+    // absorbed by the 6dp rounding
+    "s26_pca_moments" -> """
+      WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      idx AS (
+        SELECT CAST(UNNEST(generate_series(1, 64)) AS INTEGER) AS d),
+      pairs AS (
+        SELECT a.d AS i, b.d AS j FROM idx a, idx b WHERE a.d <= b.d),
+      stats AS (
+        SELECT p.i, p.j, COUNT(*) AS n,
+               SUM(v[p.i]) AS si, SUM(v[p.j]) AS sj,
+               SUM(v[p.i] * v[p.j]) AS sij
+        FROM e, pairs p GROUP BY p.i, p.j)
+      SELECT i, j, ROUND((sij - si * sj / n) / (n - 1), 6) AS cov
+      FROM stats ORDER BY i, j""",
     "d07_minhash_lsh" -> minhashOracle,
     "d42_incremental_lsh" -> incrementalLshOracle,
     "d08_simhash" -> simhashOracle,

@@ -79,6 +79,40 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("fit consumes exactly covarianceDf's moments: eig over the " +
+    "s26 upper-triangle rows reproduces fit's spectrum and components") {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val (_, df) = planted
+    val dim = 16
+    val fit = Pca.fit(df, "v", dim = dim, r = 3)
+    val rows = Pca.covarianceDf(df, "v", dim).collect()
+      .map(r => ((r.getInt(0) - 1, r.getInt(1) - 1), r.getDouble(2)))
+      .toMap
+    assert(rows.size == dim * (dim + 1) / 2)
+    // symmetric completion of the upper triangle -> the SAME matrix
+    // fit hands to eigSym (momentsPass is the shared source of truth)
+    val cov = DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      if (i <= j) rows((i, j)) else rows((j, i))
+    }
+    val es = eigSym(cov)
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    fit.eigenvalues.zipWithIndex.foreach { case (ev, k) =>
+      assert(math.abs(ev - es.eigenvalues(order(k))) < 1e-10,
+        s"eig $k: fit=$ev s26=${es.eigenvalues(order(k))}")
+    }
+    assert(math.abs(
+      (0 until dim).map(es.eigenvalues(_)).sum - fit.totalVariance)
+      < 1e-10)
+    fit.components.zipWithIndex.foreach { case (c, k) =>
+      val v0 = Array.tabulate(dim)(d => es.eigenvectors(d, order(k)))
+      val pivot = v0.indices.maxBy(i => math.abs(v0(i)))
+      val v = if (v0(pivot) < 0) v0.map(-_) else v0
+      c.zip(v).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-8, s"component $k: $a vs $b")
+      }
+    }
+  }
+
   test("projection without whitening is the centered coordinate") {
     // 2-D exact check: data on a line along e1, mean removed
     val df = Seq((0L, Seq(1.0, 5.0)), (1L, Seq(3.0, 5.0)),
