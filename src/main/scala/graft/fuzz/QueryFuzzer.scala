@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Seeded differential query fuzzer (round-11, widened round-12):
+/** Seeded differential query fuzzer (round-11, widened rounds 12-13):
   * generates random queries over the harness tables from a bounded
   * grammar — the relational surface the hand-written oracles gate —
   * and renders each query BOTH ways:
@@ -54,6 +54,16 @@ import org.apache.spark.sql.functions._
   *    exact in both engines); the Spark rendering computes the scalar
   *    with Spark's own aggregate and embeds it as a literal, so the
   *    compare still crosses engines.
+  *
+  * Round-13 additions: CORRELATED scalar subqueries on FK edges
+  * (SQL subquery vs Column-API group-join decorrelation, COUNT
+  * coalesced to 0 on empty groups), [NOT] IN (subquery) as an
+  * alternative rendering of the semi/anti axis (null-guarded in the
+  * negated case — see Semi), COUNT(DISTINCT), COALESCE / NULLIF /
+  * IS [NOT] DISTINCT FROM three-valued-logic edges, and the
+  * date/timestamp family over events.ts reached exclusively through
+  * CAST(EXTRACT(field) AS BIGINT) in predicates, projections, and
+  * GROUP BY expressions (raw timestamps never cross the differ).
   */
 object QueryFuzzer {
 
@@ -62,8 +72,15 @@ object QueryFuzzer {
     def isIntegral: Boolean = kind == 'L' || kind == 'I'
   }
 
-  /** The fuzzable column catalog (timestamp columns excluded). */
+  /** The fuzzable column catalog. `events.ts` is NOT listed here: the
+    * timestamp column participates only WRAPPED in an extraction
+    * function (TimeCmp / TimeFuncCol / t-kind GroupExpr), so raw
+    * timestamps never reach literals, outputs, or the differ — the
+    * envelope where both dialects' rendering provably agrees.
+    */
   val tables: Map[String, Seq[ColDef]] = Map(
+    "events" -> Seq(("event_id", 'L'), ("user_id", 'L'),
+      ("event_type", 'S'), ("value", 'D'), ("props", 'S')),
     "customer" -> Seq(("c_custkey", 'L'), ("c_name", 'S'),
       ("c_nationkey", 'I'), ("c_acctbal", 'D'), ("c_mktsegment", 'S')),
     "orders" -> Seq(("o_orderkey", 'L'), ("o_custkey", 'L'),
@@ -113,8 +130,34 @@ object QueryFuzzer {
     */
   final case class ScalarCmp(col: ColDef, op: String, func: String,
                              inner: ColDef) extends Pred
+  /** Null-safe equality: `col IS [NOT] DISTINCT FROM lit` — the
+    * three-valued-logic edge where NULL compares TRUE/FALSE instead
+    * of NULL (live after outer joins: `col IS DISTINCT FROM x` KEEPS
+    * null-extended rows that `col <> x` drops). Spark: `<=>`.
+    */
+  final case class DistinctFrom(col: ColDef, lit: Any,
+                                negated: Boolean) extends Pred
+  /** `EXTRACT(field FROM ts) op k` over events.ts — the one typed
+    * column family the grammar reaches only through extraction
+    * (field ∈ year/month/day/hour/minute; BIGINT in both dialects).
+    */
+  final case class TimeCmp(field: String, op: String, k: Int)
+    extends Pred
   final case class Bin(l: Pred, r: Pred, and: Boolean) extends Pred
   final case class NotP(p: Pred) extends Pred
+
+  /** CORRELATED scalar subquery on an FK edge (the q39 shape):
+    * `outer op (SELECT FUNC(inner) FROM rt WHERE rt.rk = lt.lk)`.
+    * The Column-API rendering is the decorrelation every engine
+    * performs: group rt by rk, LEFT-join the per-key aggregate in,
+    * compare — an empty key group yields NULL (row dropped by the
+    * comparison) except for COUNT, which coalesces to 0 exactly as
+    * the SQL scalar COUNT does. min/max/count over integral columns
+    * only — exact in both engines.
+    */
+  final case class CorrScalar(lt: String, lk: String, rt: String,
+                              rk: String, outer: ColDef, op: String,
+                              func: String, inner: ColDef)
 
   sealed trait OutCol { def alias: String }
   final case class PlainCol(col: ColDef, alias: String) extends OutCol
@@ -126,6 +169,20 @@ object QueryFuzzer {
     * harness's ASCII data.
     */
   final case class FuncCol(func: String, col: ColDef, alias: String)
+    extends OutCol
+  /** `COALESCE(col, lit)` — null replacement with a same-pool
+    * literal; live after outer joins.
+    */
+  final case class CoalesceCol(col: ColDef, fallback: Any,
+                               alias: String) extends OutCol
+  /** `NULLIF(col, lit)` — null INTRODUCTION: the projection makes
+    * nulls the downstream differ must multiset-match even from
+    * all-non-null scans.
+    */
+  final case class NullIfCol(col: ColDef, lit: Any, alias: String)
+    extends OutCol
+  /** `CAST(EXTRACT(field FROM ts) AS BIGINT)` over events.ts. */
+  final case class TimeFuncCol(field: String, alias: String)
     extends OutCol
 
   final case class AggCol(func: String, col: Option[ColDef],
@@ -180,9 +237,19 @@ object QueryFuzzer {
     * predicate over the inner table — rendered as a correlated
     * subquery in SQL and as a left_semi/left_anti join in the Column
     * API (the two formulations every engine must agree on).
+    *
+    * `asIn` renders the SAME semantics as `lk [NOT] IN (SELECT rk
+    * FROM rt ...)` instead — a different SQL decorrelation path
+    * (DuckDB plans a mark join) against the same Column-API
+    * semi/anti join. The two agree because the harness inner keys
+    * are never null; the one residual edge — a null OUTER lk, where
+    * SQL `NOT IN` drops the row (NULL) but `left_anti` keeps it — is
+    * closed by guarding the negated-IN rendering with
+    * `lk IS NOT NULL` in BOTH renderings.
     */
   final case class Semi(lt: String, lk: String, rt: String, rk: String,
-                        negated: Boolean, pred: Option[Pred])
+                        negated: Boolean, pred: Option[Pred],
+                        asIn: Boolean = false)
 
   final case class FuzzQuery(seed: Int, baseTable: String,
                              joins: Seq[JoinUse], preds: Seq[Pred],
@@ -190,7 +257,8 @@ object QueryFuzzer {
                              semis: Seq[Semi] = Seq.empty,
                              orderLimit: Option[(Seq[(String, Boolean)],
                                Int)] = None,
-                             joinOnPreds: Map[Int, Pred] = Map.empty) {
+                             joinOnPreds: Map[Int, Pred] = Map.empty,
+                             corrScalars: Seq[CorrScalar] = Seq.empty) {
     // joinOnPreds: extra ON-clause predicate over join i's RIGHT
     // table (`... JOIN rt ON lk = rk AND <pred>`). This is what makes
     // LEFT/FULL join null-extension LIVE on the harness data: its FK
@@ -220,9 +288,22 @@ object QueryFuzzer {
       case ScalarCmp(c, op, f, inner) =>
         s"${c.name} $op (SELECT ${f.toUpperCase}(${inner.name}) " +
           s"FROM ${inner.table})"
+      case DistinctFrom(c, l, neg) =>
+        s"${c.name} IS ${if (neg) "" else "NOT "}DISTINCT FROM " +
+          sqlLit(l)
+      case TimeCmp(f, op, k) =>
+        s"CAST(EXTRACT(${f.toUpperCase} FROM ts) AS BIGINT) $op $k"
       case Bin(l, r, and) =>
         s"(${sqlPred(l)} ${if (and) "AND" else "OR"} ${sqlPred(r)})"
       case NotP(inner) => s"(NOT ${sqlPred(inner)})"
+    }
+
+    private def sqlCorr(cs: CorrScalar): String = {
+      val f =
+        if (cs.func == "count") "COUNT(*)"
+        else s"${cs.func.toUpperCase}(${cs.inner.name})"
+      s"${cs.outer.name} ${cs.op} (SELECT $f FROM ${cs.rt} " +
+        s"WHERE ${cs.rt}.${cs.rk} = ${cs.lt}.${cs.lk})"
     }
 
     private def sqlNum(c: ColDef): String =
@@ -236,11 +317,19 @@ object QueryFuzzer {
         s"(CASE WHEN ${sqlPred(p)} THEN 1 ELSE 0 END) AS $a"
       case FuncCol(f, c, a) =>
         s"${f.toUpperCase}(${c.name}) AS $a"
+      case CoalesceCol(c, fb, a) =>
+        s"COALESCE(${c.name}, ${sqlLit(fb)}) AS $a"
+      case NullIfCol(c, l, a) =>
+        s"NULLIF(${c.name}, ${sqlLit(l)}) AS $a"
+      case TimeFuncCol(f, a) =>
+        s"CAST(EXTRACT(${f.toUpperCase} FROM ts) AS BIGINT) AS $a"
     }
 
     private def sqlAgg(a: AggCol): String = a.func match {
       case "count*" => s"COUNT(*) AS ${a.alias}"
       case "count" => s"COUNT(${a.col.get.name}) AS ${a.alias}"
+      case "count_distinct" =>
+        s"COUNT(DISTINCT ${a.col.get.name}) AS ${a.alias}"
       case "sum" =>
         val c = a.col.get
         if (c.kind == 'D') s"SUM(${c.name}) AS ${a.alias}"
@@ -252,14 +341,24 @@ object QueryFuzzer {
     private def sqlGroupExpr(ge: GroupExpr): String = ge.kind match {
       case "mod" => s"(${sqlNum(ge.col)} % ${ge.k})"
       case "prefix" => s"SUBSTR(${ge.col.name}, 1, ${ge.k})"
+      case k if k.startsWith("t") =>
+        s"CAST(EXTRACT(${k.drop(1).toUpperCase} FROM ts) AS BIGINT)"
     }
 
-    private def sqlSemi(s: Semi): String = {
-      val inner = s"${s.rt}.${s.rk} = ${s.lt}.${s.lk}" +
-        s.pred.map(p => s" AND ${sqlPred(p)}").getOrElse("")
-      s"${if (s.negated) "NOT " else ""}EXISTS " +
-        s"(SELECT 1 FROM ${s.rt} WHERE $inner)"
-    }
+    private def sqlSemi(s: Semi): String =
+      if (s.asIn) {
+        val innerWhere =
+          s.pred.map(p => s" WHERE ${sqlPred(p)}").getOrElse("")
+        val in = s"${s.lt}.${s.lk} ${if (s.negated) "NOT IN" else "IN"} " +
+          s"(SELECT ${s.rk} FROM ${s.rt}$innerWhere)"
+        // null-outer-key guard: see Semi scaladoc (mirrored in toDF)
+        if (s.negated) s"(${s.lt}.${s.lk} IS NOT NULL AND $in)" else in
+      } else {
+        val inner = s"${s.rt}.${s.rk} = ${s.lt}.${s.lk}" +
+          s.pred.map(p => s" AND ${sqlPred(p)}").getOrElse("")
+        s"${if (s.negated) "NOT " else ""}EXISTS " +
+          s"(SELECT 1 FROM ${s.rt} WHERE $inner)"
+      }
 
     private def sqlOrder(keys: Seq[(String, Boolean)]): String =
       keys.map { case (a, asc) =>
@@ -280,7 +379,8 @@ object QueryFuzzer {
             .map(p => s" AND ${sqlPred(p)}").getOrElse("")
           s"$acc $kw $rt ON $lt.$lk = $rt.$rk$extra"
       }
-      val conds = preds.map(sqlPred) ++ semis.map(sqlSemi)
+      val conds = preds.map(sqlPred) ++ semis.map(sqlSemi) ++
+        corrScalars.map(sqlCorr)
       val where =
         if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
       val body = shape match {
@@ -363,12 +463,22 @@ object QueryFuzzer {
       case other => lit(other)
     }
 
+    /** events goes through the schema-adaptive reader (ts has shipped
+      * both as TIMESTAMP(NANOS) and naive timestamp[us]; both land as
+      * the microsecond TimestampType DuckDB's naive read extracts
+      * identically under the UTC-pinned session).
+      */
+    private def loadTable(spark: SparkSession, dir: String,
+                          t: String): DataFrame =
+      if (t == "events") graft.queries.RelQueries.events(spark, dir)
+      else graft.Tables(spark, dir, t)
+
     /** The filtered-joined relation BEFORE the output shape — the TLP
       * self-check's subject (FuzzSpec partitions it by a predicate).
       */
     private[graft] def baseDF(spark: SparkSession,
                               dir: String): DataFrame = {
-      val base = graft.Tables(spark, dir, baseTable)
+      val base = loadTable(spark, dir, baseTable)
       joins.zipWithIndex.foldLeft(base) {
         case (acc, ((_, lk, rt, rk, jt), i)) =>
           val cond = joinOnPreds.get(i).foldLeft(col(lk) === col(rk))(
@@ -415,9 +525,8 @@ object QueryFuzzer {
                                   p: Pred): Column =
       sparkPred(p, resolveScalars(spark, dir))
 
-    private def sparkPred(p: Pred,
-                          scalars: Map[ScalarCmp, Any]): Column = {
-      def cmp(c: Column, op: String, v: Column): Column = op match {
+    private def cmp(c: Column, op: String, v: Column): Column =
+      op match {
         case "<" => c < v
         case "<=" => c <= v
         case ">" => c > v
@@ -425,6 +534,17 @@ object QueryFuzzer {
         case "=" => c === v
         case "<>" => c =!= v
       }
+
+    private def timeFunc(f: String): Column = (f match {
+      case "year" => year(col("ts"))
+      case "month" => month(col("ts"))
+      case "day" => dayofmonth(col("ts"))
+      case "hour" => hour(col("ts"))
+      case "minute" => minute(col("ts"))
+    }).cast("long")
+
+    private def sparkPred(p: Pred,
+                          scalars: Map[ScalarCmp, Any]): Column = {
       p match {
         case Cmp(c, op, l) => cmp(col(c.name), op, sparkLit(l))
         case InList(c, ls) => col(c.name).isin(ls: _*)
@@ -435,6 +555,10 @@ object QueryFuzzer {
           col(c.name).between(sparkLit(lo), sparkLit(hi))
         case s @ ScalarCmp(c, op, _, _) =>
           cmp(col(c.name), op, sparkLit(scalars(s)))
+        case DistinctFrom(c, l, neg) =>
+          if (neg) !(col(c.name) <=> sparkLit(l))
+          else col(c.name) <=> sparkLit(l)
+        case TimeCmp(f, op, k) => cmp(timeFunc(f), op, lit(k.toLong))
         case Bin(l, r, and) =>
           if (and) sparkPred(l, scalars) && sparkPred(r, scalars)
           else sparkPred(l, scalars) || sparkPred(r, scalars)
@@ -462,11 +586,18 @@ object QueryFuzzer {
           case "upper" => upper(col(c.name))
           case "abs" => abs(col(c.name))
         }).as(a)
+        case CoalesceCol(c, fb, a) =>
+          coalesce(col(c.name), sparkLit(fb)).as(a)
+        case NullIfCol(c, l, a) =>
+          nullif(col(c.name), sparkLit(l)).as(a)
+        case TimeFuncCol(f, a) => timeFunc(f).as(a)
       }
 
     private def sparkAgg(a: AggCol): Column = a.func match {
       case "count*" => count(lit(1)).as(a.alias)
       case "count" => count(col(a.col.get.name)).as(a.alias)
+      case "count_distinct" =>
+        count_distinct(col(a.col.get.name)).as(a.alias)
       case "sum" =>
         val c = a.col.get
         (if (c.kind == 'D') sum(col(c.name)) else sum(sparkNum(c)))
@@ -479,6 +610,7 @@ object QueryFuzzer {
     private def sparkGroupExpr(ge: GroupExpr): Column = ge.kind match {
       case "mod" => sparkNum(ge.col) % lit(ge.k.toLong)
       case "prefix" => substring(col(ge.col.name), 1, ge.k)
+      case k if k.startsWith("t") => timeFunc(k.drop(1))
     }
 
     def toDF(spark: SparkSession, dir: String): DataFrame = {
@@ -486,15 +618,38 @@ object QueryFuzzer {
       val joined = baseDF(spark, dir)
       val predded = preds.foldLeft(joined)((d, p) =>
         d.filter(sparkPred(p, scalars)))
-      // [NOT] EXISTS = left_semi/left_anti against the (optionally
-      // pre-filtered) inner table's key column
-      val filtered = semis.foldLeft(predded) { (d, s) =>
-        val inner0 = graft.Tables(spark, dir, s.rt)
+      // [NOT] EXISTS / [NOT] IN (subquery) = left_semi/left_anti
+      // against the (optionally pre-filtered) inner table's key
+      // column; the negated-IN rendering guards the outer key
+      // non-null in BOTH dialects (see Semi scaladoc)
+      val semid = semis.foldLeft(predded) { (d, s) =>
+        val inner0 = loadTable(spark, dir, s.rt)
         val inner = s.pred.fold(inner0)(p =>
             inner0.filter(sparkPred(p, scalars)))
           .select(s.rk)
-        d.join(inner, col(s.lk) === col(s.rk),
+        val d0 = if (s.asIn && s.negated)
+          d.filter(col(s.lk).isNotNull) else d
+        d0.join(inner, col(s.lk) === col(s.rk),
           if (s.negated) "left_anti" else "left_semi")
+      }
+      // correlated scalar subqueries, decorrelated the way engines
+      // do: per-key inner aggregate LEFT-joined in, compared, dropped
+      val filtered = corrScalars.zipWithIndex.foldLeft(semid) {
+        case (d, (cs, i)) =>
+          val ck = s"__ck$i"; val cv = s"__cv$i"
+          val aggc = cs.func match {
+            case "min" => min(col(cs.inner.name))
+            case "max" => max(col(cs.inner.name))
+            case "count" => count(lit(1))
+          }
+          val aggDf = loadTable(spark, dir, cs.rt)
+            .groupBy(col(cs.rk).as(ck)).agg(aggc.as(cv))
+          // scalar COUNT over an empty key group is 0, not NULL
+          val v = if (cs.func == "count")
+            coalesce(col(cv), lit(0L)) else col(cv)
+          d.join(aggDf, col(cs.lk) === col(ck), "left")
+            .filter(cmp(col(cs.outer.name), cs.op, v))
+            .drop(ck, cv)
       }
       val body = shape match {
         case Proj(cols0, distinct) =>
@@ -589,8 +744,15 @@ object QueryFuzzer {
             Seq(copy(semis =
               semis.updated(i, semis(i).copy(pred = None))))
           else Seq.empty
-        dropped +: unPredded
+        val unIn =
+          if (semis(i).asIn)
+            Seq(copy(semis =
+              semis.updated(i, semis(i).copy(asIn = false))))
+          else Seq.empty
+        (dropped +: unPredded) ++ unIn
       }
+      val fewerCorr = corrScalars.indices.map(i =>
+        copy(corrScalars = corrScalars.patch(i, Nil, 1)))
       val shapeShrinks = shape match {
         case Proj(cols0, d) =>
           val fewer =
@@ -633,7 +795,7 @@ object QueryFuzzer {
         case _ => Seq.empty
       }
       dropOrder ++ dropOnPreds ++ fewerPreds ++ fewerSemis ++
-        shapeShrinks
+        fewerCorr ++ shapeShrinks
     }
   }
 
@@ -699,6 +861,21 @@ object QueryFuzzer {
     val numCols = cols.filter(_.isNum)
     val keyCols = cols.filter(c => c.kind != 'D')
 
+    // events.ts is reachable only through extraction (see catalog
+    // scaladoc); events has no FK edges, so hasTs <=> single-table
+    // events queries. Time literals are GENERATOR DISTRIBUTION
+    // CONSTANTS (the harness data spans 2024), never data samples.
+    val hasTs = present.contains("events")
+    def timeField(): String =
+      pick(Seq("year", "month", "day", "hour", "minute"))
+    def timeLit(f: String): Int = f match {
+      case "year" => 2023 + rnd.nextInt(3)
+      case "month" => 1 + rnd.nextInt(12)
+      case "day" => 1 + rnd.nextInt(28)
+      case "hour" => rnd.nextInt(24)
+      case _ => rnd.nextInt(60)
+    }
+
     def litOf(c: ColDef): Any = {
       val pool = pools((c.table, c.name))
       pool(rnd.nextInt(pool.size))
@@ -707,7 +884,7 @@ object QueryFuzzer {
     def genLeafPredOver(over: Seq[ColDef],
                         allowScalar: Boolean = false): Pred = {
       val overStr = over.filter(_.kind == 'S')
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case n if n < 4 =>
           val c = pick(over)
           Cmp(c, pick(Seq("<", "<=", ">", ">=", "=", "<>")), litOf(c))
@@ -746,20 +923,32 @@ object QueryFuzzer {
               pick(Seq("<", "<=", ">", ">=")),
               pick(Seq("min", "max")), pick(allIntegralCols))
           else NullCheck(pick(over), isNull = rnd.nextBoolean())
-        case _ =>
+        case n if n < 12 =>
           // null checks only bite after LEFT/FULL joins; harmless
           // elsewhere
           NullCheck(pick(over), isNull = rnd.nextBoolean())
+        case _ =>
+          // null-safe equality: the TVL edge where NULL compares
+          // TRUE/FALSE (IS [NOT] DISTINCT FROM vs Spark's <=>)
+          val c = pick(over)
+          DistinctFrom(c, litOf(c), negated = rnd.nextBoolean())
       }
     }
     def genLeafPred(): Pred = genLeafPredOver(cols)
+
+    def genLeaf(): Pred =
+      if (hasTs && rnd.nextInt(10) < 4) {
+        val f = timeField()
+        TimeCmp(f, pick(Seq("<", "<=", ">", ">=", "=", "<>")),
+          timeLit(f))
+      } else genLeafPredOver(cols, allowScalar = true)
 
     def genPred(depth: Int): Pred =
       if (depth > 0 && rnd.nextInt(10) < 4) {
         val p = Bin(genPred(depth - 1), genPred(depth - 1),
           and = rnd.nextBoolean())
         if (rnd.nextInt(10) < 2) NotP(p) else p
-      } else genLeafPredOver(cols, allowScalar = true)
+      } else genLeaf()
 
     // extra ON-clause predicate over the joined table (~1 join in 3):
     // the axis that makes outer-join null extension LIVE on
@@ -787,11 +976,32 @@ object QueryFuzzer {
               Some(genLeafPredOver(tables(e._3)))
             else None
           Seq(Semi(e._1, e._2, e._3, e._4,
-            negated = rnd.nextInt(10) < 4, pred = innerPred))
+            negated = rnd.nextInt(10) < 4, pred = innerPred,
+            asIn = rnd.nextInt(10) < 4))
         }
       } else Seq.empty
 
-    def genOutCol(i: Int): OutCol = rnd.nextInt(12) match {
+    // correlated scalar subquery on an unused FK edge (~1 query in 5
+    // with an eligible edge): outer numeric vs per-key min/max/count
+    // of the inner table
+    val corrScalars =
+      if (rnd.nextInt(10) < 2) {
+        val cands = joinEdges.filter(e =>
+          present.contains(e._1) && !present.contains(e._3))
+        val numPresent = cols.filter(_.isNum)
+        if (cands.isEmpty || numPresent.isEmpty) Seq.empty
+        else {
+          val e = pick(cands)
+          val func = pick(Seq("min", "max", "count"))
+          val innerInts = tables(e._3).filter(_.isIntegral)
+          val inner =
+            if (func == "count") innerInts.head else pick(innerInts)
+          Seq(CorrScalar(e._1, e._2, e._3, e._4, pick(numPresent),
+            pick(Seq("<", "<=", ">", ">=")), func, inner))
+        }
+      } else Seq.empty
+
+    def genOutCol(i: Int): OutCol = rnd.nextInt(16) match {
       case n if n < 6 => PlainCol(pick(cols), s"c$i")
       case n if n < 8 && numCols.nonEmpty =>
         ArithCol(pick(numCols), pick(Seq("+", "-", "*")),
@@ -800,7 +1010,14 @@ object QueryFuzzer {
         if (rnd.nextBoolean() && strCols.nonEmpty)
           FuncCol(pick(Seq("length", "upper")), pick(strCols), s"c$i")
         else FuncCol("abs", pick(numCols), s"c$i")
-      case _ => CaseCol(genLeafPred(), s"c$i")
+      case n if n < 12 => CaseCol(genLeafPred(), s"c$i")
+      case n if n < 13 =>
+        val c = pick(cols); CoalesceCol(c, litOf(c), s"c$i")
+      case n if n < 14 =>
+        val c = pick(cols); NullIfCol(c, litOf(c), s"c$i")
+      case _ =>
+        if (hasTs) TimeFuncCol(timeField(), s"c$i")
+        else { val c = pick(cols); CoalesceCol(c, litOf(c), s"c$i") }
     }
 
     val shape: Shape = rnd.nextInt(20) match {
@@ -816,20 +1033,27 @@ object QueryFuzzer {
         val groupExprs =
           if (rnd.nextInt(10) < 3) {
             val intCols = cols.filter(_.isIntegral)
-            if (rnd.nextBoolean() && intCols.nonEmpty)
+            if (hasTs && rnd.nextInt(10) < 5)
+              // GROUP BY EXTRACT(field FROM ts) — the col slot holds
+              // the ts ColDef for shape only; renderers key off kind
+              Seq(GroupExpr(ColDef("events", "ts", 'T'),
+                s"t${timeField()}", 0))
+            else if (rnd.nextBoolean() && intCols.nonEmpty)
               Seq(GroupExpr(pick(intCols), "mod", 2 + rnd.nextInt(6)))
             else Seq(GroupExpr(pick(strCols), "prefix",
               1 + rnd.nextInt(3)))
           } else Seq.empty
         val nAggs = 1 + rnd.nextInt(3)
         val aggs = (0 until nAggs).map { i =>
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 => AggCol("count*", None, s"a$i")
             case 1 => AggCol("count", Some(pick(cols)), s"a$i")
             case 2 => AggCol("sum", Some(pick(numCols)), s"a$i")
             case 3 => AggCol("avg", Some(pick(numCols)), s"a$i")
             case 4 => AggCol("min", Some(pick(cols)), s"a$i")
-            case _ => AggCol("max", Some(pick(cols)), s"a$i")
+            case 5 => AggCol("max", Some(pick(cols)), s"a$i")
+            case _ =>
+              AggCol("count_distinct", Some(pick(cols)), s"a$i")
           }
         }
         // HAVING on a COUNT aggregate (always integral, never null)
@@ -871,9 +1095,12 @@ object QueryFuzzer {
       case FuncCol("length", _, _) => 'L'
       case FuncCol("upper", _, _) => 'S'
       case FuncCol(_, c, _) => c.kind
+      case CoalesceCol(c, _, _) => c.kind
+      case NullIfCol(c, _, _) => c.kind
+      case TimeFuncCol(_, _) => 'L'
     }
     def aggKind(a: AggCol): Char = a.func match {
-      case "count*" | "count" => 'L'
+      case "count*" | "count" | "count_distinct" => 'L'
       case "sum" => if (a.col.get.kind == 'D') 'D' else 'L'
       case "avg" => 'D'
       case _ => a.col.get.kind
@@ -884,7 +1111,8 @@ object QueryFuzzer {
       case Agg(gs, as0, _, ges) => Some(
         gs.zipWithIndex.map { case (g, i) => s"g$i" -> g.kind } ++
           ges.zipWithIndex.map { case (ge, j) =>
-            s"g${gs.size + j}" -> (if (ge.kind == "mod") 'L' else 'S') } ++
+            s"g${gs.size + j}" ->
+              (if (ge.kind == "prefix") 'S' else 'L') } ++
           as0.map(a => a.alias -> aggKind(a)))
       case _ => None
     }
@@ -897,6 +1125,6 @@ object QueryFuzzer {
     }
 
     FuzzQuery(seed, present.head, joins, preds, shape, semis,
-      orderLimit, joinOnPreds)
+      orderLimit, joinOnPreds, corrScalars)
   }
 }

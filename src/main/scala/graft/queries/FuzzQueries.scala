@@ -151,6 +151,89 @@ object FuzzQueries {
     orderLimit = Some((Seq(("g0", true), ("g1", true), ("a0", false),
       ("a1", true), ("a2", true)), 15)))
 
+  /** Round-13 pins over the widened grammar, same contract: literals
+    * are generator distribution constants (region keys 0-4, TPC-H's
+    * 1-7 lineitems/order and ~constant lineitems/supplier ratio,
+    * segment/status names, the 2024 event-time span), outputs are
+    * hash-stable (counts, distinct counts, strings, stored values —
+    * no order-dependent double summation).
+    */
+
+  /** CORRELATED scalar subquery (per-supplier lineitem COUNT vs the
+    * supplier's acctbal — both distributions SF-invariant) + IN
+    * (subquery) with an inner filter + COUNT(DISTINCT) + a mod group
+    * expression, under an ORDER BY + LIMIT over the full alias set.
+    */
+  private val q100 = FuzzQuery(0, "supplier",
+    joins = Seq.empty,
+    preds = Seq.empty,
+    shape = Agg(
+      groups = Seq(cd("supplier", "s_nationkey", 'I')),
+      aggs = Seq(
+        AggCol("count*", None, "a0"),
+        AggCol("count_distinct", Some(cd("supplier", "s_name", 'S')),
+          "a1"),
+        AggCol("min", Some(cd("supplier", "s_name", 'S')), "a2")),
+      having = None,
+      groupExprs = Seq(
+        GroupExpr(cd("supplier", "s_suppkey", 'L'), "mod", 4))),
+    semis = Seq(Semi("supplier", "s_nationkey", "nation",
+      "n_nationkey", negated = false,
+      pred = Some(Cmp(cd("nation", "n_regionkey", 'I'), "<>", 2)),
+      asIn = true)),
+    orderLimit = Some((Seq(("g0", true), ("g1", true), ("a0", false),
+      ("a1", true), ("a2", true)), 25)),
+    corrScalars = Seq(CorrScalar("supplier", "s_suppkey",
+      "lineitem", "l_suppkey", cd("supplier", "s_acctbal", 'D'),
+      ">=", "count", cd("lineitem", "l_linenumber", 'I'))))
+
+  /** COALESCE + NULLIF + IS DISTINCT FROM over a FULL JOIN made
+    * null-extending by a restrictive ON predicate — every
+    * three-valued-logic edge of the round-13 grammar in one DISTINCT
+    * projection under a float-free ORDER BY + LIMIT.
+    */
+  private val q101 = FuzzQuery(0, "orders",
+    joins = Seq(
+      ("orders", "o_custkey", "customer", "c_custkey", "full")),
+    preds = Seq(
+      DistinctFrom(cd("customer", "c_mktsegment", 'S'), "AUTOMOBILE",
+        negated = true)),
+    shape = Proj(
+      cols = Seq(
+        CoalesceCol(cd("customer", "c_mktsegment", 'S'), "NONE", "c0"),
+        NullIfCol(cd("orders", "o_orderstatus", 'S'), "F", "c1"),
+        CaseCol(NullCheck(cd("customer", "c_custkey", 'L'),
+          isNull = true), "c2"),
+        PlainCol(cd("orders", "o_orderpriority", 'S'), "c3")),
+      distinct = true),
+    orderLimit = Some((Seq(("c0", true), ("c1", true), ("c2", false),
+      ("c3", true)), 30)),
+    joinOnPreds = Map(0 ->
+      Cmp(cd("customer", "c_mktsegment", 'S'), "=", "BUILDING")))
+
+  /** The events.ts extraction family: EXTRACT predicates (hour,
+    * minute — generator constants over the 2024 span), a GROUP BY
+    * over EXTRACT(DAY), and distinct-count aggregation — all BIGINT
+    * outputs, timestamps never surfacing raw.
+    */
+  private val q102 = FuzzQuery(0, "events",
+    joins = Seq.empty,
+    preds = Seq(
+      TimeCmp("hour", "<", 12),
+      TimeCmp("minute", ">=", 5)),
+    shape = Agg(
+      groups = Seq(cd("events", "event_type", 'S')),
+      aggs = Seq(
+        AggCol("count*", None, "a0"),
+        AggCol("count_distinct", Some(cd("events", "user_id", 'L')),
+          "a1"),
+        AggCol("max", Some(cd("events", "props", 'S')), "a2")),
+      having = Some(("a0", 1L)),
+      groupExprs = Seq(
+        GroupExpr(ColDef("events", "ts", 'T'), "tday", 0))),
+    orderLimit = Some((Seq(("g0", true), ("g1", true), ("a0", false),
+      ("a1", true), ("a2", true)), 40)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_fuzz_join_having" -> ((s, dir) => q94.toDF(s, dir)),
     "q95_fuzz_window_leftjoin" -> ((s, dir) => q95.toDF(s, dir)),
@@ -158,6 +241,9 @@ object FuzzQueries {
     "q97_fuzz_setop_orderlimit" -> ((s, dir) => q97.toDF(s, dir)),
     "q98_fuzz_fullouter_window" -> ((s, dir) => q98.toDF(s, dir)),
     "q99_fuzz_groupexpr_scalar" -> ((s, dir) => q99.toDF(s, dir)),
+    "q100_fuzz_corr_in_subquery" -> ((s, dir) => q100.toDF(s, dir)),
+    "q101_fuzz_tvl_fullouter" -> ((s, dir) => q101.toDF(s, dir)),
+    "q102_fuzz_time_extract" -> ((s, dir) => q102.toDF(s, dir)),
   )
 
   /** The oracle SQL IS the renderer's other output — one AST, two
@@ -170,5 +256,8 @@ object FuzzQueries {
     "q97_fuzz_setop_orderlimit" -> q97.sql,
     "q98_fuzz_fullouter_window" -> q98.sql,
     "q99_fuzz_groupexpr_scalar" -> q99.sql,
+    "q100_fuzz_corr_in_subquery" -> q100.sql,
+    "q101_fuzz_tvl_fullouter" -> q101.sql,
+    "q102_fuzz_time_extract" -> q102.sql,
   )
 }

@@ -1095,7 +1095,8 @@ object Streams {
                         eventTime: Option[(String, Long)] = None,
                         compactEvery: Int = 16,
                         scratch: Option[String] = None,
-                        crashAfterBatch: Option[Long] = None)
+                        crashAfterBatch: Option[Long] = None,
+                        crashAt: Option[(Long, String)] = None)
       : DataFrame = {
     val spark = docs.sparkSession
     scratch.foreach(p => new java.io.File(p).mkdirs())
@@ -1138,7 +1139,7 @@ object Streams {
       val q = stream.writeStream
         .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
           ingestBatch(batch0, batchId, root, storeDir,
-            maxStoreBroadcastBytes, eventTime, compactEvery)
+            maxStoreBroadcastBytes, eventTime, compactEvery, crashAt)
           if (crashAfterBatch.contains(batchId))
             throw new RuntimeException(
               s"injected crash after batch $batchId")
@@ -1152,7 +1153,7 @@ object Streams {
         // the injected kill surfaces as a StreamingQueryException;
         // the caller resumes with the same `scratch`
         case e: org.apache.spark.sql.streaming.StreamingQueryException
-          if crashAfterBatch.isDefined && {
+          if (crashAfterBatch.isDefined || crashAt.isDefined) && {
             var t: Throwable = e; var hit = false
             while (t != null && !hit) {
               hit = Option(t.getMessage).exists(_.contains("injected crash"))
@@ -1231,9 +1232,23 @@ object Streams {
                                  root: String, storeDir: String,
                                  maxStoreBroadcastBytes: Long,
                                  eventTime: Option[(String, Long)],
-                                 compactEvery: Int): Unit = {
+                                 compactEvery: Int,
+                                 crashAt: Option[(Long, String)] = None)
+      : Unit = {
     import graft.sources.Versioned
     val s2 = batch0.sparkSession
+    // seeded kill-point injection (DrainCrashFuzzSpec): the batch has
+    // FIVE distinct side effects (compaction rename, quarantine
+    // write, Versioned commit, fp-store append, high-water record);
+    // crash-resume must converge from a kill between ANY adjacent
+    // pair, not just the post-batch/pre-checkpoint point the original
+    // proof covered. Points: pre_commit (compaction + quarantine
+    // done), post_commit (commit durable, no store append),
+    // post_append (store appended, high-water not yet advanced).
+    def maybeCrash(point: String): Unit =
+      if (crashAt.contains((batchId, point)))
+        throw new RuntimeException(
+          s"injected crash at $point in batch $batchId")
     // commit version comes from the DATA's split key, not the opaque
     // batchId (see determinism note above); an EMPTY batch carries no
     // key — fall back to batchId+1 (it commits no content, so
@@ -1341,11 +1356,13 @@ object Streams {
     // after the fact)
     val keep = fresh.filter(col("q") >= 0.5)
       .withColumn("commit_v", lit(v)).cache()
+    maybeCrash("pre_commit")
     if (v == 1)
       Versioned.write(keep, root, "doc_id", version = 1, nFiles = 2)
     else
       Versioned.merge(s2, root, "doc_id", "op",
         keep.withColumn("op", lit("U")), v - 1, v)
+    maybeCrash("post_commit")
     // append accepted fps to the store, sized by ROWS exactly like
     // compaction: a micro-batch accepting tens of millions of new
     // docs at 100-TB ingest volume must not serialize a multi-GB
@@ -1359,6 +1376,7 @@ object Streams {
     keep.select("fp").repartition(nFilesFor(nKeep)).write
       .mode("overwrite").parquet(s"$storeDir/$own")
     keep.unpersist()
+    maybeCrash("post_append")
     // advance the high-water mark over the WHOLE batch (late rows
     // update event-time maxima too, exactly as events do under
     // Spark's watermark); one atomic record, not a per-batch file

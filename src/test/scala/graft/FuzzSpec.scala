@@ -222,6 +222,77 @@ class FuzzSpec extends SparkSpec {
       "GROUP BY expression mutation missed")
   }
 
+  test("mutation negatives, one per round-13 construct family: a " +
+    "mutated oracle for correlated scalar subquery / IN (subquery) / " +
+    "COUNT(DISTINCT) / NULLIF / IS DISTINCT FROM / EXTRACT-over-ts " +
+    "is reported as a divergence") {
+    assume(Differ.duckAvailable(), "python3+duckdb not available")
+    import QueryFuzzer._
+    def cd(t: String, n: String, k: Char) = ColDef(t, n, k)
+    def mDiff(q: FuzzQuery, mutated: String): Option[String] =
+      diff(q, duck(Map("m" -> mutated))("m"))
+    val countStar = Agg(Nil, Seq(AggCol("count*", None, "a0")))
+
+    // correlated scalar subquery: MIN -> MAX flips the per-key
+    // threshold (o_custkey vs the order's min/max lineitem partkey)
+    val qC = FuzzQuery(0, "orders", Nil, Nil, countStar,
+      corrScalars = Seq(CorrScalar("orders", "o_orderkey",
+        "lineitem", "l_orderkey", cd("orders", "o_custkey", 'L'),
+        ">=", "min", cd("lineitem", "l_partkey", 'L'))))
+    assert(mDiff(qC, qC.sql.replace("MIN(", "MAX(")).nonEmpty,
+      "correlated scalar mutation missed")
+
+    // IN (subquery): the inner filter literal changed
+    val qI = FuzzQuery(0, "orders", Nil, Nil, countStar,
+      semis = Seq(Semi("orders", "o_custkey", "customer",
+        "c_custkey", negated = false,
+        pred = Some(Cmp(cd("customer", "c_mktsegment", 'S'), "=",
+          "BUILDING")), asIn = true)))
+    assert(qI.sql.contains(" IN (SELECT"), "qI did not render as IN")
+    assert(mDiff(qI, qI.sql.replace("'BUILDING'", "'MACHINERY'"))
+      .nonEmpty, "IN (subquery) mutation missed")
+
+    // COUNT(DISTINCT) -> COUNT: collapses 5 segments to row count
+    val qD = FuzzQuery(0, "customer", Nil, Nil,
+      Agg(Nil, Seq(AggCol("count_distinct",
+        Some(cd("customer", "c_mktsegment", 'S')), "a0"))))
+    assert(mDiff(qD, qD.sql.replace("COUNT(DISTINCT", "COUNT("))
+      .nonEmpty, "COUNT(DISTINCT) mutation missed")
+
+    // NULLIF: the null-introduction literal changed
+    val qN = FuzzQuery(0, "customer", Nil, Nil,
+      Proj(Seq(NullIfCol(cd("customer", "c_mktsegment", 'S'),
+        "BUILDING", "c0")), distinct = false))
+    assert(mDiff(qN, qN.sql.replace("'BUILDING'", "'MACHINERY'"))
+      .nonEmpty, "NULLIF mutation missed")
+
+    // IS DISTINCT FROM -> <> over a null-extending FULL JOIN: the
+    // null-extended rows count under IS DISTINCT FROM, drop under <>
+    val pB = Cmp(cd("customer", "c_mktsegment", 'S'), "=", "BUILDING")
+    val qDf = FuzzQuery(0, "orders",
+      joins = Seq(("orders", "o_custkey", "customer", "c_custkey",
+        "full")),
+      preds = Seq(DistinctFrom(cd("customer", "c_mktsegment", 'S'),
+        "BUILDING", negated = true)),
+      shape = countStar, joinOnPreds = Map(0 -> pB))
+    assert(mDiff(qDf, qDf.sql.replace(
+      "c_mktsegment IS DISTINCT FROM 'BUILDING'",
+      "c_mktsegment <> 'BUILDING'")).nonEmpty,
+      "IS DISTINCT FROM mutation missed")
+
+    // EXTRACT over events.ts: group field MONTH -> DAY regroups, and
+    // a predicate field HOUR -> MINUTE refilters
+    val qT = FuzzQuery(0, "events", Nil, Nil,
+      Agg(Nil, Seq(AggCol("count*", None, "a0")), None,
+        Seq(GroupExpr(ColDef("events", "ts", 'T'), "tmonth", 0))))
+    assert(mDiff(qT, qT.sql.replace("EXTRACT(MONTH", "EXTRACT(DAY"))
+      .nonEmpty, "EXTRACT group mutation missed")
+    val qT2 = FuzzQuery(0, "events", Nil,
+      Seq(TimeCmp("hour", "<", 12)), countStar)
+    assert(mDiff(qT2, qT2.sql.replace("EXTRACT(HOUR", "EXTRACT(MINUTE"))
+      .nonEmpty, "EXTRACT predicate mutation missed")
+  }
+
   test(s"differential fuzz: $NumQueries seeded random queries agree " +
     "with DuckDB on sorted values (filters, FK joins, EXISTS/NOT " +
     "EXISTS, aggregates, HAVING, DISTINCT, windows, scalar " +
