@@ -20,6 +20,14 @@ import graft.stats.Survey
   */
 object RelQueries {
 
+  /** q70's built-and-ANALYZEd catalog tables (name -> backing path);
+    * a Fixtures-registered memo so the bench's coldReset forces a
+    * true rebuild (see the q70 entry comment).
+    */
+  private val cboBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Fixtures.onReset(() => cboBuilt.clear())
+
   /** Build-once Versioned table fixture shared by q73/q74: v1 = the
     * orders snapshot range-split into 8 immutable files, v2 = a MERGE
     * commit (updates %31 -> status 'X' +10% price, deletes %37,
@@ -949,8 +957,18 @@ object RelQueries {
       // silently serve stale data
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       def tbl(n: String) = s"graft_cbo_${n}_$key"
+      // build-once keyed on the Fixtures MEMO, not bare
+      // catalog.tableExists: the catalog registration outlives the
+      // bench's cold-start fixture sweep (which removes the backing
+      // graft-q70-* dirs and clears memos but cannot drop session
+      // catalog tables), so the exists-check alone let a load-gated
+      // rerun serve WARM — q70's sf0.1 "median" read 0.08 s against
+      // a 4.9 s true cold build (caught by the round-13 sf10 sweep's
+      // 128x pseudo-factor). The memo resets with coldReset; a
+      // rebuild drops the stale catalog entry first.
       Seq("lineitem", "orders", "part").foreach { n =>
-        if (!cb.catalog.tableExists(tbl(n))) {
+        if (!cboBuilt.containsKey(tbl(n))) {
+          cb.sql(s"DROP TABLE IF EXISTS ${tbl(n)}")
           val out = graft.TempDirs.createCleanedAtExit(s"graft-q70-$n")
           t(cb, dir, n).write.mode("overwrite")
             .option("path", out).saveAsTable(tbl(n))
@@ -958,6 +976,7 @@ object RelQueries {
           if (n == "part")
             cb.sql(s"ANALYZE TABLE ${tbl(n)} COMPUTE STATISTICS " +
               "FOR COLUMNS p_partkey, p_size")
+          cboBuilt.put(tbl(n), out)
         }
       }
       cb.sql(s"""
