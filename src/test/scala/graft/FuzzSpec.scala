@@ -359,6 +359,36 @@ class FuzzSpec extends SparkSpec {
       q.joins.exists(_._5 != "inner")),
       "no outer join with an ON-clause predicate (the null-extension " +
         "axis) produced")
+    // round-13 construct coverage: a grammar regression that silently
+    // stops producing a family must fail here, not pass vacuously
+    assert(queries.values.exists(_.corrScalars.nonEmpty),
+      "no correlated scalar subquery produced")
+    assert(queries.values.exists(_.semis.exists(_.asIn)),
+      "no IN (subquery) produced")
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Agg(_, as0, _, _) =>
+        as0.exists(_.func == "count_distinct")
+      case _ => false
+    }), "no COUNT(DISTINCT) produced")
+    assert(queries.values.exists(anyPred(_) {
+      case _: QueryFuzzer.DistinctFrom => true; case _ => false
+    }), "no IS [NOT] DISTINCT FROM produced")
+    assert(queries.values.exists(q =>
+      anyPred(q) { case _: QueryFuzzer.TimeCmp => true; case _ => false } ||
+        (q.shape match {
+          case QueryFuzzer.Agg(_, _, _, ges) =>
+            ges.exists(_.kind.startsWith("t"))
+          case QueryFuzzer.Proj(cs, _) =>
+            cs.exists(_.isInstanceOf[QueryFuzzer.TimeFuncCol])
+          case _ => false
+        })),
+      "no EXTRACT-over-ts construct produced")
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Proj(cs, _) => cs.exists(c =>
+        c.isInstanceOf[QueryFuzzer.CoalesceCol] ||
+          c.isInstanceOf[QueryFuzzer.NullIfCol])
+      case _ => false
+    }), "no COALESCE/NULLIF projection produced")
     val d = duck(queries.map { case (n, q) => n -> q.sql })
     val failures = queries.toSeq.sortBy(_._1).flatMap { case (n, q) =>
       diff(q, d(n)).map(reason => (n, q, reason))
