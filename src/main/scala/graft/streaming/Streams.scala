@@ -1296,11 +1296,27 @@ object Streams {
       merged.repartition(nFilesFor(n)).write.mode("overwrite")
         .parquet(tmp)
       metaReads += pre.length
+      // live kill between the temp write and the atomic rename: the
+      // crash leaves a stale _ctmp dir (invisible to the probe) that
+      // the re-run's sweep above must clear before recompacting
+      maybeCrash("mid_compact_pre_rename")
       val target = new java.io.File(storeDir, s"c$batchId.d")
       if (target.exists()) rmTree(target.getAbsolutePath)
       if (!new java.io.File(tmp).renameTo(target))
         sys.error(s"store compaction rename failed: $tmp -> $target")
-      pre.foreach(f => rmTree(f.getAbsolutePath))
+      // live kill between the rename and the delete-olds: the crash
+      // leaves the new c<k>.d ALONGSIDE the files it folded —
+      // duplicate fps the re-run's distinct() must collapse
+      maybeCrash("post_compact_rename")
+      // NEVER delete the target's own path: on a post-rename-crash
+      // RESUME the prior attempt's c<batchId>.d is one of the folded
+      // inputs in `pre`, and it shares the target NAME — deleting it
+      // here would erase the compaction output just renamed into
+      // place and silently drop the whole fp store (every historical
+      // doc re-admitted as fresh). Found by DrainCrashFuzzSpec's
+      // post_compact_rename kill on its first live run.
+      pre.filter(_.getAbsolutePath != target.getAbsolutePath)
+        .foreach(f => rmTree(f.getAbsolutePath))
     }
     // event-time regime: quarantine rows older than the watermark
     // (= max event time over PRIOR batches - delay, the Spark

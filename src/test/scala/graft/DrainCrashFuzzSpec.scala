@@ -127,4 +127,29 @@ class DrainCrashFuzzSpec extends SparkSpec {
           s"expect=${expect.hw}")
     }
   }
+
+  test("live kills INSIDE the compaction block (between temp write " +
+    "and rename; between rename and delete-olds) resume to the " +
+    "uninterrupted state — stale _ctmp cleared, duplicate fps " +
+    "collapsed") {
+    // compactEvery = 2 with 4 batches deterministically fires the
+    // compaction at batch 3 (store holds b0/b1/b2.d = 3 > 2), so the
+    // kill lands with the compaction genuinely in flight — the LIVE
+    // version of the planted-residue test in DrainScaleSpec
+    for (point <- Seq("mid_compact_pre_rename", "post_compact_rename");
+         et <- Seq(false, true)) {
+      val expect = run(et, 2, None)
+      assert(expect.rows.nonEmpty)
+      val got = run(et, 2, Some((3L, point)))
+      val tag = s"kill $point@b3 et=$et"
+      assert(got.rows == expect.rows,
+        s"$tag corpus diverged: got-only ${
+          (got.rows -- expect.rows).take(5)} expect-only ${
+          (expect.rows -- got.rows).take(5)}")
+      assert(got.storeFps == expect.storeFps,
+        s"$tag fp store diverged")
+      assert(got.hw == expect.hw,
+        s"$tag high-water diverged: got=${got.hw} expect=${expect.hw}")
+    }
+  }
 }
