@@ -6,7 +6,16 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob, os, time
 import duckdb
+import numpy as np
 import pandas as pd
+
+# Round-14 gate-gap fix (VERDICT r13 item 2): float columns compare
+# BYTE-EXACT by default (uint64 view of the float64 bits), because the
+# driver hashes bytes — numeric `==` calls -0.0 and +0.0 equal and let
+# s26's signed-zero divergence ship with every local gate green.
+# ORACLE_NUMERIC=1 opts back into the old numeric `==` (the weaker
+# comparison, kept only for exploratory/fuzz triage).
+BYTE_EXACT = os.environ.get("ORACLE_NUMERIC", "") != "1"
 
 # round-10 oracle budget: every oracle must replay in DuckDB under
 # this wall at sf0.01 — a single outlier (p02 ran 808 s pre-fix)
@@ -64,15 +73,31 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in s.columns:
         sc, dc = s[c], d[c].astype(s[c].dtype, errors="ignore") if hasattr(d[c], "astype") else d[c]
+        is_float = sc.dtype.kind == "f" or getattr(dc, "dtype", sc.dtype).kind == "f"
         try:
-            eq = (sc.fillna("§") == dc.fillna("§")).all() if sc.dtype == object else \
-                 ((sc.isna() == dc.isna()) & (sc.fillna(0) == dc.fillna(0))).all()
+            if BYTE_EXACT and is_float:
+                # the driver's comparison: bit pattern, not value.
+                # Sees signed zeros and NaN-payload differences.
+                a = sc.to_numpy(dtype="float64").view("uint64")
+                b = dc.to_numpy(dtype="float64").view("uint64")
+                eqv = a == b
+                eq = bool(eqv.all())
+            else:
+                eqv = None
+                eq = (sc.fillna("§") == dc.fillna("§")).all() if sc.dtype == object else \
+                     ((sc.isna() == dc.isna()) & (sc.fillna(0) == dc.fillna(0))).all()
         except Exception:
+            eqv = None
             eq = False
         if not eq:
-            diff = (sc != dc) & ~(sc.isna() & dc.isna())
-            idx = diff[diff].index[:3]
-            print(f"VAL   {name}.{c}: first diffs {[(i, sc[i], dc[i]) for i in idx]}")
+            if eqv is not None:
+                idx = np.flatnonzero(~eqv)[:3]
+                print(f"VAL   {name}.{c}: first BYTE diffs "
+                      f"{[(int(i), sc.iloc[i], dc.iloc[i]) for i in idx]}")
+            else:
+                diff = (sc != dc) & ~(sc.isna() & dc.isna())
+                idx = diff[diff].index[:3]
+                print(f"VAL   {name}.{c}: first diffs {[(i, sc[i], dc[i]) for i in idx]}")
             ok = False
     if ok:
         print(f"OK    {name} ({len(sdf)} rows)")
