@@ -91,7 +91,7 @@ object OpsQueries {
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, $adcSum AS adc
         FROM qt q JOIN enc c ON q.vec_id <> c.vec_id)
-      SELECT query_id, rank, nbr_id, ROUND(adc, 4) AS adc FROM (
+      SELECT query_id, rank, nbr_id, ROUND(adc, 4) + 0.0 AS adc FROM (
         SELECT query_id, nbr_id, adc,
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY ROUND(adc, 6) DESC, nbr_id) AS rank
@@ -158,7 +158,7 @@ object OpsQueries {
               FROM sums s JOIN nrms n USING (cell)),
       grid(cell, j, prev) AS (VALUES $gridVals)
       SELECT g.cell, g.j,
-             ROUND(COALESCE(u.u, g.prev), 4) AS centroid
+             ROUND(COALESCE(u.u, g.prev), 4) + 0.0 AS centroid
       FROM grid g LEFT JOIN upd u ON u.cell = g.cell AND u.j = g.j
       ORDER BY g.cell, g.j"""
   }
@@ -1446,7 +1446,9 @@ object OpsQueries {
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 3, m = 8, kc = 4, codebooks = Some(s24Codebook))
         .select(col("query_id"), col("rank"), col("nbr_id"),
-          round(col("adc"), 4).as("adc"))
+          // + 0.0: signed-zero guard (s26 class) — an ADC dot can
+          // land exactly at rounded zero from either sign
+          (round(col("adc"), 4) + lit(0.0)).as("adc"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1464,7 +1466,10 @@ object OpsQueries {
       Similarity.lloydStepDf(embs(s, dir), "vec_id", "embedding",
           s25Init)
         .select(col("cell"), col("j"),
-          round(col("centroid"), 4).as("centroid"))
+          // + 0.0 normalizes a rounded -0.0 (the s26 signed-zero
+          // class: a near-zero recentering sum's sign is sum-order
+          // ulps; rounding keeps the sign bit). Oracle mirrors it.
+          (round(col("centroid"), 4) + lit(0.0)).as("centroid"))
         .orderBy("cell", "j")
     }),
 
@@ -1727,10 +1732,17 @@ object OpsQueries {
     // it stays spec-gated in s11/PcaSpec, which also gates that eig
     // over EXACTLY these rows reproduces fit's spectrum (momentsPass
     // is the shared single source of truth). Upper triangle, 1-based,
-    // sample covariance, 6dp (sum-order ulps absorbed).
+    // sample covariance, 6dp. Rounding absorbs sum-order ulps at every
+    // point of the value domain EXCEPT zero, where it preserves the
+    // sign bit — a near-zero covariance's sign is decided by ulp-level
+    // sum order, so Spark and DuckDB can round the same cell to +0.0
+    // vs -0.0 (the round-13 driver-hash failure, cell (6,10)). The
+    // `+ 0.0` normalizes: IEEE -0.0 + 0.0 = +0.0, every other value
+    // unchanged. The oracle applies the same `+ 0.0`.
     "s26_pca_moments" -> ((s, dir) => {
       Pca.covarianceDf(embs(s, dir), "embedding", dim = 64)
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     }),
 
@@ -2167,7 +2179,9 @@ object OpsQueries {
     // sums the engine's one-pass treeAggregate accumulates —
     // (sij - si*sj/n)/(n-1) is fit()'s (o_ij - n*mi*mj)/(n-1) with
     // mean folded in; both engines' sum orders differ in last ulps,
-    // absorbed by the 6dp rounding
+    // absorbed by the 6dp rounding EXCEPT at zero, where rounding
+    // keeps the sign bit — `+ 0.0` normalizes -0.0 to +0.0 on both
+    // sides (mirrors the Spark entry's `+ lit(0.0)`)
     "s26_pca_moments" -> """
       WITH e AS (
         SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2180,7 +2194,8 @@ object OpsQueries {
                SUM(v[p.i]) AS si, SUM(v[p.j]) AS sj,
                SUM(v[p.i] * v[p.j]) AS sij
         FROM e, pairs p GROUP BY p.i, p.j)
-      SELECT i, j, ROUND((sij - si * sj / n) / (n - 1), 6) AS cov
+      SELECT i, j,
+             ROUND((sij - si * sj / n) / (n - 1), 6) + 0.0 AS cov
       FROM stats ORDER BY i, j""",
     "d07_minhash_lsh" -> minhashOracle,
     "d42_incremental_lsh" -> incrementalLshOracle,

@@ -124,4 +124,50 @@ class PcaSpec extends SparkSpec {
     assert(pcs.zip(Seq(-2.0, 0.0, 2.0)).forall {
       case (g, e) => math.abs(math.abs(g) - math.abs(e)) < 1e-9 })
   }
+
+  test("s26 signed-zero guard: round(cov, 6) + 0.0 never emits -0.0, " +
+    "and Catalyst does not fold the + 0.0 away") {
+    // The round-13 driver-hash failure: a near-zero covariance whose
+    // sign is decided by sum-order ulps rounds to -0.0 on one engine
+    // and +0.0 on the other; 6dp rounding keeps the sign bit, and the
+    // driver hashes BYTES. The pinned entry's contract is therefore
+    // `round(c, 6) + 0.0` on both sides — IEEE (-0.0) + 0.0 = +0.0.
+    // First prove the Column expression survives optimization: a
+    // literal -0.0 through the exact s26 projection must come out
+    // bit-positive (this would fail if Catalyst ever "simplified"
+    // x + 0.0 to x).
+    val neg = Seq(-0.0, -1.0e-9, 0.0, 1.25, -2.5e-7).toDF("c")
+      .select((round(col("c"), 6) + lit(0.0)).as("cov"))
+      .collect().map(_.getDouble(0))
+    neg.foreach { v =>
+      assert(java.lang.Double.doubleToRawLongBits(v) !=
+        java.lang.Double.doubleToRawLongBits(-0.0),
+        s"emitted -0.0 bit pattern for $v")
+    }
+    assert(neg(0) == 0.0 && neg(1) == 0.0 && neg(3) == 1.25)
+    // Then gate the real path: a fixture with an exactly-cancelling
+    // column pair (cov(i,j) sums to a tiny NEGATIVE value that rounds
+    // to zero) still emits +0.0 through the s26 projection.
+    val dim = 4
+    val rows = (0 until 8).map { i =>
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      // col 0 vs col 1: anti-correlated by a sub-rounding amount
+      (i.toLong, Seq(s * 1e-5, -s * 1e-5 - 1e-12, i.toDouble, 1.0))
+    }
+    val df = rows.toDF("id", "v")
+    val covs = Pca.covarianceDf(df, "v", dim)
+      .select(col("i"), col("j"),
+        (round(col("cov"), 6) + lit(0.0)).as("cov"))
+      .collect()
+    assert(covs.length == dim * (dim + 1) / 2)
+    covs.foreach { r =>
+      val bits = java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+      assert(bits != java.lang.Double.doubleToRawLongBits(-0.0),
+        s"s26 projection emitted -0.0 at (${r.getInt(0)},${r.getInt(1)})")
+    }
+    // the (1,2) cell is the engineered near-zero-negative: it must be
+    // exactly +0.0 after the guard
+    val c12 = covs.find(r => r.getInt(0) == 1 && r.getInt(1) == 2).get
+    assert(c12.getDouble(2) == 0.0)
+  }
 }
