@@ -117,9 +117,15 @@ object Differ {
   }
 
   private def eqNum(x: Double, y: Double): Boolean =
-    (x.isNaN && y.isNaN) ||
-      math.abs(x - y) <= 1e-6 * math.max(1.0,
-        math.max(math.abs(x), math.abs(y)))
+    x == y || // exact fast path; the only rule under which two
+              // infinities are equal
+      (x.isNaN && y.isNaN) ||
+      // tolerance arm is FINITE-only: with an infinite operand the
+      // bound itself is 1e-6·Inf = Inf, which silently accepted
+      // Inf-vs-anything (and +Inf vs -Inf) as equal
+      (!x.isInfinite && !y.isInfinite &&
+        math.abs(x - y) <= 1e-6 * math.max(1.0,
+          math.max(math.abs(x), math.abs(y))))
 
   /** None = match; Some(reason) = divergence. */
   def diff(spark: SparkSession, dir: String,
@@ -177,59 +183,191 @@ object Differ {
 
   /** Tolerant multiset match (slow path, runs only on a positional
     * mismatch): bucket rows by their non-numeric values, then find a
-    * MAXIMUM bipartite matching within each bucket under [[eqV]]
-    * (Kuhn's augmenting paths). Greedy pairing is not sound here:
-    * the 1e-6 tolerance relation is non-transitive, so values chain
-    * (spark a ≈ duck x AND a ≈ y while spark b only ≈ x) and a
-    * greedy pass can consume the wrong partner and report a false
-    * divergence even though a perfect matching exists; augmenting
-    * paths re-pair the earlier row instead. Buckets past
-    * [[MatchExactCap]] fall back to greedy (O(g·aug) vs O(g)) —
-    * still sound in the safe direction (may over-report, never
-    * misses a true divergence). None = the multisets match under
-    * tolerance; Some(reason) = a spark row no maximum matching can
-    * pair with.
+    * MAXIMUM bipartite matching within each bucket under [[eqV]].
+    * Greedy pairing is not sound here: the 1e-6 tolerance relation is
+    * non-transitive, so values chain (spark a ≈ duck x AND a ≈ y
+    * while spark b only ≈ x) and a greedy pass can consume the wrong
+    * partner and report a false divergence even though a perfect
+    * matching exists; augmenting paths re-pair the earlier row
+    * instead.
+    *
+    * The matcher is Hopcroft–Karp (BFS layering + layered DFS,
+    * O(E·√V)) over a WINDOWED adjacency: candidate partners for a
+    * row are found by binary search on the bucket's first numeric
+    * column (two rows can only match if that column is within the
+    * relative tolerance, a contiguous range in sorted order), so E is
+    * tolerance-cluster-sized, not bucket². This removes the round-13
+    * MatchExactCap=2048 greedy fallback, whose false-divergence mode
+    * an ALL-NUMERIC row set (one giant bucket — common for
+    * multi-aggregate queries) could re-trigger at size. The one
+    * remaining guard is [[EdgeBudget]] on total adjacency size; a
+    * bucket so mutually-tolerant it exceeds it falls back to
+    * sorted-positional pairing — still sound in the safe direction
+    * (may over-report, never misses a true divergence), and says so
+    * in the report. None = the multisets match under tolerance;
+    * Some(reason) = a spark row no maximum matching can pair with.
     */
-  private val MatchExactCap = 2048
+  private val EdgeBudget = 50000000L
+
+  private def numOf(v: V): Option[Double] = v match {
+    case VL(l) => Some(l.toDouble)
+    case VD(d) => Some(d)
+    case _ => None
+  }
 
   private def tolerantMatch(s: Seq[Seq[V]],
                             d: Seq[Seq[V]]): Option[String] = {
     val sb = s.groupBy(bucketKey)
     val db = d.groupBy(bucketKey)
-    sb.iterator.flatMap { case (key, srs) =>
+    sb.iterator.flatMap { case (key, srs0) =>
+      val srs = srs0.toIndexedSeq
       val drs = db.getOrElse(key, Seq.empty).toIndexedSeq
-      if (srs.size > MatchExactCap || drs.size > MatchExactCap) {
-        // greedy fallback for oversized buckets (recursion depth /
-        // cubic-time guard); errs toward a false alarm, never a miss
-        val taken = Array.fill(drs.size)(false)
-        srs.iterator.flatMap { sr =>
-          val i = drs.indices.indexWhere(j =>
-            !taken(j) && rowEq(sr, drs(j)))
-          if (i >= 0) { taken(i) = true; None }
-          else Some(s"unmatched spark row: $sr (greedy fallback, " +
-            s"bucket > $MatchExactCap)")
-        }
-      } else {
-        val matchOfD = Array.fill(drs.size)(-1)
-        def augment(i: Int, seen: Array[Boolean]): Boolean = {
-          var j = 0; var ok = false
-          while (j < drs.size && !ok) {
-            if (!seen(j) && rowEq(srs(i), drs(j))) {
-              seen(j) = true
-              if (matchOfD(j) < 0 || augment(matchOfD(j), seen)) {
-                matchOfD(j) = i; ok = true
-              }
-            }
-            j += 1
+      matchBucket(srs, drs)
+    }.take(1).toSeq.headOption
+  }
+
+  /** Maximum matching within one bucket; iterator of divergence
+    * reports (empty = all spark rows matched).
+    */
+  private def matchBucket(srs: IndexedSeq[Seq[V]],
+                          drs: IndexedSeq[Seq[V]]): Iterator[String] = {
+    if (srs.isEmpty) return Iterator.empty
+    if (drs.size < srs.size)
+      return Iterator(s"unmatched spark row: ${srs(drs.size)} " +
+        s"(bucket sizes spark=${srs.size} duck=${drs.size})")
+    // pivot = first numeric column of the bucket (bucketKey wildcards
+    // exactly the numeric positions, so they are bucket-consistent);
+    // a bucket with NO numeric column holds pairwise-identical rows
+    // (the key is exact on everything else) — counts decide.
+    val pivot = srs.head.indices.find(i => numOf(srs.head(i)).isDefined)
+    pivot match {
+      case None => Iterator.empty // sizes checked above; rows identical
+      case Some(p) =>
+        // duck rows sorted by pivot value; NaN sorts last (by
+        // java.lang.Double.compare), infinities at the ends — the
+        // window for non-finite pivots is found by exact-value scan
+        val order = drs.indices.sortBy(j =>
+          numOf(drs(j)(p)).get)(Ordering.Double.TotalOrdering)
+        val sorted = order.map(j => numOf(drs(j)(p)).get)
+        def window(x: Double): (Int, Int) =
+          if (x.isNaN || x.isInfinite) {
+            // exact-value run: binary search then widen
+            val lo = lowerBound(sorted, x)
+            var hi = lo
+            while (hi < sorted.size && (sorted(hi) == x ||
+              (sorted(hi).isNaN && x.isNaN))) hi += 1
+            (lo, hi)
+          } else {
+            // |x - y| <= 1e-6 * max(1, |x|, |y|): y is confined to
+            // x ± w with w = 1e-6 * max(1, |x|) / (1 - 1e-6); widen
+            // by 2x for rounding headroom (over-wide is only extra
+            // rowEq calls, never wrong)
+            val w = 2e-6 * math.max(1.0, math.abs(x)) / (1 - 1e-6)
+            (lowerBound(sorted, x - w), upperBound(sorted, x + w))
           }
-          ok
+        // edge budget pre-check: Σ window sizes
+        var edges = 0L
+        val wins = srs.map { sr =>
+          val x = numOf(sr(p)).get
+          val (lo, hi) = window(x)
+          edges += (hi - lo)
+          (lo, hi)
         }
-        srs.indices.iterator.flatMap { i =>
-          if (augment(i, Array.fill(drs.size)(false))) None
-          else Some(s"unmatched spark row: ${srs(i)}")
+        if (edges > EdgeBudget) {
+          // pathological mutual-tolerance: pair positionally after a
+          // full-row sort (over-reports at worst, never misses)
+          val ss = srs.sortBy(_.map(sortKey).mkString(""))
+          val ds = drs.sortBy(_.map(sortKey).mkString(""))
+          return ss.indices.iterator.flatMap { i =>
+            if (i < ds.size && rowEq(ss(i), ds(i))) None
+            else Some(s"unmatched spark row: ${ss(i)} (edge budget " +
+              s"$EdgeBudget exceeded; sorted-positional fallback — " +
+              "may over-report)")
+          }
+        }
+        val adj = srs.indices.map { i =>
+          val (lo, hi) = wins(i)
+          (lo until hi).filter(oj => rowEq(srs(i), drs(order(oj))))
+            .toArray
+        }
+        val mL = hopcroftKarp(srs.size, drs.size, adj)
+        srs.indices.iterator.collect {
+          case i if mL(i) < 0 => s"unmatched spark row: ${srs(i)}"
+        }
+    }
+  }
+
+  private def lowerBound(a: IndexedSeq[Double], x: Double): Int = {
+    var lo = 0; var hi = a.size
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (java.lang.Double.compare(a(m), x) < 0) lo = m + 1 else hi = m
+    }
+    lo
+  }
+
+  private def upperBound(a: IndexedSeq[Double], x: Double): Int = {
+    var lo = 0; var hi = a.size
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (java.lang.Double.compare(a(m), x) <= 0) lo = m + 1 else hi = m
+    }
+    lo
+  }
+
+  /** Hopcroft–Karp maximum bipartite matching. `adj(i)` lists the
+    * right-side candidates of left row i (indices into the SORTED
+    * right order — the caller translates back). Returns the left
+    * matching (-1 = unmatched). DFS recursion depth is bounded by the
+    * BFS layer count (≤ √V phases), never by bucket size.
+    */
+  private def hopcroftKarp(nL: Int, nR: Int,
+                           adj: IndexedSeq[Array[Int]]): Array[Int] = {
+    val INF = Int.MaxValue
+    val mL = Array.fill(nL)(-1)
+    val mR = Array.fill(nR)(-1)
+    val dist = new Array[Int](nL)
+    def bfs(): Boolean = {
+      val q = new java.util.ArrayDeque[Integer]()
+      var free = false
+      var i = 0
+      while (i < nL) {
+        if (mL(i) < 0) { dist(i) = 0; q.add(i) } else dist(i) = INF
+        i += 1
+      }
+      while (!q.isEmpty) {
+        val u = q.poll()
+        val as = adj(u)
+        var a = 0
+        while (a < as.length) {
+          val w = mR(as(a))
+          if (w < 0) free = true
+          else if (dist(w) == INF) { dist(w) = dist(u) + 1; q.add(w) }
+          a += 1
         }
       }
-    }.take(1).toSeq.headOption
+      free
+    }
+    def dfs(u: Int): Boolean = {
+      val as = adj(u)
+      var a = 0
+      while (a < as.length) {
+        val v = as(a)
+        val w = mR(v)
+        if (w < 0 || (dist(w) == dist(u) + 1 && dfs(w))) {
+          mL(u) = v; mR(v) = u
+          return true
+        }
+        a += 1
+      }
+      dist(u) = INF
+      false
+    }
+    while (bfs()) {
+      var i = 0
+      while (i < nL) { if (mL(i) < 0) dfs(i); i += 1 }
+    }
+    mL
   }
 
   /** Greedy minimization: keep applying the first shrink that still

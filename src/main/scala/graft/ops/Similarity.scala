@@ -555,8 +555,16 @@ object Similarity {
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      cents = (0 until nlist).map(c =>
-        if (counts(c) == 0) cents(c) else unit(sums(c)))
+      cents = (0 until nlist).map { c =>
+        // zero-norm sums (exact cancellation in a NON-empty cell) keep
+        // the previous center, same as the empty-cell rule — a zero
+        // center would make every dot 0 and the cell unreachable.
+        // Matches lloydStepDf and the s25 oracle's nrm = 0 -> COALESCE
+        // prev branch.
+        val nrm = math.sqrt(sums(c).map(x => x * x).sum)
+        if (counts(c) == 0 || nrm == 0) cents(c)
+        else sums(c).map(_ / nrm)
+      }
       it += 1
     }
     cents
@@ -607,8 +615,10 @@ object Similarity {
       .agg(sum(col("x")).as("sx"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
     // spherical update = unit(component sums); a zero-norm sum (exact
-    // cancellation) falls through to the previous center like
-    // trainCentroids' unit() identity-at-zero
+    // cancellation in a non-empty cell) falls through to the previous
+    // center — the same carry rule trainCentroids and kmeansFit apply
+    // (a zero center would make every dot 0), and the branch the s25
+    // oracle replays as nrm = 0 -> COALESCE prev
     val updated = sums
       .withColumn("nrm", sqrt(sum(col("sx") * col("sx")).over(w)))
       .select(col("cell"), col("j"),
@@ -690,8 +700,13 @@ object Similarity {
             (s1, c1)
           })
         bc.destroy()
-        cents = (0 until k).map(j =>
-          if (counts(j) == 0) cents(j) else unit(sums(j)))
+        // empty OR zero-norm (exact cancellation) cells keep their
+        // previous center — the trainCentroids / lloydStepDf rule
+        cents = (0 until k).map { j =>
+          val nrm = math.sqrt(sums(j).map(x => x * x).sum)
+          if (counts(j) == 0 || nrm == 0) cents(j)
+          else sums(j).map(_ / nrm)
+        }
         it += 1
       }
       cents
@@ -882,32 +897,71 @@ object Similarity {
     * nlist at it, so past n ≈ 1.05M vectors cell sizes grew linearly
     * again and candidate volume re-became ~n²/128 — the same
     * quadratic class the policy exists to kill, hidden behind a
-    * default. Scaling the sample instead keeps training linear
-    * (O(sample·nlist·dim·iters) = O(n)·small-constants driver-side;
-    * quantizerSample is one bounded pass) and leaves NO silent edge:
-    * a caller overriding sampleSize below nlist fails fast in
-    * [[trainCentroids]]'s precondition, never degrades quietly. The
-    * remaining genuine bound is codebook-literal memory (nlist·dim·8
-    * B in the plan: 64 MB at n = 1e9, dim 64) — past that, shard the
-    * corpus (the standard IVF sharding convention).
+    * default. Scaling the sample instead leaves NO silent edge: a
+    * caller overriding sampleSize below nlist fails fast in
+    * [[trainCentroids]]'s precondition, never degrades quietly.
+    * Training cost is 2·nlist²·dim·iters driver-side flops — past
+    * [[DriverTrainMaxNlist]] (n ≈ 4.2M) [[quantizerCentroids]] routes
+    * to the distributed [[kmeansFit]], so the uncapped nlist never
+    * serializes hours of Lloyd on the driver. The remaining genuine
+    * bound is codebook-literal memory (nlist·dim·8 B in the plan:
+    * 64 MB at n = 1e9, dim 64) — past that, shard the corpus (the
+    * standard IVF sharding convention); nlist itself is Long-checked
+    * and fails fast past Int range rather than wrapping.
     */
+  /** Past this nlist, driver-side [[trainCentroids]] on a 2·nlist
+    * sample is no longer feasible (cost ≈ 2·nlist²·dim·iters flops
+    * single-threaded: ~10²-second scale at 8192 with dim 64, iters 8)
+    * — [[quantizerCentroids]] routes training to the distributed
+    * [[kmeansFit]] instead, whose per-iteration cost is ONE
+    * treeAggregate over the corpus. nlist = 4·sqrt(n) crosses this at
+    * n ≈ 4.2M vectors.
+    */
+  private[graft] val DriverTrainMaxNlist = 8192
+
   def autoIvfSelfJoinParams(n: Long,
                             exactMax: Long = 4096): (Int, Int, Int) =
     if (n <= exactMax) (16, 16, 4096)
     else {
-      val nlist =
-        math.max(32L, 4L * math.round(math.sqrt(n.toDouble))).toInt
+      // Long arithmetic end-to-end: 4·sqrt(n) overflows Int past
+      // n ≈ 2.9e17 — fail fast with the sharding contract instead of
+      // wrapping negative (the codebook-literal memory bound,
+      // nlist·dim·8 B, is unservable long before that anyway).
+      val nlistL = math.max(32L, 4L * math.round(math.sqrt(n.toDouble)))
+      require(nlistL <= Int.MaxValue,
+        s"nlist = $nlistL exceeds Int range at n = $n — shard the " +
+          "corpus (standard IVF sharding) instead of one giant index")
+      val nlist = nlistL.toInt
       (nlist, math.min(nlist, 32),
-        math.max(4096L, 2L * nlist).toInt)
+        math.min(math.max(4096L, 2L * nlistL), Int.MaxValue).toInt)
     }
+
+  /** IVF coarse-quantizer training with the scale route: driver-side
+    * [[trainCentroids]] over a bounded [[quantizerSample]] while
+    * nlist is driver-feasible ([[DriverTrainMaxNlist]]), the
+    * distributed [[kmeansFit]] beyond it — so the auto policy's
+    * uncapped nlist = 4·sqrt(n) never turns the driver into the
+    * bottleneck (ADVICE r13: at n ≈ 1e9, driver training would cost
+    * ~2·nlist²·dim·iters ≈ 1e16 flops; kmeansFit does the same
+    * assignment work as ONE treeAggregate per iteration, cluster-wide,
+    * and ships only the k×dim codebook to the driver).
+    */
+  private def quantizerCentroids(corpus: DataFrame, idCol: String,
+                                 vecCol: String, nlist: Int,
+                                 trainIters: Int, sampleSize: Int)
+      : IndexedSeq[Array[Double]] =
+    if (nlist <= DriverTrainMaxNlist)
+      trainCentroids(quantizerSample(corpus, idCol, vecCol, sampleSize),
+        nlist, trainIters)
+    else kmeansFit(corpus, idCol, vecCol, nlist, trainIters)
 
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 8, sampleSize: Int = 4096): DataFrame = {
     DotProduct.register(corpus.sparkSession)
     MatVecDots.register(corpus.sparkSession)
-    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
-    val cents = trainCentroids(sample, nlist, trainIters)
+    val cents = quantizerCentroids(corpus, idCol, vecCol, nlist,
+      trainIters, sampleSize)
     val cb = MatVecDots.matrixLit(cents)
     // cached: the unitize + nlist-wide matvec projection feeds BOTH
     // roles of the self-join (corpus cell + query probes) — uncached,
@@ -957,8 +1011,8 @@ object Similarity {
                     sampleSize: Int = 4096): DataFrame = {
     DotProduct.register(corpus.sparkSession)
     MatVecDots.register(corpus.sparkSession)
-    val sample = quantizerSample(corpus, idCol, vecCol, sampleSize)
-    val cents = trainCentroids(sample, nlist, trainIters)
+    val cents = quantizerCentroids(corpus, idCol, vecCol, nlist,
+      trainIters, sampleSize)
     val cb = MatVecDots.matrixLit(cents)
     val u = unitized(corpus, idCol, vecCol, "id", "v")
       .join(corpus.select(col(idCol).as("id"),

@@ -152,6 +152,51 @@ class FuzzSpec extends SparkSpec {
       "true divergence swallowed by the matching pass")
   }
 
+  test("Differ stays a maximum matching on an ALL-NUMERIC bucket far " +
+    "past the old 2048 cap: chained tolerance at 2200+ rows matches; " +
+    "one genuinely different row still reports") {
+    import Differ._
+    // Every row is numeric -> bucketKey wildcards every column -> ONE
+    // giant bucket: exactly the shape where the round-13 greedy
+    // fallback (buckets > 2048) could re-report the chained-tolerance
+    // false divergence. 1100 copies of the chained pattern at integer
+    // offsets k (spark a=k+5e-7 ~ duck x=k+4e-7 AND y=k+1.2e-6; spark
+    // b=k only ~ x): greedy pairing a->x strands b; the maximum
+    // matching pairs a->y, b->x. A 6dp-boundary-straddle quartet
+    // (0.49999951 keys as 0.500000 on one side, 0.49999949 as
+    // 0.499999 on the other, so the key tie-break misaligns the
+    // second column 9-vs-7) forces the positional pass to fail so
+    // the matcher actually runs over the giant bucket.
+    val sparkRows: Seq[Seq[V]] = (0 until 1100).flatMap { k =>
+      Seq(Seq(VD(k + 5e-7), VD(1.0)), Seq(VD(k.toDouble), VD(1.0)))
+    } ++ Seq(Seq(VD(0.49999951), VD(7.0)), Seq(VD(0.4999990), VD(9.0)))
+    val duckRows: Seq[Seq[V]] = (0 until 1100).flatMap { k =>
+      Seq(Seq(VD(k + 4e-7), VD(1.0)), Seq(VD(k + 1.2e-6), VD(1.0)))
+    } ++ Seq(Seq(VD(0.49999949), VD(7.0)), Seq(VD(0.4999990), VD(9.0)))
+    assert(alignAndCompare(sparkRows, duckRows).isEmpty,
+      "false divergence on a >2048-row all-numeric bucket with a " +
+        "perfect matching")
+    // negative control: make one duck row truly different
+    val broken = duckRows.updated(0, Seq(VD(0.01), VD(1.0)))
+    assert(alignAndCompare(sparkRows, broken).isDefined,
+      "true divergence swallowed at giant-bucket size")
+  }
+
+  test("Differ eqV: equal infinities compare equal (exact fast path); " +
+    "opposite infinities and Inf-vs-finite still diverge") {
+    import Differ._
+    assert(alignAndCompare(
+      Seq(Seq(VD(Double.PositiveInfinity))),
+      Seq(Seq(VD(Double.PositiveInfinity)))).isEmpty,
+      "+Inf vs +Inf reported as divergence (Inf - Inf = NaN trap)")
+    assert(alignAndCompare(
+      Seq(Seq(VD(Double.PositiveInfinity))),
+      Seq(Seq(VD(Double.NegativeInfinity)))).isDefined)
+    assert(alignAndCompare(
+      Seq(Seq(VD(Double.PositiveInfinity))),
+      Seq(Seq(VD(1.0)))).isDefined)
+  }
+
   test("mutation negatives, one per round-12 construct family: a " +
     "mutated oracle for ORDER BY+LIMIT / UNION ALL / FULL JOIN / " +
     "BETWEEN / scalar subquery / ranked window / GROUP BY expression " +

@@ -893,4 +893,51 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(step((3, j + 1)) - (-0.5 / math.sqrt(2.0))) < 1e-12)
     }
   }
+
+  test("lloydStepDf == trainCentroids(iters = 1) on exact v/-v " +
+    "cancellation: a NON-empty zero-norm cell carries the previous " +
+    "center in both") {
+    // A zero-norm sum is unreachable from strictly-positive-dot
+    // assignments (if every member has positive dot with the center,
+    // so does the sum) — the reachable degenerate case is vectors
+    // whose dots with EVERY center are zero, landing on cell 0 by
+    // first-wins tie-break: v and -v both orthogonal to all centers.
+    val dim = 4
+    val init = IndexedSeq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    // both data vectors orthogonal to both centers: all dots 0, ties
+    // -> first-wins cell 0 on both engines; their sum is exactly 0
+    val data = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (1L, Seq(0.0, 0.0, -1.0, 0.0)))
+    val df = data.toDF("id", "vec")
+    val step = Similarity.lloydStepDf(df, "id", "vec", init)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val cents = Similarity.trainCentroids(
+      data.map(_._2.toArray).toArray, 2, 1, Some(init))
+    for (c <- 0 until 2; j <- 0 until dim) {
+      assert(step((c, j + 1)) == cents(c)(j),
+        s"cell $c dim $j: df=${step((c, j + 1))} driver=${cents(c)(j)}")
+    }
+    // and the carried value IS the previous center, not a zero vector
+    assert(step((0, 1)) == 1.0 && step((0, 3)) == 0.0)
+    assert(cents(0)(0) == 1.0)
+  }
+
+  test("autoIvfSelfJoinParams: Long-checked nlist fails fast past " +
+    "Int range instead of wrapping") {
+    // n = 3e17 -> 4*sqrt(n) ~ 2.19e9 > Int.MaxValue: the old .toInt
+    // wrapped NEGATIVE and would have sized a garbage codebook
+    val e = intercept[IllegalArgumentException] {
+      Similarity.autoIvfSelfJoinParams(300000000000000000L)
+    }
+    assert(e.getMessage.contains("shard"))
+    // just inside the representable range still returns sane params
+    val (nl, np, smp) = Similarity.autoIvfSelfJoinParams(2000000000L)
+    assert(nl > 0 && np == 32 && smp.toLong == 2L * nl)
+    assert(nl.toLong == math.max(32L,
+      4L * math.round(math.sqrt(2000000000L.toDouble))))
+  }
 }
