@@ -163,6 +163,104 @@ object OpsQueries {
       ORDER BY g.cell, g.j"""
   }
 
+  /** DuckDB oracle for s27: the [[s25OracleSql]] step-1 body feeding
+    * a SECOND Lloyd step through the 4dp relay. Step 1's rounded
+    * (+0.0-normalized) centers are byte-identical across engines (the
+    * s25 gate), so they act as a pinned codebook neither engine needs
+    * to communicate: the oracle re-derives them, pivots to 64 columns,
+    * and unrolls the init normalization and all four assignment dots
+    * LEFT-ASSOCIATED — exactly lloydStepDf's driver-side unit() loop
+    * and MatVecDots' ascending-index fold — so every step-2
+    * assignment is bit-exact. Only the step-2 grouped re-centering is
+    * order-dependent, absorbed by the final 4dp rounding (signed
+    * zeros `+ 0.0`-normalized, the s26 rule).
+    *
+    * Shared CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and this chain references p3 four times (one per
+    * assignment dot) and sums1/sums2/u/c1/p2 twice each — inlined,
+    * the step-1 subtree re-executes MULTIPLICATIVELY (~7 min at
+    * sf0.01); materialized it runs once per CTE (~2 s).
+    */
+  private def s27OracleSql: String = {
+    val init = s25Init
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString
+    def dot1(c: Int): String = (0 until 64).map { j =>
+      s"v[${j + 1}] * ${dlit(init(c)(j))}"
+    }.mkString(" + ")
+    val d1 = (0 until 4).map(c => s"(${dot1(c)})")
+    val cellCase1 =
+      s"CASE WHEN ${d1(0)} >= ${d1(1)} AND ${d1(0)} >= ${d1(2)} AND " +
+        s"${d1(0)} >= ${d1(3)} THEN 0 " +
+        s"WHEN ${d1(1)} >= ${d1(2)} AND ${d1(1)} >= ${d1(3)} THEN 1 " +
+        s"WHEN ${d1(2)} >= ${d1(3)} THEN 2 ELSE 3 END"
+    val normSum = (1 to 64).map(i => s"e[$i] * e[$i]").mkString(" + ")
+    val gridVals = (for { c <- 0 until 4; j <- 1 to 64 }
+      yield s"($c, $j, ${dlit(init(c)(j - 1))})").mkString(", ")
+    val pivotCols = (1 to 64).map(j =>
+      s"MAX(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+    val centerNorm = (1 to 64).map(j => s"c$j * c$j").mkString(" + ")
+    val unitCols = (1 to 64).map(j =>
+      s"CASE WHEN nrm = 0 THEN c$j ELSE c$j / nrm END AS c$j")
+      .mkString(", ")
+    def dot2(q: Int): String = (0 until 64).map { j =>
+      s"u.v[${j + 1}] * q$q.c${j + 1}"
+    }.mkString(" + ")
+    s"""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt($normSum) AS nrm FROM e0),
+      u AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / nrm) AS v
+            FROM n),
+      a1 AS (SELECT vec_id, v, $cellCase1 AS cell FROM u),
+      xs1 AS (SELECT cell, CAST(gs.j AS INTEGER) AS j, v[gs.j] AS x
+              FROM a1, (SELECT UNNEST(generate_series(1, 64)) AS j) gs),
+      sums1 AS MATERIALIZED (SELECT cell, j, SUM(x) AS sx FROM xs1 GROUP BY cell, j),
+      nrms1 AS (SELECT cell, sqrt(SUM(sx * sx)) AS nrm
+                FROM sums1 GROUP BY cell),
+      upd1 AS (SELECT s.cell, s.j,
+                      CASE WHEN n.nrm = 0 THEN NULL
+                           ELSE s.sx / n.nrm END AS u1
+               FROM sums1 s JOIN nrms1 n USING (cell)),
+      grid(cell, j, prev) AS (VALUES $gridVals),
+      c1 AS MATERIALIZED (SELECT g.cell, g.j,
+                    ROUND(COALESCE(upd1.u1, g.prev), 4) + 0.0 AS c
+             FROM grid g
+             LEFT JOIN upd1 ON upd1.cell = g.cell AND upd1.j = g.j),
+      p1 AS (SELECT cell, $pivotCols FROM c1 GROUP BY cell),
+      p2 AS MATERIALIZED (SELECT cell, sqrt($centerNorm) AS nrm, * EXCLUDE (cell)
+             FROM p1),
+      p3 AS MATERIALIZED (SELECT cell, $unitCols FROM p2),
+      c1n AS (SELECT c1.cell, c1.j,
+                     CASE WHEN p2.nrm = 0 THEN c1.c
+                          ELSE c1.c / p2.nrm END AS cn
+              FROM c1 JOIN p2 USING (cell)),
+      d2 AS (SELECT u.vec_id, u.v,
+                    (${dot2(0)}) AS d0, (${dot2(1)}) AS d1,
+                    (${dot2(2)}) AS d2, (${dot2(3)}) AS d3
+             FROM u, p3 q0, p3 q1, p3 q2, p3 q3
+             WHERE q0.cell = 0 AND q1.cell = 1
+               AND q2.cell = 2 AND q3.cell = 3),
+      a2 AS (SELECT vec_id, v,
+                    CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0
+                         WHEN d1 >= d2 AND d1 >= d3 THEN 1
+                         WHEN d2 >= d3 THEN 2 ELSE 3 END AS cell
+             FROM d2),
+      xs2 AS (SELECT cell, CAST(gs.j AS INTEGER) AS j, v[gs.j] AS x
+              FROM a2, (SELECT UNNEST(generate_series(1, 64)) AS j) gs),
+      sums2 AS MATERIALIZED (SELECT cell, j, SUM(x) AS sx FROM xs2 GROUP BY cell, j),
+      nrms2 AS (SELECT cell, sqrt(SUM(sx * sx)) AS nrm
+                FROM sums2 GROUP BY cell),
+      upd2 AS (SELECT s.cell, s.j,
+                      CASE WHEN n.nrm = 0 THEN NULL
+                           ELSE s.sx / n.nrm END AS u2
+               FROM sums2 s JOIN nrms2 n USING (cell))
+      SELECT g.cell, g.j,
+             ROUND(COALESCE(upd2.u2, g.cn), 4) + 0.0 AS centroid
+      FROM c1n g LEFT JOIN upd2 ON upd2.cell = g.cell AND upd2.j = g.j
+      ORDER BY g.cell, g.j"""
+  }
+
   /** Corpus + near-dup mutants with provenance: keeps `source` and
     * tags mutants with an EXPLICIT `is_mutant` flag — the single
     * source of truth for the mutant recipe (drop the 2nd token,
@@ -1473,6 +1571,39 @@ object OpsQueries {
         .orderBy("cell", "j")
     }),
 
+    // TWO chained pinned Lloyd TRAINING iterations under the oracle
+    // gate — the ITERATION COMPOSITION s25 left spec-only: step 2's
+    // init is step 1's 4dp-rounded (+0.0-normalized) output, which
+    // s25 proves byte-identical across engines, so the relay is a
+    // shared pinned codebook both engines re-derive independently.
+    // lloydStepDf unit-normalizes its init driver-side with a
+    // left-to-right loop; the oracle pivots the step-1 centers to 64
+    // columns and unrolls the norm and every assignment dot
+    // left-associated, so step 2's assignment is bit-exact (the
+    // s24/s25 contract) and only the final grouped re-centering is
+    // order-dependent — absorbed by the 4dp rounding, signed zeros
+    // normalized. The 256-value collect between steps is
+    // codebook-sized (k·dim), never corpus-sized. Equality with
+    // trainCentroids(iters = 2) at this init — same assignments,
+    // identical second re-centering — is gated in SimilaritySpec;
+    // seeded INIT remains the training family's only spec-only piece.
+    "s27_lloyd_two_steps" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val relay = Similarity.lloydStepDf(e, "vec_id", "embedding",
+          s25Init)
+        .select(col("cell"), col("j"),
+          (round(col("centroid"), 4) + lit(0.0)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val init2 = IndexedSeq.tabulate(s25Init.length) { c =>
+        val m = relay.filter(_._1 == c).map(t => t._2 -> t._3).toMap
+        Array.tabulate(64)(j => m(j + 1))
+      }
+      Similarity.lloydStepDf(e, "vec_id", "embedding", init2)
+        .select(col("cell"), col("j"),
+          (round(col("centroid"), 4) + lit(0.0)).as("centroid"))
+        .orderBy("cell", "j")
+    }),
+
     // Zipf's-law fit per language (corpus-statistics audit): token
     // frequencies ranked per language, OLS of ln(freq) on ln(rank)
     // over the top 100 terms — slope ≈ -1 is the Zipf signature,
@@ -2174,6 +2305,7 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "s24_pq_adc_pinned" -> s24OracleSql,
     "s25_lloyd_step_pinned" -> s25OracleSql,
+    "s27_lloyd_two_steps" -> s27OracleSql,
 
     // PCA moment replay: per-(i,j) sample covariance from the same
     // sums the engine's one-pass treeAggregate accumulates —

@@ -926,6 +926,51 @@ class SimilaritySpec extends SparkSpec {
     assert(cents(0)(0) == 1.0)
   }
 
+  test("s27's two-step 4dp relay composes like trainCentroids" +
+    "(iters = 2): on margin-separated data the rounded relay flips " +
+    "no assignment, so the second re-centering is identical") {
+    val n = 200; val dim = 8
+    val init = IndexedSeq(
+      Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0),
+      Array.tabulate(dim)(j => if (j == 3) 1.0 else 0.0),
+      Array.fill(dim)(0.5))
+    val data = (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(j => math.abs(math.sin(i * 31 + j * 7)) + 0.1)
+          .toSeq)
+    }
+    val df = data.toDF("id", "vec")
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0) v else v.map(_ / nn)
+    }
+    // s27 path: step 1, 4dp round (+0.0), feed step 2
+    val relay = Similarity.lloydStepDf(df, "id", "vec", init)
+      .select(col("cell"), col("j"),
+        (round(col("centroid"), 4) + lit(0.0)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val init2 = IndexedSeq.tabulate(3) { c =>
+      val m = relay.filter(_._1 == c).map(t => t._2 -> t._3).toMap
+      Array.tabulate(dim)(j => m(j + 1))
+    }
+    val twoStep = Similarity.lloydStepDf(df, "id", "vec", init2)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // production path: two UNROUNDED driver-side Lloyd iterations
+    val sample = data.map(d => unit(d._2.toArray)).toArray
+    val tc2 = Similarity.trainCentroids(sample, 3, 2, Some(init))
+    // the relay's 4dp perturbation (<= 5e-5/coord, <= ~4e-4 on any
+    // dot) is far inside this fixture's assignment margins, so both
+    // paths re-center the SAME members: coordinates agree to sum-
+    // order ulps (the iters=1 spec's tolerance), and the composition
+    // s27 gates under the oracle is the production iteration chain
+    for (c <- 0 until 3; j <- 0 until dim) {
+      val got = twoStep((c, j + 1))
+      assert(math.abs(got - tc2(c)(j)) < 1e-9,
+        s"cell $c dim $j: relay=$got trainCentroids=${tc2(c)(j)}")
+    }
+  }
+
   test("autoIvfSelfJoinParams: Long-checked nlist fails fast past " +
     "Int range instead of wrapping") {
     // n = 3e17 -> 4*sqrt(n) ~ 2.19e9 > Int.MaxValue: the old .toInt
