@@ -145,6 +145,16 @@ object QueryFuzzer {
     extends Pred
   final case class Bin(l: Pred, r: Pred, and: Boolean) extends Pred
   final case class NotP(p: Pred) extends Pred
+  /** [NOT] EXISTS correlated subquery as a PREDICATE NODE — usable
+    * inside OR-trees, where it is no longer decomposable into a
+    * semi/anti join: Catalyst plans it as an ExistenceJoin (a marker
+    * column joined in, tested in the disjunction) — a different
+    * operator than the left_semi/left_anti the top-level [[Semi]]
+    * conjuncts exercise. Only valid in `viaSql` queries (the Column
+    * API cannot express a non-conjunctive EXISTS); the SQL rendering
+    * is [[Semi]]'s, shared verbatim by both dialects.
+    */
+  final case class ExistsPred(semi: Semi) extends Pred
 
   /** CORRELATED scalar subquery on an FK edge (the q39 shape):
     * `outer op (SELECT FUNC(inner) FROM rt WHERE rt.rk = lt.lk)`.
@@ -184,6 +194,21 @@ object QueryFuzzer {
   /** `CAST(EXTRACT(field FROM ts) AS BIGINT)` over events.ts. */
   final case class TimeFuncCol(field: String, alias: String)
     extends OutCol
+  /** Uncorrelated scalar subquery IN THE SELECT LIST:
+    * `(SELECT MIN(inner) FROM inner.table) AS alias` — a subquery
+    * placement the Column API cannot express (viaSql only). Integral
+    * min/max, exact in both engines.
+    */
+  final case class ScalarSubCol(func: String, inner: ColDef,
+                                alias: String) extends OutCol
+  /** CORRELATED scalar subquery in the SELECT list (viaSql only):
+    * `(SELECT FUNC(inner) FROM rt WHERE rt.rk = lt.lk) AS alias`.
+    * Catalyst decorrelates this into a left outer aggregate join; an
+    * empty key group yields NULL (COUNT: 0) — both engines must
+    * agree through the projection, not just a WHERE drop.
+    */
+  final case class CorrSubCol(cs: CorrScalar, alias: String)
+    extends OutCol
 
   final case class AggCol(func: String, col: Option[ColDef],
                           alias: String)
@@ -203,9 +228,16 @@ object QueryFuzzer {
     * references in HAVING are a dialect extension; the wrap is
     * portable and plans identically).
     */
+  /** `havingSub` (viaSql only) renders a TRUE `HAVING <agg-expr> >=
+    * (SELECT FUNC(col) FROM t)` — the aggregate expression of the
+    * named alias compared to an uncorrelated scalar subquery, the
+    * HAVING-side subquery placement the alias-wrap cannot carry.
+    */
   final case class Agg(groups: Seq[ColDef], aggs: Seq[AggCol],
                        having: Option[(String, Long)] = None,
-                       groupExprs: Seq[GroupExpr] = Seq.empty)
+                       groupExprs: Seq[GroupExpr] = Seq.empty,
+                       havingSub: Option[(String, String, ColDef)] =
+                         None)
     extends Shape
   final case class Win(keys: Seq[ColDef], part: ColDef, num: ColDef,
                        alias: String) extends Shape
@@ -258,7 +290,17 @@ object QueryFuzzer {
                              orderLimit: Option[(Seq[(String, Boolean)],
                                Int)] = None,
                              joinOnPreds: Map[Int, Pred] = Map.empty,
-                             corrScalars: Seq[CorrScalar] = Seq.empty) {
+                             corrScalars: Seq[CorrScalar] = Seq.empty,
+                             viaSql: Boolean = false) {
+    // viaSql: the Spark side executes the SAME SQL text through
+    // spark.sql over temp views instead of the Column API — the
+    // rendering for subquery placements the Column API cannot
+    // express (ExistenceJoin disjuncts, SELECT-list scalar
+    // subqueries, HAVING-side subqueries). The grammar for these
+    // queries is restricted to the dialect-shared subset (no
+    // EXTRACT/IS DISTINCT FROM rendering differences), so one string
+    // drives both engines and the axis under test is Catalyst's SQL
+    // planning vs DuckDB's — not the text itself.
     // joinOnPreds: extra ON-clause predicate over join i's RIGHT
     // table (`... JOIN rt ON lk = rk AND <pred>`). This is what makes
     // LEFT/FULL join null-extension LIVE on the harness data: its FK
@@ -272,7 +314,13 @@ object QueryFuzzer {
 
     private def sqlLit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
-      case d: Double => new java.math.BigDecimal(d).toPlainString
+      case d: Double =>
+        val p = new java.math.BigDecimal(d).toPlainString
+        // viaSql: Spark's SQL parser types a bare decimal literal as
+        // DECIMAL and rejects expansions past precision 38 (a pool
+        // double's exact expansion is up to ~60 digits); CAST from
+        // string round-trips to the identical double in BOTH dialects
+        if (viaSql) s"CAST('$p' AS DOUBLE)" else p
       case other => other.toString
     }
 
@@ -296,6 +344,7 @@ object QueryFuzzer {
       case Bin(l, r, and) =>
         s"(${sqlPred(l)} ${if (and) "AND" else "OR"} ${sqlPred(r)})"
       case NotP(inner) => s"(NOT ${sqlPred(inner)})"
+      case ExistsPred(s) => s"(${sqlSemi(s)})"
     }
 
     private def sqlCorr(cs: CorrScalar): String = {
@@ -323,20 +372,32 @@ object QueryFuzzer {
         s"NULLIF(${c.name}, ${sqlLit(l)}) AS $a"
       case TimeFuncCol(f, a) =>
         s"CAST(EXTRACT(${f.toUpperCase} FROM ts) AS BIGINT) AS $a"
+      case ScalarSubCol(f, inner, a) =>
+        s"(SELECT ${f.toUpperCase}(${inner.name}) " +
+          s"FROM ${inner.table}) AS $a"
+      case CorrSubCol(cs, a) =>
+        val f =
+          if (cs.func == "count") "COUNT(*)"
+          else s"${cs.func.toUpperCase}(${cs.inner.name})"
+        s"(SELECT $f FROM ${cs.rt} " +
+          s"WHERE ${cs.rt}.${cs.rk} = ${cs.lt}.${cs.lk}) AS $a"
     }
 
-    private def sqlAgg(a: AggCol): String = a.func match {
-      case "count*" => s"COUNT(*) AS ${a.alias}"
-      case "count" => s"COUNT(${a.col.get.name}) AS ${a.alias}"
+    private def sqlAggExpr(a: AggCol): String = a.func match {
+      case "count*" => "COUNT(*)"
+      case "count" => s"COUNT(${a.col.get.name})"
       case "count_distinct" =>
-        s"COUNT(DISTINCT ${a.col.get.name}) AS ${a.alias}"
+        s"COUNT(DISTINCT ${a.col.get.name})"
       case "sum" =>
         val c = a.col.get
-        if (c.kind == 'D') s"SUM(${c.name}) AS ${a.alias}"
-        else s"CAST(SUM(${sqlNum(c)}) AS BIGINT) AS ${a.alias}"
-      case "avg" => s"AVG(${a.col.get.name}) AS ${a.alias}"
-      case f => s"${f.toUpperCase}(${a.col.get.name}) AS ${a.alias}"
+        if (c.kind == 'D') s"SUM(${c.name})"
+        else s"CAST(SUM(${sqlNum(c)}) AS BIGINT)"
+      case "avg" => s"AVG(${a.col.get.name})"
+      case f => s"${f.toUpperCase}(${a.col.get.name})"
     }
+
+    private def sqlAgg(a: AggCol): String =
+      s"${sqlAggExpr(a)} AS ${a.alias}"
 
     private def sqlGroupExpr(ge: GroupExpr): String = ge.kind match {
       case "mod" => s"(${sqlNum(ge.col)} % ${ge.k})"
@@ -387,7 +448,7 @@ object QueryFuzzer {
         case Proj(cols, distinct) =>
           s"SELECT ${if (distinct) "DISTINCT " else ""}" +
             s"${cols.map(sqlOut).mkString(", ")} FROM $from$where"
-        case Agg(groups, aggs, having, ges) =>
+        case Agg(groups, aggs, having, ges, havingSub) =>
           val gSel = groups.zipWithIndex
             .map { case (g, i) => s"${g.name} AS g$i" }
           val geSel = ges.zipWithIndex.map { case (ge, j) =>
@@ -397,7 +458,15 @@ object QueryFuzzer {
           val by =
             if (byKeys.isEmpty) ""
             else " GROUP BY " + byKeys.mkString(", ")
-          val agg = s"SELECT $sel FROM $from$where$by"
+          // TRUE HAVING with a scalar subquery bound (viaSql family):
+          // the aggregate EXPRESSION of the named alias, not an alias
+          // reference (portable to both dialects)
+          val hs = havingSub.map { case (alias, f, c) =>
+            val expr = sqlAggExpr(aggs.find(_.alias == alias).get)
+            s" HAVING $expr >= " +
+              s"(SELECT ${f.toUpperCase}(${c.name}) FROM ${c.table})"
+          }.getOrElse("")
+          val agg = s"SELECT $sel FROM $from$where$by$hs"
           having match {
             case None => agg
             case Some((alias, k)) =>
@@ -563,6 +632,10 @@ object QueryFuzzer {
           if (and) sparkPred(l, scalars) && sparkPred(r, scalars)
           else sparkPred(l, scalars) || sparkPred(r, scalars)
         case NotP(inner) => !sparkPred(inner, scalars)
+        case ExistsPred(_) => sys.error(
+          "ExistsPred is viaSql-only: a non-conjunctive EXISTS has " +
+            "no Column-API rendering (Catalyst plans it as an " +
+            "ExistenceJoin from SQL)")
       }
     }
 
@@ -591,6 +664,8 @@ object QueryFuzzer {
         case NullIfCol(c, l, a) =>
           nullif(col(c.name), sparkLit(l)).as(a)
         case TimeFuncCol(f, a) => timeFunc(f).as(a)
+        case _: ScalarSubCol | _: CorrSubCol => sys.error(
+          "SELECT-list scalar subqueries are viaSql-only")
       }
 
     private def sparkAgg(a: AggCol): Column = a.func match {
@@ -614,6 +689,16 @@ object QueryFuzzer {
     }
 
     def toDF(spark: SparkSession, dir: String): DataFrame = {
+      if (viaSql) {
+        // one shared-dialect text, two independent planners: register
+        // every catalog table as a temp view (unreferenced views are
+        // never resolved) and hand Catalyst the SAME string DuckDB
+        // runs — the rendering for ExistenceJoin disjuncts and
+        // SELECT/HAVING subquery placements
+        tables.keys.foreach(t =>
+          loadTable(spark, dir, t).createOrReplaceTempView(t))
+        return spark.sql(sql)
+      }
       val scalars = resolveScalars(spark, dir)
       val joined = baseDF(spark, dir)
       val predded = preds.foldLeft(joined)((d, p) =>
@@ -655,7 +740,9 @@ object QueryFuzzer {
         case Proj(cols0, distinct) =>
           val p = filtered.select(cols0.map(sparkOut(_, scalars)): _*)
           if (distinct) p.distinct() else p
-        case Agg(groups, aggs, having, ges) =>
+        case Agg(groups, aggs, having, ges, havingSub) =>
+          require(havingSub.isEmpty,
+            "havingSub is viaSql-only (never reaches the Column API)")
           val gCols = groups.zipWithIndex
             .map { case (g, i) => col(g.name).as(s"g$i") }
           val geCols = ges.zipWithIndex.map { case (ge, j) =>
@@ -763,25 +850,32 @@ object QueryFuzzer {
             else Seq.empty
           fewer ++ (if (d) Seq(copy(shape = Proj(cols0, distinct = false)))
                     else Seq.empty)
-        case Agg(gs, as0, hv, ges) =>
+        case Agg(gs, as0, hv, ges, hs) =>
           val dropHaving =
-            if (hv.isDefined) Seq(copy(shape = Agg(gs, as0, None, ges)))
+            if (hv.isDefined)
+              Seq(copy(shape = Agg(gs, as0, None, ges, hs)))
+            else Seq.empty
+          val dropHavingSub =
+            if (hs.isDefined)
+              Seq(copy(shape = Agg(gs, as0, hv, ges, None)))
             else Seq.empty
           val dropGes = ges.indices.map(i =>
-            copy(shape = Agg(gs, as0, hv, ges.patch(i, Nil, 1)),
+            copy(shape = Agg(gs, as0, hv, ges.patch(i, Nil, 1), hs),
               orderLimit = None))
           val fewerAggs =
             if (as0.size > 1)
               as0.indices.flatMap { i =>
                 val rest = as0.patch(i, Nil, 1)
-                // never orphan a HAVING that references the dropped agg
-                if (hv.exists(h => !rest.exists(_.alias == h._1)))
+                // never orphan a HAVING (either kind) that references
+                // the dropped agg
+                if (hv.exists(h => !rest.exists(_.alias == h._1)) ||
+                  hs.exists(h => !rest.exists(_.alias == h._1)))
                   None
-                else Some(copy(shape = Agg(gs, rest, hv, ges),
+                else Some(copy(shape = Agg(gs, rest, hv, ges, hs),
                   orderLimit = None))
               }
             else Seq.empty
-          dropHaving ++ dropGes ++ fewerAggs
+          dropHaving ++ dropHavingSub ++ dropGes ++ fewerAggs
         case Win2(part, order, funcs) =>
           if (funcs.size > 1)
             funcs.indices.map(i =>
@@ -824,6 +918,12 @@ object QueryFuzzer {
           pools: Map[(String, String), IndexedSeq[Any]]): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+    // ~1 seed in 10 goes to the shared-dialect spark.sql family —
+    // the subquery placements the Column API cannot express (round
+    // 14): ExistenceJoin disjuncts, SELECT-list scalar subqueries,
+    // HAVING-side subqueries
+    if (rnd.nextInt(10) == 0) return genViaSql(seed, rnd, pools)
 
     // base table + 0..4 chained FK joins (inner/left/full)
     val nJoins = rnd.nextInt(12) match {
@@ -1098,6 +1198,7 @@ object QueryFuzzer {
       case CoalesceCol(c, _, _) => c.kind
       case NullIfCol(c, _, _) => c.kind
       case TimeFuncCol(_, _) => 'L'
+      case _: ScalarSubCol | _: CorrSubCol => 'L' // viaSql-only
     }
     def aggKind(a: AggCol): Char = a.func match {
       case "count*" | "count" | "count_distinct" => 'L'
@@ -1108,7 +1209,7 @@ object QueryFuzzer {
     val outAliases: Option[Seq[(String, Char)]] = shape match {
       case Proj(cs, _) => Some(cs.map(o => o.alias -> outKind(o)))
       case SetOp(cs, _, _, _) => Some(cs.map(o => o.alias -> outKind(o)))
-      case Agg(gs, as0, _, ges) => Some(
+      case Agg(gs, as0, _, ges, _) => Some(
         gs.zipWithIndex.map { case (g, i) => s"g$i" -> g.kind } ++
           ges.zipWithIndex.map { case (ge, j) =>
             s"g${gs.size + j}" ->
@@ -1126,5 +1227,215 @@ object QueryFuzzer {
 
     FuzzQuery(seed, present.head, joins, preds, shape, semis,
       orderLimit, joinOnPreds, corrScalars)
+  }
+
+  /** The viaSql family (round 14): one dialect-shared SQL text run
+    * through BOTH spark.sql and DuckDB, reaching the subquery
+    * placements the Column API cannot express —
+    *
+    *  - `p OR [NOT] EXISTS (...)` / `p OR k IN (SELECT ...)`:
+    *    non-conjunctive existentials, which Catalyst plans as an
+    *    ExistenceJoin (a marker-joined disjunct) instead of the
+    *    left_semi/left_anti the conjunctive [[Semi]] axis covers;
+    *  - scalar subqueries in the SELECT list, uncorrelated
+    *    ([[ScalarSubCol]]) and correlated ([[CorrSubCol]] — Catalyst
+    *    decorrelates to a left outer aggregate join, NULL/0 for
+    *    empty key groups);
+    *  - TRUE `HAVING <agg> >= (SELECT ...)` ([[Agg.havingSub]]).
+    *
+    * Grammar restricted to the dialect-shared subset: INNER joins,
+    * Cmp/InList/Between/LikePrefix/NullCheck leaves, integral-exact
+    * scalar funcs — no EXTRACT, no IS DISTINCT FROM, no dialect-
+    * divergent rendering anywhere, so a divergence is a PLANNER
+    * disagreement, never a text-dialect artifact.
+    */
+  private def genViaSql(seed: Int, rnd: scala.util.Random,
+                        pools: Map[(String, String), IndexedSeq[Any]])
+      : FuzzQuery = {
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+    def litOf(c: ColDef): Any = {
+      val pool = pools((c.table, c.name))
+      pool(rnd.nextInt(pool.size))
+    }
+    // base + 0..2 INNER joins (events excluded: ts-free subset)
+    val nJoins = rnd.nextInt(3)
+    var present = Vector.empty[String]
+    var joins = Vector.empty[JoinUse]
+    if (nJoins == 0) {
+      present = Vector(pick(tables.keys.toSeq.sorted
+        .filterNot(_ == "events")))
+    } else {
+      val e1 = pick(joinEdges)
+      present = Vector(e1._1, e1._3)
+      joins = Vector((e1._1, e1._2, e1._3, e1._4, "inner"))
+      (1 until nJoins).foreach { _ =>
+        val cands = joinEdges.filter(e =>
+          present.contains(e._1) && !present.contains(e._3))
+        if (cands.nonEmpty) {
+          val e = pick(cands)
+          present = present :+ e._3
+          joins = joins :+ ((e._1, e._2, e._3, e._4, "inner"))
+        }
+      }
+    }
+    val cols = present.flatMap(tables(_))
+    val numCols = cols.filter(_.isNum)
+    val keyCols = cols.filter(c => c.kind != 'D')
+    def sharedLeafOver(over: Seq[ColDef]): Pred = {
+      val overStr = over.filter(_.kind == 'S')
+      rnd.nextInt(10) match {
+        case n if n < 4 =>
+          val c = pick(over)
+          Cmp(c, pick(Seq("<", "<=", ">", ">=", "=", "<>")), litOf(c))
+        case n if n < 6 =>
+          val c = pick(over)
+          val pool = pools((c.table, c.name))
+          val k = 1 + rnd.nextInt(math.min(4, pool.size))
+          InList(c, Seq.fill(k)(pool(rnd.nextInt(pool.size))).distinct)
+        case n if n < 7 && overStr.nonEmpty =>
+          val c = pick(overStr)
+          val v = litOf(c).toString
+          val pre = v.take(1 + rnd.nextInt(
+            math.min(4, math.max(1, v.length))))
+            .filterNot(ch => ch == '%' || ch == '_' || ch == '\'')
+          if (pre.nonEmpty) LikePrefix(c, pre)
+          else Cmp(c, "=", litOf(c))
+        case n if n < 8 =>
+          val c = pick(over)
+          val (a, b) = (litOf(c), litOf(c))
+          val (lo, hi) = (a, b) match {
+            case (x: String, y: String) =>
+              if (x <= y) (a, b) else (b, a)
+            case _ =>
+              def d(v: Any): Double = v match {
+                case l: Long => l.toDouble
+                case i: Int => i.toDouble
+                case x: Double => x
+                case o => o.toString.toDouble
+              }
+              if (d(a) <= d(b)) (a, b) else (b, a)
+          }
+          Between(c, lo, hi)
+        case n if n < 9 && numCols.nonEmpty =>
+          ScalarCmp(pick(over.filter(_.isNum)),
+            pick(Seq("<", "<=", ">", ">=")),
+            pick(Seq("min", "max")), pick(allIntegralCols))
+        case _ => NullCheck(pick(over), isNull = rnd.nextBoolean())
+      }
+    }
+    def existsSemi(): Option[Semi] = {
+      val cands = joinEdges.filter(e =>
+        present.contains(e._1) && !present.contains(e._3))
+      if (cands.isEmpty) None
+      else {
+        val e = pick(cands)
+        val innerPred =
+          if (rnd.nextBoolean()) Some(sharedLeafOver(tables(e._3)))
+          else None
+        Some(Semi(e._1, e._2, e._3, e._4,
+          negated = rnd.nextInt(10) < 4, pred = innerPred,
+          asIn = rnd.nextInt(10) < 3))
+      }
+    }
+    // the family's core: an existential inside a disjunction
+    val orExists: Seq[Pred] =
+      if (rnd.nextInt(10) < 8) existsSemi().map { s =>
+        val tree = rnd.nextInt(10) match {
+          case n if n < 6 =>
+            Bin(sharedLeafOver(cols), ExistsPred(s), and = false)
+          case n if n < 8 =>
+            // two existentials OR'd: two ExistenceJoins in one filter
+            existsSemi() match {
+              case Some(s2) =>
+                Bin(ExistsPred(s), ExistsPred(s2), and = false)
+              case None =>
+                Bin(sharedLeafOver(cols), ExistsPred(s), and = false)
+            }
+          case _ =>
+            NotP(Bin(sharedLeafOver(cols), ExistsPred(s), and = false))
+        }
+        Seq(tree)
+      }.getOrElse(Seq.empty)
+      else Seq.empty
+    val plainPreds = Seq.fill(rnd.nextInt(2))(sharedLeafOver(cols))
+    val preds = plainPreds ++ orExists
+    def corrSub(alias: String): Option[OutCol] = {
+      val cands = joinEdges.filter(e => present.contains(e._1))
+      val preferred = cands.filter(e => !present.contains(e._3))
+      val pool = if (preferred.nonEmpty) preferred else cands
+      if (pool.isEmpty) None
+      else {
+        val e = pick(pool)
+        val func = pick(Seq("min", "max", "count"))
+        val innerInts = tables(e._3).filter(_.isIntegral)
+        val inner =
+          if (func == "count") innerInts.head else pick(innerInts)
+        Some(CorrSubCol(CorrScalar(e._1, e._2, e._3, e._4,
+          numCols.headOption.getOrElse(cols.head), ">=", func, inner),
+          alias))
+      }
+    }
+    def genOut(i: Int): OutCol = rnd.nextInt(10) match {
+      case n if n < 4 => PlainCol(pick(cols), s"c$i")
+      case n if n < 6 && numCols.nonEmpty =>
+        ArithCol(pick(numCols), pick(Seq("+", "-", "*")),
+          pick(numCols), s"c$i")
+      case n if n < 8 =>
+        ScalarSubCol(pick(Seq("min", "max")), pick(allIntegralCols),
+          s"c$i")
+      case _ =>
+        corrSub(s"c$i").getOrElse(PlainCol(pick(cols), s"c$i"))
+    }
+    val shape: Shape =
+      if (rnd.nextBoolean()) {
+        Proj((0 until (2 + rnd.nextInt(2))).map(genOut),
+          distinct = rnd.nextInt(10) < 2)
+      } else {
+        val groups = Seq.fill(1 + rnd.nextInt(2))(pick(keyCols)).distinct
+        val nAggs = 1 + rnd.nextInt(3)
+        val aggs = (0 until nAggs).map { i =>
+          rnd.nextInt(6) match {
+            case 0 => AggCol("count*", None, s"a$i")
+            case 1 => AggCol("count", Some(pick(cols)), s"a$i")
+            case 2 => AggCol("sum", Some(pick(numCols)), s"a$i")
+            case 3 => AggCol("min", Some(pick(cols)), s"a$i")
+            case 4 => AggCol("max", Some(pick(cols)), s"a$i")
+            case _ => AggCol("avg", Some(pick(numCols)), s"a$i")
+          }
+        }
+        val havingSub = aggs.find(_.func.startsWith("count"))
+          .filter(_ => rnd.nextInt(10) < 5)
+          .map(a => (a.alias, pick(Seq("min", "max")),
+            pick(allIntegralCols)))
+        Agg(groups, aggs, None, Seq.empty, havingSub)
+      }
+    def outKindV(o: OutCol): Char = o match {
+      case PlainCol(c, _) => c.kind
+      case ArithCol(a, _, b, _) =>
+        if (a.kind == 'D' || b.kind == 'D') 'D' else 'L'
+      case _: ScalarSubCol | _: CorrSubCol => 'L'
+      case _ => 'D' // not generated here; exclude from ORDER BY
+    }
+    def aggKindV(a: AggCol): Char = a.func match {
+      case "count*" | "count" => 'L'
+      case "sum" => if (a.col.get.kind == 'D') 'D' else 'L'
+      case "avg" => 'D'
+      case _ => a.col.get.kind
+    }
+    val outAliases: Seq[(String, Char)] = shape match {
+      case Proj(cs, _) => cs.map(o => o.alias -> outKindV(o))
+      case Agg(gs, as0, _, _, _) =>
+        gs.zipWithIndex.map { case (g, i) => s"g$i" -> g.kind } ++
+          as0.map(a => a.alias -> aggKindV(a))
+      case _ => Seq.empty
+    }
+    val orderLimit =
+      if (outAliases.forall(_._2 != 'D') && rnd.nextInt(10) < 5) {
+        val perm = rnd.shuffle(outAliases.map(_._1).toList)
+        Some((perm.map(a => (a, rnd.nextBoolean())),
+          1 + rnd.nextInt(50)))
+      } else None
+    FuzzQuery(seed, present.head, joins, preds, shape,
+      semis = Seq.empty, orderLimit = orderLimit, viaSql = true)
   }
 }

@@ -234,6 +234,76 @@ object FuzzQueries {
     orderLimit = Some((Seq(("g0", true), ("g1", true), ("a0", false),
       ("a1", true), ("a2", true)), 40)))
 
+  /** Round-14 viaSql family: EXISTS inside an OR disjunction —
+    * Catalyst plans an ExistenceJoin (marker-joined disjunct), not
+    * the left_semi of the conjunctive axis; DuckDB a mark join. The
+    * Spark side executes the SAME shared-dialect SQL text through
+    * spark.sql (the Column API cannot express a non-conjunctive
+    * EXISTS), so the driver's gate compares two PLANNERS over one
+    * string. Constants: acctbal sign, region bound — SF-invariant.
+    */
+  private val q103 = FuzzQuery(0, "customer",
+    joins = Seq.empty,
+    preds = Seq(Bin(
+      Cmp(cd("customer", "c_acctbal", 'D'), "<", 0.0),
+      ExistsPred(Semi("customer", "c_nationkey", "nation",
+        "n_nationkey", negated = false,
+        pred = Some(Cmp(cd("nation", "n_regionkey", 'I'), "<=", 1)))),
+      and = false)),
+    shape = Agg(
+      groups = Seq(cd("customer", "c_mktsegment", 'S')),
+      aggs = Seq(
+        AggCol("count*", None, "a0"),
+        AggCol("min", Some(cd("customer", "c_name", 'S')), "a1"),
+        AggCol("max", Some(cd("customer", "c_custkey", 'L')), "a2"))),
+    orderLimit = Some((Seq(("g0", true), ("a0", false), ("a1", true),
+      ("a2", true)), 25)),
+    viaSql = true)
+
+  /** Round-14 viaSql family: scalar subqueries IN THE SELECT LIST —
+    * an uncorrelated MIN and a correlated per-order customer MAX
+    * (Catalyst decorrelates to a left outer aggregate join). All
+    * integral outputs under a unique-key ORDER BY + LIMIT.
+    */
+  private val q104 = FuzzQuery(0, "orders",
+    joins = Seq.empty,
+    preds = Seq(Cmp(cd("orders", "o_orderstatus", 'S'), "<>", "P")),
+    shape = Proj(
+      cols = Seq(
+        PlainCol(cd("orders", "o_orderkey", 'L'), "c0"),
+        ScalarSubCol("min", cd("part", "p_size", 'I'), "c1"),
+        CorrSubCol(CorrScalar("orders", "o_custkey", "customer",
+          "c_custkey", cd("orders", "o_orderkey", 'L'), ">=", "max",
+          cd("customer", "c_nationkey", 'I')), "c2")),
+      distinct = false),
+    orderLimit = Some((Seq(("c0", true), ("c1", true), ("c2", true)),
+      40)),
+    viaSql = true)
+
+  /** Round-14 viaSql family: TRUE HAVING with a scalar-subquery
+    * bound — orders kept when their lineitem count reaches
+    * MAX(n_regionkey) = 4 (both distributions SF-invariant: 1..7
+    * lines per order, 5 regions), a filter that genuinely bites at
+    * every scale factor.
+    */
+  private val q105 = FuzzQuery(0, "lineitem",
+    joins = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey", "inner")),
+    preds = Seq.empty,
+    shape = Agg(
+      groups = Seq(cd("orders", "o_orderkey", 'L')),
+      aggs = Seq(
+        AggCol("count*", None, "a0"),
+        AggCol("sum", Some(cd("lineitem", "l_linenumber", 'I')),
+          "a1")),
+      having = None,
+      groupExprs = Seq.empty,
+      havingSub = Some(("a0", "max",
+        cd("nation", "n_regionkey", 'I')))),
+    orderLimit = Some((Seq(("g0", true), ("a0", false), ("a1", true)),
+      50)),
+    viaSql = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_fuzz_join_having" -> ((s, dir) => q94.toDF(s, dir)),
     "q95_fuzz_window_leftjoin" -> ((s, dir) => q95.toDF(s, dir)),
@@ -244,6 +314,9 @@ object FuzzQueries {
     "q100_fuzz_corr_in_subquery" -> ((s, dir) => q100.toDF(s, dir)),
     "q101_fuzz_tvl_fullouter" -> ((s, dir) => q101.toDF(s, dir)),
     "q102_fuzz_time_extract" -> ((s, dir) => q102.toDF(s, dir)),
+    "q103_fuzz_existence_join" -> ((s, dir) => q103.toDF(s, dir)),
+    "q104_fuzz_select_subqueries" -> ((s, dir) => q104.toDF(s, dir)),
+    "q105_fuzz_having_subquery" -> ((s, dir) => q105.toDF(s, dir)),
   )
 
   /** The oracle SQL IS the renderer's other output — one AST, two
@@ -259,5 +332,8 @@ object FuzzQueries {
     "q100_fuzz_corr_in_subquery" -> q100.sql,
     "q101_fuzz_tvl_fullouter" -> q101.sql,
     "q102_fuzz_time_extract" -> q102.sql,
+    "q103_fuzz_existence_join" -> q103.sql,
+    "q104_fuzz_select_subqueries" -> q104.sql,
+    "q105_fuzz_having_subquery" -> q105.sql,
   )
 }

@@ -60,7 +60,9 @@ class FuzzSpec extends SparkSpec {
     (1001 to 1060).foreach { seed =>
       val q = Iterator.from(seed, 7919)
         .map(s => QueryFuzzer.gen(s, pools))
-        .find(_.preds.nonEmpty).get
+        // viaSql queries can hold ExistsPred, which has no Column-API
+        // rendering — the TLP axis is Column-API-only by design
+        .find(q => q.preds.nonEmpty && !q.viaSql).get
       val base = q.baseDF(spark, sf001)
       val p = q.predColumn(spark, sf001, q.preds.head)
       val total = base.count()
@@ -338,6 +340,75 @@ class FuzzSpec extends SparkSpec {
       .nonEmpty, "EXTRACT predicate mutation missed")
   }
 
+  test("mutation negatives, one per round-14 viaSql construct " +
+    "family: a mutated oracle for EXISTS-in-OR / IN-subquery-in-OR / " +
+    "SELECT-list scalar subquery / SELECT-list correlated subquery / " +
+    "HAVING-side subquery is reported as a divergence") {
+    assume(Differ.duckAvailable(), "python3+duckdb not available")
+    import QueryFuzzer._
+    def cd(t: String, n: String, k: Char) = ColDef(t, n, k)
+    def mDiff(q: FuzzQuery, mutated: String): Option[String] =
+      diff(q, duck(Map("m" -> mutated))("m"))
+    val countStar = Agg(Nil, Seq(AggCol("count*", None, "a0")))
+
+    // EXISTS inside OR (ExistenceJoin): flip to NOT EXISTS — the
+    // disjunction now selects the complementary nation-region set
+    val exSemi = Semi("customer", "c_nationkey", "nation",
+      "n_nationkey", negated = false,
+      pred = Some(Cmp(cd("nation", "n_regionkey", 'I'), "=", 0)))
+    val qE = FuzzQuery(0, "customer", Nil,
+      preds = Seq(Bin(
+        Cmp(cd("customer", "c_acctbal", 'D'), "<", 0.0),
+        ExistsPred(exSemi), and = false)),
+      shape = countStar, viaSql = true)
+    assert(qE.sql.contains("OR (EXISTS"), "qE did not render OR-EXISTS")
+    assert(mDiff(qE, qE.sql.replace("OR (EXISTS", "OR (NOT EXISTS"))
+      .nonEmpty, "EXISTS-in-OR mutation missed")
+
+    // IN (subquery) inside OR (mark-join disjunct): IN -> NOT IN
+    val qIn = FuzzQuery(0, "customer", Nil,
+      preds = Seq(Bin(
+        Cmp(cd("customer", "c_acctbal", 'D'), "<", 0.0),
+        ExistsPred(exSemi.copy(asIn = true)), and = false)),
+      shape = countStar, viaSql = true)
+    assert(qIn.sql.contains(" IN (SELECT"), "qIn did not render as IN")
+    assert(mDiff(qIn, qIn.sql.replace(" IN (SELECT", " NOT IN (SELECT"))
+      .nonEmpty, "IN-subquery-in-OR mutation missed")
+
+    // SELECT-list scalar subquery: MIN -> MAX (p_size spans 1..50)
+    val qS = FuzzQuery(0, "region", Nil, Nil,
+      Proj(Seq(PlainCol(cd("region", "r_regionkey", 'I'), "c0"),
+        ScalarSubCol("min", cd("part", "p_size", 'I'), "c1")),
+        distinct = false), viaSql = true)
+    assert(mDiff(qS, qS.sql.replace("MIN(", "MAX(")).nonEmpty,
+      "SELECT-list scalar subquery mutation missed")
+
+    // SELECT-list CORRELATED subquery: per-customer nation count is
+    // 1; +1 in the oracle shifts every value
+    val qC = FuzzQuery(0, "customer", Nil, Nil,
+      Proj(Seq(PlainCol(cd("customer", "c_custkey", 'L'), "c0"),
+        CorrSubCol(CorrScalar("customer", "c_nationkey", "nation",
+          "n_nationkey", cd("customer", "c_custkey", 'L'), ">=",
+          "count", cd("nation", "n_nationkey", 'I')), "c1")),
+        distinct = false), viaSql = true)
+    assert(mDiff(qC, qC.sql.replace("(SELECT COUNT(*)",
+      "(SELECT COUNT(*) + 1")).nonEmpty,
+      "SELECT-list correlated subquery mutation missed")
+
+    // HAVING-side subquery: MIN(p_size)=1 keeps every group,
+    // MAX(p_size)=50 beats every segment count at sf0.001
+    val qH = FuzzQuery(0, "customer", Nil, Nil,
+      Agg(Seq(cd("customer", "c_mktsegment", 'S')),
+        Seq(AggCol("count*", None, "a0")), None, Seq.empty,
+        havingSub = Some(("a0", "min", cd("part", "p_size", 'I')))),
+      viaSql = true)
+    assert(qH.sql.contains("HAVING COUNT(*) >= (SELECT MIN(p_size)"),
+      "qH did not render a HAVING subquery")
+    assert(mDiff(qH, qH.sql.replace("MIN(p_size)", "MAX(p_size)"))
+      .exists(_.startsWith("rows:")),
+      "HAVING-side subquery mutation missed")
+  }
+
   test(s"differential fuzz: $NumQueries seeded random queries agree " +
     "with DuckDB on sorted values (filters, FK joins, EXISTS/NOT " +
     "EXISTS, aggregates, HAVING, DISTINCT, windows, scalar " +
@@ -356,10 +427,10 @@ class FuzzSpec extends SparkSpec {
     assert(queries.values.exists(_.joins.exists(_._5 == "full")),
       "no full outer join")
     assert(queries.values.exists(_.shape match {
-      case QueryFuzzer.Agg(_, _, Some(_), _) => true; case _ => false
+      case QueryFuzzer.Agg(_, _, Some(_), _, _) => true; case _ => false
     }), "no HAVING produced")
     assert(queries.values.exists(_.shape match {
-      case QueryFuzzer.Agg(_, _, _, ges) => ges.nonEmpty
+      case QueryFuzzer.Agg(_, _, _, ges, _) => ges.nonEmpty
       case _ => false
     }), "no GROUP BY expression produced")
     assert(queries.values.exists(_.orderLimit.isDefined),
@@ -411,7 +482,7 @@ class FuzzSpec extends SparkSpec {
     assert(queries.values.exists(_.semis.exists(_.asIn)),
       "no IN (subquery) produced")
     assert(queries.values.exists(_.shape match {
-      case QueryFuzzer.Agg(_, as0, _, _) =>
+      case QueryFuzzer.Agg(_, as0, _, _, _) =>
         as0.exists(_.func == "count_distinct")
       case _ => false
     }), "no COUNT(DISTINCT) produced")
@@ -421,7 +492,7 @@ class FuzzSpec extends SparkSpec {
     assert(queries.values.exists(q =>
       anyPred(q) { case _: QueryFuzzer.TimeCmp => true; case _ => false } ||
         (q.shape match {
-          case QueryFuzzer.Agg(_, _, _, ges) =>
+          case QueryFuzzer.Agg(_, _, _, ges, _) =>
             ges.exists(_.kind.startsWith("t"))
           case QueryFuzzer.Proj(cs, _) =>
             cs.exists(_.isInstanceOf[QueryFuzzer.TimeFuncCol])
