@@ -150,7 +150,8 @@ object Versioned {
   private def commitManifest(stats: DataFrame, root: String,
                              version: Int,
                              overwrite: Boolean = true,
-                             tsMs: Option[Long] = None): Unit = {
+                             tsMs: Option[Long] = None,
+                             txn: Option[(String, Long)] = None): Unit = {
     val tmp = s"$root/_graft_manifest/_tmp_v${version}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -158,6 +159,16 @@ object Versioned {
       java.nio.file.Paths.get(tmp, "_commit_ts"),
       (tsMs.getOrElse(System.currentTimeMillis()).toString + "\n")
         .getBytes("UTF-8"))
+    // transaction tag (the Delta txnAppId/txnVersion shape): written
+    // INSIDE the manifest dir before the rename, so it is atomic with
+    // the commit — [[lastTxnVersion]] makes streaming-writer restarts
+    // idempotent by SKIP (put-if-absent + already-committed check),
+    // never by history-rewriting overwrite
+    txn.foreach { case (app, tv) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "_txn"),
+        s"$tv\n$app\n".getBytes("UTF-8"))
+    }
     val target = new java.io.File(manifestDir(root, version))
     var aside: Option[java.io.File] = None
     if (target.exists()) {
@@ -357,9 +368,44 @@ object Versioned {
 
   /** Commit `df` as `version` (a full snapshot — the initial load). */
   def write(df: DataFrame, root: String, keyCol: String, version: Int,
-            nFiles: Int, overwrite: Boolean = true): Unit = {
+            nFiles: Int, overwrite: Boolean = true,
+            txn: Option[(String, Long)] = None): Unit = {
     val stats = writeFileGroup(df, root, keyCol, nFiles)
-    commitManifest(stats, root, version, overwrite)
+    commitManifest(stats, root, version, overwrite, txn = txn)
+  }
+
+  /** Highest writer-transaction version `appId` has committed to this
+    * table, or None — the read half of the Delta txnAppId/txnVersion
+    * idempotence contract: a restarted streaming writer asks "did my
+    * batch N already commit?" and SKIPS the commit if so, instead of
+    * overwriting history (an overwrite rewrites a snapshot a
+    * concurrent OCC committer may already have read — the
+    * drain × maintenance content-loss race DrainMaintRaceFuzzSpec
+    * caught on its first run). Scans manifests newest-first and
+    * returns at the first tag owned by `appId` (a writer's txn
+    * versions are monotone in commit order, so the newest tag IS the
+    * max); cost is O(commits since the app's last commit) tiny-file
+    * reads, zero data scanned. Retention note: [[expire]] drops old
+    * manifests and their tags — keep at least one version beyond the
+    * writer's restart window (any sane retention does).
+    */
+  def lastTxnVersion(root: String, appId: String): Option[Long] = {
+    val latest =
+      try latestVersion(root) catch { case _: Throwable => return None }
+    val first = try oldestVersion(root) catch { case _: Throwable => 1 }
+    var v = latest
+    while (v >= first) {
+      val f = new java.io.File(manifestDir(root, v), "_txn")
+      if (f.exists()) {
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n", 2)
+        if (lines.length == 2 && lines(1).trim == appId)
+          return Some(lines(0).trim.toLong)
+      }
+      v -= 1
+    }
+    None
   }
 
   /** (data paths, tombstone paths) of `version`. */
@@ -925,7 +971,8 @@ object Versioned {
     */
   def merge(s: SparkSession, root: String, keyCol: String, opCol: String,
             changes: DataFrame, fromVersion: Int, toVersion: Int,
-            overwrite: Boolean = true): Unit = {
+            overwrite: Boolean = true,
+            txn: Option[(String, Long)] = None): Unit = {
     val man = manifest(s, root, fromVersion).cache()
     require(man.filter(col("kind") === "delete").isEmpty,
       s"merge requires a tombstone-free from-version; run compact($fromVersion) first")
@@ -977,7 +1024,7 @@ object Versioned {
         writeFileGroup(merged, root, keyCol, math.max(1, affected.size))
       }
     commitManifest(untouched.unionByName(newStats), root, toVersion,
-      overwrite)
+      overwrite, txn = txn)
     man.unpersist(blocking = false)
   }
 }

@@ -1373,11 +1373,48 @@ object Streams {
     val keep = fresh.filter(col("q") >= 0.5)
       .withColumn("commit_v", lit(v)).cache()
     maybeCrash("pre_commit")
-    if (v == 1)
-      Versioned.write(keep, root, "doc_id", version = 1, nFiles = 2)
-    else
-      Versioned.merge(s2, root, "doc_id", "op",
-        keep.withColumn("op", lit("U")), v - 1, v)
+    // Versioned commit — idempotent via TRANSACTION SKIP (the Delta
+    // txnAppId/txnVersion pattern) + OCC put-if-absent at latest+1,
+    // NEVER overwrite. The old protocol (deterministic version v,
+    // overwrite = true) was crash-resume-idempotent but rewrote
+    // history under a CONCURRENT maintenance session: a compactor
+    // cascading no-op commits ahead of the drain (v2 = copy of v1,
+    // ..., v5 = copy of a stale v4) left `latest` serving batch-0's
+    // content forever while the drain's overwrites landed below it —
+    // total content loss at the reader, caught by
+    // DrainMaintRaceFuzzSpec's first run (seed 1, no kill even
+    // needed). Under txn-skip the re-run of a committed batch skips
+    // the commit (no history rewrite), an uncommitted batch claims
+    // latest+1 by put-if-absent and retries on losing the race, so
+    // maintenance can never read a snapshot that later changes. The
+    // `commit_v` COLUMN keeps the data-derived label v (attribution
+    // is content, not manifest numbering).
+    val txnApp = "corpus-ingest"
+    val alreadyCommitted =
+      Versioned.lastTxnVersion(root, txnApp).exists(_ >= batchId)
+    if (!alreadyCommitted) {
+      var committed = false
+      while (!committed) {
+        val parent =
+          try Versioned.latestVersion(root) catch { case _: Throwable => 0 }
+        try {
+          if (parent == 0)
+            Versioned.write(keep, root, "doc_id", version = 1,
+              nFiles = 2, overwrite = false,
+              txn = Some((txnApp, batchId)))
+          else
+            Versioned.merge(s2, root, "doc_id", "op",
+              keep.withColumn("op", lit("U")), parent, parent + 1,
+              overwrite = false, txn = Some((txnApp, batchId)))
+          committed = true
+        } catch {
+          // lost the put-if-absent to a concurrent committer: re-read
+          // the parent and retry (the loser's file group is an orphan
+          // vacuumOrphans reclaims under its grace window)
+          case _: Versioned.ConcurrentCommitException => ()
+        }
+      }
+    }
     maybeCrash("post_commit")
     // append accepted fps to the store, sized by ROWS exactly like
     // compaction: a micro-batch accepting tens of millions of new
