@@ -652,15 +652,33 @@ object Similarity {
     * differ by accumulated ulps (assignments, not raw components, are
     * the invariant to rely on).
     */
+  /** [[kmeansFit]]'s seeded INIT selection as a DataFrame — the k
+    * unitized vectors with the smallest content-keyed md5 draw
+    * (ties broken by id), IN SELECTION ORDER. Split out as the
+    * single source of truth (the momentsPass move): kmeansFit
+    * consumes exactly these rows, the s28 oracle replays them in
+    * DuckDB (the draw is 8 md5 hex digits / 2^32 — every term exact
+    * in a double, so the cross-engine sort keys are IDENTICAL, and
+    * the per-row unitization is a 64-term left-associated fold, the
+    * s24/s25 bit-exact contract), and SimilaritySpec equates
+    * kmeansFit(iters = 0) to it. Scale shape: a TakeOrdered top-k
+    * over one narrow pass — never a global sort.
+    */
+  def kmeansInitDf(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame =
+    unitized(corpus, idCol, vecCol, "id", "v")
+      .withColumn("u", TextAnalysis.hashUniform(col("id"), "km"))
+      .orderBy("u", "id").limit(k)
+      .select(col("id"), col("v"))
+
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): IndexedSeq[Array[Double]] = {
     import org.apache.spark.storage.StorageLevel
-    val u = unitized(corpus, idCol, vecCol, "id", "v")
-      .withColumn("u", TextAnalysis.hashUniform(col("id"), "km"))
-    val init = u.orderBy("u", "id").limit(k)
+    val init = kmeansInitDf(corpus, idCol, vecCol, k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(init.length == k, s"need >= $k vectors, got ${init.length}")
-    val vecs = u.select("v").rdd.map(_.getSeq[Double](0).toArray)
+    val vecs = unitized(corpus, idCol, vecCol, "id", "v")
+      .select("v").rdd.map(_.getSeq[Double](0).toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = init.head.length

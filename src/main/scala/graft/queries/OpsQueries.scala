@@ -1604,6 +1604,31 @@ object OpsQueries {
         .orderBy("cell", "j")
     }),
 
+    // the k-means SEEDED INIT under the oracle gate (round 14): the 8
+    // unitized vectors kmeansFit starts from, selected by the
+    // smallest content-keyed md5 draw (ties by id) — the one piece of
+    // the training family the round-13 verdict still listed as
+    // engine-specific. It is not: the draw is 8 md5 hex digits / 2^32
+    // (every term a dyadic-exact double, so both engines sort on
+    // IDENTICAL keys), and the per-row unitization is the s24/s25
+    // bit-exact 64-term left-associated fold — the values gate
+    // UNROUNDED (+0.0 signed-zero guard only). kmeansInitDf is the
+    // production selection (kmeansFit consumes exactly it, spec-gated
+    // at iters = 0); the 8-row collect is codebook-sized. With s25
+    // (one step), s27 (composition) and s28 (init), only FLOAT
+    // multi-iteration convergence remains spec-only for k-means.
+    "s28_kmeans_seeded_init" -> ((s, dir) => {
+      import s.implicits._
+      val sel = Similarity.kmeansInitDf(embs(s, dir), "vec_id",
+          "embedding", 8)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      sel.zipWithIndex.toSeq.flatMap { case ((id, v), r) =>
+        v.zipWithIndex.map { case (x, j) =>
+          (r + 1, id, j + 1, x + 0.0) }
+      }.toDF("rank", "vec_id", "j", "val")
+        .orderBy("rank", "j")
+    }),
+
     // Zipf's-law fit per language (corpus-statistics audit): token
     // frequencies ranked per language, OLS of ln(freq) on ln(rank)
     // over the top 100 terms — slope ≈ -1 is the Zipf signature,
@@ -2306,6 +2331,38 @@ object OpsQueries {
     "s24_pq_adc_pinned" -> s24OracleSql,
     "s25_lloyd_step_pinned" -> s25OracleSql,
     "s27_lloyd_two_steps" -> s27OracleSql,
+
+    // k-means seeded init replay: the md5 draw is 8 hex digits / 2^32
+    // — every term dyadic-exact in a double on both engines, so the
+    // (draw, vec_id) sort keys are identical; unitization is the
+    // unrolled left-associated fold (bit-exact, values UNROUNDED,
+    // + 0.0 signed-zero guard only)
+    "s28_kmeans_seeded_init" -> s"""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   sqrt(${(1 to 64).map(i => s"e[$i] * e[$i]")
+                     .mkString(" + ")}) AS nrm
+            FROM e0),
+      u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS v
+            FROM n),
+      d AS (SELECT vec_id, v,
+                   CAST(list_sum(list_transform(range(1, 9), i ->
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR) || 'km'),
+                          CAST(i AS INT), 1)) - 1)
+                     * power(16, 8 - i))) AS DOUBLE) / 4294967296.0
+                     AS draw
+            FROM u),
+      sel AS (SELECT vec_id, v,
+                     CAST(ROW_NUMBER() OVER (ORDER BY draw, vec_id)
+                       AS INTEGER) AS rank
+              FROM d)
+      SELECT rank, vec_id, CAST(gs.j AS INTEGER) AS j,
+             v[gs.j] + 0.0 AS val
+      FROM sel, (SELECT UNNEST(generate_series(1, 64)) AS j) gs
+      WHERE rank <= 8
+      ORDER BY rank, j""",
 
     // PCA moment replay: per-(i,j) sample covariance from the same
     // sums the engine's one-pass treeAggregate accumulates —

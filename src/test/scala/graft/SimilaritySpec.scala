@@ -971,6 +971,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansInitDf IS kmeansFit's seeded init: iters = 0 returns " +
+    "exactly the selected unitized vectors, in selection order") {
+    val n = 60; val dim = 8
+    val data = (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(j => math.sin(i * 13 + j * 5) + 1.5).toSeq)
+    }
+    val df = data.toDF("id", "vec")
+    val sel = Similarity.kmeansInitDf(df, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(sel.length == 5)
+    // selection order: ascending content-keyed draw, ties by id —
+    // recompute the draw independently (the md5/2^32 rule)
+    def draw(id: Long): Double =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${id}km".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+        .toDouble / 4294967296.0
+    val expected = data.map(_._1).sortBy(id => (draw(id), id)).take(5)
+    assert(sel.map(_._1).toSeq == expected,
+      s"selection order diverged: ${sel.map(_._1).toSeq} vs $expected")
+    // kmeansFit at iters = 0 starts from these vectors — it
+    // defensively re-unitizes its init (caller-supplied codebooks
+    // need it), which on an already-unit vector divides by a norm
+    // one ulp off 1.0; equality holds to that single ulp
+    val cents = Similarity.kmeansFit(df, "id", "vec", k = 5, iters = 0)
+    sel.map(_._2).zip(cents).zipWithIndex.foreach {
+      case ((a, b), i) =>
+        a.zip(b).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= 2 * Math.ulp(x),
+            s"init $i diverged beyond re-unitization ulps: $x vs $y") }
+    }
+    // and the selected vectors are unit (the per-row fold the s28
+    // oracle replays bit-exact)
+    sel.foreach { case (_, v) =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("autoIvfSelfJoinParams: Long-checked nlist fails fast past " +
     "Int range instead of wrapping") {
     // n = 3e17 -> 4*sqrt(n) ~ 2.19e9 > Int.MaxValue: the old .toInt
