@@ -408,6 +408,45 @@ object Versioned {
     None
   }
 
+  /** Exactly-once writer-transaction commit: runs `attempt(parent)`
+    * (which must commit at `parent + 1` with `overwrite = false` and
+    * the (`appId`, `txnVersion`) tag) unless `txnVersion` is already
+    * committed, retrying lost OCC races against a re-read parent.
+    * Returns true iff THIS call committed.
+    *
+    * The subtle clause is the RE-CHECK inside the retry: the writer
+    * that beat us to `parent + 1` may have been our own TWIN — a
+    * zombie incarnation of the same streaming query committing the
+    * SAME batch (Spark drivers are not fenced; the restarted query
+    * and its not-yet-dead predecessor can overlap, which is the
+    * entire reason the txnAppId/txnVersion pattern exists). A retry
+    * that only re-reads `parent` would then re-commit the batch the
+    * twin just committed — duplicate delivery through the exactness
+    * machinery itself. Checking [[lastTxnVersion]] again after every
+    * lost race closes that window: either the txn tag is now visible
+    * (the loss WAS our twin — skip, exactly-once holds) or it is not
+    * (an unrelated writer — retry on the new parent). Cost per lost
+    * race is O(commits since our last tag) tiny-file reads, zero data.
+    */
+  def commitOnce(root: String, appId: String, txnVersion: Long)
+                (attempt: Int => Unit): Boolean = {
+    def committed: Boolean =
+      lastTxnVersion(root, appId).exists(_ >= txnVersion)
+    if (committed) return false
+    while (true) {
+      val parent =
+        try latestVersion(root) catch { case _: Throwable => 0 }
+      try { attempt(parent); return true }
+      catch {
+        case _: ConcurrentCommitException =>
+          if (committed) return false
+        // any other failure propagates: the caller's crash-resume
+        // re-enters through the same already-committed check
+      }
+    }
+    false // unreachable
+  }
+
   /** (data paths, tombstone paths) of `version`. */
   private def pathsByKind(s: SparkSession, root: String,
                           version: Int): (Seq[String], Seq[String]) = {

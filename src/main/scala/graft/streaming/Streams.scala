@@ -1186,6 +1186,34 @@ object Streams {
     * come from the previous value — exactly what the first attempt
     * used. Long.MinValue encodes "no event time seen yet".
     */
+  /** The stream's durable writer identity: a UUID persisted once in
+    * the stream's scratch (`_app.id` beside the fp store), the role
+    * Spark's checkpoint query-id plays for Delta's txnAppId. Same
+    * scratch — a crash-resume or a zombie twin of the SAME query —
+    * reads the same id, so the txn skip dedupes their batches;
+    * a DIFFERENT stream has its own scratch and so its own id and
+    * txn history. Creation is put-if-absent (write-temp +
+    * no-replace rename), so twins racing the first batch agree on
+    * one id; the file is written before the batch's commit, so any
+    * committed tag implies the id is durable.
+    */
+  private def streamAppId(storeDir: String): String = {
+    val f = new java.io.File(storeDir, "_app.id")
+    if (!f.exists()) {
+      val tmp = new java.io.File(storeDir,
+        s"_app.id.tmp${java.util.UUID.randomUUID().toString}")
+      java.nio.file.Files.write(tmp.toPath,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp.toPath, f.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.delete() // a twin won the put-if-absent — use its id
+      }
+    }
+    new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+  }
+
   private def readHw(storeDir: String): Option[(Long, Long, Long)] = {
     val f = new java.io.File(storeDir, "hw.v")
     if (!f.exists()) None
@@ -1345,9 +1373,17 @@ object Streams {
             val late = batch.filter(col(tsCol) < wm)
               .withColumn("commit_v", lit(v)).cache()
             val nLate = late.count()
+            // namespaced by the STREAM's app id: v is the data-derived
+            // batch label, so two streams draining the same table both
+            // mint v=1,2,... — an un-namespaced overwrite would clobber
+            // the other stream's quarantine (content loss at the
+            // corpusWithLate reader, caught by DualDrainRaceFuzzSpec).
+            // Overwriting the stream's OWN (app, v) cell stays the
+            // crash-resume idempotence rule.
             if (nLate > 0)
               late.repartition(nFilesFor(nLate)).write.mode("overwrite")
-                .parquet(s"$root/_quarantine_late/v=$v")
+                .parquet(s"$root/_quarantine_late/" +
+                  s"app=${streamAppId(storeDir)}/v=$v")
             late.unpersist()
             batch.filter(col(tsCol) >= wm)
         }
@@ -1389,31 +1425,24 @@ object Streams {
     // maintenance can never read a snapshot that later changes. The
     // `commit_v` COLUMN keeps the data-derived label v (attribution
     // is content, not manifest numbering).
-    val txnApp = "corpus-ingest"
-    val alreadyCommitted =
-      Versioned.lastTxnVersion(root, txnApp).exists(_ >= batchId)
-    if (!alreadyCommitted) {
-      var committed = false
-      while (!committed) {
-        val parent =
-          try Versioned.latestVersion(root) catch { case _: Throwable => 0 }
-        try {
-          if (parent == 0)
-            Versioned.write(keep, root, "doc_id", version = 1,
-              nFiles = 2, overwrite = false,
-              txn = Some((txnApp, batchId)))
-          else
-            Versioned.merge(s2, root, "doc_id", "op",
-              keep.withColumn("op", lit("U")), parent, parent + 1,
-              overwrite = false, txn = Some((txnApp, batchId)))
-          committed = true
-        } catch {
-          // lost the put-if-absent to a concurrent committer: re-read
-          // the parent and retry (the loser's file group is an orphan
-          // vacuumOrphans reclaims under its grace window)
-          case _: Versioned.ConcurrentCommitException => ()
-        }
-      }
+    // the app id is PER STREAM (persisted in the stream's scratch),
+    // not a global constant: txnVersion is the stream's OWN batch
+    // counter, so a shared app id would make two DIFFERENT ingest
+    // streams draining into the same table skip each other's batches
+    // as "already committed" — silent content loss, caught by
+    // DualDrainRaceFuzzSpec. Same scratch (crash-resume, zombie twin)
+    // → same id → skip is correct; different stream → different id →
+    // independent txn history (Delta's txnAppId-per-query contract).
+    val txnApp = s"corpus-ingest-${streamAppId(storeDir)}"
+    Versioned.commitOnce(root, txnApp, batchId) { parent =>
+      if (parent == 0)
+        Versioned.write(keep, root, "doc_id", version = 1,
+          nFiles = 2, overwrite = false,
+          txn = Some((txnApp, batchId)))
+      else
+        Versioned.merge(s2, root, "doc_id", "op",
+          keep.withColumn("op", lit("U")), parent, parent + 1,
+          overwrite = false, txn = Some((txnApp, batchId)))
     }
     maybeCrash("post_commit")
     // append accepted fps to the store, sized by ROWS exactly like
@@ -1453,8 +1482,17 @@ object Streams {
     val committed = corpusAttribution(spark, root)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("q"),
         col("commit_v"), lit("committed").as("status"))
-    val dirs = Option(new java.io.File(s"$root/_quarantine_late")
+    // leaf v= dirs at either depth: `app=<id>/v=<k>` (per-stream
+    // namespace — two streams on one table cannot clobber each
+    // other) or the legacy flat `v=<k>`
+    val top = Option(new java.io.File(s"$root/_quarantine_late")
         .listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    val dirs = top.flatMap { d =>
+      if (d.getName.startsWith("app="))
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+      else Array(d)
+    }
     if (dirs.isEmpty) committed
     else committed.unionByName(
       spark.read.parquet(dirs.map(_.getAbsolutePath).toSeq: _*)

@@ -223,4 +223,59 @@ class CommitRaceFuzzSpec extends SparkSpec {
     assert(cceTotal >= 1, "no optimistic-commit conflict ever fired " +
       "— the schedules never actually raced")
   }
+
+  test("commitOnce: losing the put-if-absent to a ZOMBIE TWIN (same " +
+    "app, same txnVersion) SKIPS instead of re-committing; losing to " +
+    "an unrelated writer retries and commits exactly once; an " +
+    "already-committed txn short-circuits without calling attempt") {
+    val root = TempDirs.createCleanedAtExit("graft-commitonce") + "/t"
+    def rows(tag: String) =
+      (0 until 8).map(i => (i.toLong, tag)).toDF("k", "status")
+    Versioned.write(rows("base"), root, "k", version = 1, nFiles = 1)
+
+    // twin scenario, deterministically interleaved: the twin's commit
+    // of the SAME (app, txn) lands between our parent read and our
+    // rename — simulated by committing it inside the attempt callback
+    var attempts = 0
+    val didCommit = Versioned.commitOnce(root, "app-x", 7L) { parent =>
+      attempts += 1
+      Versioned.write(rows("twin"), root, "k", parent + 1, 1,
+        overwrite = false, txn = Some(("app-x", 7L)))
+      // our own commit at the same version now loses the race
+      Versioned.write(rows("ours"), root, "k", parent + 1, 1,
+        overwrite = false, txn = Some(("app-x", 7L)))
+    }
+    assert(!didCommit, "the twin committed txn 7 — we must report " +
+      "skip, not a commit")
+    assert(attempts == 1, s"retried after the twin's commit " +
+      s"($attempts attempts) — duplicate delivery")
+    assert(Versioned.latestVersion(root) == 2,
+      "exactly one version minted for txn 7")
+    assert(Versioned.lastTxnVersion(root, "app-x").contains(7L))
+
+    // unrelated-winner scenario: first attempt loses to app-y; the
+    // retry must commit (txn 8 is NOT committed by anyone else)
+    var tries = 0
+    val did2 = Versioned.commitOnce(root, "app-x", 8L) { parent =>
+      tries += 1
+      if (tries == 1)
+        Versioned.write(rows("other"), root, "k", parent + 1, 1,
+          overwrite = false, txn = Some(("app-y", 99L)))
+      Versioned.write(rows("mine8"), root, "k", parent + 1, 1,
+        overwrite = false, txn = Some(("app-x", 8L)))
+    }
+    assert(did2, "txn 8 was never committed elsewhere — the retry " +
+      "must commit it")
+    assert(tries == 2, s"expected one lost race + one retry, got $tries")
+    assert(Versioned.lastTxnVersion(root, "app-x").contains(8L))
+    assert(Versioned.lastTxnVersion(root, "app-y").contains(99L))
+
+    // already-committed short-circuit: attempt must not run at all
+    var called = false
+    val did3 = Versioned.commitOnce(root, "app-x", 7L) { _ =>
+      called = true
+    }
+    assert(!did3 && !called,
+      "txn 7 is committed — attempt must not be invoked")
+  }
 }

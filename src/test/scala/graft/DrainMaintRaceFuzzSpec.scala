@@ -20,16 +20,19 @@ import graft.streaming.Streams
   * documented contract that makes vacuum safe under in-flight
   * writers).
   *
-  * The version algebra under race: the drain mints DETERMINISTIC
-  * versions from the data's split key (crash-resume idempotence) and
-  * commits with `overwrite = true`; the maintenance session mints
-  * `latest + 1` with `overwrite = false`. A maintenance commit that
-  * lands on a version the drain later claims is OVERWRITTEN by the
-  * drain's merge — benign by construction (compaction preserved
-  * content, and the merge reads `v - 1`, never the clobbered
-  * manifest), and exactly the interleaving this spec drives through
-  * seeded schedules, half of them with a mid-drain KILL + resume so
-  * the re-run's idempotent overwrite also races maintenance.
+  * The version algebra under race (the protocol this spec's first
+  * run forced): BOTH sessions mint `latest + 1` with
+  * `overwrite = false` — the drain's idempotence comes from the
+  * txnAppId/txnVersion tag (re-runs of a committed batch SKIP, they
+  * never rewrite history), and a lost put-if-absent re-reads the
+  * parent and retries via [[Versioned.commitOnce]]. The OLD protocol
+  * (data-derived deterministic versions, `overwrite = true`) was
+  * crash-resume-idempotent solo but lost ALL content under this very
+  * schedule: maintenance no-op compactions cascaded ahead of the
+  * drain's overwrites, leaving `latest` serving batch-0 forever
+  * (caught by this spec's first run, seed 1, no kill needed). Half
+  * the schedules add a mid-drain KILL + resume so the re-run's
+  * txn-skip path also races maintenance.
   *
   * Scope note: the fp STORE (scratch/store) is checkpoint-scoped
   * single-writer by contract — the streaming checkpoint admits one
