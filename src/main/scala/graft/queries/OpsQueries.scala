@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Pca, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hll, Multimodal, Pca, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (builder-prompt first-class surface
   * beyond SURVEY.md §2): dedup (exact/MinHash-LSH/SimHash/n-gram
@@ -1629,6 +1629,33 @@ object OpsQueries {
         .orderBy("rank", "j")
     }),
 
+    // HyperLogLog BUILD under the oracle gate (round 14): per-day
+    // register tables (p = 12) over event ids — the gateable twin of
+    // q43's engine-specific DataSketches binaries. Register index and
+    // rank rho are pure INTEGER functions of the md5 hex draw (first
+    // 12 bits / leading-zero run of the next 60), so the table is
+    // byte-exact across engines by construction — no rounding, no sum
+    // order, no float formatting. One map-side-combined shuffle;
+    // ≤ 4096 rows per day at any corpus size.
+    "s29_hll_registers" -> ((s, dir) =>
+      Hll.registers(Tables(s, dir, "events"), col("event_id"), "hll",
+          Seq(col("ts").cast("date").cast("string").as("day")))
+        .orderBy("day", "register")),
+
+    // HyperLogLog MERGE + ESTIMATE under the gate: the s29 daily
+    // sketches rolled up by elementwise register max (the associative
+    // sketch union — the 100-TB rollup primitive), then the one-row
+    // summary. The harmonic denominator S = sum 2^(61-rho) is held as
+    // EXACT bit-32-split BIGINT sums (integer addition is associative
+    // — no order ulps), and est_raw = alphaM2 / (S/2^61 + V) is a
+    // fixed tree of correctly-rounded IEEE ops over exactly-determined
+    // inputs, so it gates UNROUNDED. The libm-crossing linear-counting
+    // correction stays spec-side (SketchSpec) with V carried here.
+    "s30_hll_merge_estimate" -> ((s, dir) =>
+      Hll.summary(Hll.merge(
+        Hll.registers(Tables(s, dir, "events"), col("event_id"), "hll",
+          Seq(col("ts").cast("date").cast("string").as("day")))))),
+
     // Zipf's-law fit per language (corpus-statistics audit): token
     // frequencies ranked per language, OLS of ln(freq) on ln(rank)
     // over the top 100 terms — slope ≈ -1 is the Zipf signature,
@@ -2327,6 +2354,39 @@ object OpsQueries {
       FROM tot t LEFT JOIN shr s USING (doc_id)
       ORDER BY t.doc_id"""
 
+  /** Shared DuckDB CTE for the s29/s30 HLL replay: the per-day
+    * register table (register = first 3 md5 hex digits as a 12-bit
+    * int; rho = 1 + leading-zero bits of the next 15 digits, the
+    * whole-digit run via ltrim('0') plus a CASE on the first nonzero
+    * digit — mirrors [[graft.ops.Hll.rhoOf]] exactly). `tail` is the
+    * query to run over `regs`.
+    */
+  private def hllRegistersCte(tail: String): String = s"""
+      WITH h AS (SELECT CAST(ts AS DATE) AS day,
+                        md5(CAST(event_id AS VARCHAR) || 'hll') AS h
+                 FROM events),
+      r AS (SELECT day,
+              CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                AS INTEGER) AS register,
+              ltrim(substr(h, 4, 15), '0') AS t
+            FROM h),
+      rho AS (SELECT day, register,
+                CASE WHEN length(t) = 0 THEN 61
+                     ELSE 4 * (15 - length(t)) +
+                       CASE WHEN strpos('0123456789abcdef',
+                                   substr(t, 1, 1)) - 1 >= 8 THEN 0
+                            WHEN strpos('0123456789abcdef',
+                                   substr(t, 1, 1)) - 1 >= 4 THEN 1
+                            WHEN strpos('0123456789abcdef',
+                                   substr(t, 1, 1)) - 1 >= 2 THEN 2
+                            ELSE 3 END + 1 END AS rho
+              FROM r),
+      regs AS (SELECT day, register, CAST(max(rho) AS INTEGER) AS max_rho
+               FROM rho GROUP BY 1, 2)
+      $tail"""
+
   val oracles: Map[String, String] = Map(
     "s24_pq_adc_pinned" -> s24OracleSql,
     "s25_lloyd_step_pinned" -> s25OracleSql,
@@ -2386,6 +2446,32 @@ object OpsQueries {
       SELECT i, j,
              ROUND((sij - si * sj / n) / (n - 1), 6) + 0.0 AS cov
       FROM stats ORDER BY i, j""",
+    // HLL register replay: register/rho are integer functions of the
+    // md5 hex draw (DuckDB's md5 emits the same lowercase hex); the
+    // leading-zero decomposition mirrors Hll.rhoOf digit for digit
+    "s29_hll_registers" -> hllRegistersCte(
+      "SELECT CAST(day AS VARCHAR) AS day, register, max_rho FROM regs ORDER BY day, register"),
+
+    // HLL merge + summary replay: grouped max, exact split BIGINT
+    // sums, then the same fixed double expression tree as
+    // Hll.summary — est_raw gates UNROUNDED (see Hll scaladoc)
+    "s30_hll_merge_estimate" -> hllRegistersCte(s"""
+      , merged AS (SELECT register, max(max_rho) AS max_rho
+                   FROM regs GROUP BY 1),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+                     CAST(sum((1::BIGINT << (61 - max_rho)) >> 32)
+                       AS BIGINT) AS s_hi,
+                     CAST(sum((1::BIGINT << (61 - max_rho)) & 4294967295)
+                       AS BIGINT) AS s_lo
+              FROM merged)
+      SELECT ${Hll.M} AS m, n_regs,
+             4096 - n_regs AS v_zero, s_hi, s_lo,
+             CAST(${java.lang.Double.toString(Hll.AlphaM2)} AS DOUBLE) /
+               ((CAST(s_hi AS DOUBLE) * 4294967296.0
+                 + CAST(s_lo AS DOUBLE)) / 2.305843009213693952E18
+                + CAST(4096 - n_regs AS DOUBLE)) + 0.0 AS est_raw
+      FROM agg"""),
+
     "d07_minhash_lsh" -> minhashOracle,
     "d42_incremental_lsh" -> incrementalLshOracle,
     "d08_simhash" -> simhashOracle,

@@ -114,4 +114,112 @@ class SketchSpec extends SparkSpec {
     // map-side partials merge to the same answer under any layout
     assert(topk(df.repartition(13), 10000) == exact)
   }
+
+  // ---- SQL-replayable HLL (ops.Hll, gated as s29/s30) ----------------
+
+  test("hll: registerOf/rhoOf agree with bit arithmetic on crafted hex") {
+    import graft.ops.Hll
+    // (hex18, register, rho): each lz CASE branch, the whole-digit
+    // run, and the all-zero 61 edge
+    val cases = Seq(
+      ("fff" + "8" + "0" * 14, 4095, 1),
+      ("000" + "4" + "0" * 14, 0, 2),
+      ("a2b" + "2" + "f" * 14, 2603, 3),
+      ("00f" + "1" + "0" * 14, 15, 4),
+      ("123" + "08" + "0" * 13, 291, 5),
+      ("123" + "01" + "0" * 13, 291, 8),
+      ("7ff" + "0" * 14 + "1", 2047, 60),
+      ("abc" + "0" * 15, 2748, 61))
+    val df = cases.map(_._1).toDF("h")
+      .select(col("h"), Hll.registerOf(col("h")).as("r"),
+        Hll.rhoOf(col("h")).as("rho"))
+    val got = df.as[(String, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    cases.foreach { case (h, r, rho) =>
+      assert(got(h) == (r, rho), s"hex=$h")
+    }
+  }
+
+  test("hll: registers match an independent MessageDigest reference") {
+    import graft.ops.Hll
+    val keys = (1L to 3000L).map(_ * 7919L)
+    def refDraw(k: Long): (Int, Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((k.toString + "t").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val reg = Integer.parseInt(hex.substring(0, 3), 16)
+      val win = hex.substring(3, 18)
+      val t = win.dropWhile(_ == '0')
+      val rho = if (t.isEmpty) 61
+        else {
+          val v = Integer.parseInt(t.take(1), 16)
+          val lz = if (v >= 8) 0 else if (v >= 4) 1 else if (v >= 2) 2 else 3
+          4 * (15 - t.length) + lz + 1
+        }
+      (reg, rho)
+    }
+    val expect = keys.map(refDraw)
+      .groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).max }
+    val got = Hll.registers(keys.toDF("k"), col("k"), "t")
+      .as[(Int, Int)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("hll: merge of per-part sketches equals the sketch of the union " +
+      "(the s30 rollup contract)") {
+    import graft.ops.Hll
+    val a = spark.range(1, 20000).toDF("k")
+    val b = spark.range(15000, 40000).toDF("k")
+    val direct = Hll.registers(a.unionByName(b), col("k"), "u")
+      .as[(Int, Int)].collect().toMap
+    val merged = Hll.merge(
+        Hll.registers(a, col("k"), "u")
+          .unionByName(Hll.registers(b, col("k"), "u")))
+      .as[(Int, Int)].collect().toMap
+    assert(merged == direct)
+  }
+
+  test("hll: est_raw is bit-identical to an exact BigInt recompute of " +
+      "the summary's fixed double tree") {
+    import graft.ops.Hll
+    val regs = Hll.merge(
+      Hll.registers(spark.range(1, 30000).toDF("k"), col("k"), "e"))
+    val row = Hll.summary(regs).collect().head
+    val table = regs.as[(Int, Int)].collect()
+    val sExact = table.map(t => BigInt(1) << (61 - t._2)).sum
+    val sHi = (sExact >> 32).toLong
+    val sLo = (sExact & 0xffffffffL).toLong
+    assert(row.getLong(3) == sHi && row.getLong(4) == sLo)
+    assert(row.getLong(1) == table.length &&
+      row.getLong(2) == Hll.M - table.length)
+    val denom = (sHi.toDouble * 4294967296.0 + sLo.toDouble) / Hll.Scale +
+      (Hll.M - table.length).toDouble
+    val est = Hll.AlphaM2 / denom + 0.0
+    assert(java.lang.Double.doubleToRawLongBits(row.getDouble(5)) ==
+      java.lang.Double.doubleToRawLongBits(est))
+  }
+
+  test("hll: corrected estimate within 5% of truth across regimes " +
+      "(linear-counting and raw)") {
+    import graft.ops.Hll
+    for (n <- Seq(500L, 5000L, 60000L)) {
+      val row = Hll.summary(Hll.merge(Hll.registers(
+          spark.range(1, n + 1).toDF("k"), col("k"), "a"))).collect().head
+      val est = Hll.corrected(row.getDouble(5), row.getLong(2))
+      assert(math.abs(est - n) / n <= 0.05, s"n=$n est=$est")
+    }
+  }
+
+  test("s30: registry summary is consistent and corrected-accurate on " +
+      "the harness events") {
+    import graft.ops.Hll
+    val row = SparkEntry.queries("s30_hll_merge_estimate")(spark, sf001)
+      .collect().head
+    assert(row.getInt(0) == Hll.M)
+    assert(row.getLong(1) + row.getLong(2) == Hll.M)
+    val exact = RelQueries.events(spark, sf001)
+      .select(countDistinct(col("event_id"))).as[Long].head()
+    val est = Hll.corrected(row.getDouble(5), row.getLong(2))
+    assert(math.abs(est - exact) / exact <= 0.05, s"est=$est exact=$exact")
+  }
 }
