@@ -586,7 +586,11 @@ object Versioned {
     */
   def compact(s: SparkSession, root: String, keyCol: String,
               fromVersion: Int, toVersion: Int,
-              overwrite: Boolean = true): Unit = {
+              overwrite: Boolean = true,
+              crashAt: Option[String] = None): Unit = {
+    def maybeCrash(point: String): Unit =
+      if (crashAt.contains(point))
+        throw new RuntimeException(s"injected crash at $point in compact")
     val man = manifest(s, root, fromVersion).cache()
     val (_, delPaths) = pathsByKind(s, root, fromVersion)
     if (delPaths.isEmpty) {
@@ -618,6 +622,10 @@ object Versioned {
         writeFileGroup(rewritten, root, keyCol,
           math.max(1, affected.size))
       }
+    // the rewrite group is on disk but unreferenced until the rename
+    // below — a crash here orphans it (vacuumOrphans debris), never
+    // half-commits (VersionedCrashFuzzSpec kills this point)
+    maybeCrash("pre_commit")
     commitManifest(untouched.unionByName(newStats), root, toVersion,
       overwrite)
     man.unpersist(blocking = false)
@@ -646,9 +654,14 @@ object Versioned {
     */
   def writeWithExpectations(df: DataFrame, root: String, keyCol: String,
       version: Int, nFiles: Int,
-      expectations: Seq[(String, org.apache.spark.sql.Column)])
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      crashAt: Option[String] = None)
       : DataFrame = {
     require(expectations.nonEmpty, "need at least one expectation")
+    def maybeCrash(point: String): Unit =
+      if (crashAt.contains(point))
+        throw new RuntimeException(
+          s"injected crash at $point in writeWithExpectations")
     val fails = array(expectations.map { case (n, c) =>
       when(coalesce(c, lit(true)) === false, lit(n))
     }: _*)
@@ -656,12 +669,23 @@ object Versioned {
       filter(fails, x => x.isNotNull))
     val valid = flagged.filter(size(col("__fails")) === 0)
       .drop("__fails")
-    write(valid, root, keyCol, version, nFiles)
+    // QUARANTINE BEFORE COMMIT (round-14 fix, caught by
+    // VersionedCrashFuzzSpec's first run): the original order
+    // committed the version first, so a crash before the quarantine
+    // write left a COMMITTED version whose violators were recorded
+    // nowhere — dropped from the table by design, silently missing
+    // from the audit trail. Writing quarantine first makes the crash
+    // states safe in both directions: quarantine-without-version is
+    // overwritten idempotently by the re-run (the version number keys
+    // the cell), and a committed version now implies its audit record
+    // exists.
     val quarantined = flagged.filter(size(col("__fails")) > 0)
       .withColumn("__constraint", explode(col("__fails")))
       .drop("__fails")
     quarantined.write.mode("overwrite")
       .parquet(s"$root/_quarantine/v=$version")
+    maybeCrash("between_writes")
+    write(valid, root, keyCol, version, nFiles)
     val s = df.sparkSession
     import s.implicits._
     // every DECLARED constraint appears in the metrics, violation-free
@@ -707,7 +731,11 @@ object Versioned {
     newV
   }
 
-  def expire(s: SparkSession, root: String, keepVersions: Int): Int = {
+  def expire(s: SparkSession, root: String, keepVersions: Int,
+             crashAt: Option[String] = None): Int = {
+    def maybeCrash(point: String): Unit =
+      if (crashAt.contains(point))
+        throw new RuntimeException(s"injected crash at $point in expire")
     val manRoot = new java.io.File(s"$root/_graft_manifest")
     val versions = Option(manRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("v="))
@@ -720,16 +748,32 @@ object Versioned {
     val deadRefs = dead.flatMap(v =>
       manifest(s, root, v).select("path").collect().map(_.getString(0)))
       .toSet
-    val toDelete = deadRefs -- live
-    toDelete.foreach { p =>
-      val f = new java.io.File(new java.net.URI(p).getPath)
-      f.delete()
-    }
+    val toDelete = (deadRefs -- live).toSeq.sorted
+    // DELIST FIRST, delete data files SECOND (round-14 fix, caught by
+    // VersionedCrashFuzzSpec's first run): the original order deleted
+    // data files while their dead manifests were still listed, so a
+    // crash in between left listed-but-unreadable versions — and a
+    // restore() to one would commit a manifest referencing DELETED
+    // files, permanently breaking the LATEST snapshot. With manifests
+    // gone first, a crash at ANY point leaves only invisible debris:
+    // unlisted manifest dirs are gone, and data files of
+    // already-delisted versions leak as ORPHANS that a re-run cannot
+    // see (deadRefs is computed from listed manifests) but
+    // vacuumOrphans reclaims — the janitor's documented job.
+    var firstMan = true
     dead.foreach { v =>
       val d = new java.io.File(manifestDir(root, v))
       Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       d.delete()
       snapSchemaCache.remove((root, v))
+      if (firstMan) { firstMan = false; maybeCrash("mid_manifest_deletes") }
+    }
+    maybeCrash("post_manifest_deletes")
+    var firstFile = true
+    toDelete.foreach { p =>
+      val f = new java.io.File(new java.net.URI(p).getPath)
+      f.delete()
+      if (firstFile) { firstFile = false; maybeCrash("mid_file_deletes") }
     }
     // keep the open-cost pointer honest: the oldest survivor moved up
     keep.minOption.foreach(writePtr(root, "_first", _))
@@ -757,7 +801,11 @@ object Versioned {
     * `graceMs = 0` only when no writer can be in flight.
     */
   def vacuumOrphans(s: SparkSession, root: String,
-                    graceMs: Long = 20 * 60 * 1000L): Int = {
+                    graceMs: Long = 20 * 60 * 1000L,
+                    crashAt: Option[String] = None): Int = {
+    def maybeCrash(point: String): Unit =
+      if (crashAt.contains(point))
+        throw new RuntimeException(s"injected crash at $point in vacuum")
     val manRoot = new java.io.File(s"$root/_graft_manifest")
     val versions = Option(manRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("v="))
@@ -774,9 +822,11 @@ object Versioned {
     val cutoff = System.currentTimeMillis() - graceMs
     val orphans = groups.filterNot(g => referenced(g.getCanonicalPath))
       .filter(_.lastModified() < cutoff)
+    var firstGroup = true
     orphans.foreach { g =>
       Option(g.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       g.delete()
+      if (firstGroup) { firstGroup = false; maybeCrash("mid_group_deletes") }
     }
     orphans.length
   }
