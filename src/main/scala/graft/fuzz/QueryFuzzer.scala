@@ -260,6 +260,20 @@ object QueryFuzzer {
   final case class SetOp(cols: Seq[OutCol], op: String,
                          lp: Pred, rp: Pred) extends Shape
 
+  /** GROUP BY ROLLUP/CUBE over 1-3 plain key columns (round 14): the
+    * grouping-lattice family — Catalyst plans an Expand (one input
+    * row fans to every grouping set), a physical operator nothing
+    * else in the grammar reaches. Subtotal rows carry NULL keys;
+    * a CAST(GROUPING(key) AS BIGINT) bit per key disambiguates them
+    * from genuine NULL group values in both dialects (identical
+    * 0/1 semantics, verified), so the multiset compare never
+    * conflates the two. Aggregates reuse the Agg pool minus `avg`
+    * (subtotal sums over doubles already exercise the tolerance
+    * path; avg adds nothing but noise).
+    */
+  final case class Rollup(groups: Seq[ColDef], aggs: Seq[AggCol],
+                          cube: Boolean) extends Shape
+
   /** (table, key, table, key, joinType) in left-deep join order;
     * joinType is "inner" | "left" | "full".
     */
@@ -514,6 +528,30 @@ object QueryFuzzer {
             s"SELECT $sel FROM $from WHERE ${bConds.mkString(" AND ")}"
           }
           s"${branch(lp)} $op ${branch(rp)}"
+        case Rollup(groups, aggs, cube) =>
+          val gSel = groups.zipWithIndex
+            .map { case (g, i) => s"${g.name} AS g$i" }
+          val bSel = groups.zipWithIndex.map { case (g, i) =>
+            s"CAST(GROUPING(${g.name}) AS BIGINT) AS gb$i" }
+          val sel = (gSel ++ bSel ++ aggs.map(sqlAgg)).mkString(", ")
+          val kw = if (cube) "CUBE" else "ROLLUP"
+          // FOUND DIVERGENCE (first in-suite run of this family, seed
+          // 14): over an EMPTY input, the SQL standard (and DuckDB,
+          // and Postgres) emits the () grand-total grouping-set row;
+          // Spark emits ZERO rows — consistently across the Column
+          // API, SQL ROLLUP/CUBE, and GROUPING SETS (()), though its
+          // plain global aggregate does emit the standard one row.
+          // The oracle replays Spark's semantics via a wrapper that
+          // is PROVABLY a no-op on non-empty input: every grouping-
+          // set row aggregates >= 1 input row, so COUNT(*) > 0 can
+          // only drop the empty-input grand-total row. The campaign
+          // then gates that equivalence at every seed.
+          val aliases = (groups.indices.map(i => s"g$i") ++
+            groups.indices.map(i => s"gb$i") ++
+            aggs.map(_.alias)).mkString(", ")
+          val inner = s"SELECT $sel, COUNT(*) AS __n FROM $from$where " +
+            s"GROUP BY $kw (${groups.map(_.name).mkString(", ")})"
+          s"SELECT $aliases FROM ($inner) r WHERE __n > 0"
       }
       orderLimit match {
         case None => body
@@ -798,6 +836,19 @@ object QueryFuzzer {
             case "INTERSECT" => l.intersect(r)
             case "EXCEPT" => l.except(r)
           }
+        case Rollup(groups, aggs, cube) =>
+          val gRaw = groups.map(g => col(g.name))
+          val aCols = groups.zipWithIndex.map { case (g, i) =>
+            grouping(col(g.name)).cast("long").as(s"gb$i") } ++
+            aggs.map(sparkAgg)
+          val rolled =
+            if (cube) filtered.cube(gRaw: _*)
+            else filtered.rollup(gRaw: _*)
+          rolled.agg(aCols.head, aCols.tail: _*)
+            .select(groups.zipWithIndex.map { case (g, i) =>
+              col(g.name).as(s"g$i") } ++
+              groups.indices.map(i => col(s"gb$i")) ++
+              aggs.map(a => col(a.alias)): _*)
       }
       orderLimit match {
         case None => body
@@ -886,6 +937,26 @@ object QueryFuzzer {
             preds = preds :+ lp, orderLimit = None),
           copy(shape = Proj(cols0, distinct = false),
             preds = preds :+ rp, orderLimit = None))
+        case Rollup(groups, aggs, cube) =>
+          // fewer keys, fewer aggs, cube→rollup, and the plain-Agg
+          // degradation (drops the Expand entirely)
+          val fewerG = if (groups.size > 1)
+            groups.indices.map(i => copy(shape =
+              Rollup(groups.patch(i, Nil, 1), aggs, cube),
+              orderLimit = None))
+            else Seq.empty
+          val fewerA = if (aggs.size > 1)
+            aggs.indices.map(i => copy(shape =
+              Rollup(groups, aggs.patch(i, Nil, 1), cube),
+              orderLimit = None))
+            else Seq.empty
+          val unCube = if (cube)
+            Seq(copy(shape = Rollup(groups, aggs, cube = false),
+              orderLimit = None))
+            else Seq.empty
+          val plain = Seq(copy(shape =
+            Agg(groups, aggs, None, Seq.empty), orderLimit = None))
+          fewerG ++ fewerA ++ unCube ++ plain
         case _ => Seq.empty
       }
       dropOrder ++ dropOnPreds ++ fewerPreds ++ fewerSemis ++
@@ -1120,7 +1191,11 @@ object QueryFuzzer {
         else { val c = pick(cols); CoalesceCol(c, litOf(c), s"c$i") }
     }
 
-    val shape: Shape = rnd.nextInt(20) match {
+    // 22 buckets: 0-19 are byte-stable with the round-13 grammar (one
+    // nextInt draw either way, same mapping), 20-21 reach the round-14
+    // Rollup family — old seeds that drew <20 generate the identical
+    // query they always did
+    val shape: Shape = rnd.nextInt(22) match {
       case n if n < 6 =>
         Proj((0 until (2 + rnd.nextInt(3))).map(genOutCol),
           distinct = rnd.nextInt(10) < 3)
@@ -1179,10 +1254,23 @@ object QueryFuzzer {
           }
         }
         Win2(part, order, funcs)
-      case _ =>
+      case n if n < 20 =>
         SetOp((0 until (2 + rnd.nextInt(2))).map(genOutCol),
           pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")),
           genPred(1), genPred(1))
+      case _ =>
+        val groups = Seq.fill(1 + rnd.nextInt(3))(pick(keyCols)).distinct
+        val nAggs = 1 + rnd.nextInt(2)
+        val aggs = (0 until nAggs).map { i =>
+          rnd.nextInt(5) match {
+            case 0 => AggCol("count*", None, s"a$i")
+            case 1 => AggCol("sum", Some(pick(numCols)), s"a$i")
+            case 2 => AggCol("min", Some(pick(cols)), s"a$i")
+            case 3 => AggCol("max", Some(pick(cols)), s"a$i")
+            case _ => AggCol("count_distinct", Some(pick(cols)), s"a$i")
+          }
+        }
+        Rollup(groups, aggs, cube = rnd.nextBoolean())
     }
 
     // ORDER BY + LIMIT over a float-free total order (all output
@@ -1214,6 +1302,10 @@ object QueryFuzzer {
           ges.zipWithIndex.map { case (ge, j) =>
             s"g${gs.size + j}" ->
               (if (ge.kind == "prefix") 'S' else 'L') } ++
+          as0.map(a => a.alias -> aggKind(a)))
+      case Rollup(gs, as0, _) => Some(
+        gs.zipWithIndex.map { case (g, i) => s"g$i" -> g.kind } ++
+          gs.indices.map(i => s"gb$i" -> 'L') ++
           as0.map(a => a.alias -> aggKind(a)))
       case _ => None
     }

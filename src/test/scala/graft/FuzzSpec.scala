@@ -409,6 +409,28 @@ class FuzzSpec extends SparkSpec {
       "HAVING-side subquery mutation missed")
   }
 
+  test("mutation negatives, round-14 Rollup family: losing the " +
+      "lattice (plain GROUP BY) and widening it (ROLLUP->CUBE) are " +
+      "both reported") {
+    assume(Differ.duckAvailable(), "python3+duckdb not available")
+    import QueryFuzzer._
+    def cd(t: String, n: String, k: Char) = ColDef(t, n, k)
+    def mDiff(q: FuzzQuery, mutated: String): Option[String] =
+      diff(q, duck(Map("m" -> mutated))("m"))
+    val q = FuzzQuery(0, "lineitem", Nil, Nil,
+      Rollup(Seq(cd("lineitem", "l_returnflag", 'S'),
+        cd("lineitem", "l_linestatus", 'S')),
+        Seq(AggCol("count*", None, "a0")), cube = false))
+    assert(q.sql.contains("GROUP BY ROLLUP"), "qR did not render ROLLUP")
+    // plain GROUP BY drops every subtotal row (DuckDB accepts
+    // GROUPING() under plain GROUP BY, returning 0 — verified)
+    assert(mDiff(q, q.sql.replace("GROUP BY ROLLUP", "GROUP BY"))
+      .exists(_.startsWith("rows:")), "ROLLUP->plain mutation missed")
+    // CUBE adds the (ALL, linestatus) grain ROLLUP lacks
+    assert(mDiff(q, q.sql.replace("ROLLUP", "CUBE"))
+      .exists(_.startsWith("rows:")), "ROLLUP->CUBE mutation missed")
+  }
+
   test(s"differential fuzz: $NumQueries seeded random queries agree " +
     "with DuckDB on sorted values (filters, FK joins, EXISTS/NOT " +
     "EXISTS, aggregates, HAVING, DISTINCT, windows, scalar " +
@@ -419,7 +441,7 @@ class FuzzSpec extends SparkSpec {
       .map(s => s"q$s" -> QueryFuzzer.gen(s, pools)).toMap
     // grammar sanity: the seed range actually exercises every construct
     val shapes = queries.values.map(_.shape.getClass.getSimpleName).toSet
-    assert(shapes.size == 5, s"shapes covered: $shapes")
+    assert(shapes.size == 6, s"shapes covered: $shapes")
     assert(queries.values.exists(_.joins.size == 2), "no 3-table chain")
     assert(queries.values.exists(_.joins.size >= 3), "no 4-table chain")
     assert(queries.values.exists(_.joins.exists(_._5 == "left")),
@@ -505,6 +527,15 @@ class FuzzSpec extends SparkSpec {
           c.isInstanceOf[QueryFuzzer.NullIfCol])
       case _ => false
     }), "no COALESCE/NULLIF projection produced")
+    // round-14 construct coverage: the grouping-lattice family must
+    // reach BOTH keywords (rollup and cube plan the same Expand but
+    // different grouping-set lattices)
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Rollup(_, _, cube) => !cube; case _ => false
+    }), "no ROLLUP produced")
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Rollup(_, _, cube) => cube; case _ => false
+    }), "no CUBE produced")
     val d = duck(queries.map { case (n, q) => n -> q.sql })
     val failures = queries.toSeq.sortBy(_._1).flatMap { case (n, q) =>
       diff(q, d(n)).map(reason => (n, q, reason))
