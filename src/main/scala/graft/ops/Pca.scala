@@ -84,6 +84,63 @@ object Pca {
       .toDF("i", "j", "cov")
   }
 
+  /** One classical Jacobi rotation over an upper-triangle covariance
+    * table (1-based (i, j) keys, i <= j) — the ATOMIC STEP of the
+    * symmetric eigensolver, pinned for the oracle gate (s31). Pivot
+    * selection: the largest |off-diagonal| cell, ties by (i, j)
+    * ascending — ORDER BY abs(a) DESC, i, j LIMIT 1 in the replay.
+    * Returns the rotated upper triangle (the pivot cell zeroed by
+    * construction, the rotation angle's defining property) and the
+    * pivot.
+    *
+    * Byte-exactness contract: every arithmetic step is a FIXED tree of
+    * + - * / sqrt — all correctly rounded under IEEE 754 (sqrt
+    * included, by requirement of the standard) — over byte-identical
+    * inputs (the 6dp-rounded s26 relay), so an independent engine
+    * replays every output double bit-for-bit with NO rounding anywhere
+    * (the s24/s25/s27 contract, extended from dot products to the
+    * eigensolver). t = sign(theta)/(|theta| + sqrt(theta^2 + 1)) is
+    * the numerically stable smaller-root form (Golub & Van Loan
+    * §8.5); theta overflowing to Inf degrades gracefully to t = 0
+    * (identity rotation) identically in both engines.
+    *
+    * [[fit]] delegates the full solve to LAPACK (eigSym) — PcaSpec
+    * gates that ITERATING this step to convergence reproduces fit's
+    * spectrum, so the pinned step is the production algorithm's step,
+    * not a lookalike. Driver-sized work: the matrix is dim x dim
+    * (codebook-sized); corpus size never touches it.
+    */
+  def jacobiStep(a: Map[(Int, Int), Double], dim: Int)
+      : (Seq[(Int, Int, Double)], (Int, Int)) = {
+    def at(i: Int, j: Int): Double = if (i <= j) a((i, j)) else a((j, i))
+    val (p, q) = (for { i <- 1 to dim; j <- (i + 1) to dim } yield (i, j))
+      .maxBy { case (i, j) => (math.abs(at(i, j)), -i, -j) }
+    val apq = at(p, q); val app = at(p, p); val aqq = at(q, q)
+    require(apq != 0.0, "diagonal matrix: no rotation to pin")
+    val theta = (aqq - app) / (2.0 * apq)
+    val t = (if (theta >= 0.0) 1.0 else -1.0) /
+      (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    val out = for { i <- 1 to dim; j <- i to dim } yield {
+      val v =
+        if (i == p && j == q) 0.0
+        else if (i == p && j == p)
+          c * c * app - 2.0 * s * c * apq + s * s * aqq
+        else if (i == q && j == q)
+          s * s * app + 2.0 * s * c * apq + c * c * aqq
+        else if (i == p || j == p) {
+          val r = if (i == p) j else i
+          c * at(r, p) - s * at(r, q)
+        } else if (i == q || j == q) {
+          val r = if (i == q) j else i
+          s * at(r, p) + c * at(r, q)
+        } else at(i, j)
+      (i, j, v)
+    }
+    (out, (p, q))
+  }
+
   /** Fit PCA from one pass. Covariance is the SAMPLE covariance
     * (n - 1); eigenvector sign is canonicalized (largest-|coordinate|
     * entry positive) so results don't flip sign across partitionings

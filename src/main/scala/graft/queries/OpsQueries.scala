@@ -1929,6 +1929,28 @@ object OpsQueries {
         .orderBy("i", "j")
     }),
 
+    // the EIGENSOLVER's atomic step under the oracle gate (round 14):
+    // one classical Jacobi rotation over the s26-relayed matrix (the
+    // 6dp-rounded +0.0-normalized covariance both engines re-derive
+    // byte-identically), values gated UNROUNDED — pivot selection,
+    // theta/t/c/s and every rotated cell are fixed trees of
+    // correctly-rounded IEEE ops (+ - * / sqrt), the s24/s25/s27
+    // contract extended to the eig family. With s26 (moments) and s31
+    // (rotation step), only iteration-to-convergence remains spec-only
+    // for PCA — and PcaSpec gates that iterating exactly this step
+    // reproduces fit's LAPACK spectrum. 2,080-cell driver work:
+    // codebook-sized, corpus size never touches it.
+    "s31_jacobi_step_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val cov = Pca.covarianceDf(embs(s, dir), "embedding", dim = 64)
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("a"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      Pca.jacobiStep(cov, 64)._1.toDF("i", "j", "cov")
+        .orderBy("i", "j")
+    }),
+
     "s11_pca_whiten" -> ((s, dir) => {
       import s.implicits._
       val e = embs(s, dir)
@@ -2471,6 +2493,64 @@ object OpsQueries {
                  + CAST(s_lo AS DOUBLE)) / 2.305843009213693952E18
                 + CAST(4096 - n_regs AS DOUBLE)) + 0.0 AS est_raw
       FROM agg"""),
+
+    // Jacobi rotation replay: same s26 moment CTE to the byte, then
+    // pivot = ORDER BY abs DESC, i, j LIMIT 1, the stable smaller-root
+    // tangent, and the five-branch rotation CASE — every arithmetic a
+    // fixed correctly-rounded tree, values UNROUNDED (decimal literals
+    // 2.0/1.0/-1.0/0.0 promote exactly to DOUBLE in DuckDB arithmetic)
+    "s31_jacobi_step_pinned" -> """
+      WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      idx AS (
+        SELECT CAST(UNNEST(generate_series(1, 64)) AS INTEGER) AS d),
+      pairs AS (
+        SELECT a.d AS i, b.d AS j FROM idx a, idx b WHERE a.d <= b.d),
+      stats AS (
+        SELECT p.i, p.j, COUNT(*) AS n,
+               SUM(v[p.i]) AS si, SUM(v[p.j]) AS sj,
+               SUM(v[p.i] * v[p.j]) AS sij
+        FROM e, pairs p GROUP BY p.i, p.j),
+      cv AS (
+        SELECT i, j, ROUND((sij - si * sj / n) / (n - 1), 6) + 0.0 AS a
+        FROM stats),
+      piv AS (
+        SELECT i AS p, j AS q, a AS apq FROM cv WHERE i < j
+        ORDER BY abs(a) DESC, i, j LIMIT 1),
+      d1 AS (
+        SELECT p, q, apq,
+          (SELECT a FROM cv WHERE cv.i = piv.p AND cv.j = piv.p) AS app,
+          (SELECT a FROM cv WHERE cv.i = piv.q AND cv.j = piv.q) AS aqq
+        FROM piv),
+      d2 AS (SELECT *, (aqq - app) / (2.0 * apq) AS theta FROM d1),
+      d3 AS (SELECT *, (CASE WHEN theta >= 0.0 THEN 1.0 ELSE -1.0 END) /
+               (abs(theta) + sqrt(theta * theta + 1.0)) AS t FROM d2),
+      d4 AS (SELECT *, 1.0 / sqrt(t * t + 1.0) AS c FROM d3),
+      f AS (SELECT *, t * c AS s FROM d4)
+      SELECT cv.i, cv.j,
+        CASE
+          WHEN cv.i = f.p AND cv.j = f.q THEN 0.0
+          WHEN cv.i = f.p AND cv.j = f.p THEN
+            f.c * f.c * f.app - 2.0 * f.s * f.c * f.apq
+              + f.s * f.s * f.aqq
+          WHEN cv.i = f.q AND cv.j = f.q THEN
+            f.s * f.s * f.app + 2.0 * f.s * f.c * f.apq
+              + f.c * f.c * f.aqq
+          WHEN cv.i = f.p OR cv.j = f.p THEN
+            f.c * cv.a - f.s * (SELECT a FROM cv c2
+              WHERE c2.i = least(CASE WHEN cv.i = f.p THEN cv.j
+                                      ELSE cv.i END, f.q)
+                AND c2.j = greatest(CASE WHEN cv.i = f.p THEN cv.j
+                                         ELSE cv.i END, f.q))
+          WHEN cv.i = f.q OR cv.j = f.q THEN
+            f.s * (SELECT a FROM cv c2
+              WHERE c2.i = least(CASE WHEN cv.i = f.q THEN cv.j
+                                      ELSE cv.i END, f.p)
+                AND c2.j = greatest(CASE WHEN cv.i = f.q THEN cv.j
+                                         ELSE cv.i END, f.p))
+              + f.c * cv.a
+          ELSE cv.a END AS cov
+      FROM cv, f ORDER BY cv.i, cv.j""",
 
     "d07_minhash_lsh" -> minhashOracle,
     "d42_incremental_lsh" -> incrementalLshOracle,

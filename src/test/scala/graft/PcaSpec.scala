@@ -170,4 +170,75 @@ class PcaSpec extends SparkSpec {
     val c12 = covs.find(r => r.getInt(0) == 1 && r.getInt(1) == 2).get
     assert(c12.getDouble(2) == 0.0)
   }
+
+  // ---- jacobiStep (pinned as s31) ------------------------------------
+
+  private def upperOf(m: Seq[(Int, Int, Double)]): Map[(Int, Int), Double] =
+    m.map(t => (t._1, t._2) -> t._3).toMap
+
+  private def frob(a: Map[(Int, Int), Double]): Double =
+    a.map { case ((i, j), v) =>
+      if (i == j) v * v else 2.0 * v * v }.sum
+
+  private def maxOff(a: Map[(Int, Int), Double]): ((Int, Int), Double) =
+    a.filter { case ((i, j), _) => i < j }
+      .maxBy { case ((i, j), v) => (math.abs(v), -i, -j) }
+
+  test("jacobiStep: zeroes the selected pivot, preserves the Frobenius " +
+      "norm, strictly shrinks off-diagonal mass, matches a hand-rotated " +
+      "3x3") {
+    // hand-checkable 3x3: pivot must be (1,2) (|4| largest off-diag)
+    val a = Map((1, 1) -> 2.0, (1, 2) -> 4.0, (1, 3) -> 1.0,
+      (2, 2) -> 2.0, (2, 3) -> 0.5, (3, 3) -> 7.0)
+    val (out, (p, q)) = Pca.jacobiStep(a, 3)
+    assert((p, q) == (1, 2))
+    val m = upperOf(out)
+    assert(m((1, 2)) == 0.0)
+    // theta = 0 => t = 1, c = s = 1/sqrt(2): eigenpair (2±4) = (6, -2)
+    assert(math.abs(m((1, 1)) - (-2.0)) < 1e-12)
+    assert(math.abs(m((2, 2)) - 6.0) < 1e-12)
+    assert(math.abs(frob(m) - frob(a)) < 1e-9 * frob(a))
+    val offBefore = a.collect { case ((i, j), v) if i < j => v * v }.sum
+    val offAfter = m.collect { case ((i, j), v) if i < j => v * v }.sum
+    assert(offAfter < offBefore)
+  }
+
+  test("jacobiStep iterated to convergence reproduces eigSym's spectrum " +
+      "over the s26 matrix — the pinned step IS the eigensolver's step") {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val rows = SparkEntry.queries("s26_pca_moments")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    var m = upperOf(rows.toIndexedSeq)
+    val f0 = frob(m)
+    var steps = 0
+    while (math.abs(maxOff(m)._2) > 1e-9 && steps < 30000) {
+      m = upperOf(Pca.jacobiStep(m, 64)._1)
+      steps += 1
+    }
+    assert(math.abs(maxOff(m)._2) <= 1e-9, s"no convergence in $steps")
+    assert(math.abs(frob(m) - f0) < 1e-9 * math.max(f0, 1.0))
+    val got = (1 to 64).map(i => m((i, i))).sorted
+    val dm = DenseMatrix.tabulate(64, 64) { (i, j) =>
+      val (a, b) = (math.min(i, j) + 1, math.max(i, j) + 1)
+      upperOf(rows.toIndexedSeq)((a, b))
+    }
+    val want = eigSym(dm).eigenvalues.toArray.sorted
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-7 * math.max(math.abs(w), 1.0),
+        s"eigenvalue diverged: $g vs $w") }
+  }
+
+  test("s31 registry entry: pivot cell is exactly +0.0 and the frame " +
+      "equals jacobiStep over the s26 relay") {
+    val s26 = SparkEntry.queries("s26_pca_moments")(spark, sf001)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val (want, (p, q)) = Pca.jacobiStep(s26, 64)
+    val got = SparkEntry.queries("s31_jacobi_step_pinned")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    val pivot = got.find(t => t._1 == p && t._2 == q).get._3
+    assert(pivot == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(pivot) == 0L)
+  }
 }
