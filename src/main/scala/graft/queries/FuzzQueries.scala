@@ -304,6 +304,29 @@ object FuzzQueries {
       50)),
     viaSql = true)
 
+  /** Round-14 Rollup family pin: CUBE over (returnflag, linestatus)
+    * with GROUPING() bits, a join and an anti-selective predicate,
+    * count/integral-sum/max aggregates, total-order ORDER BY over
+    * every alias. The full lattice is 12 rows, under the LIMIT — the
+    * pin is fully deterministic at every SF. Exercises the
+    * empty-input-divergence wrapper (a no-op here: input non-empty).
+    */
+  private val q106 = FuzzQuery(0, "lineitem",
+    joins = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey", "inner")),
+    preds = Seq(Cmp(cd("orders", "o_orderpriority", 'S'), "<>",
+      "1-URGENT")),
+    shape = Rollup(
+      groups = Seq(cd("lineitem", "l_returnflag", 'S'),
+        cd("lineitem", "l_linestatus", 'S')),
+      aggs = Seq(
+        AggCol("count*", None, "a0"),
+        AggCol("sum", Some(cd("lineitem", "l_linenumber", 'I')), "a1"),
+        AggCol("max", Some(cd("orders", "o_orderkey", 'L')), "a2")),
+      cube = true),
+    orderLimit = Some((Seq(("g0", true), ("g1", true), ("gb0", true),
+      ("gb1", true), ("a0", false), ("a1", true), ("a2", true)), 50)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_fuzz_join_having" -> ((s, dir) => q94.toDF(s, dir)),
     "q95_fuzz_window_leftjoin" -> ((s, dir) => q95.toDF(s, dir)),
@@ -317,6 +340,7 @@ object FuzzQueries {
     "q103_fuzz_existence_join" -> ((s, dir) => q103.toDF(s, dir)),
     "q104_fuzz_select_subqueries" -> ((s, dir) => q104.toDF(s, dir)),
     "q105_fuzz_having_subquery" -> ((s, dir) => q105.toDF(s, dir)),
+    "q106_fuzz_rollup_cube" -> ((s, dir) => q106.toDF(s, dir)),
   )
 
   /** The oracle SQL IS the renderer's other output — one AST, two
@@ -335,5 +359,6 @@ object FuzzQueries {
     "q103_fuzz_existence_join" -> q103.sql,
     "q104_fuzz_select_subqueries" -> q104.sql,
     "q105_fuzz_having_subquery" -> q105.sql,
+    "q106_fuzz_rollup_cube" -> q106.sql,
   )
 }
