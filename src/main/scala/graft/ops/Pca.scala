@@ -141,6 +141,30 @@ object Pca {
     (out, (p, q))
   }
 
+  /** [[jacobiStep]] folded `iters` times — the eigensolver's ITERATION
+    * COMPOSITION, pinned for the oracle gate (s32, two steps). Each
+    * step's output is a fixed correctly-rounded tree over the previous
+    * step's bytes, so the composition stays byte-replayable with NO
+    * rounding relay between steps (unlike the Lloyd chain s27, whose
+    * recentering DIVISIONS of order-dependent sums forced a 4dp relay
+    * — the rotation has no order-dependent reduction at all). Returns
+    * the final upper triangle and the pivot sequence.
+    */
+  def jacobiSteps(a: Map[(Int, Int), Double], dim: Int, iters: Int)
+      : (Map[(Int, Int), Double], Seq[(Int, Int)]) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    var m = a
+    val pivots = Seq.newBuilder[(Int, Int)]
+    var k = 0
+    while (k < iters) {
+      val (rows, pq) = jacobiStep(m, dim)
+      m = rows.map { case (i, j, v) => ((i, j), v) }.toMap
+      pivots += pq
+      k += 1
+    }
+    (m, pivots.result())
+  }
+
   /** Fit PCA from one pass. Covariance is the SAMPLE covariance
     * (n - 1); eigenvector sign is canonicalized (largest-|coordinate|
     * entry positive) so results don't flip sign across partitionings

@@ -1951,6 +1951,30 @@ object OpsQueries {
         .orderBy("i", "j")
     }),
 
+    // the eigensolver's ITERATION COMPOSITION under the gate (s32,
+    // mirroring what s27 did for Lloyd): TWO chained Jacobi rotations
+    // over the s26 relay, values gated UNROUNDED. No relay between the
+    // steps — rotation 1's every output cell is a fixed
+    // correctly-rounded tree (byte-identical across engines by the s31
+    // contract), so rotation 2 consumes byte-identical input and its
+    // own fixed tree replays exactly; the rotation has no
+    // order-dependent reduction anywhere (pivot argmax is
+    // order-independent with the (i, j) tiebreak). With s26 + s31 +
+    // s32, only iteration-to-CONVERGENCE (a float-compared stopping
+    // rule) remains spec-only for PCA.
+    "s32_jacobi_two_steps" -> ((s, dir) => {
+      import s.implicits._
+      val cov = Pca.covarianceDf(embs(s, dir), "embedding", dim = 64)
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("a"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val (m, _) = Pca.jacobiSteps(cov, 64, iters = 2)
+      (for { i <- 1 to 64; j <- i to 64 } yield (i, j, m((i, j))))
+        .toDF("i", "j", "cov")
+        .orderBy("i", "j")
+    }),
+
     "s11_pca_whiten" -> ((s, dir) => {
       import s.implicits._
       val e = embs(s, dir)
@@ -2409,6 +2433,63 @@ object OpsQueries {
                FROM rho GROUP BY 1, 2)
       $tail"""
 
+  /** One Jacobi rotation as CTE text over relation `in` (columns
+    * `i, j, a`; upper triangle, 1-based), emitting `${p}rot` with the
+    * same shape — the s31 rotation block factored so s32 can CHAIN it:
+    * rotation k+1's `in` is rotation k's `${p}rot`. Every arithmetic
+    * is a fixed correctly-rounded IEEE tree (+ - * / sqrt) over its
+    * input's bytes, so the chain needs NO rounding relay between
+    * steps (see [[graft.ops.Pca.jacobiSteps]]). `rot` is
+    * MATERIALIZED: the next rotation references it from five
+    * correlated subqueries plus the outer scan, and DuckDB inlines
+    * plain CTEs per reference — chained, the step-1 subtree would
+    * re-execute multiplicatively (the s27 lesson).
+    */
+  private def jacobiRotationCtes(in: String, p: String): String = s"""
+      ${p}piv AS (
+        SELECT i AS p, j AS q, a AS apq FROM $in WHERE i < j
+        ORDER BY abs(a) DESC, i, j LIMIT 1),
+      ${p}d1 AS (
+        SELECT p, q, apq,
+          (SELECT a FROM $in x WHERE x.i = ${p}piv.p
+             AND x.j = ${p}piv.p) AS app,
+          (SELECT a FROM $in x WHERE x.i = ${p}piv.q
+             AND x.j = ${p}piv.q) AS aqq
+        FROM ${p}piv),
+      ${p}d2 AS (SELECT *, (aqq - app) / (2.0 * apq) AS theta
+                 FROM ${p}d1),
+      ${p}d3 AS (SELECT *,
+                   (CASE WHEN theta >= 0.0 THEN 1.0 ELSE -1.0 END) /
+                     (abs(theta) + sqrt(theta * theta + 1.0)) AS t
+                 FROM ${p}d2),
+      ${p}d4 AS (SELECT *, 1.0 / sqrt(t * t + 1.0) AS c FROM ${p}d3),
+      ${p}f AS (SELECT *, t * c AS s FROM ${p}d4),
+      ${p}rot AS MATERIALIZED (
+        SELECT m.i, m.j,
+          CASE
+            WHEN m.i = f.p AND m.j = f.q THEN 0.0
+            WHEN m.i = f.p AND m.j = f.p THEN
+              f.c * f.c * f.app - 2.0 * f.s * f.c * f.apq
+                + f.s * f.s * f.aqq
+            WHEN m.i = f.q AND m.j = f.q THEN
+              f.s * f.s * f.app + 2.0 * f.s * f.c * f.apq
+                + f.c * f.c * f.aqq
+            WHEN m.i = f.p OR m.j = f.p THEN
+              f.c * m.a - f.s * (SELECT a FROM $in c2
+                WHERE c2.i = least(CASE WHEN m.i = f.p THEN m.j
+                                        ELSE m.i END, f.q)
+                  AND c2.j = greatest(CASE WHEN m.i = f.p THEN m.j
+                                           ELSE m.i END, f.q))
+            WHEN m.i = f.q OR m.j = f.q THEN
+              f.s * (SELECT a FROM $in c2
+                WHERE c2.i = least(CASE WHEN m.i = f.q THEN m.j
+                                        ELSE m.i END, f.p)
+                  AND c2.j = greatest(CASE WHEN m.i = f.q THEN m.j
+                                           ELSE m.i END, f.p))
+                + f.c * m.a
+            ELSE m.a END AS a
+        FROM $in m, ${p}f f)"""
+
   val oracles: Map[String, String] = Map(
     "s24_pq_adc_pinned" -> s24OracleSql,
     "s25_lloyd_step_pinned" -> s25OracleSql,
@@ -2499,6 +2580,30 @@ object OpsQueries {
     // tangent, and the five-branch rotation CASE — every arithmetic a
     // fixed correctly-rounded tree, values UNROUNDED (decimal literals
     // 2.0/1.0/-1.0/0.0 promote exactly to DOUBLE in DuckDB arithmetic)
+    // two chained rotations: the same s26 moment CTE, then the
+    // factored rotation block applied twice — r2's input is r1's
+    // MATERIALIZED output, byte-identical across engines because every
+    // r1 cell is a fixed correctly-rounded tree (the s31 gate's
+    // proof), so no inter-step rounding relay exists or is needed
+    "s32_jacobi_two_steps" -> s"""
+      WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      idx AS (
+        SELECT CAST(UNNEST(generate_series(1, 64)) AS INTEGER) AS d),
+      pairs AS (
+        SELECT a.d AS i, b.d AS j FROM idx a, idx b WHERE a.d <= b.d),
+      stats AS (
+        SELECT p.i, p.j, COUNT(*) AS n,
+               SUM(v[p.i]) AS si, SUM(v[p.j]) AS sj,
+               SUM(v[p.i] * v[p.j]) AS sij
+        FROM e, pairs p GROUP BY p.i, p.j),
+      cv AS MATERIALIZED (
+        SELECT i, j, ROUND((sij - si * sj / n) / (n - 1), 6) + 0.0 AS a
+        FROM stats),
+      ${jacobiRotationCtes("cv", "r1")},
+      ${jacobiRotationCtes("r1rot", "r2")}
+      SELECT i, j, a AS cov FROM r2rot ORDER BY i, j""",
+
     "s31_jacobi_step_pinned" -> """
       WITH e AS (
         SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

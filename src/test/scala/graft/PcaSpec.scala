@@ -241,4 +241,34 @@ class PcaSpec extends SparkSpec {
     assert(pivot == 0.0 &&
       java.lang.Double.doubleToRawLongBits(pivot) == 0L)
   }
+
+  test("s32 registry entry: equals jacobiSteps(iters = 2) over the s26 " +
+      "relay, off-diagonal mass shrinks strictly at each step, and the " +
+      "Frobenius norm is conserved across the chain") {
+    val s26 = SparkEntry.queries("s26_pca_moments")(spark, sf001)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val (after1, p1) = Pca.jacobiStep(s26, 64)
+    val m1 = upperOf(after1)
+    val (want, pivots) = Pca.jacobiSteps(s26, 64, iters = 2)
+    assert(pivots.head == p1)
+    val got = SparkEntry.queries("s32_jacobi_two_steps")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 2080)
+    // bit-for-bit: the registry entry IS the two-step fold
+    got.foreach { case (i, j, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(want((i, j))),
+        s"cell ($i,$j) diverged from the fold") }
+    def off(a: Map[(Int, Int), Double]): Double =
+      a.collect { case ((i, j), v) if i < j => v * v }.sum
+    val m2 = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(off(m1) < off(s26) && off(m2) < off(m1))
+    assert(math.abs(frob(m2) - frob(s26)) < 1e-9 * frob(s26))
+    // both pivot cells landed at exactly +0.0 unless re-rotated; the
+    // SECOND pivot is guaranteed still zero
+    val (p2a, p2b) = pivots(1)
+    val z = m2((p2a, p2b))
+    assert(z == 0.0 && java.lang.Double.doubleToRawLongBits(z) == 0L)
+  }
 }
