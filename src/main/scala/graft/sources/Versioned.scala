@@ -385,13 +385,31 @@ object Versioned {
     * returns at the first tag owned by `appId` (a writer's txn
     * versions are monotone in commit order, so the newest tag IS the
     * max); cost is O(commits since the app's last commit) tiny-file
-    * reads, zero data scanned. Retention note: [[expire]] drops old
-    * manifests and their tags — keep at least one version beyond the
-    * writer's restart window (any sane retention does).
+    * reads, zero data scanned.
+    *
+    * Retention (round-14-continuation fix): [[expire]] drops old
+    * manifests and their tags, and a burst of UNTAGGED maintenance
+    * commits (compaction mints latest+1 with no txn) can bury a
+    * writer's newest tag under any count-based retention while the
+    * writer is down — the restarted writer would then find no
+    * evidence and RE-DELIVER its committed batch through
+    * [[commitOnce]] (the ingest drain happens to survive because its
+    * commit is a merge-by-key upsert — content-idempotent — but the
+    * exactly-once CONTRACT is the API's, not the caller's, and an
+    * append-style attempt would duplicate content; proven by
+    * RetentionRaceFuzzSpec's pre-fix unit test). The fix is Delta's
+    * checkpoint shape in miniature: expire rolls the max expired
+    * txnVersion per app into a `_graft_manifest/_txns` sidecar
+    * BEFORE delisting, and this scan falls back to the sidecar when
+    * no live manifest carries the app's tag. A live tag always wins:
+    * an app's txn versions are monotone in commit order, so any live
+    * tag is >= every rolled-forward dead one.
     */
   def lastTxnVersion(root: String, appId: String): Option[Long] = {
     val latest =
-      try latestVersion(root) catch { case _: Throwable => return None }
+      try latestVersion(root) catch {
+        case _: Throwable => return sidecarTxnVersion(root, appId)
+      }
     val first = try oldestVersion(root) catch { case _: Throwable => 1 }
     var v = latest
     while (v >= first) {
@@ -405,7 +423,59 @@ object Versioned {
       }
       v -= 1
     }
-    None
+    sidecarTxnVersion(root, appId)
+  }
+
+  /** The retention sidecar: one tiny file per app under
+    * `_graft_manifest/_txns/` holding the max txnVersion whose
+    * manifest tag has been EXPIRED (content `"<tv>\n<appId>\n"`,
+    * filename = md5 of the appId — appIds are caller strings, not
+    * filesystem-safe). Never read when a live manifest still carries
+    * the app's tag (monotonicity makes the live tag >= it).
+    */
+  private def txnSidecarFile(root: String, appId: String): java.io.File = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(appId.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new java.io.File(s"$root/_graft_manifest/_txns/$md")
+  }
+
+  private def sidecarTxnVersion(root: String,
+                                appId: String): Option[Long] = {
+    val f = txnSidecarFile(root, appId)
+    if (!f.exists()) return None
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n", 2)
+    if (lines.length == 2 && lines(1).trim == appId)
+      Some(lines(0).trim.toLong)
+    else None // md5 collision with a different app: treat as absent
+  }
+
+  /** Write-if-greater with verify-retry: two concurrent expires can
+    * compute DIFFERENT maxima for the same app (their dead sets
+    * differ when retention settings or racing commits differ), and a
+    * plain last-writer-wins rename could let the smaller overwrite
+    * the greater — losing idempotence evidence. Re-reading after the
+    * atomic rename and retrying (bounded) makes the final state the
+    * max of all writers.
+    */
+  private def rollTxnForward(root: String, appId: String,
+                             tv: Long): Unit = {
+    val f = txnSidecarFile(root, appId)
+    f.getParentFile.mkdirs()
+    var attempts = 0
+    while (attempts < 5 &&
+        !sidecarTxnVersion(root, appId).exists(_ >= tv)) {
+      attempts += 1
+      val tmp = new java.io.File(f.getParentFile,
+        s".${f.getName}.tmp${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath,
+        s"$tv\n$appId\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Exactly-once writer-transaction commit: runs `attempt(parent)`
@@ -439,6 +509,19 @@ object Versioned {
       try { attempt(parent); return true }
       catch {
         case _: ConcurrentCommitException =>
+          if (committed) return false
+        case _: Throwable if parent > 0 &&
+            !new java.io.File(manifestDir(root, parent)).exists() =>
+          // the parent was EXPIRED beneath the in-flight attempt —
+          // count-based retention racing a live writer deletes the
+          // manifest (and often the data files) the attempt is
+          // mid-read on, surfacing as FAILED_READ_FILE from deep in
+          // the scan (caught by RetentionRaceFuzzSpec's first seeded
+          // run). The attempt's partial output is an orphan group
+          // vacuum reclaims, exactly like a lost OCC race; re-check
+          // the txn (a twin may have landed) and retry on a fresh
+          // parent. A failure whose parent manifest is STILL PRESENT
+          // is genuine corruption and propagates below.
           if (committed) return false
         // any other failure propagates: the caller's crash-resume
         // re-enters through the same already-committed check
@@ -749,6 +832,31 @@ object Versioned {
       manifest(s, root, v).select("path").collect().map(_.getString(0)))
       .toSet
     val toDelete = (deadRefs -- live).toSeq.sorted
+    // TAGS FORWARD FIRST (round-14-continuation fix, see
+    // lastTxnVersion's retention note): roll each app's max DEAD
+    // txnVersion into the _txns sidecar BEFORE any deletion, so a
+    // writer whose newest tag dies with these manifests keeps its
+    // exactly-once evidence. Crash-safe by the same idempotence as
+    // the deletions: a re-run recomputes the same dead set and
+    // write-if-greater converges; a crash between roll-forward and
+    // delisting leaves a sidecar floor live tags still dominate.
+    dead.flatMap { v =>
+        val f = new java.io.File(manifestDir(root, v), "_txn")
+        if (!f.exists()) None
+        else {
+          val lines = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .split("\n", 2)
+          if (lines.length == 2)
+            Some((lines(1).trim, lines(0).trim.toLong))
+          else None
+        }
+      }
+      .groupBy(_._1)
+      .foreach { case (app, tags) =>
+        rollTxnForward(root, app, tags.map(_._2).max)
+      }
+    maybeCrash("post_txn_rollforward")
     // DELIST FIRST, delete data files SECOND (round-14 fix, caught by
     // VersionedCrashFuzzSpec's first run): the original order deleted
     // data files while their dead manifests were still listed, so a
