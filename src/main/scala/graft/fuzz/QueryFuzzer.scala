@@ -64,6 +64,15 @@ import org.apache.spark.sql.functions._
   * date/timestamp family over events.ts reached exclusively through
   * CAST(EXTRACT(field) AS BIGINT) in predicates, projections, and
   * GROUP BY expressions (raw timestamps never cross the differ).
+  *
+  * Round-14-continuation additions: aggregate FILTER clauses
+  * (SQL:2003 `agg(x) FILTER (WHERE p)` vs the Column API's
+  * `agg(when(p, x))` conditional-aggregation equivalence — a genuine
+  * dual rendering, not a shared text), and the string-function
+  * projection family (SUBSTR with positive args, LOWER/LTRIM/RTRIM —
+  * the subset both dialects define identically on ASCII data;
+  * negative SUBSTR positions diverge between the engines and stay
+  * out of the grammar).
   */
 object QueryFuzzer {
 
@@ -180,6 +189,17 @@ object QueryFuzzer {
     */
   final case class FuncCol(func: String, col: ColDef, alias: String)
     extends OutCol
+  /** `SUBSTR(col, pos, len)` over a string column (round-14
+    * continuation) — positive 1-based `pos` and positive `len` ONLY:
+    * that is the subset where Spark's `substring` and DuckDB's
+    * `substr` are defined identically (negative positions diverge:
+    * Spark counts from the string's end, DuckDB clamps toward the
+    * start). Out-of-range pos/len truncate to the empty/short string
+    * identically in both.
+    */
+  final case class SubstrCol(col: ColDef, pos: Int, len: Int,
+                             alias: String) extends OutCol
+
   /** `COALESCE(col, lit)` — null replacement with a same-pool
     * literal; live after outer joins.
     */
@@ -210,8 +230,18 @@ object QueryFuzzer {
   final case class CorrSubCol(cs: CorrScalar, alias: String)
     extends OutCol
 
+  /** `filter` (round-14 continuation): the SQL:2003 `FILTER (WHERE
+    * pred)` clause on the aggregate — DuckDB renders it literally;
+    * the Column API renders the equivalence every engine's planner
+    * uses, conditional aggregation over `when(pred, input)` (non-
+    * matching and NULL-condition rows map to NULL, which every
+    * aggregate ignores; empty filtered groups give NULL for
+    * SUM/AVG/MIN/MAX and 0 for COUNT in BOTH renderings). Leaf
+    * predicates only — never a scalar subquery.
+    */
   final case class AggCol(func: String, col: Option[ColDef],
-                          alias: String)
+                          alias: String,
+                          filter: Option[Pred] = None)
 
   /** GROUP BY over an expression: `mod` = (CAST(col AS BIGINT) % k)
     * over an integral column, `prefix` = SUBSTR(col, 1, k) over a
@@ -380,6 +410,8 @@ object QueryFuzzer {
         s"(CASE WHEN ${sqlPred(p)} THEN 1 ELSE 0 END) AS $a"
       case FuncCol(f, c, a) =>
         s"${f.toUpperCase}(${c.name}) AS $a"
+      case SubstrCol(c, p0, l0, a) =>
+        s"SUBSTR(${c.name}, $p0, $l0) AS $a"
       case CoalesceCol(c, fb, a) =>
         s"COALESCE(${c.name}, ${sqlLit(fb)}) AS $a"
       case NullIfCol(c, l, a) =>
@@ -397,17 +429,23 @@ object QueryFuzzer {
           s"WHERE ${cs.rt}.${cs.rk} = ${cs.lt}.${cs.lk}) AS $a"
     }
 
-    private def sqlAggExpr(a: AggCol): String = a.func match {
-      case "count*" => "COUNT(*)"
-      case "count" => s"COUNT(${a.col.get.name})"
-      case "count_distinct" =>
-        s"COUNT(DISTINCT ${a.col.get.name})"
-      case "sum" =>
-        val c = a.col.get
-        if (c.kind == 'D') s"SUM(${c.name})"
-        else s"CAST(SUM(${sqlNum(c)}) AS BIGINT)"
-      case "avg" => s"AVG(${a.col.get.name})"
-      case f => s"${f.toUpperCase}(${a.col.get.name})"
+    private def sqlAggExpr(a: AggCol): String = {
+      // FILTER binds to the aggregate function itself, INSIDE any
+      // surrounding CAST (a cast-then-filter is a syntax error)
+      val f = a.filter
+        .map(p => s" FILTER (WHERE ${sqlPred(p)})").getOrElse("")
+      a.func match {
+        case "count*" => s"COUNT(*)$f"
+        case "count" => s"COUNT(${a.col.get.name})$f"
+        case "count_distinct" =>
+          s"COUNT(DISTINCT ${a.col.get.name})$f"
+        case "sum" =>
+          val c = a.col.get
+          if (c.kind == 'D') s"SUM(${c.name})$f"
+          else s"CAST(SUM(${sqlNum(c)})$f AS BIGINT)"
+        case "avg" => s"AVG(${a.col.get.name})$f"
+        case fn => s"${fn.toUpperCase}(${a.col.get.name})$f"
+      }
     }
 
     private def sqlAgg(a: AggCol): String =
@@ -695,8 +733,13 @@ object QueryFuzzer {
         case FuncCol(f, c, a) => (f match {
           case "length" => length(col(c.name)).cast("long")
           case "upper" => upper(col(c.name))
+          case "lower" => lower(col(c.name))
+          case "ltrim" => ltrim(col(c.name))
+          case "rtrim" => rtrim(col(c.name))
           case "abs" => abs(col(c.name))
         }).as(a)
+        case SubstrCol(c, p0, l0, a) =>
+          substring(col(c.name), p0, l0).as(a)
         case CoalesceCol(c, fb, a) =>
           coalesce(col(c.name), sparkLit(fb)).as(a)
         case NullIfCol(c, l, a) =>
@@ -706,18 +749,26 @@ object QueryFuzzer {
           "SELECT-list scalar subqueries are viaSql-only")
       }
 
-    private def sparkAgg(a: AggCol): Column = a.func match {
-      case "count*" => count(lit(1)).as(a.alias)
-      case "count" => count(col(a.col.get.name)).as(a.alias)
-      case "count_distinct" =>
-        count_distinct(col(a.col.get.name)).as(a.alias)
-      case "sum" =>
-        val c = a.col.get
-        (if (c.kind == 'D') sum(col(c.name)) else sum(sparkNum(c)))
-          .as(a.alias)
-      case "avg" => avg(col(a.col.get.name)).as(a.alias)
-      case "min" => min(col(a.col.get.name)).as(a.alias)
-      case "max" => max(col(a.col.get.name)).as(a.alias)
+    private def sparkAgg(a: AggCol,
+                         scalars: Map[ScalarCmp, Any] = Map.empty)
+        : Column = {
+      // FILTER (WHERE p) == aggregate over when(p, input): rows where
+      // p is false OR NULL become NULL inputs, which every aggregate
+      // in the pool ignores (and COUNT(DISTINCT when(...)) drops
+      // exactly the rows SQL's filter-then-distinct drops)
+      def in(c: Column): Column =
+        a.filter.fold(c)(p => when(sparkPred(p, scalars), c))
+      (a.func match {
+        case "count*" => count(in(lit(1)))
+        case "count" => count(in(col(a.col.get.name)))
+        case "count_distinct" => count_distinct(in(col(a.col.get.name)))
+        case "sum" =>
+          val c = a.col.get
+          sum(in(if (c.kind == 'D') col(c.name) else sparkNum(c)))
+        case "avg" => avg(in(col(a.col.get.name)))
+        case "min" => min(in(col(a.col.get.name)))
+        case "max" => max(in(col(a.col.get.name)))
+      }).as(a.alias)
     }
 
     private def sparkGroupExpr(ge: GroupExpr): Column = ge.kind match {
@@ -785,7 +836,7 @@ object QueryFuzzer {
             .map { case (g, i) => col(g.name).as(s"g$i") }
           val geCols = ges.zipWithIndex.map { case (ge, j) =>
             sparkGroupExpr(ge).as(s"g${groups.size + j}") }
-          val aCols = aggs.map(sparkAgg)
+          val aCols = aggs.map(sparkAgg(_, scalars))
           val allG = gCols ++ geCols
           val agged =
             if (allG.isEmpty) filtered.agg(aCols.head, aCols.tail: _*)
@@ -840,7 +891,7 @@ object QueryFuzzer {
           val gRaw = groups.map(g => col(g.name))
           val aCols = groups.zipWithIndex.map { case (g, i) =>
             grouping(col(g.name)).cast("long").as(s"gb$i") } ++
-            aggs.map(sparkAgg)
+            aggs.map(sparkAgg(_, scalars))
           val rolled =
             if (cube) filtered.cube(gRaw: _*)
             else filtered.rollup(gRaw: _*)
@@ -926,7 +977,16 @@ object QueryFuzzer {
                   orderLimit = None))
               }
             else Seq.empty
-          dropHaving ++ dropHavingSub ++ dropGes ++ fewerAggs
+          // a filtered aggregate also shrinks to its unfiltered self
+          val dropFilters = as0.indices.flatMap { i =>
+            if (as0(i).filter.isDefined)
+              Some(copy(shape = Agg(gs,
+                as0.updated(i, as0(i).copy(filter = None)), hv, ges,
+                hs)))
+            else None
+          }
+          dropHaving ++ dropHavingSub ++ dropGes ++ fewerAggs ++
+            dropFilters
         case Win2(part, order, funcs) =>
           if (funcs.size > 1)
             funcs.indices.map(i =>
@@ -1191,11 +1251,14 @@ object QueryFuzzer {
         else { val c = pick(cols); CoalesceCol(c, litOf(c), s"c$i") }
     }
 
-    // 22 buckets: 0-19 are byte-stable with the round-13 grammar (one
-    // nextInt draw either way, same mapping), 20-21 reach the round-14
-    // Rollup family — old seeds that drew <20 generate the identical
-    // query they always did
-    val shape: Shape = rnd.nextInt(22) match {
+    // 24 buckets: 20-21 reach the round-14 Rollup family, 22-23 the
+    // round-14-continuation FILTER-aggregate and string-function
+    // families. Widening the modulus reshuffles which query a given
+    // seed generates — which is FINE: regressions are pinned as
+    // literal ASTs in FuzzQueries (never regenerated from seeds), and
+    // every campaign runs fresh seeds against whatever the current
+    // grammar emits.
+    val shape: Shape = rnd.nextInt(24) match {
       case n if n < 6 =>
         Proj((0 until (2 + rnd.nextInt(3))).map(genOutCol),
           distinct = rnd.nextInt(10) < 3)
@@ -1258,7 +1321,7 @@ object QueryFuzzer {
         SetOp((0 until (2 + rnd.nextInt(2))).map(genOutCol),
           pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")),
           genPred(1), genPred(1))
-      case _ =>
+      case n if n < 22 =>
         val groups = Seq.fill(1 + rnd.nextInt(3))(pick(keyCols)).distinct
         val nAggs = 1 + rnd.nextInt(2)
         val aggs = (0 until nAggs).map { i =>
@@ -1271,6 +1334,51 @@ object QueryFuzzer {
           }
         }
         Rollup(groups, aggs, cube = rnd.nextBoolean())
+      case 22 =>
+        // FILTER-clause aggregates (round-14 continuation): grouped
+        // aggregation where at least the first aggregate carries a
+        // FILTER (WHERE leaf-pred) — SQL:2003 clause on the DuckDB
+        // side, when(pred, input) conditional aggregation on the
+        // Column-API side (see AggCol scaladoc for the equivalence)
+        val groups =
+          if (rnd.nextInt(10) < 2) Seq.empty
+          else Seq.fill(1 + rnd.nextInt(2))(pick(keyCols)).distinct
+        val nAggs = 1 + rnd.nextInt(3)
+        val aggs = (0 until nAggs).map { i =>
+          val base = rnd.nextInt(7) match {
+            case 0 => AggCol("count*", None, s"a$i")
+            case 1 => AggCol("count", Some(pick(cols)), s"a$i")
+            case 2 => AggCol("sum", Some(pick(numCols)), s"a$i")
+            case 3 => AggCol("avg", Some(pick(numCols)), s"a$i")
+            case 4 => AggCol("min", Some(pick(cols)), s"a$i")
+            case 5 => AggCol("max", Some(pick(cols)), s"a$i")
+            case _ =>
+              AggCol("count_distinct", Some(pick(cols)), s"a$i")
+          }
+          if (i == 0 || rnd.nextInt(10) < 5)
+            base.copy(filter = Some(genLeafPredOver(cols)))
+          else base
+        }
+        Agg(groups, aggs)
+      case _ =>
+        // string-function projections (round-14 continuation):
+        // SUBSTR(c, pos, len) with positive args plus LOWER/LTRIM/
+        // RTRIM — the dialect-shared subset (see SubstrCol scaladoc
+        // for the negative-position divergence kept OUT of the
+        // grammar), mixed with the ordinary projection pool
+        def genStrOut(i: Int): OutCol =
+          if (strCols.isEmpty) genOutCol(i)
+          else rnd.nextInt(6) match {
+            case 0 | 1 =>
+              SubstrCol(pick(strCols), 1 + rnd.nextInt(3),
+                1 + rnd.nextInt(4), s"c$i")
+            case 2 | 3 =>
+              FuncCol(pick(Seq("lower", "ltrim", "rtrim")),
+                pick(strCols), s"c$i")
+            case _ => genOutCol(i)
+          }
+        Proj((0 until (2 + rnd.nextInt(3))).map(genStrOut),
+          distinct = rnd.nextInt(10) < 3)
     }
 
     // ORDER BY + LIMIT over a float-free total order (all output
@@ -1283,6 +1391,7 @@ object QueryFuzzer {
       case FuncCol("length", _, _) => 'L'
       case FuncCol("upper", _, _) => 'S'
       case FuncCol(_, c, _) => c.kind
+      case SubstrCol(_, _, _, _) => 'S'
       case CoalesceCol(c, _, _) => c.kind
       case NullIfCol(c, _, _) => c.kind
       case TimeFuncCol(_, _) => 'L'

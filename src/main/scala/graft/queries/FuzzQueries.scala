@@ -327,6 +327,55 @@ object FuzzQueries {
     orderLimit = Some((Seq(("g0", true), ("g1", true), ("gb0", true),
       ("gb1", true), ("a0", false), ("a1", true), ("a2", true)), 50)))
 
+  /** Round-14-continuation FILTER-aggregate pin: grouped aggregation
+    * over a lineitem⋈orders join where every aggregate kind that can
+    * carry a FILTER does — COUNT(*), the BIGINT-cast integral SUM
+    * (FILTER inside the cast, the rendering edge), and
+    * COUNT(DISTINCT) — each with a different leaf predicate. DuckDB
+    * runs the literal SQL:2003 clause; Spark runs the when()-wrapped
+    * conditional aggregation. Output is integral-only (float-free
+    * total order), 3 groups at every SF — fully deterministic.
+    */
+  private val q107 = FuzzQuery(0, "lineitem",
+    joins = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey", "inner")),
+    preds = Seq.empty,
+    shape = Agg(
+      groups = Seq(cd("lineitem", "l_returnflag", 'S')),
+      aggs = Seq(
+        AggCol("count*", None, "a0",
+          filter = Some(Cmp(cd("orders", "o_orderpriority", 'S'), "=",
+            "1-URGENT"))),
+        AggCol("sum", Some(cd("lineitem", "l_linenumber", 'I')), "a1",
+          filter = Some(Cmp(cd("lineitem", "l_quantity", 'D'), "<",
+            25.0))),
+        AggCol("count_distinct",
+          Some(cd("orders", "o_orderpriority", 'S')), "a2",
+          filter = Some(Cmp(cd("lineitem", "l_linenumber", 'I'), ">",
+            2))))),
+    orderLimit = Some((Seq(("g0", true), ("a0", false), ("a1", true),
+      ("a2", true)), 50)))
+
+  /** Round-14-continuation string-function pin: the dialect-shared
+    * string surface in one projection — SUBSTR with positive args
+    * (mid-string AND prefix), LOWER, LTRIM — over a customer⋈nation
+    * join with a selective predicate. All-string output, total-order
+    * ORDER BY over every alias, LIMIT 40: deterministic at every SF.
+    */
+  private val q108 = FuzzQuery(0, "customer",
+    joins = Seq(
+      ("customer", "c_nationkey", "nation", "n_nationkey", "inner")),
+    preds = Seq(Cmp(cd("customer", "c_mktsegment", 'S'), "<>",
+      "BUILDING")),
+    shape = Proj(Seq(
+      SubstrCol(cd("customer", "c_name", 'S'), 10, 4, "c0"),
+      FuncCol("lower", cd("customer", "c_mktsegment", 'S'), "c1"),
+      SubstrCol(cd("nation", "n_name", 'S'), 1, 3, "c2"),
+      FuncCol("ltrim", cd("customer", "c_name", 'S'), "c3")),
+      distinct = false),
+    orderLimit = Some((Seq(("c0", true), ("c1", true), ("c2", false),
+      ("c3", true)), 40)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_fuzz_join_having" -> ((s, dir) => q94.toDF(s, dir)),
     "q95_fuzz_window_leftjoin" -> ((s, dir) => q95.toDF(s, dir)),
@@ -341,6 +390,8 @@ object FuzzQueries {
     "q104_fuzz_select_subqueries" -> ((s, dir) => q104.toDF(s, dir)),
     "q105_fuzz_having_subquery" -> ((s, dir) => q105.toDF(s, dir)),
     "q106_fuzz_rollup_cube" -> ((s, dir) => q106.toDF(s, dir)),
+    "q107_fuzz_filter_agg" -> ((s, dir) => q107.toDF(s, dir)),
+    "q108_fuzz_string_funcs" -> ((s, dir) => q108.toDF(s, dir)),
   )
 
   /** The oracle SQL IS the renderer's other output — one AST, two
@@ -360,5 +411,7 @@ object FuzzQueries {
     "q104_fuzz_select_subqueries" -> q104.sql,
     "q105_fuzz_having_subquery" -> q105.sql,
     "q106_fuzz_rollup_cube" -> q106.sql,
+    "q107_fuzz_filter_agg" -> q107.sql,
+    "q108_fuzz_string_funcs" -> q108.sql,
   )
 }

@@ -431,6 +431,56 @@ class FuzzSpec extends SparkSpec {
       .exists(_.startsWith("rows:")), "ROLLUP->CUBE mutation missed")
   }
 
+  test("mutation negatives, round-14-continuation families: a mutated " +
+      "FILTER-clause literal, a dropped FILTER, a widened SUBSTR, and " +
+      "LOWER->UPPER are all reported") {
+    assume(Differ.duckAvailable(), "python3+duckdb not available")
+    import QueryFuzzer._
+    def cd(t: String, n: String, k: Char) = ColDef(t, n, k)
+    def mDiff(q: FuzzQuery, mutated: String): Option[String] =
+      diff(q, duck(Map("m" -> mutated))("m"))
+
+    // FILTER-clause aggregate: the filter literal changed, and the
+    // clause dropped entirely (the count then includes every segment)
+    val qF = FuzzQuery(0, "customer", Nil, Nil,
+      Agg(Seq(cd("customer", "c_nationkey", 'I')),
+        Seq(AggCol("count*", None, "a0",
+          filter = Some(Cmp(cd("customer", "c_mktsegment", 'S'), "=",
+            "BUILDING"))))))
+    assert(qF.sql.contains("FILTER (WHERE"), "qF did not render FILTER")
+    assert(mDiff(qF, qF.sql.replace("'BUILDING'", "'MACHINERY'"))
+      .nonEmpty, "FILTER literal mutation missed")
+    assert(mDiff(qF, qF.sql.replace(
+      " FILTER (WHERE c_mktsegment = 'BUILDING')", "")).nonEmpty,
+      "FILTER drop mutation missed")
+    // the filtered SUM's FILTER sits INSIDE the BIGINT cast — the
+    // rendering edge this family exists to pin
+    val qS = FuzzQuery(0, "customer", Nil, Nil,
+      Agg(Nil, Seq(AggCol("sum", Some(cd("customer", "c_nationkey",
+        'I')), "a0", filter = Some(Cmp(cd("customer", "c_mktsegment",
+        'S'), "=", "BUILDING"))))))
+    // lastIndexOf: the summand's own CAST(... AS BIGINT) sits INSIDE
+    // the SUM; the outer cast is the last occurrence
+    assert(qS.sql.contains("FILTER (WHERE") &&
+      qS.sql.indexOf("FILTER") < qS.sql.lastIndexOf(" AS BIGINT"),
+      s"filtered SUM rendered the FILTER outside the CAST: ${qS.sql}")
+    assert(mDiff(qS, qS.sql).isEmpty, "filtered SUM baseline diverged")
+
+    // SUBSTR widened by one char splits prefix groups differently
+    val qSub = FuzzQuery(0, "customer", Nil, Nil,
+      Proj(Seq(SubstrCol(cd("customer", "c_name", 'S'), 1, 2, "c0")),
+        distinct = true))
+    assert(mDiff(qSub, qSub.sql.replace("SUBSTR(c_name, 1, 2)",
+      "SUBSTR(c_name, 1, 3)")).nonEmpty, "SUBSTR mutation missed")
+
+    // LOWER -> UPPER flips every cased value
+    val qL = FuzzQuery(0, "customer", Nil, Nil,
+      Proj(Seq(FuncCol("lower", cd("customer", "c_name", 'S'), "c0")),
+        distinct = false))
+    assert(mDiff(qL, qL.sql.replace("LOWER(", "UPPER(")).nonEmpty,
+      "LOWER mutation missed")
+  }
+
   test(s"differential fuzz: $NumQueries seeded random queries agree " +
     "with DuckDB on sorted values (filters, FK joins, EXISTS/NOT " +
     "EXISTS, aggregates, HAVING, DISTINCT, windows, scalar " +
@@ -536,6 +586,23 @@ class FuzzSpec extends SparkSpec {
     assert(queries.values.exists(_.shape match {
       case QueryFuzzer.Rollup(_, _, cube) => cube; case _ => false
     }), "no CUBE produced")
+    // round-14-continuation construct coverage: FILTER-clause
+    // aggregates and the string-function projection family
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Agg(_, as0, _, _, _) =>
+        as0.exists(_.filter.isDefined)
+      case _ => false
+    }), "no FILTER-clause aggregate produced")
+    assert(queries.values.exists(_.shape match {
+      case QueryFuzzer.Proj(cs, _) => cs.exists(c =>
+        c.isInstanceOf[QueryFuzzer.SubstrCol] ||
+          (c match {
+            case QueryFuzzer.FuncCol(f, _, _) =>
+              Set("lower", "ltrim", "rtrim")(f)
+            case _ => false
+          }))
+      case _ => false
+    }), "no SUBSTR/LOWER/LTRIM/RTRIM projection produced")
     val d = duck(queries.map { case (n, q) => n -> q.sql })
     val failures = queries.toSeq.sortBy(_._1).flatMap { case (n, q) =>
       diff(q, d(n)).map(reason => (n, q, reason))
