@@ -17,6 +17,34 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scale-adaptive map-stage fan-out (optimization guide §2: derive
+    * partitioning from the input's actual split count vs the session's
+    * cores — never a constant tuned for one deployment).
+    *
+    * The harness tables ship as ONE parquet file with ONE row group per
+    * table, so a scan — and every codegen'd map stage above it
+    * (tokenize/shingle/decode/hash) — runs as ONE task regardless of
+    * core count; parquet cannot split inside a row group. Where the
+    * map-side work dominates (the text/codec/vector families), that
+    * serializes the whole stage onto one core. This helper round-robin
+    * repartitions to `defaultParallelism` ONLY when the scan's natural
+    * split count is below it; the exchange moves just the slim selected
+    * columns (callers apply it after projection), a few MB here. At
+    * production scale the condition never fires: a 100 TB table scans
+    * as thousands of splits >= cores, and the fan-out is a no-op — no
+    * blanket repartition of base data ever ships.
+    *
+    * Float caveat: repartitioning changes double-sum order, which the
+    * repo's pinned-oracle doctrine already requires entries to tolerate
+    * (keyed RNG, rounded comparisons); every oracle-gated entry above a
+    * fanned scan is re-gated byte-exact against DuckDB after this
+    * change (OPTIMIZATION_r14.md).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view (for the SQL entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))

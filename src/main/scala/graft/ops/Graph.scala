@@ -103,10 +103,24 @@ object Graph {
     // empty intersection and can contribute nothing. The intersection
     // is the native sorted-merge kernel (SortedIntersect): the inputs
     // are sorted, duplicate-free neighbor lists, and array_intersect's
-    // per-row hash set was the remaining hot spot
+    // per-row hash set was the remaining hot spot.
+    // The two join exchanges are USER-SPECIFIED hash repartitions on
+    // the join keys (same count as spark.sql.shuffle.partitions, so
+    // the join adds no extra exchange): AQE's byte-based coalescing
+    // would otherwise fold the reduce side to ONE partition — the
+    // edge list is ~8 MB of longs, far under any advisory size — and
+    // the intersect stage's cost is CPU per edge (O(sqrt m) merge per
+    // row, the whole quadratic budget), not bytes; measured 18.9 s
+    // single-task vs ~1 s across cores on the sf0.1 co-supply graph.
+    // User-specified partitioning is exactly the AQE escape hatch for
+    // compute-bound reduce stages (optimization guide §2.5: partition
+    // by the work, not the bytes).
+    val parts = e.sparkSession.sessionState.conf.numShufflePartitions
     val inter = e
+      .repartition(parts, col("lo"))
       .join(adj, col("lo") === col("p")).drop("p")
       .withColumnRenamed("nbrs", "np")
+      .repartition(parts, col("hi"))
       .join(adj, col("hi") === col("p")).drop("p")
       .withColumnRenamed("nbrs", "nq")
       .select(col("lo"), col("hi"),

@@ -18,11 +18,15 @@ import graft.ops.{Dedup, Hll, Multimodal, Pca, Similarity, TextAnalysis}
   */
 object OpsQueries {
 
+  // fanOut: the d/s/mm families are map-compute-heavy (tokenize,
+  // shingle, hash, codec decode, vector math) straight above the scan;
+  // the harness single-row-group files would serialize all of that
+  // onto one core (Tables.fanOut scaladoc — a no-op at real scale)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.fanOut(Tables(s, dir, "documents"))
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    Tables.fanOut(Tables(s, dir, "embeddings"))
 
   /** s24's pinned PQ codebook: m=8 subspaces x kc=4 centroids x 8
     * dims of DISTRIBUTION CONSTANTS (zeros / uniform / one-hot /

@@ -138,8 +138,16 @@ object PipelineQueries {
       .select((col("doc_id") + 3 * off).as("doc_id"),
         lit("leak").as("source"),
         concat_ws(" ", slice(col("toks"), 1, 30)).as("text"))
-    val corpus0 = base.unionByName(exactCopies).unionByName(mutants)
-      .unionByName(leaks)
+    // fanOut on the UNION (not the scan): the whole chain's map work
+    // (clean/tokenize/shingle/minhash) sits above corpus0, and
+    // `cleaned` is cached with corpus0's partitioning — unfanned, the
+    // cache is ~4 single-file partitions and every consumer runs
+    // near-serial; fanning each scan instead would multiply partitions
+    // x4 through the union and re-exchange every branch (measured
+    // +3s on p01). No-op at real scale (Tables.fanOut scaladoc).
+    val corpus0 = graft.Tables.fanOut(
+      base.unionByName(exactCopies).unionByName(mutants)
+        .unionByName(leaks))
     val dirty = concat(lit("<p class=\"doc\">"), col("text"),
       lit("</p> <br/>contact u"), col("doc_id").cast("string"),
       lit("@example.com or https://data.example.org/d/"),
@@ -171,8 +179,16 @@ object PipelineQueries {
       .select((col("doc_id") + 3 * off).as("doc_id"),
         lit("leak").as("source"),
         concat_ws(" ", slice(col("toks"), 1, 30)).as("text"))
-    val corpus0 = base.unionByName(exactCopies).unionByName(mutants)
-      .unionByName(leaks)
+    // fanOut on the UNION (not the scan): the whole chain's map work
+    // (clean/tokenize/shingle/minhash) sits above corpus0, and
+    // `cleaned` is cached with corpus0's partitioning — unfanned, the
+    // cache is ~4 single-file partitions and every consumer runs
+    // near-serial; fanning each scan instead would multiply partitions
+    // x4 through the union and re-exchange every branch (measured
+    // +3s on p01). No-op at real scale (Tables.fanOut scaladoc).
+    val corpus0 = graft.Tables.fanOut(
+      base.unionByName(exactCopies).unionByName(mutants)
+        .unionByName(leaks))
 
     // stage 1: deterministic dirt (d11's recipe), then the cleaning
     // chain. CACHED: consumed by stages 2, 3 (quality), 4 (bench +
@@ -297,7 +313,10 @@ object PipelineQueries {
       val root = graft.TempDirs.fixturePath(s"graft-p03-$key")
       if (!Versioned.hasVersion(root, 2)) {
         graft.TempDirs.registerCleanedAtExit(root)
-        val base = docs(s, dir)
+        // fanOut: `scored` below is CACHED and feeds every curation
+        // branch; unfanned it is one single-file partition and the
+        // fingerprint/quality map work runs on one core
+        val base = graft.Tables.fanOut(docs(s, dir))
         val off = strideOf(base)
         val scored = base
           .select(col("doc_id"), col("source"), col("text"),

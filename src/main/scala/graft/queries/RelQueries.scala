@@ -167,6 +167,30 @@ object RelQueries {
     * twice. Every node has out-degree >= 1 by construction (q53's
     * no-dangling-mass precondition).
     */
+  /** Canonical co-supply edge list (a < b, distinct): suppliers
+    * sharing an order, the q58/q66 input. Built as ONE order-keyed
+    * groupBy + an in-row pair expansion (two Generates, codegen'd) —
+    * the previous distinct + orderkey self-join shape shuffled the
+    * (order, supplier) table three times (distinct exchange + both
+    * sort-merge-join sides) to produce the same pair set; the groupBy
+    * needs one exchange, and the pair fan-out stays bounded by order
+    * size exactly as before (guide §2.4: two operations keyed the same
+    * way share one exchange). Output set is IDENTICAL: per order, both
+    * shapes emit every supplier pair a < b once, and the final
+    * distinct collapses cross-order repeats.
+    */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val grouped = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_suppkey")).as("ss"))
+    grouped
+      .select(explode(col("ss")).as("a"), col("ss"))
+      .select(col("a"), explode(col("ss")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -1463,7 +1487,12 @@ object RelQueries {
     // executor-side; four separate per-column scans is the naive
     // profiler that reads a 100-TB table four times).
     "q83_table_profile" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // fanOut: the multi-countDistinct agg plans as an Expand that
+      // multiplies every scanned row x5 BEFORE the first exchange —
+      // above the single-row-group scan that whole stage is one task
+      // (Tables.fanOut scaladoc; no-op at real scale). Counts/min/max
+      // are exact, so partitioning cannot move the result.
+      val li = graft.Tables.fanOut(t(s, dir, "lineitem"))
       def m(c: String) = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
         countDistinct(col(c)).as(s"${c}_nd"),
@@ -1733,16 +1762,10 @@ object RelQueries {
     // Degree-ordered orientation caps wedge fan-out at O(sqrt(m)) per
     // node — see Graph.triangleCounts. Oracle replays the exact
     // orientation + wedge-close chain; counts are integers, so the
-    // hash-compare is exact.
+    // hash-compare is exact. Edge build: see coSupplyEdges.
     "q58_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_suppkey").distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-        .distinct()
-      graft.ops.Graph.triangleCounts(e).orderBy("node")
+      graft.ops.Graph.triangleCounts(coSupplyEdges(s, dir))
+        .orderBy("node")
     }),
 
     // DOULION edge-sampled triangle estimate (Tsourakakis et al. KDD
@@ -1753,14 +1776,8 @@ object RelQueries {
     // 1/p³ scaling. p³=0.125 is dyadic, so the scaled estimate is
     // bit-exact cross-engine; ±ε accuracy vs q58 is GraphSpec-gated.
     "q66_triangle_estimate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_suppkey").distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-        .distinct()
-      graft.ops.Graph.triangleCountEstimate(e, p = 0.5).orderBy("node")
+      graft.ops.Graph.triangleCountEstimate(coSupplyEdges(s, dir), p = 0.5)
+        .orderBy("node")
     }),
 
     // grouped top-k as a RELATIONAL query through the native bounded

@@ -224,7 +224,7 @@ object StreamQueries {
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)
-        val base = graft.Tables(s, dir, "documents")
+        val base = graft.Tables.fanOut(graft.Tables(s, dir, "documents"))
         // planted re-crawls: every 10th doc appears AGAIN under a
         // fresh max-key-derived id — its hash batch is independent of
         // the original's, so the pair exercises every store outcome
@@ -268,7 +268,7 @@ object StreamQueries {
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)
-        val base = graft.Tables(s, dir, "documents")
+        val base = graft.Tables.fanOut(graft.Tables(s, dir, "documents"))
         val off = (base.agg(max(col("doc_id"))).head().getLong(0)
           / 1000000L + 1L) * 1000000L
         val withCopies = base.select("doc_id", "source", "text")
@@ -312,7 +312,7 @@ object StreamQueries {
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)
-        val base = graft.Tables(s, dir, "documents")
+        val base = graft.Tables.fanOut(graft.Tables(s, dir, "documents"))
         val off = (base.agg(max(col("doc_id"))).head().getLong(0)
           / 1000000L + 1L) * 1000000L
         val orig = base.select(col("doc_id"), col("source"),

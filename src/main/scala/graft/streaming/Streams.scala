@@ -1113,6 +1113,14 @@ object Streams {
       val batched = docs.withColumn("__b",
         floor(graft.ops.TextAnalysis.hashUniform(col("doc_id"), "ingest")
           * numBatches).cast("int"))
+        .cache()
+      // materialize the cache with a PARALLEL action first: the
+      // per-batch writes below are coalesce(1), and a lazy cache would
+      // be filled inside that one task — serializing the caller's
+      // whole scoring pipeline onto one core, once per batch file
+      // (numBatches evaluations of the upstream plan; guide §1.2 —
+      // don't compute things you throw away)
+      batched.count()
       val mtimeBase = System.currentTimeMillis() - numBatches * 4000L
       (0 until numBatches).foreach { k =>
         batched.filter(col("__b") === k)
@@ -1130,6 +1138,7 @@ object Streams {
                 s"failed on ${f.getPath}; batch order may tie")
           }
       }
+      batched.unpersist(blocking = false)
     }
     val schema = spark.read.parquet(s"$srcDir/b0").schema
     val stream = spark.readStream.schema(schema)
