@@ -274,6 +274,14 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
       .withColumn("sigs", transform(col("sig"), x => x.cast("string")))
       .cache()
+    // EAGER cache fill (the q58/Graph lesson): the consuming job scans
+    // this cache from THREE independent stages at once (bucket counts +
+    // both candidate-join sides) — against a COLD cache those stages
+    // race, each recomputing the full shingle+signature pipeline
+    // (profiled on p02: three concurrent 32-task stages, 25-29 s CPU
+    // EACH, for one cache's worth of work). One cheap parallel pass
+    // here fills it once; every consumer then reads warm blocks.
+    sig.count()
     // band key = md5 over the comma-joined signature slice — engine-
     // portable (the oracle replays it), 16 hex chars is plenty for a
     // band bucket key

@@ -199,6 +199,12 @@ object PipelineQueries {
       col("doc_id").cast("string"), lit("?ref=x"))
     val cleaned = corpus0.select(col("doc_id"), col("source"),
       TextAnalysis.cleanText(dirty).as("clean")).cache()
+    // eager fill (the q58/Graph lesson): the first consuming job scans
+    // `cleaned` from several independent stages at once (fingerprint
+    // dedup + the LSH signature chain + quality) — cold, those stages
+    // race and each recomputes the cleaning pipeline; one parallel
+    // pass fills the cache once
+    cleaned.count()
 
     // stage 2: exact dedup — keeper = min id per content fingerprint
     val surv1Ids = cleaned
