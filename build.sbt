@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// per-test durations in the report (-oD): the round-15 test-budget work
+// needed per-suite wall numbers and had none; keep them visible
+Test / testOptions += Tests.Argument("-oD")
 // Without this, sbt logs the forked process's stdout through its own
 // logger, prefixing every line with "[info] " — which made the bench
 // headline JSON unparseable to the driver for nine straight rounds

@@ -168,7 +168,13 @@ object Bench {
     val slow = results.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"full_map":"BENCH_LOCAL.json","slowest25":$slow}"""
+    // round-15 (PERF_r14 n_common=0 fix): the compact line now carries
+    // the FULL per-query map inline — BENCH_LOCAL.json is scratch that
+    // every run overwrites, so a pointer to it left the next round's
+    // driver with no prev map to diff against (geomean null two rounds
+    // running). All pre-existing fields are kept; the map is ~8 KB and
+    // the r14 capture demonstrably parsed both emitted lines whole.
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","valid":$valid,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"full_map":"BENCH_LOCAL.json","slowest25":$slow,"queries":$qs}"""
     println(line)
     println(compact)
     // truncation-proof sibling: the full line also lands in-repo so

@@ -42,7 +42,48 @@ object Tables {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (naturalParts(df) < target) df.repartition(target) else df
+  }
+
+  /** Partition count of a SHUFFLE-FREE plan (scan / map / filter /
+    * union only). The probe is `.rdd.getNumPartitions`, which under
+    * AQE materializes query stages eagerly — on a plan containing a
+    * shuffle that would silently EXECUTE the upstream job just to
+    * count partitions (and again at the real action, two separate
+    * QueryExecutions, no reuse). The require rejects such plans loudly
+    * instead: every [[fanOut]]/[[compactAfterFan]] call site wraps a
+    * bare scan or a union of scans+projections, where `.rdd` is
+    * plan-only.
+    */
+  private[graft] def naturalParts(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffly = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Sort | _: Window
+                | _: RepartitionOperation | _: Distinct
+                | _: GlobalLimit) => p
+    }
+    require(shuffly.isEmpty,
+      s"fanOut probe over a shuffle-bearing plan (${shuffly.get.nodeName})" +
+        " — the .rdd probe would execute it; fan the shuffle-free input" +
+        " instead")
+    df.rdd.getNumPartitions
+  }
+
+  /** Undo [[fanOut]]'s width on a SLIM derived table about to be
+    * cached and then consumed by many metadata-sized jobs (the p03
+    * lesson, round 15): fanning the heavy scoring map is right, but a
+    * core-count-partition CACHE makes every one of the ~20 downstream
+    * tiny jobs schedule `defaultParallelism` tasks for a few thousand
+    * rows — measured 84 stages / 1694 tasks on p03's fixture build,
+    * more wall in scheduling than in compute, and 8 cores beat 32
+    * (PERF_r14 scaling 0.59). One extra exchange of the slim rows
+    * (a few hundred KB) restores the input's natural partition count
+    * for the cache. In the production regime fanOut was a no-op, the
+    * condition here is false, and no repartition ships.
+    */
+  def compactAfterFan(slim: DataFrame, natural: Int): DataFrame = {
+    val target = slim.sparkSession.sparkContext.defaultParallelism
+    if (natural < target) slim.repartition(math.max(1, natural)) else slim
   }
 
   /** Register every table as a temp view (for the SQL entry points). */

@@ -316,24 +316,38 @@ object PipelineQueries {
     incrCache.getOrElseUpdate(dir, {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
-      val root = graft.TempDirs.fixturePath(s"graft-p03-$key")
+      // fixture-generation code changed this round (compacted cache +
+      // eager fill): the `b` suffix retires any stale dir a killed JVM
+      // left behind that older code built (ADVICE r14: a version check
+      // alone can't tell WHICH code built the bytes)
+      val root = graft.TempDirs.fixturePath(s"graft-p03-${key}b")
       if (!Versioned.hasVersion(root, 2)) {
         graft.TempDirs.registerCleanedAtExit(root)
-        // fanOut: `scored` below is CACHED and feeds every curation
-        // branch; unfanned it is one single-file partition and the
-        // fingerprint/quality map work runs on one core
-        val base = graft.Tables.fanOut(docs(s, dir))
+        // fanOut the heavy scoring MAP (fingerprint/quality regex work
+        // would otherwise run on one core over the single-row-group
+        // scan) — but compact the SLIM scored table back to the scan's
+        // natural partition count before caching: the fixture build +
+        // incremental read run ~20 metadata-sized jobs over this cache,
+        // and a core-count-partition cache made each schedule 32-96
+        // tiny tasks (round-14's p03 regression, 4.2 -> 9.1 s and
+        // 8 cores beating 32; see Tables.compactAfterFan). Eager fill
+        // so the fanned compute runs once, in parallel, not inside the
+        // first consumer.
+        val raw = docs(s, dir)
+        val natural = graft.Tables.naturalParts(raw)
+        val base = graft.Tables.fanOut(raw)
         val off = strideOf(base)
-        val scored = base
-          .select(col("doc_id"), col("source"), col("text"),
-            TextAnalysis.fingerprint(col("text")).as("fp"),
-            TextAnalysis.tokenCount(col("text")).cast("long")
-              .as("n_tokens"),
-            round(TextAnalysis.qualityScoreOf(
-              TextAnalysis.tokens(lower(col("text"))), col("text")), 6)
-              .as("q"))
-          .drop("text")
+        val scored = graft.Tables.compactAfterFan(
+          base.select(col("doc_id"), col("source"), col("text"),
+              TextAnalysis.fingerprint(col("text")).as("fp"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens"),
+              round(TextAnalysis.qualityScoreOf(
+                TextAnalysis.tokens(lower(col("text"))), col("text")), 6)
+                .as("q"))
+            .drop("text"), natural)
           .cache()
+        scored.count()
         val a = scored.filter(col("doc_id") % 2 === 0)
         val curatedA = a.filter(col("q") >= 0.5)
         Versioned.write(

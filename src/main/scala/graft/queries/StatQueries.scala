@@ -123,7 +123,7 @@ object StatQueries {
       Bootstrap.mspe(smallSurvey(s, dir), bigSurvey(s, dir), "y",
         featureCols, "state", "weight", Seq("uid"), fit.params,
         numB = 2, seed = 7L, numDraws = 50, emIters = 1, ebpDraws = 25,
-        initScheme = "refit")
+        initScheme = "refit", concurrency = 8)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     }).toDF("state", "mspe")
   }
@@ -667,7 +667,7 @@ object StatQueries {
       val mspe = Bootstrap.mspe(small, bigSurvey(s, dir), "y", featureCols,
           "state", "weight", Seq("uid"), fit.params, numB = numB,
           seed = 7L, numDraws = 200, emIters = 10, ebpDraws = 100,
-          initScheme = "reference")
+          initScheme = "reference", concurrency = 8)
         .select("mspe").as[Double].collect()
       small.unpersist(blocking = false)
       val b = fit.params.beta.toArray

@@ -219,8 +219,13 @@ object StreamQueries {
     "st16_stream_ingest" -> ((s, dir) => {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      // `b` suffix (st16/17/18, round 15): fixture-generation code
+      // changed in round 14 (fanOut of the base scan) without a dir
+      // bump, so a stale pre-change fixture left by a killed JVM could
+      // be silently reused; new dir names retire any such leftovers
+      // (ADVICE r14)
       val root = new java.io.File(
-        graft.TempDirs.scratchRoot, s"graft-st16-$key")
+        graft.TempDirs.scratchRoot, s"graft-st16-${key}b")
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)
@@ -264,7 +269,7 @@ object StreamQueries {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val root = new java.io.File(
-        graft.TempDirs.scratchRoot, s"graft-st18-$key")
+        graft.TempDirs.scratchRoot, s"graft-st18-${key}b")
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)
@@ -308,7 +313,7 @@ object StreamQueries {
       import graft.sources.Versioned
       val key = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val root = new java.io.File(
-        graft.TempDirs.scratchRoot, s"graft-st17-$key")
+        graft.TempDirs.scratchRoot, s"graft-st17-${key}b")
         .getAbsolutePath
       if (!Versioned.hasVersion(root, 4)) {
         graft.TempDirs.registerCleanedAtExit(root)

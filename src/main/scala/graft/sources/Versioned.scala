@@ -79,6 +79,42 @@ object Versioned {
     .TrieMap[(String, Int), org.apache.spark.sql.types.StructType]
   graft.Fixtures.onReset(() => snapSchemaCache.clear())
 
+  /** Memoized manifest CONTENT per (root, version) — round-15
+    * optimization: every [[manifest]] call was a Spark parquet job
+    * (footer read + task launch, 0.2-0.4 s each on the bench host),
+    * and one versioned-table entry makes a dozen of them (readAsOf,
+    * changeFeed, merge routing, pruning). A committed manifest is
+    * immutable, so the rows are collected ONCE and served back as a
+    * LocalRelation (collect on it is driver-local, zero jobs).
+    *
+    * Soundness: entries are validated on EVERY call against a cheap
+    * freshness token — the manifest directory's mtime plus the
+    * `_commit_ts` content (two java file stats, no Spark) — so the
+    * two mutation paths (same-version overwrite re-commit, and an
+    * externally swept + rebuilt fixture at the same path) can never be
+    * served stale: both land a freshly renamed `v=N` directory with a
+    * new mtime. [[commitManifest]]/[[expire]] also invalidate
+    * explicitly, and [[graft.Fixtures]] reset clears the map
+    * (belt and braces).
+    */
+  private val manifestCache = new scala.collection.concurrent.TrieMap[
+    (String, Int),
+    (String, Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
+  graft.Fixtures.onReset(() => manifestCache.clear())
+
+  private def manifestToken(root: String, version: Int): String = {
+    val d = new java.io.File(manifestDir(root, version))
+    val ts = new java.io.File(d, "_commit_ts")
+    val cts =
+      if (ts.exists())
+        try new String(java.nio.file.Files.readAllBytes(ts.toPath),
+          "UTF-8").trim
+        catch { case scala.util.control.NonFatal(_) => "?" }
+      else "-"
+    s"${d.lastModified()}:$cts"
+  }
+
   /** Directory-listing count (test hook): every O(versions) listing
     * of `_graft_manifest` bumps it, so VersionedSpec can gate that a
     * warm [[latestVersion]]/[[oldestVersion]] opens the table with
@@ -169,6 +205,32 @@ object Versioned {
         java.nio.file.Paths.get(tmp, "_txn"),
         s"$tv\n$app\n".getBytes("UTF-8"))
     }
+    // EXPIRY-FLOOR GUARD (round 15, caught live by
+    // RetentionRaceFuzzSpec once the metadata path got fast): the
+    // put-if-absent rename arbitrates concurrent committers of the
+    // SAME version — but [[expire]] DELETES old version dirs, which
+    // RECYCLES their numbers. A slow writer whose attempt out-lived
+    // the retention horizon (attempt started at parent=3, maintenance
+    // minted v4..v10 and expire freed v4 meanwhile) then renames onto
+    // the freed name and "wins" a version BELOW the tip: no conflict
+    // surfaces, commitOnce never retries, and the batch's content is
+    // invisible to every tip reader — silent loss. Expire now
+    // publishes the survivor floor (`_first`) BEFORE delisting
+    // anything, so the ordering is: floor write -> name freed -> (this
+    // writer's rename can succeed). Rejecting `version < floor` both
+    // before the rename (cheap fast-path) and AFTER a successful
+    // rename (decisive: a name that was free implies the floor above
+    // it was already published) converts the resurrection into the
+    // ConcurrentCommitException the caller's retry loop already
+    // handles. Also closes the parent=0 bootstrap hazard (a transient
+    // latestVersion failure resurrecting v=1 on an expired table).
+    def expiryFloor(): Option[Int] = readPtr(root, "_first")
+    if (!overwrite && expiryFloor().exists(version < _)) {
+      val t0 = new java.io.File(tmp)
+      Option(t0.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      t0.delete()
+      throw new ConcurrentCommitException(root, version)
+    }
     val target = new java.io.File(manifestDir(root, version))
     var aside: Option[java.io.File] = None
     if (target.exists()) {
@@ -183,7 +245,15 @@ object Versioned {
     }
     if (!new java.io.File(tmp).renameTo(target)) {
       // two optimistic writers can both pass the exists() probe; the
-      // kernel serializes the renames, so the loser lands here
+      // kernel serializes the renames, so the loser lands here.
+      // Clean the loser's tmp dir up front (round 15): every lost race
+      // used to LEAK a `_tmp_v*` manifest dir, and a starved retry loop
+      // accumulated thousands of them — bloating every directory
+      // listing (latestVersion fallback, vacuum) in the same loop that
+      // was already losing races.
+      val t = new java.io.File(tmp)
+      Option(t.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      t.delete()
       aside.foreach(_.renameTo(target)) // restore the old manifest
       if (!overwrite && target.exists())
         throw new ConcurrentCommitException(root, version)
@@ -193,7 +263,20 @@ object Versioned {
       Option(a.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       a.delete()
     }
+    // post-rename expiry-floor validation (see the guard above): our
+    // rename succeeded, so if retention freed this version's name, the
+    // floor above it was already on disk BEFORE the free — undo and
+    // surface the conflict instead of leaving a resurrected below-tip
+    // version in the history.
+    if (!overwrite && expiryFloor().exists(version < _)) {
+      Option(target.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      target.delete()
+      snapSchemaCache.remove((root, version))
+      manifestCache.remove((root, version))
+      throw new ConcurrentCommitException(root, version)
+    }
     snapSchemaCache.remove((root, version))
+    manifestCache.remove((root, version))
     // version pointers: monotonic hints that make table open O(1)
     if (readPtr(root, "_last").forall(_ < version))
       writePtr(root, "_last", version)
@@ -241,9 +324,19 @@ object Versioned {
   def manifest(s: SparkSession, root: String, version: Int): DataFrame = {
     if (!hasVersion(root, version))
       throw new NoSuchVersionException(root, version)
-    val m = s.read.parquet(manifestDir(root, version))
-    if (m.columns.contains("kind")) m
-    else m.withColumn("kind", lit("data"))
+    val token = manifestToken(root, version)
+    val (_, rows, schema) = manifestCache.get((root, version))
+      .filter(_._1 == token)
+      .getOrElse {
+        val m0 = s.read.parquet(manifestDir(root, version))
+        val m = if (m0.columns.contains("kind")) m0
+          else m0.withColumn("kind", lit("data"))
+        val entry = (token, m.collect(), m.schema)
+        manifestCache.put((root, version), entry)
+        entry
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, schema)
   }
 
   def hasVersion(root: String, version: Int): Boolean =
@@ -433,11 +526,61 @@ object Versioned {
     * filesystem-safe). Never read when a live manifest still carries
     * the app's tag (monotonicity makes the live tag >= it).
     */
-  private def txnSidecarFile(root: String, appId: String): java.io.File = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(appId.getBytes("UTF-8"))
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    new java.io.File(s"$root/_graft_manifest/_txns/$md")
+
+  private def txnSidecarFile(root: String, appId: String): java.io.File =
+    new java.io.File(s"$root/_graft_manifest/_txns/${md5Hex(appId)}")
+
+  /** Writer-intent advisory files — the LIVENESS half of the commit
+    * protocol (round 15). [[commitOnce]]'s retry loop is unbounded by
+    * design (safety never depends on winning a race), but an
+    * aggressive maintenance daemon can STARVE it: a compaction loop
+    * that mints a version faster than the writer's attempt completes
+    * makes every put-if-absent rename lose, forever — observed live
+    * when round-15's manifest memoization made the maintenance ops
+    * ~5x faster and RetentionRaceFuzzSpec's drain retried for 80+
+    * minutes without landing a batch (16k maintenance commits, zero
+    * writer commits). Production table services solve this by having
+    * DISCRETIONARY maintenance defer to active writers (Delta/Iceberg
+    * compaction retries/aborts on writer conflict, never the other
+    * way round); this is that policy in miniature.
+    *
+    * A writer that LOSES an OCC race signals intent (one tiny file
+    * under `_graft_manifest/_intent/`, mtime-refreshed per retry,
+    * removed when its commit lands); maintenance ops invoked with
+    * `yieldToWriters = true` skip their cycle while any intent is
+    * fresh ([[IntentFreshMs]]). The freshness window bounds the damage
+    * of a crashed writer's stale intent; safety is untouched — intents
+    * gate nothing on the commit path itself, and a maintenance op that
+    * ignores them (the default) is merely back in the starvation-risk
+    * regime.
+    */
+  private[graft] val IntentFreshMs: Long = 30000L
+
+  private def intentDir(root: String): java.io.File =
+    new java.io.File(s"$root/_graft_manifest/_intent")
+
+  private def signalWriterIntent(root: String, appId: String): Unit =
+    try {
+      val d = intentDir(root)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, md5Hex(appId)).toPath,
+        s"$appId\n".getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def clearWriterIntent(root: String, appId: String): Unit =
+    try { new java.io.File(intentDir(root), md5Hex(appId)).delete(); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Any writer-intent fresher than [[IntentFreshMs]]? */
+  def writerIntentActive(root: String): Boolean = {
+    val now = System.currentTimeMillis()
+    Option(intentDir(root).listFiles()).getOrElse(Array.empty)
+      .exists(f => now - f.lastModified() <= IntentFreshMs)
   }
 
   private def sidecarTxnVersion(root: String,
@@ -503,31 +646,40 @@ object Versioned {
     def committed: Boolean =
       lastTxnVersion(root, appId).exists(_ >= txnVersion)
     if (committed) return false
-    while (true) {
-      val parent =
-        try latestVersion(root) catch { case _: Throwable => 0 }
-      try { attempt(parent); return true }
-      catch {
-        case _: ConcurrentCommitException =>
-          if (committed) return false
-        case _: Throwable if parent > 0 &&
-            !new java.io.File(manifestDir(root, parent)).exists() =>
-          // the parent was EXPIRED beneath the in-flight attempt —
-          // count-based retention racing a live writer deletes the
-          // manifest (and often the data files) the attempt is
-          // mid-read on, surfacing as FAILED_READ_FILE from deep in
-          // the scan (caught by RetentionRaceFuzzSpec's first seeded
-          // run). The attempt's partial output is an orphan group
-          // vacuum reclaims, exactly like a lost OCC race; re-check
-          // the txn (a twin may have landed) and retry on a fresh
-          // parent. A failure whose parent manifest is STILL PRESENT
-          // is genuine corruption and propagates below.
-          if (committed) return false
-        // any other failure propagates: the caller's crash-resume
-        // re-enters through the same already-committed check
+    // liveness under discretionary maintenance: after the FIRST lost
+    // race this writer signals intent (refreshed per retry), which
+    // yield-aware maintenance ops honor by skipping their cycle — see
+    // the writer-intent scaladoc. Cleared on every exit path.
+    var signaled = false
+    try {
+      while (true) {
+        val parent =
+          try latestVersion(root) catch { case _: Throwable => 0 }
+        try { attempt(parent); return true }
+        catch {
+          case _: ConcurrentCommitException =>
+            if (committed) return false
+            signalWriterIntent(root, appId); signaled = true
+          case _: Throwable if parent > 0 &&
+              !new java.io.File(manifestDir(root, parent)).exists() =>
+            // the parent was EXPIRED beneath the in-flight attempt —
+            // count-based retention racing a live writer deletes the
+            // manifest (and often the data files) the attempt is
+            // mid-read on, surfacing as FAILED_READ_FILE from deep in
+            // the scan (caught by RetentionRaceFuzzSpec's first seeded
+            // run). The attempt's partial output is an orphan group
+            // vacuum reclaims, exactly like a lost OCC race; re-check
+            // the txn (a twin may have landed) and retry on a fresh
+            // parent. A failure whose parent manifest is STILL PRESENT
+            // is genuine corruption and propagates below.
+            if (committed) return false
+            signalWriterIntent(root, appId); signaled = true
+          // any other failure propagates: the caller's crash-resume
+          // re-enters through the same already-committed check
+        }
       }
-    }
-    false // unreachable
+      false // unreachable
+    } finally if (signaled) clearWriterIntent(root, appId)
   }
 
   /** (data paths, tombstone paths) of `version`. */
@@ -581,8 +733,28 @@ object Versioned {
     */
   def readAsOf(s: SparkSession, root: String, version: Int): DataFrame = {
     val (dataPaths, delPaths) = pathsByKind(s, root, version)
+    // the snapshot's merged schema is memoized per (root, version) and
+    // SUPPLIED to the read: with an explicit schema the parquet source
+    // skips its schema-inference job entirely (one footer-merge pass
+    // per readAsOf call on the bench host, 0.1-0.3 s each), and files
+    // predating an add-column evolution still read the missing column
+    // as typed nulls — the same semantics mergeSchema produced, now
+    // paid once per snapshot instead of once per read (round-15; the
+    // readAsOfWhere memo at [[snapSchemaCache]] had the same insight
+    // for point lookups)
+    // the snapshot's merged schema is memoized per (root, version) and
+    // SUPPLIED to the read: with an explicit schema the parquet source
+    // skips its schema-inference job entirely (one footer-merge pass
+    // per readAsOf call on the bench host, 0.1-0.3 s each), and files
+    // predating an add-column evolution still read the missing column
+    // as typed nulls — the same semantics mergeSchema produced, now
+    // paid once per snapshot instead of once per read (round-15; the
+    // readAsOfWhere memo at [[snapSchemaCache]] had the same insight
+    // for point lookups)
+    val snapSchema = snapSchemaCache.getOrElseUpdate((root, version),
+      s.read.option("mergeSchema", "true").parquet(dataPaths: _*).schema)
     applyTombstones(s,
-      s.read.option("mergeSchema", "true").parquet(dataPaths: _*),
+      s.read.schema(snapSchema).parquet(dataPaths: _*),
       delPaths)
   }
 
@@ -670,7 +842,14 @@ object Versioned {
   def compact(s: SparkSession, root: String, keyCol: String,
               fromVersion: Int, toVersion: Int,
               overwrite: Boolean = true,
-              crashAt: Option[String] = None): Unit = {
+              crashAt: Option[String] = None,
+              yieldToWriters: Boolean = false): Unit = {
+    // discretionary-maintenance mode (see the writer-intent scaladoc):
+    // skip the cycle while a conflicted writer's intent is fresh. A
+    // yielding caller must tolerate `toVersion` not existing; direct
+    // callers (entries, restore fixtures) keep the default and always
+    // mint.
+    if (yieldToWriters && writerIntentActive(root)) return
     def maybeCrash(point: String): Unit =
       if (crashAt.contains(point))
         throw new RuntimeException(s"injected crash at $point in compact")
@@ -815,7 +994,13 @@ object Versioned {
   }
 
   def expire(s: SparkSession, root: String, keepVersions: Int,
-             crashAt: Option[String] = None): Int = {
+             crashAt: Option[String] = None,
+             yieldToWriters: Boolean = false): Int = {
+    // discretionary-maintenance mode: expiring the snapshot an active
+    // writer's attempt is mid-read on fails that attempt (the
+    // FAILED_READ_FILE retry path below commitOnce) — yield while a
+    // conflicted writer's intent is fresh, like compact.
+    if (yieldToWriters && writerIntentActive(root)) return 0
     def maybeCrash(point: String): Unit =
       if (crashAt.contains(point))
         throw new RuntimeException(s"injected crash at $point in expire")
@@ -868,12 +1053,25 @@ object Versioned {
     // already-delisted versions leak as ORPHANS that a re-run cannot
     // see (deadRefs is computed from listed manifests) but
     // vacuumOrphans reclaims — the janitor's documented job.
+    // FLOOR FIRST (round 15): publish the survivor floor BEFORE any
+    // name is freed, so commitManifest's expiry-floor guard is
+    // decisive — a writer whose rename lands on a freed name is
+    // guaranteed to see the floor above it (see the guard's scaladoc;
+    // caught live by RetentionRaceFuzzSpec: a slow merge resurrected
+    // an expired version number and its batch vanished from the tip).
+    // Idempotent on crash-re-run like every other step here; the
+    // post-delete write below keeps the old repair behavior.
+    keep.minOption.foreach { f =>
+      if (readPtr(root, "_first").forall(_ < f)) writePtr(root, "_first", f)
+    }
+    maybeCrash("post_floor_publish")
     var firstMan = true
     dead.foreach { v =>
       val d = new java.io.File(manifestDir(root, v))
       Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       d.delete()
       snapSchemaCache.remove((root, v))
+      manifestCache.remove((root, v))
       if (firstMan) { firstMan = false; maybeCrash("mid_manifest_deletes") }
     }
     maybeCrash("post_manifest_deletes")

@@ -83,13 +83,15 @@ object Bootstrap {
     * replicate sits in a driver-side step (L-BFGS line search, Newton
     * updates). Results are order-independent — every random stream is
     * keyed by (seed, replicate, unit), not by execution interleaving.
-    * Default concurrency 8 (was 2): on the binary-covariate surveys the
-    * per-replicate EM collapses to the DRIVER-LOCAL cell fast path
-    * (Em.fitLocal — pure single-threaded quadrature math), so the wall
-    * is replicate-count x driver CPU, not cluster work; 8 driver
-    * threads overlap those local fits (optimization guide §2.6 —
-    * overlap independent jobs; measured on m11: the fit math is the
-    * critical path, cluster slots are idle either way).
+    * Default concurrency 2 — a LIBRARY default sized for memory
+    * safety: each in-flight replicate caches its simulated survey, so
+    * the default bounds peak storage pressure for arbitrary callers
+    * (ADVICE r14). Callers whose replicates collapse to the
+    * DRIVER-LOCAL cell fast path (Em.fitLocal — single-threaded
+    * quadrature math per replicate, cluster idle) should pass a higher
+    * value to overlap those fits (guide §2.6); the m05/m11 bench
+    * entries pass 8, the round-14-measured sweet spot (m11 8.12 ->
+    * 6.29 s solo).
     *
     * Per-replicate EM initialization (`initScheme`):
     *   - `"reference"` (default) — the reference's scheme
@@ -109,7 +111,7 @@ object Bootstrap {
            idCols: Seq[String], truth: Em.Params, numB: Int,
            seed: Long = 42L, numDraws: Int = 200, emIters: Int = 5,
            ebpDraws: Int = 100, initScheme: String = "reference",
-           tol: Double = 0.01, concurrency: Int = 8): DataFrame = {
+           tol: Double = 0.01, concurrency: Int = 2): DataFrame = {
     require(Set("reference", "refit", "truth")(initScheme),
       s"initScheme must be reference|refit|truth, got $initScheme")
     val areas = big.select(areaCol).distinct()

@@ -44,7 +44,7 @@ class CommitRaceFuzzSpec extends SparkSpec {
     "all versions readable, CDF = brute-force diff, no stranded " +
     "files)") {
     var cceTotal = 0
-    (1 to 8).foreach { seed =>
+    (1 to FuzzScale.n(8, 3)).foreach { seed =>
       val root =
         TempDirs.createCleanedAtExit(s"graft-race-fuzz$seed") + "/t"
       Versioned.write(

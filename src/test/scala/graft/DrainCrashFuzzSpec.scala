@@ -101,7 +101,7 @@ class DrainCrashFuzzSpec extends SparkSpec {
     def ref(et: Boolean, ce: Int): DrainState =
       refs.getOrElseUpdate((et, ce), run(et, ce, None))
 
-    (1 to 8).foreach { seed =>
+    (1 to FuzzScale.n(8, 3)).foreach { seed =>
       val rnd = new scala.util.Random(seed * 7919L)
       val k = rnd.nextInt(3).toLong // kill batch 0..2 of 4
       // round-robin over the kill points (each exercised exactly

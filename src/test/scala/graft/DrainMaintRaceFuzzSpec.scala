@@ -112,7 +112,7 @@ class DrainMaintRaceFuzzSpec extends SparkSpec {
 
     var cceTotal = 0
     var maintCommits = 0
-    (1 to 8).foreach { seed =>
+    (1 to FuzzScale.n(8, 2)).foreach { seed =>
       val rnd = new scala.util.Random(seed * 7919L)
       val et = rnd.nextBoolean()
       val ce = if (rnd.nextBoolean()) 2 else 16
@@ -144,8 +144,11 @@ class DrainMaintRaceFuzzSpec extends SparkSpec {
               }
             if (latest >= 1) {
               try {
+                // yieldToWriters: production maintenance defers to
+                // active writers (see RetentionRaceFuzzSpec's note on
+                // the round-15 starvation this closes)
                 Versioned.compact(spark, root, "doc_id", latest,
-                  latest + 1, overwrite = false)
+                  latest + 1, overwrite = false, yieldToWriters = true)
                 commits.incrementAndGet()
               } catch {
                 case _: Versioned.ConcurrentCommitException =>

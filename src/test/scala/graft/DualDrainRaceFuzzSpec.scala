@@ -137,7 +137,7 @@ class DualDrainRaceFuzzSpec extends SparkSpec {
         solo(if (which == 'A') docsA else docsB, et))
 
     var interleavings = 0
-    (1 to 6).foreach { seed =>
+    (1 to FuzzScale.n(6, 2)).foreach { seed =>
       val rnd = new scala.util.Random(seed * 104729L)
       val et = rnd.nextBoolean()
       val staggerMs = rnd.nextInt(150)

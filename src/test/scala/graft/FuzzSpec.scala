@@ -19,7 +19,7 @@ import graft.fuzz.{Differ, QueryFuzzer}
   */
 class FuzzSpec extends SparkSpec {
 
-  private val NumQueries = 220
+  private val NumQueries = FuzzScale.n(220, 60)
   private lazy val pools = QueryFuzzer.samplePools(spark, sf001)
 
   private def duck(sqls: Map[String, String]) =

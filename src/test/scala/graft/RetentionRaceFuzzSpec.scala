@@ -141,6 +141,34 @@ class RetentionRaceFuzzSpec extends SparkSpec {
     assert(got.hw == want.hw, "high-water diverged")
   }
 
+  test("expiry-floor guard: a commit whose version number retention " +
+      "already freed is REJECTED as a conflict, not resurrected below " +
+      "the tip (the round-15 fuzz catch: a slow writer whose attempt " +
+      "out-lived the retention horizon renamed onto a freed name, " +
+      "'won' silently, and its batch vanished from every tip read)") {
+    val root = TempDirs.createCleanedAtExit("graft-retfloor") + "/t"
+    def rows(tag: String) =
+      (0 until 8).map(i => (i.toLong, tag)).toDF("k", "status")
+    (1 to 5).foreach { v =>
+      Versioned.write(rows(s"t$v"), root, "k", v, 1, overwrite = false)
+    }
+    Versioned.expire(spark, root, keepVersions = 2) // floor = 4
+    // the slow writer's stale attempt: v=2 was expired, its name is
+    // free — the rename WOULD succeed; the floor guard must reject
+    intercept[Versioned.ConcurrentCommitException] {
+      Versioned.write(rows("stale"), root, "k", 2, 1, overwrite = false)
+    }
+    // no resurrected version may exist, and the tip is untouched
+    assert(!Versioned.hasVersion(root, 2), "freed version resurrected")
+    assert(Versioned.latestVersion(root) == 5)
+    assert(Versioned.oldestVersion(root) == 4)
+    assert(Versioned.readAsOf(spark, root, 5)
+      .select("status").as[String].collect().toSet == Set("t5"))
+    // a fresh tip commit still lands normally
+    Versioned.write(rows("t6"), root, "k", 6, 1, overwrite = false)
+    assert(Versioned.latestVersion(root) == 6)
+  }
+
   test("commitOnce exactly-once SURVIVES retention: expire rolls dead " +
       "txn tags into the _txns sidecar before delisting, so an " +
       "append-style writer whose tags died with old manifests still " +
@@ -260,7 +288,7 @@ class RetentionRaceFuzzSpec extends SparkSpec {
 
     var expiredTotal = 0
     var cceTotal = 0
-    (1 to 8).foreach { seed =>
+    (1 to FuzzScale.n(8, 2)).foreach { seed =>
       val rnd = new scala.util.Random(seed * 104729L)
       val et = rnd.nextBoolean()
       val ce = if (rnd.nextBoolean()) 2 else 16
@@ -291,14 +319,26 @@ class RetentionRaceFuzzSpec extends SparkSpec {
               }
             if (latest >= 1) {
               try {
+                // yieldToWriters: this loop models a production
+                // maintenance daemon, and those DEFER to active
+                // writers (round 15: a non-yielding loop at the
+                // post-optimization maintenance speed starved the
+                // drain's commitOnce for 80+ minutes — maintenance
+                // minted versions faster than one merge attempt
+                // completes, so every put-if-absent lost). The race
+                // axis stays live: intents appear only AFTER a first
+                // lost race, so every drain commit still races at
+                // least one compaction, and crash schedules leave
+                // stale intents that exercise the freshness expiry.
                 Versioned.compact(spark, root, "doc_id", latest,
-                  latest + 1, overwrite = false)
+                  latest + 1, overwrite = false, yieldToWriters = true)
               } catch {
                 case _: Versioned.ConcurrentCommitException =>
                   cce.incrementAndGet()
               }
               expired.addAndGet(math.min(1,
-                Versioned.expire(spark, root, keepVersions = keep)))
+                Versioned.expire(spark, root, keepVersions = keep,
+                  yieldToWriters = true)))
               // contended-host grace (see DrainMaintRaceFuzzSpec)
               Versioned.vacuumOrphans(spark, root, graceMs = 30000L)
             }
@@ -332,6 +372,47 @@ class RetentionRaceFuzzSpec extends SparkSpec {
         s"crash=$crash)")
       val got = observe(root, scratch, et)
       val want = ref(et, ce)
+      if (got.rows != want.rows) {
+        System.err.println("==== POSTMORTEM seed " + seed + " ====")
+        val manRoot = new java.io.File(s"$root/_graft_manifest")
+        val allDirs = Option(manRoot.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.getName.startsWith("v=") ||
+            d.getName.startsWith("_dead_v="))
+          .sortBy(d => d.getName.replace("_dead_", "")
+            .stripPrefix("v=").toInt)
+        allDirs.foreach { d =>
+          val tag = d.getName
+          try {
+            val rows = spark.read.parquet(d.getAbsolutePath).collect()
+            System.err.println(s"[MAN] $tag " +
+              rows.map(r => r.mkString(":").split("/").last).mkString(" | "))
+          } catch { case e: Throwable =>
+            System.err.println(s"[MAN] $tag UNREADABLE $e") }
+          val txnF = new java.io.File(d, "_txn")
+          if (txnF.exists())
+            System.err.println(s"[TXN] $tag " + new String(
+              java.nio.file.Files.readAllBytes(txnF.toPath), "UTF-8")
+              .replace("\n", " / "))
+        }
+        val filesDir = new java.io.File(s"$root/files")
+        val dataDirs = Option(filesDir.listFiles()).getOrElse(Array.empty)
+        dataDirs.sortBy(_.getName).foreach { g =>
+          try {
+            val c = spark.read.parquet(g.getAbsolutePath)
+              .select("doc_id", "commit_v")
+              .collect().map(r => s"${r.getLong(0)}:v${r.get(1)}")
+            System.err.println(s"[GRP] ${g.getName} n=${c.length} " +
+              c.sorted.take(200).mkString(","))
+          } catch { case e: Throwable =>
+            System.err.println(s"[GRP] ${g.getName} UNREADABLE: $e") }
+        }
+        val sidecar = new java.io.File(s"$root/_graft_manifest/_txns")
+        Option(sidecar.listFiles()).getOrElse(Array.empty).foreach { f =>
+          System.err.println(s"[SIDE] ${f.getName} " + new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .replace("\n", " / "))
+        }
+      }
       assert(got.nRows == want.nRows && got.rows == want.rows,
         s"seed $seed (et=$et ce=$ce keep=$keep crash=$crash): corpus " +
           s"diverged; missing=${(want.rows -- got.rows).take(5)} " +

@@ -440,7 +440,7 @@ class StreamsSpec extends SparkSpec {
     assert(out.nonEmpty)
     val key = (sf001.hashCode.toLong & 0xffffffffL).toHexString
     val root = new java.io.File(
-      graft.TempDirs.scratchRoot, s"graft-st16-$key")
+      graft.TempDirs.scratchRoot, s"graft-st16-${key}b")
       .getAbsolutePath
     assert(Versioned.latestVersion(root) == 4)
     // one winner per fingerprint in the final corpus
